@@ -1,0 +1,114 @@
+"""End-to-end: bootstrap + epoch ingest vs the naive oracle reducer and a
+DuckDB SQL oracle (FIXTURES.md §5) — the round-trip parity the north rule
+demands: per-turn text equality under stable (conv_id, turn_idx) order."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from xgeo_ray import fixtures as fx
+from xgeo_ray.pipelines import ingest as ing
+from xgeo_ray.state.delta_table import DeltaTable
+
+N_CONVS, TURNS, N_EVENTS = 12, 8, 1500
+
+
+@pytest.fixture(scope="module")
+def built_table(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tbl"))
+    base = fx.make_transcripts(N_CONVS, TURNS)
+    base_path = f"{root}/base.parquet"
+    pq.write_table(base, base_path)
+    events = fx.make_change_events(
+        N_EVENTS, n_convs=N_CONVS, turns_per_conv=TURNS, dup_fraction=0.03
+    )
+    seg_dir = f"{root}/wal"
+    segs = fx.write_segments(events, seg_dir, n_segments=6)
+    table = DeltaTable.create(f"{root}/table", num_partitions=8, num_salts=2)
+    ing.bootstrap_base(table, base_path)
+    manifests = ing.run_stream(table, segs, segments_per_epoch=2)
+    return table, base, events, manifests
+
+
+def _final_df(table):
+    got = ing.snapshot(table).to_pandas()
+    return got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def test_parity_vs_naive_reducer(built_table):
+    table, base, events, _ = built_table
+    got = _final_df(table)
+    want = fx.naive_final_state(base, events).to_pandas()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_parity_vs_duckdb_oracle(built_table):
+    table, base, events, _ = built_table
+    got = _final_df(table)
+    con = duckdb.connect()
+    con.register("base", base)
+    con.register("events", events)
+    want = con.execute(
+        """
+        WITH all_rows AS (
+          SELECT conv_id, turn_idx, role, text, tool, ts, CAST(-1 AS BIGINT) seq, 'I' op FROM base
+          UNION ALL
+          SELECT DISTINCT conv_id, turn_idx, role, text, tool, ts, seq, op FROM events
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts FROM all_rows
+        QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) = 1
+          AND op <> 'D'
+        ORDER BY conv_id, turn_idx
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_lineage_totals(built_table):
+    table, base, events, manifests = built_table
+    totals = {}
+    for m in manifests:
+        for k, v in m.totals.items():
+            totals[k] = totals.get(k, 0) + v
+    assert totals["events_read"] == events.num_rows
+    # every non-duplicate event was either applied, superseded, or dup-dropped
+    assert totals["dup_dropped"] + totals["below_wm_dropped"] > 0
+    assert totals["applied"] > 0
+
+
+def test_idempotent_replay(built_table, tmp_path):
+    """At-least-once: replaying an already-committed segment set must not
+    change the table (watermark drop) — run_stream skips them entirely,
+    and a forced re-ingest applies zero rows."""
+    table, base, events, manifests = built_table
+    before = _final_df(table)
+    # forced re-ingest of the first WAL segment (simulates redelivery)
+    seg0 = manifests[0].segments[0]
+    m = ing.ingest_segments(table, [seg0])
+    assert m.totals["applied"] == 0
+    assert m.totals["below_wm_dropped"] == m.totals["rows_in"]
+    after = _final_df(table)
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_compaction_preserves_state(built_table):
+    table, base, events, _ = built_table
+    before = _final_df(table)
+    ing.compact(table)
+    after = _final_df(table)
+    pd.testing.assert_frame_equal(before, after)
+    # all partitions now read from exactly one file
+    for k, files in table.partition_files().items():
+        assert len(files) == 1
+
+
+def test_snapshot_partition_local_sorted(built_table):
+    table, *_ = built_table
+    for part, files in table.partition_files().items():
+        t = pq.read_table(files[-1])
+        df = t.to_pandas()
+        assert df[["conv_id", "turn_idx"]].equals(
+            df[["conv_id", "turn_idx"]].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )

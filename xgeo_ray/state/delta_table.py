@@ -1,0 +1,202 @@
+"""DeltaTable — LSM-style partitioned lake table (SURVEY.md §2.3, §7 step 5).
+
+On-disk layout (one directory per hash partition → resumable, skew-visible):
+
+    root/
+      _table.json                      # partitioning config, base schema
+      manifests/epoch=000001.json      # the commit fence (manifest.py)
+      parts/part=00007/epoch=000001.parquet         # epoch delta (sorted)
+      parts/part=00007/compact-epoch=000009.parquet # compaction rewrite
+
+Delta rows carry the *envelope* schema: the data columns plus ``op``
+("I"/"U" upsert rows, "D" tombstones) and ``seq`` (WAL offset). Reads are
+merge-on-read: per partition, unify schemas of [last compaction + later
+deltas], last-writer-wins by (ts, seq), drop tombstones. Compaction
+folds a partition's files into one, *retaining tombstones* by default —
+dropping a tombstone is only safe once no event with a lower (ts, seq)
+can still arrive (caller supplies that horizon).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from xgeo_ray.schemas import (
+    CHANGE_EVENTS_SCHEMA,
+    TRANSCRIPTS_SCHEMA,
+    schema_fingerprint,
+    unify,
+)
+from xgeo_ray.state.manifest import (
+    Manifest,
+    PartitionEntry,
+    manifest_path,
+    read_manifests,
+    schema_from_json,
+    schema_to_json,
+    write_manifest,
+)
+
+TABLE_META = "_table.json"
+PARTS_DIR = "parts"
+
+# Envelope columns that are lineage, not data.
+LINEAGE_COLS = ["op", "seq"]
+
+
+def part_dir(root: str, part_key: int) -> str:
+    return os.path.join(root, PARTS_DIR, f"part={part_key:05d}")
+
+
+def delta_relpath(part_key: int, epoch: int, compact: bool = False) -> str:
+    stem = "compact-epoch" if compact else "epoch"
+    return os.path.join(PARTS_DIR, f"part={part_key:05d}", f"{stem}={epoch:06d}.parquet")
+
+
+class DeltaTable:
+    """Handle to a table root. Cheap to construct; all state is on disk,
+    so any worker/process sees the same committed view (the analogue of
+    the reference's single consumer loop, distributed)."""
+
+    def __init__(self, root: str, num_partitions: int, num_salts: int):
+        self.root = root
+        self.num_partitions = num_partitions
+        self.num_salts = num_salts
+
+    # ------------------------------------------------------------- lifecycle
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        num_partitions: int = 32,
+        num_salts: int = 4,
+        base_schema: pa.Schema = TRANSCRIPTS_SCHEMA,
+    ) -> "DeltaTable":
+        os.makedirs(root, exist_ok=True)
+        meta = {
+            "num_partitions": num_partitions,
+            "num_salts": num_salts,
+            "base_schema": schema_to_json(base_schema),
+            "format_version": 1,
+        }
+        p = os.path.join(root, TABLE_META)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, p)
+        return cls(root, num_partitions, num_salts)
+
+    @classmethod
+    def open(cls, root: str) -> "DeltaTable":
+        with open(os.path.join(root, TABLE_META)) as f:
+            meta = json.load(f)
+        return cls(root, meta["num_partitions"], meta["num_salts"])
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.isfile(os.path.join(root, TABLE_META))
+
+    def base_schema(self) -> pa.Schema:
+        with open(os.path.join(self.root, TABLE_META)) as f:
+            return schema_from_json(json.load(f)["base_schema"])
+
+    # ------------------------------------------------------------- manifests
+    def manifests(self) -> list[Manifest]:
+        return read_manifests(self.root)
+
+    def latest_epoch(self) -> int:
+        ms = self.manifests()
+        return ms[-1].epoch if ms else 0
+
+    def committed_segments(self) -> set[str]:
+        out: set[str] = set()
+        for m in self.manifests():
+            out.update(m.segments)
+        return out
+
+    def watermarks(self) -> np.ndarray:
+        """Per-partition max applied seq (int64, -1 = none). Replayed events
+        with seq <= watermark[part] are dropped — idempotent apply."""
+        wm = np.full(self.num_partitions, -1, dtype=np.int64)
+        for m in self.manifests():
+            for k, e in m.partitions.items():
+                wm[int(k)] = max(wm[int(k)], e.max_seq)
+        return wm
+
+    def current_schema(self) -> pa.Schema:
+        """Envelope schema of the latest committed epoch (data + lineage
+        columns); the base envelope if no epoch has committed yet."""
+        ms = self.manifests()
+        if ms:
+            return ms[-1].schema()
+        return unify(CHANGE_EVENTS_SCHEMA, self.base_schema())
+
+    def data_schema(self) -> pa.Schema:
+        env = self.current_schema()
+        return pa.schema([f for f in env if f.name not in LINEAGE_COLS])
+
+    def schema_version(self) -> int:
+        ms = self.manifests()
+        return ms[-1].schema_version if ms else 0
+
+    # ------------------------------------------------------------- file plan
+    def partition_files(self) -> dict[int, list[str]]:
+        """Visible files per partition, merge order: last compaction (if
+        any) then subsequent deltas, ascending epoch. Absolute paths."""
+        plan: dict[int, list[str]] = {k: [] for k in range(self.num_partitions)}
+        for m in self.manifests():
+            for k, e in m.partitions.items():
+                kk = int(k)
+                if m.kind == "compact":
+                    plan[kk] = [e.path] if e.path else []
+                elif e.path:  # "" = zero-row epoch entry (lineage only)
+                    plan[kk].append(e.path)
+        return {
+            k: [os.path.join(self.root, p) for p in v] for k, v in plan.items() if v
+        }
+
+    # ------------------------------------------------------------- commit
+    def commit_epoch(
+        self,
+        epoch: int,
+        segments: list[str],
+        entries: list[PartitionEntry],
+        envelope_schema: pa.Schema,
+        kind: str = "delta",
+        replaces_up_to: int = -1,
+        extra_totals: dict[str, int] | None = None,
+    ) -> Manifest:
+        if os.path.exists(manifest_path(self.root, epoch)):
+            raise ValueError(f"epoch {epoch} already committed")
+        prev = self.manifests()
+        prev_fp = prev[-1].schema_fingerprint if prev else ""
+        fp = schema_fingerprint(envelope_schema)
+        version = (prev[-1].schema_version if prev else 0) + (1 if fp != prev_fp else 0)
+        totals = {
+            "rows_in": sum(e.rows_in for e in entries),
+            "dup_dropped": sum(e.dup_dropped for e in entries),
+            "superseded": sum(e.superseded for e in entries),
+            "below_wm_dropped": sum(e.below_wm_dropped for e in entries),
+            "applied": sum(e.applied for e in entries),
+            "tombstones": sum(e.tombstones for e in entries),
+            "bytes": sum(e.bytes for e in entries),
+        }
+        if extra_totals:
+            totals.update(extra_totals)
+        m = Manifest(
+            epoch=epoch,
+            kind=kind,
+            segments=list(segments),
+            schema_version=version,
+            schema_fingerprint=fp,
+            schema_fields=schema_to_json(envelope_schema),
+            partitions={str(e.part_key): e for e in entries},
+            totals=totals,
+            replaces_up_to=replaces_up_to,
+        )
+        write_manifest(self.root, m)
+        return m

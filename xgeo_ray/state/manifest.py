@@ -1,0 +1,123 @@
+"""Epoch manifests — the exactly-once fence (SURVEY.md §4, §7 step 6).
+
+A manifest is a small JSON file, one per committed epoch, written with
+write-tmp + atomic ``os.replace``. Delta Parquet files are only *visible*
+if some committed manifest lists them; files from a crashed, uncommitted
+epoch are ignored by every reader and deterministically overwritten on
+replay. This turns Ray's at-least-once task execution into exactly-once
+table state.
+
+Each manifest records, per partition: the delta file, the seq/ts
+watermarks, and the lineage counters the north rule requires (events
+seen / applied / dup-dropped / below-watermark-dropped / tombstoned).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import asdict, dataclass, field
+
+import pyarrow as pa
+
+_TYPE_PARSERS = {
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "bool": pa.bool_(),
+    "binary": pa.binary(),
+    "timestamp[us]": pa.timestamp("us"),
+    "timestamp[ms]": pa.timestamp("ms"),
+    "timestamp[s]": pa.timestamp("s"),
+    "timestamp[ns]": pa.timestamp("ns"),
+    "date32[day]": pa.date32(),
+}
+
+
+def schema_to_json(schema: pa.Schema) -> list[list[str]]:
+    for f in schema:
+        if str(f.type) not in _TYPE_PARSERS:
+            raise TypeError(f"unsupported manifest type {f.type} for field {f.name}")
+    return [[f.name, str(f.type)] for f in schema]
+
+
+def schema_from_json(fields: list[list[str]]) -> pa.Schema:
+    return pa.schema([pa.field(n, _TYPE_PARSERS[t]) for n, t in fields])
+
+
+@dataclass
+class PartitionEntry:
+    part_key: int
+    path: str  # relative to table root
+    rows_in: int = 0
+    dup_dropped: int = 0
+    superseded: int = 0
+    below_wm_dropped: int = 0
+    applied: int = 0
+    tombstones: int = 0
+    max_seq: int = -1
+    max_ts: int = -1
+    bytes: int = 0
+
+
+@dataclass
+class Manifest:
+    epoch: int
+    kind: str  # "delta" | "compact"
+    segments: list[str] = field(default_factory=list)
+    schema_version: int = 0
+    schema_fingerprint: str = ""
+    schema_fields: list[list[str]] = field(default_factory=list)
+    partitions: dict[str, PartitionEntry] = field(default_factory=dict)
+    totals: dict[str, int] = field(default_factory=dict)
+    replaces_up_to: int = -1  # for kind="compact": epochs folded in
+
+    def schema(self) -> pa.Schema:
+        return schema_from_json(self.schema_fields)
+
+
+MANIFEST_DIR = "manifests"
+_NAME_RE = re.compile(r"^epoch=(\d{6})\.json$")
+
+
+def manifest_path(root: str, epoch: int) -> str:
+    return os.path.join(root, MANIFEST_DIR, f"epoch={epoch:06d}.json")
+
+
+def write_manifest(root: str, m: Manifest) -> str:
+    """Atomic commit: serialize to a tmp file, fsync, os.replace."""
+    os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
+    final = manifest_path(root, m.epoch)
+    tmp = final + ".tmp"
+    payload = asdict(m)
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final)
+    return final
+
+
+def read_manifests(root: str) -> list[Manifest]:
+    """All committed manifests, ascending by epoch. Tmp files ignored."""
+    d = os.path.join(root, MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        mm = _NAME_RE.match(name)
+        if not mm:
+            continue
+        with open(os.path.join(d, name)) as f:
+            raw = json.load(f)
+        parts = {
+            k: PartitionEntry(**v) for k, v in raw.pop("partitions", {}).items()
+        }
+        out.append(Manifest(partitions=parts, **raw))
+    return out
