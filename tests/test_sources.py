@@ -1,0 +1,76 @@
+"""Source dispatch: JSONL (+gzip) and zip-container segments feed the same
+ingest pipeline as Parquet (reference S1-S6 counterparts)."""
+
+import gzip
+import json
+import zipfile
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from xgeo_ray import fixtures as fx
+from xgeo_ray.pipelines import ingest as ing
+from xgeo_ray.sources import wal
+from xgeo_ray.state.delta_table import DeltaTable
+
+
+@pytest.fixture(scope="module")
+def stream(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("src"))
+    ev = fx.make_change_events(300, n_convs=6, turns_per_conv=4, dup_fraction=0)
+    return root, ev
+
+
+def test_jsonl_gz_roundtrip(stream):
+    root, ev = stream
+    p = f"{root}/seg.jsonl.gz"
+    wal.write_segment_jsonl(ev, p)
+    assert wal.segment_row_count(p) == ev.num_rows
+    sch = wal.segment_schema(p)
+    assert set(sch.names) == set(ev.schema.names)
+    ds = wal.read_segment(p)
+    assert ds.count() == ev.num_rows
+
+
+def test_zip_container(stream):
+    root, ev = stream
+    half = ev.num_rows // 2
+    pq.write_table(ev.slice(0, half), f"{root}/m0.parquet")
+    wal.write_segment_jsonl(ev.slice(half), f"{root}/m1.jsonl")
+    zp = f"{root}/seg.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        z.write(f"{root}/m0.parquet", "m0.parquet")
+        z.write(f"{root}/m1.jsonl", "m1.jsonl")
+        z.writestr("README.txt", "ignored member")
+    assert wal.segment_row_count(zp) == ev.num_rows
+    assert wal.read_segment(zp).count() == ev.num_rows
+
+
+def test_mixed_format_ingest_parity(stream, tmp_path):
+    """An epoch mixing .parquet and .jsonl.gz segments produces the same
+    final state as all-parquet (ts strings parsed back to timestamps)."""
+    root, ev = stream
+    half = ev.num_rows // 2
+    p0 = f"{tmp_path}/s0.parquet"
+    p1 = f"{tmp_path}/s1.jsonl.gz"
+    pq.write_table(ev.slice(0, half), p0)
+    wal.write_segment_jsonl(ev.slice(half), p1)
+
+    t = DeltaTable.create(f"{tmp_path}/t", num_partitions=4, num_salts=1)
+    ing.run_stream(t, [p0, p1], segments_per_epoch=2)
+    got = (
+        ing.snapshot(t)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = fx.naive_final_state(None, ev).to_pandas()
+    got["turn_idx"] = got["turn_idx"].astype(want["turn_idx"].dtype)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_dispatch_rejects_unknown_format(stream):
+    with pytest.raises(ValueError):
+        wal.read_segment("/tmp/whatever.xyz")

@@ -163,21 +163,27 @@ def _entry_to_table(e: PartitionEntry) -> pa.Table:
 
 
 def plan_envelope_schema(table: DeltaTable, segment_paths: list[str]) -> pa.Schema:
-    """Schema-evolution planning from Parquet *footers only* (no data read):
-    union of the table's current envelope and every segment's file schema.
-    This is the scale-correct registry consult — metadata, not a shuffle."""
+    """Schema-evolution planning from segment *metadata only* (Parquet
+    footers; a small head sample for JSON): union of the table's current
+    envelope and every segment's schema. This is the scale-correct
+    registry consult — metadata, not a shuffle."""
+    from xgeo_ray.sources.wal import segment_schema
+
     schemas = [table.current_schema()]
     for p in segment_paths:
-        schemas.append(pq.read_schema(p))
+        schemas.append(segment_schema(p))
     return unify(*schemas)
 
 
 def read_segments(segment_paths: list[str], envelope: pa.Schema) -> ray.data.Dataset:
-    """One Dataset per segment (schemas may differ), normalized to the
-    union envelope, then unioned into a single stream."""
+    """One Dataset per segment (formats and schemas may differ — dispatch
+    by extension like the reference, /root/reference/cmd/xgeo/main.go:25-40),
+    normalized to the union envelope, then unioned into a single stream."""
+    from xgeo_ray.sources.wal import read_segment
+
     parts = []
     for p in segment_paths:
-        ds = ray.data.read_parquet(p)
+        ds = read_segment(p)
         parts.append(
             ds.map_batches(
                 NormalizeEvents(envelope), batch_format="pyarrow", zero_copy_batch=True
@@ -220,7 +226,9 @@ def ingest_segments(
     ]
     # entries with path == "" (all rows deduped away) stay in the manifest
     # for lineage/watermarks; partition_files() skips them.
-    events_read = sum(pq.read_metadata(p).num_rows for p in segment_paths)
+    from xgeo_ray.sources.wal import segment_row_count
+
+    events_read = sum(segment_row_count(p) for p in segment_paths)
     if os.environ.get("XGEO_CRASH_BEFORE_COMMIT"):
         os._exit(137)  # crash-injection hook for exactly-once tests
     return table.commit_epoch(

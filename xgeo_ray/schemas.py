@@ -68,6 +68,12 @@ def promote_types(a: pa.DataType, b: pa.DataType) -> pa.DataType:
     floats = (pa.float32(), pa.float64())
     if a in floats and b in floats:
         return pa.float64()
+    # JSON sources deliver timestamps as ISO strings; the timestamp side
+    # wins and cast_to parses the strings (Arrow casts ISO text natively).
+    if pa.types.is_timestamp(a) and pa.types.is_string(b):
+        return a
+    if pa.types.is_timestamp(b) and pa.types.is_string(a):
+        return b
     raise TypeError(f"cannot promote {a} and {b}")
 
 

@@ -1,0 +1,164 @@
+"""WAL/changelog segment sources with format + compression dispatch.
+
+Mirrors the reference's source layer structurally:
+  * extension-based format dispatch (/root/reference/cmd/xgeo/main.go:25-40)
+  * transparent decompression chained by suffix stripping
+    (/root/reference/cmd/xgeo/main.go:29-36): ``segment.jsonl.gz`` works
+  * archive container source (/root/reference/io/shp.go:15-17 reads a
+    shapefile from a .zip): here, Parquet/JSONL members inside a .zip
+  * streaming record reader (/root/reference/io/geojson.go:20-29): here,
+    ray.data's streaming block reads — constant memory per task
+
+All readers return a ``ray.data.Dataset`` of raw change-event rows; the
+normalize stage casts them onto the union envelope schema, so sources
+stay schema-agnostic like the reference's ``map[string]interface{}``.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import zipfile
+
+import pyarrow as pa
+import pyarrow.json as pa_json
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def _strip_compression(path: str) -> tuple[str, str | None]:
+    """Suffix-stripping dispatch: returns (logical path, codec)."""
+    for ext, codec in ((".gz", "gzip"), (".gzip", "gzip"), (".bz2", "bz2"), (".zst", "zstd")):
+        if path.endswith(ext):
+            return path[: -len(ext)], codec
+    return path, None
+
+
+def read_segment(path: str) -> ray.data.Dataset:
+    """Read one WAL segment, dispatching on extension like the reference's
+    main.go: ``.parquet`` | ``.json``/``.jsonl`` (optionally compressed)
+    | ``.zip`` containers of either."""
+    logical, codec = _strip_compression(path)
+    if logical.endswith(".parquet"):
+        return ray.data.read_parquet(path)
+    if logical.endswith((".json", ".jsonl", ".ndjson")):
+        # ray.data.read_json handles gzip via arrow_open_stream_args
+        kwargs = {}
+        if codec:
+            kwargs["arrow_open_stream_args"] = {"compression": codec}
+        return ray.data.read_json(path, **kwargs)
+    if logical.endswith(".zip"):
+        return read_zip_container(path)
+    raise ValueError(f"unsupported segment format: {path}")
+
+
+def _read_zip_member(data: bytes, name: str) -> pa.Table:
+    logical, codec = _strip_compression(name)
+    buf: io.RawIOBase = io.BytesIO(data)
+    if codec:
+        buf = pa.input_stream(io.BytesIO(data), compression=codec)
+    if logical.endswith(".parquet"):
+        return pq.read_table(io.BytesIO(data))
+    if logical.endswith((".json", ".jsonl", ".ndjson")):
+        return pa_json.read_json(buf)
+    raise ValueError(f"unsupported zip member: {name}")
+
+
+def read_zip_container(path: str) -> ray.data.Dataset:
+    """Archive source: every supported member becomes rows. Members are
+    distributed via read_binary_files so huge archives parallelize by file."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            with zipfile.ZipFile(io.BytesIO(row["bytes"])) as z:
+                for name in sorted(z.namelist()):
+                    if name.endswith("/"):
+                        continue
+                    try:
+                        out.append(_read_zip_member(z.read(name), name))
+                    except ValueError:
+                        continue  # skip unknown members, like the reference skips keys
+        if not out:
+            return pa.table({})
+        from xgeo_ray.schemas import cast_to, unify
+
+        target = unify(*[t.schema for t in out])
+        return pa.concat_tables([cast_to(t, target) for t in out])
+
+    ds = ray.data.read_binary_files(path)
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=1)
+
+
+def read_segments_dispatch(paths: list[str]) -> list[ray.data.Dataset]:
+    return [read_segment(p) for p in paths]
+
+
+def segment_schema(path: str) -> pa.Schema:
+    """Segment schema from metadata only: Parquet footer, or a bounded
+    head-sample parse for JSON (the analogue of the reference's 16 KiB
+    streaming parse buffer, /root/reference/io/geojson.go:8)."""
+    logical, codec = _strip_compression(path)
+    if logical.endswith(".parquet"):
+        return pq.read_schema(path)
+    if logical.endswith((".json", ".jsonl", ".ndjson")):
+        with pa.input_stream(path, compression=codec) as f:
+            head = f.read(256 * 1024)
+        head = head[: head.rfind(b"\n") + 1] or head
+        return pa_json.read_json(io.BytesIO(head)).schema
+    if logical.endswith(".zip"):
+        with zipfile.ZipFile(path) as z:
+            for name in sorted(z.namelist()):
+                if name.endswith("/"):
+                    continue
+                try:
+                    return _read_zip_member(z.read(name), name).schema
+                except ValueError:
+                    continue
+    raise ValueError(f"unsupported segment format: {path}")
+
+
+def segment_row_count(path: str) -> int:
+    """Exact row count from cheap metadata where possible (Parquet footer /
+    JSONL line count); full member reads only for zip containers."""
+    logical, codec = _strip_compression(path)
+    if logical.endswith(".parquet"):
+        return pq.read_metadata(path).num_rows
+    if logical.endswith((".json", ".jsonl", ".ndjson")):
+        n = 0
+        with pa.input_stream(path, compression=codec) as f:
+            while chunk := f.read(1 << 20):
+                n += chunk.count(b"\n")
+        return n
+    if logical.endswith(".zip"):
+        total = 0
+        with zipfile.ZipFile(path) as z:
+            for name in sorted(z.namelist()):
+                if name.endswith("/"):
+                    continue
+                try:
+                    total += _read_zip_member(z.read(name), name).num_rows
+                except ValueError:
+                    continue
+        return total
+    raise ValueError(f"unsupported segment format: {path}")
+
+
+def write_segment_jsonl(table: pa.Table, path: str) -> str:
+    """JSON-lines sink (the reference's only sink,
+    /root/reference/cmd/xgeo/main.go:57-61), with optional gzip by suffix."""
+    import gzip
+    import json
+
+    logical, codec = _strip_compression(path)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    rows = table.to_pylist()
+    raw = "\n".join(json.dumps(r, default=str) for r in rows) + "\n"
+    if codec == "gzip":
+        with gzip.open(path, "wt") as f:
+            f.write(raw)
+    else:
+        with open(path, "w") as f:
+            f.write(raw)
+    return path
