@@ -1,44 +1,53 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC ingest pipeline end-to-end on
+sf0.001-scale fixtures; ``queries()``/``oracle_sql()`` expose every
+implemented operator from SURVEY.md §2 with DuckDB parity oracles.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in xgeo_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: bootstrap transcripts, replay a change stream through the
+    exactly-once ingest path, return the merged snapshot Dataset."""
+    import pyarrow.parquet as pq
+
+    from xgeo_ray import fixtures as fx
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    root = "/tmp/xgeo_entry"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    base = fx.make_transcripts(n_convs=50, turns_per_conv=10)
+    pq.write_table(base, f"{root}/base.parquet")
+    events = fx.make_change_events(
+        5000, n_convs=50, turns_per_conv=10, dup_fraction=0.02
+    )
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=4)
+
+    table = DeltaTable.create(f"{root}/table", num_partitions=8, num_salts=2)
+    ing.bootstrap_base(table, f"{root}/base.parquet")
+    ing.run_stream(table, segs, segments_per_epoch=2)
+    return ing.snapshot(table)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from xgeo_ray.pipelines.queries import build_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from xgeo_ray.pipelines.queries import build_oracle_sql
+
+    return build_oracle_sql()

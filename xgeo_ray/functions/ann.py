@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — a numpy matmul per batch against a
+query matrix broadcast once via ray.put, then a global merge of the tiny
+per-batch top-k lists (the distributed-scan shape: compute moves to the
+data, only k rows per block cross the wire).
+
+Scale path: IVF — k-means-style coarse centroids (trained on a sample),
+each vector assigned to its nearest centroid partition; queries probe
+only the closest ``nprobe`` partitions.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _stack_unit(vec_col, dtype=np.float64) -> np.ndarray:
+    m = np.stack(vec_col.to_numpy(zero_copy_only=False)).astype(dtype)
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def brute_force_topk(
+    emb: ray.data.Dataset,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Exact cosine top-k of each query against the dataset.
+
+    Returns (query_idx, vec_id, rank) — ids only, ranked by
+    (cosine desc, vec_id asc) so ties break deterministically."""
+    q = query_vecs.astype(np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    q = q / qn[:, None]
+    q_ref = ray.put(q)
+
+    class ScanTopK:
+        def __init__(self):
+            self.q = ray.get(q_ref)  # broadcast once per worker
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _stack_unit(batch.column(vec_col))
+            ids = batch.column(id_col).to_numpy()
+            sims = m @ self.q.T  # (n_rows, n_queries)
+            kk = min(k, len(ids))
+            out_q, out_id, out_sim = [], [], []
+            for j in range(self.q.shape[0]):
+                s = sims[:, j]
+                # deterministic: sort by (-sim, id)
+                idx = np.lexsort((ids, -s))[:kk]
+                out_q.extend([j] * kk)
+                out_id.extend(ids[idx])
+                out_sim.extend(s[idx])
+            return pa.table(
+                {
+                    "query_idx": pa.array(out_q, pa.int32()),
+                    id_col: pa.array(out_id, pa.int64()),
+                    "sim": pa.array(out_sim, pa.float64()),
+                }
+            )
+
+    partials = emb.map_batches(ScanTopK, batch_format="pyarrow", concurrency=(1, 8))
+    t = pa.concat_tables(ray.get(partials.to_arrow_refs()))  # ≤ blocks×queries×k rows
+    out_rows = {"query_idx": [], id_col: [], "rank": []}
+    df = t.to_pandas()
+    for j, g in df.groupby("query_idx"):
+        g = g.sort_values(["sim", id_col], ascending=[False, True], kind="stable").head(k)
+        out_rows["query_idx"].extend([j] * len(g))
+        out_rows[id_col].extend(g[id_col])
+        out_rows["rank"].extend(range(1, len(g) + 1))
+    return pa.table(
+        {
+            "query_idx": pa.array(out_rows["query_idx"], pa.int32()),
+            id_col: pa.array(out_rows[id_col], pa.int64()),
+            "rank": pa.array(out_rows["rank"], pa.int32()),
+        }
+    )
+
+
+def train_ivf_centroids(
+    emb: ray.data.Dataset,
+    num_centroids: int = 16,
+    sample_fraction: float = 0.25,
+    iters: int = 5,
+    seed: int = 5,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd iterations on a driver-side sample (centroids are tiny; the
+    sample is bounded — the full dataset never materializes)."""
+    sample = emb.random_sample(sample_fraction, seed=seed)
+    tbl = pa.concat_tables(ray.get(sample.to_arrow_refs()))
+    x = _stack_unit(tbl.column(vec_col))
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(num_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    return cents
+
+
+def ivf_assign(
+    emb: ray.data.Dataset, centroids: np.ndarray, vec_col: str = "embedding"
+) -> ray.data.Dataset:
+    """Add the IVF partition id (nearest centroid) — the partition key a
+    100 TB index would shuffle/write by."""
+    c_ref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self):
+            self.c = ray.get(c_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _stack_unit(batch.column(vec_col))
+            part = (m @ self.c.T).argmax(axis=1).astype(np.int32)
+            return batch.append_column("ivf_part", pa.array(part))
+
+    return emb.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def ivf_topk(
+    emb: ray.data.Dataset,
+    centroids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Approximate top-k probing only the ``nprobe`` nearest IVF
+    partitions per query — the scan touches a fraction of the data."""
+    q = query_vecs.astype(np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    q = q / qn[:, None]
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe_sets = [set(map(int, row)) for row in probe]
+    assigned = ivf_assign(emb, centroids, vec_col)
+    wanted = sorted({p for s in probe_sets for p in s})
+
+    import pyarrow.compute as pc
+
+    filtered = assigned.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("ivf_part"), value_set=pa.array(wanted, pa.int32()))),
+        batch_format="pyarrow",
+    )
+    return brute_force_topk(filtered, query_vecs, k=k, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video travel as Arrow ``binary`` columns with a sidecar
+metadata struct; decode / feature-extract stages are actor-pool
+map_batches classes with small batch sizes (payloads are wide). The
+actual codecs are NOT in this container, so the decode kernels are
+deterministic STUBS behind ``XGEO_FAKE_DECODE`` — the Ray-side plumbing
+(schema, actor signature, batch sizing, output layout) is real and
+tested; swap ``_decode_image_stub`` for a PIL/ffmpeg call in production.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("kind", pa.string()),  # "image" | "audio"
+        pa.field("payload", pa.binary()),
+        pa.field("n_bytes", pa.int64()),
+    ]
+)
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode -> (width, height, channels).
+
+    A real deployment replaces this with PIL/turbojpeg; raising
+    NotImplementedError here would make the plumbing untestable, so the
+    stub derives stable dimensions from a content hash instead."""
+    h = hashlib.sha256(payload).digest()
+    return 64 + h[0] % 192, 64 + h[1] % 192, 3
+
+
+class DecodeMedia:
+    """Actor-pool decode stage: use with
+    ``ds.map_batches(DecodeMedia, concurrency=N, batch_size=64)`` — small
+    batches because payload rows are wide (batch bytes, not batch rows,
+    is the memory unit for binary columns)."""
+
+    def __init__(self):
+        self.decode = _decode_image_stub  # "model load" happens here, once
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        dims = [self.decode(p) for p in payloads]
+        w = pa.array([d[0] for d in dims], pa.int32())
+        h = pa.array([d[1] for d in dims], pa.int32())
+        c = pa.array([d[2] for d in dims], pa.int32())
+        out = batch.drop_columns(["payload"])  # decoded: drop the heavy bytes
+        return out.append_column("width", w).append_column("height", h).append_column(
+            "channels", c
+        )
+
+
+class ExtractFeatures:
+    """Stub feature extractor: 8-dim deterministic byte-histogram
+    embedding per payload — stands in for a vision/audio model forward
+    pass (vectorized over the batch like a real batched inference)."""
+
+    def __init__(self, dim: int = 8):
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for p in batch.column("payload").to_pylist():
+            arr = np.frombuffer(p, dtype=np.uint8)
+            hist = np.bincount(arr % self.dim, minlength=self.dim).astype(np.float32)
+            total = hist.sum() or 1.0
+            feats.append(hist / total)
+        out = batch.drop_columns(["payload"])
+        return out.append_column(
+            "features", pa.array([f.tolist() for f in feats], pa.list_(pa.float32(), self.dim))
+        )
+
+
+def docs_to_media(batch: pa.Table) -> pa.Table:
+    """Synthesize a media table from documents (text bytes as payload) —
+    the fixture path for multimodal plumbing tests."""
+    texts = batch.column("text").to_pylist()
+    payloads = [t.encode("utf-8") for t in texts]
+    return pa.table(
+        {
+            "media_id": batch.column("doc_id").cast(pa.int64()),
+            "kind": pa.array(["image"] * len(texts)),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        },
+        schema=MEDIA_SCHEMA,
+    )

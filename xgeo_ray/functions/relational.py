@@ -1,0 +1,228 @@
+"""Relational operators, Ray-Data-first (SURVEY.md §2.4-§2.6).
+
+The reference has no joins or aggregates (absence: /root/reference/cmd,
+/root/reference/io); these are the general-purpose counterparts the
+engine exposes, each built scale-correct:
+
+  * ``partial_group_agg`` — combine inside map_batches (one partial row
+    per key per batch), then a tiny final groupby: the shuffle moves
+    per-key partials, never raw rows.
+  * ``broadcast_join`` — small side shipped once via ray.put, Arrow hash
+    join per batch inside the task: no shuffle at all.
+  * ``hash_join`` — both-sides-large equi-join, hash-partitioned.
+  * ``asof_join_per_key`` — sort-merge as-of within co-partitioned keys.
+  * ``top_k`` — per-block top-k prune inside map_batches, then a final
+    small sort: the global sort only ever sees num_blocks×k rows.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+AggSpec = tuple[str, Literal["sum", "min", "max", "count"], str]  # col, fn, alias
+
+
+def partial_group_agg(
+    ds: ray.data.Dataset, keys: list[str], aggs: list[AggSpec]
+) -> ray.data.Dataset:
+    """Grouped aggregation with in-batch partials (pre-aggregation before
+    the shuffle). Result columns: keys + aliases."""
+
+    arrow_aggs = []
+    for col, fn, _alias in aggs:
+        if fn == "count":
+            arrow_aggs.append((col, "count"))
+        else:
+            arrow_aggs.append((col, fn))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(keys).aggregate(arrow_aggs)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    final_aggs = []
+    for col, fn, alias in aggs:
+        pcol = f"{col}_{'count' if fn == 'count' else fn}"
+        if fn in ("sum", "count"):
+            final_aggs.append(Sum(pcol, alias_name=alias))
+        elif fn == "min":
+            final_aggs.append(Min(pcol, alias_name=alias))
+        elif fn == "max":
+            final_aggs.append(Max(pcol, alias_name=alias))
+    return partials.groupby(keys).aggregate(*final_aggs)
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    small: pa.Table,
+    keys: list[str] | str,
+    right_keys: list[str] | str | None = None,
+    join_type: str = "inner",
+) -> ray.data.Dataset:
+    """Join against a small table without any shuffle: the small side is
+    put in the object store ONCE and each task reads it zero-copy; the
+    Arrow hash join runs per batch inside the task."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if right_keys is not None:
+        right_keys = [right_keys] if isinstance(right_keys, str) else list(right_keys)
+    small_ref = ray.put(small)
+
+    class JoinSmall:
+        def __init__(self):
+            self.small = ray.get(small_ref)  # once per actor/task worker
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.join(
+                self.small, keys=keys, right_keys=right_keys, join_type=join_type
+            )
+
+    return ds.map_batches(
+        JoinSmall, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str] | str,
+    join_type: str = "inner",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Both-sides-large equi-join. Uses Dataset.join (hash-partitioned)
+    when this Ray version provides it; otherwise an explicit bucketed
+    cogroup join (add bucket = hash(key) % B to both sides, groupby
+    bucket, Arrow join per bucket)."""
+    on = [on] if isinstance(on, str) else list(on)
+    if hasattr(left, "join"):
+        return left.join(
+            right, join_type=join_type, on=tuple(on), num_partitions=num_partitions
+        )
+
+    # portable fallback: explicit partitioned hash join
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch.column(on[0]).cast(pa.string()).to_numpy(zero_copy_only=False)
+            b = pd.util.hash_array(np.asarray(key, dtype=object)) % num_partitions
+            batch = batch.append_column("__bucket", pa.array(b.astype(np.int32)))
+            return batch.append_column("__side", pa.array([side] * batch.num_rows))
+
+        return fn
+
+    lt = left.map_batches(tag("l"), batch_format="pyarrow")
+    rt = right.map_batches(tag("r"), batch_format="pyarrow")
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        l = group.filter(pa.array(side == "l")).drop_columns(["__bucket", "__side"])
+        r = group.filter(pa.array(side == "r")).drop_columns(["__bucket", "__side"])
+        return l.join(r, keys=on, join_type=join_type)
+
+    # note: union of differing schemas requires alignment; callers of the
+    # fallback must ensure disjoint non-key columns
+    return lt.union(rt).groupby("__bucket").map_groups(
+        join_bucket, batch_format="pyarrow"
+    )
+
+
+def asof_join_per_key(
+    left: ray.data.Dataset,
+    right_small: pa.Table,
+    left_by: str,
+    right_by: str,
+    left_on: str,
+    right_on: str,
+    direction: str = "backward",
+) -> ray.data.Dataset:
+    """As-of join: for each left row, the latest right row with
+    right_on <= left_on for the matching key (direction='backward').
+    Right side broadcast once; merge_asof per batch after a local sort —
+    correct for any batching because the right side is complete in every
+    task (the partitioning assumption: the SMALL side is the right side)."""
+    right_ref = ray.put(right_small)
+
+    class AsOf:
+        def __init__(self):
+            r = ray.get(right_ref).to_pandas()
+            self.right = r.sort_values(right_on, kind="stable")
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.sort_values(left_on, kind="stable")
+            return pd.merge_asof(
+                b,
+                self.right,
+                left_on=left_on,
+                right_on=right_on,
+                left_by=left_by,
+                right_by=right_by,
+                direction=direction,
+            )
+
+    return left.map_batches(AsOf, batch_format="pandas", concurrency=(1, 8))
+
+
+def top_k(
+    ds: ray.data.Dataset, sort_cols: list[str], descending: list[bool], k: int
+) -> ray.data.Dataset:
+    """Global top-k without a global sort of all rows: prune each block to
+    its local top-k first, then sort only the survivors."""
+    order = [
+        (c, "descending" if d else "ascending") for c, d in zip(sort_cols, descending)
+    ]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        return batch.sort_by(order).slice(0, k)
+
+    pruned = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return pruned.sort(sort_cols, descending=descending).limit(k)
+
+
+def add_time_bucket(
+    ds: ray.data.Dataset, ts_col: str, unit: str = "hour", alias: str = "bucket"
+) -> ray.data.Dataset:
+    """Tumbling-window key: truncate a timestamp column to the window
+    start (the groupby key for windowed aggregation)."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            alias, pc.floor_temporal(batch.column(ts_col), unit=unit)
+        )
+
+    return ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    order_tiebreak: str,
+    gap_us: int,
+) -> ray.data.Dataset:
+    """Session windows per key: a new session starts when the gap from the
+    previous event exceeds ``gap_us``. groupby(key).map_groups with a
+    vectorized per-group computation; requires each key to fit in one
+    group (guaranteed by the groupby shuffle)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, order_tiebreak], kind="stable")
+        t = g[ts_col].astype("int64").to_numpy()
+        new_sess = np.ones(len(t), dtype=np.int64)
+        if len(t) > 1:
+            new_sess[1:] = (t[1:] - t[:-1] > gap_us).astype(np.int64)
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [int(new_sess.sum())],
+            }
+        )
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

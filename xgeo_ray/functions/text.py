@@ -1,0 +1,128 @@
+"""Text-analysis operators for training-data pipelines.
+
+The reference applies per-record scalar kernels inside the stream (its
+lock-tier geometry functions, e.g. vendor orb geo/area.go:12 — see
+SURVEY.md §2.8); the transcript/document counterparts are these text
+kernels. All are vectorized (pyarrow.compute / numpy); the stateful ones
+(compiled regexes, stopword tables) are callable classes so actor pools
+pay setup once per actor, not per batch.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# stopword tables for the n-gram/stopword language heuristic
+_STOPWORDS = {
+    "en": {"the", "a", "and", "of", "to", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "dans"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "por", "para"},
+}
+
+
+def token_count_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count per row (exactly Python's str.split():
+    runs of whitespace, no empty tokens), as int64 column ``n_tokens``."""
+    toks = pc.utf8_split_whitespace(batch.column(text_col))
+    # split_whitespace can emit empty strings at the edges; count non-empty
+    flat = pc.list_flatten(toks)
+    nonempty = pc.not_equal(flat, "")
+    # per-row count = list length minus per-row empty count
+    lens = pc.list_value_length(toks).cast(pa.int64())
+    if pc.any(pc.invert(nonempty)).as_py():
+        # slow path only when edge-empties exist
+        df = toks.to_pandas()
+        counts = df.map(lambda ws: sum(1 for w in ws if w != "")).astype(np.int64)
+        lens = pa.array(counts.to_numpy(), pa.int64())
+    return batch.append_column("n_tokens", lens)
+
+
+class QualityScore:
+    """Per-document quality counters (exact integers, oracle-friendly):
+    characters, tokens, punctuation, uppercase, digits. Regexes compiled
+    once per actor."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.punct = re.compile(r"[!-/:-@\[-`{-~]")
+        self.upper = re.compile(r"[A-Z]")
+        self.digit = re.compile(r"[0-9]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        batch = token_count_table(batch, self.text_col)
+        s = text.to_pandas()
+        batch = batch.append_column("n_chars_calc", n_chars)
+        batch = batch.append_column(
+            "n_punct", pa.array(s.str.count(self.punct).astype(np.int64))
+        )
+        batch = batch.append_column(
+            "n_upper", pa.array(s.str.count(self.upper).astype(np.int64))
+        )
+        batch = batch.append_column(
+            "n_digit", pa.array(s.str.count(self.digit).astype(np.int64))
+        )
+        return batch
+
+
+class LangId:
+    """Stopword/character n-gram language heuristic. Table built once per
+    actor; per batch fully vectorized over the token lists."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word2lang: dict[str, str] = {}
+        for lang, words in _STOPWORDS.items():
+            for w in words:
+                self.word2lang.setdefault(w, lang)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        langs = sorted(_STOPWORDS)
+        toks = batch[self.text_col].str.lower().str.split()
+
+        def vote(ws: list[str]) -> str:
+            scores = dict.fromkeys(langs, 0)
+            for w in ws:
+                l = self.word2lang.get(w)
+                if l:
+                    scores[l] += 1
+            best = max(langs, key=lambda l: (scores[l], -langs.index(l)))
+            return best if scores[best] > 0 else "und"
+
+        batch["lang_pred"] = toks.map(vote)
+        return batch
+
+
+def fingerprint64(texts: np.ndarray, seed: int = 1315423911) -> np.ndarray:
+    """Deterministic 64-bit document fingerprint: min of rolling Karp-
+    Rabin hashes over 8-byte windows (winnowing-style content signature).
+    Vectorized per document over its byte array."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    B = np.uint64(1000003)
+    for i, t in enumerate(texts):
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(b) < 8:
+            h = np.uint64(seed)
+            for x in b:
+                h = h * B + x
+            out[i] = h
+            continue
+        # rolling hash via cumulative powers: h[j] = sum b[j+k]*B^(7-k)
+        w = np.lib.stride_tricks.sliding_window_view(b, 8)
+        powers = B ** np.arange(7, -1, -1, dtype=np.uint64)
+        hashes = (w * powers).sum(axis=1)
+        out[i] = hashes.min()
+    return out
+
+
+def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_numpy(zero_copy_only=False)
+    fp = fingerprint64(np.asarray(texts, dtype=object))
+    return batch.append_column("fingerprint", pa.array(fp.view(np.int64), pa.int64()))

@@ -1,0 +1,729 @@
+"""Driver-facing operator queries + DuckDB oracles (SURVEY.md §2, §5).
+
+Every public operator gets a ``queries()`` entry (a callable over
+``sf_dir``) and, when SQL-expressible, a matching ``oracle_sql()`` string
+the driver runs on the same Parquet. Conventions that make the
+value-hash comparison meaningful:
+
+  * identical column NAMES and Arrow TYPES on both sides (ints are
+    int64/BIGINT, ranks included rather than raw float scores),
+  * no floating-point aggregates: money/value sums use exact integer
+    cents via FLOOR(x*100) on both sides (same doubles in, same int64
+    out — float *sum order* can differ across engines, FLOOR of an
+    identical product cannot),
+  * deterministic tiebreaks everywhere a sort/top-k/window is involved.
+
+The CDC queries run the engine's real kernels over a change stream
+derived deterministically from the ``events`` table (the driver's
+CDC-like stream surrogate, TESTDATA.md) so DuckDB can replay the same
+semantics in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from xgeo_ray.functions.relational import (
+    add_time_bucket,
+    asof_join_per_key,
+    broadcast_join,
+    partial_group_agg,
+    sessionize,
+    top_k,
+)
+from xgeo_ray.partition import PART_COL, add_part_key
+from xgeo_ray.stages.collapse import lww_collapse
+
+# --------------------------------------------------------------- CDC surrogate
+
+_DERIVE_SQL = """
+    SELECT event_id AS seq,
+           CASE WHEN event_id % 10 < 6 THEN 'I'
+                WHEN event_id % 10 < 9 THEN 'U'
+                ELSE 'D' END AS op,
+           'u' || CAST(user_id AS VARCHAR) AS conv_id,
+           event_id % 40 AS turn_idx,
+           event_type AS role,
+           props AS text,
+           ts
+    FROM events
+"""
+
+
+def derive_change_events(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic change stream from the events table: op by
+    event_id%10 (6/3/1 I/U/D mix), key (user, event_id%40), seq=event_id."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy()
+        mod = eid % 10
+        op = np.where(mod < 6, "I", np.where(mod < 9, "U", "D"))
+        conv = np.char.add("u", b.column("user_id").to_numpy().astype("U20"))
+        return pa.table(
+            {
+                "seq": b.column("event_id"),
+                "op": pa.array(op, pa.string()),
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": pa.array(eid % 40, pa.int64()),
+                "role": b.column("event_type"),
+                "text": b.column("props"),
+                "ts": b.column("ts"),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _lww_final(sf_dir: str, num_partitions: int = 16, num_salts: int = 2):
+    """The engine's change-apply core as a pure query: salted partition
+    shuffle + partition-local LWW collapse (same kernels as ingest)."""
+    ds = derive_change_events(sf_dir)
+    ds = ds.map_batches(
+        lambda b: add_part_key(
+            lww_collapse(b, drop_tombstones=False), num_partitions, num_salts
+        ),
+        batch_format="pyarrow",
+    )
+
+    def collapse_group(g: pa.Table) -> pa.Table:
+        return lww_collapse(g.drop_columns([PART_COL]), drop_tombstones=False)
+
+    return ds.groupby(PART_COL).map_groups(collapse_group, batch_format="pyarrow")
+
+
+def cdc_lww_state(sf_dir: str):
+    out = _lww_final(sf_dir)
+    return out.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("op"), "D")).select(
+            ["conv_id", "turn_idx", "role", "text", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def cdc_deleted_keys(sf_dir: str):
+    out = _lww_final(sf_dir)
+    return out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("op"), "D")).select(
+            ["conv_id", "turn_idx"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def cdc_op_counts(sf_dir: str):
+    return partial_group_agg(
+        derive_change_events(sf_dir).select_columns(["op", "seq"]),
+        ["op"],
+        [("seq", "count", "n")],
+    )
+
+
+def cdc_partition_watermarks(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def part(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part_key": pa.array(b.column("user_id").to_numpy() % 16, pa.int64()),
+                "seq": b.column("event_id"),
+            }
+        )
+
+    return partial_group_agg(
+        ds.map_batches(part, batch_format="pyarrow"),
+        ["part_key"],
+        [("seq", "max", "max_seq"), ("seq", "count", "n_events")],
+    )
+
+
+def cdc_dedup_replay(sf_dir: str):
+    """At-least-once: the stream unioned with itself collapses to the
+    same final state (exact-duplicate dedup through the LWW kernel)."""
+    ds = derive_change_events(sf_dir)
+    doubled = ds.union(derive_change_events(sf_dir))
+    ds2 = doubled.map_batches(
+        lambda b: add_part_key(lww_collapse(b, drop_tombstones=False), 16, 2),
+        batch_format="pyarrow",
+    )
+
+    def collapse_group(g: pa.Table) -> pa.Table:
+        return lww_collapse(g.drop_columns([PART_COL]), drop_tombstones=True)
+
+    out = ds2.groupby(PART_COL).map_groups(collapse_group, batch_format="pyarrow")
+    return out.select_columns(["conv_id", "turn_idx", "text"])
+
+
+# --------------------------------------------------------------- relational
+
+_Q1_DATE = "1998-09-02"
+
+
+def q1_pricing_summary(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.less_equal(b.column("l_shipdate"), pa.scalar(np.datetime64(_Q1_DATE, "us")))
+        )
+        qty = b.column("l_quantity").to_numpy()
+        price = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty_cents": pa.array(np.floor(qty * 100).astype(np.int64)),
+                "price_cents": pa.array(np.floor(price * 100).astype(np.int64)),
+                "disc_price_cents": pa.array(
+                    np.floor(price * (1.0 - disc) * 100).astype(np.int64)
+                ),
+            }
+        )
+
+    return partial_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("qty_cents", "sum", "sum_qty_cents"),
+            ("price_cents", "sum", "sum_base_price_cents"),
+            ("disc_price_cents", "sum", "sum_disc_price_cents"),
+            ("qty_cents", "count", "count_order"),
+        ],
+    )
+
+
+def region_nation_count(sf_dir: str):
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_regionkey"])
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    joined = broadcast_join(nation, region, keys="n_regionkey", right_keys="r_regionkey")
+    return partial_group_agg(joined, ["r_name"], [("n_regionkey", "count", "n_nations")])
+
+
+def customer_nation_count(sf_dir: str):
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    joined = broadcast_join(cust, nation, keys="c_nationkey", right_keys="n_nationkey")
+    return partial_group_agg(joined, ["n_name"], [("c_nationkey", "count", "n_customers")])
+
+
+def orders_by_segment(sf_dir: str):
+    """Both-sides join shape: orders x customer on custkey, then group.
+    The customer side is small enough to broadcast at these SFs — the
+    same code path a partitioned hash join would feed at 100 TB."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, cust, keys="o_custkey", right_keys="c_custkey")
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = np.floor(b.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return b.drop_columns(["o_totalprice"]).append_column("price_cents", pa.array(v))
+
+    return partial_group_agg(
+        joined.map_batches(cents, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        [("price_cents", "count", "n_orders"), ("price_cents", "sum", "total_cents")],
+    )
+
+
+def top10_orders(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return top_k(ds, ["o_totalprice", "o_orderkey"], [True, False], 10)
+
+
+def highvalue_open_orders(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
+        filter=(pads.field("o_totalprice") > 300000.0),  # row-group pushdown
+    )
+    return ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderstatus"), "O")).select(
+            ["o_orderkey", "o_custkey", "o_totalprice"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def events_hourly(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    ds = add_time_bucket(ds, "ts", "hour", "hour")
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = np.floor(b.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"user_id": b.column("user_id"), "hour": b.column("hour"), "value_cents": pa.array(v)}
+        )
+
+    return partial_group_agg(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["user_id", "hour"],
+        [("value_cents", "count", "n_events"), ("value_cents", "sum", "value_cents")],
+    )
+
+
+def distinct_event_types(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+def user_sessions(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return sessionize(ds, "user_id", "ts", "event_id", gap_us=3_600_000_000)
+
+
+def events_orders_asof(sf_dir: str):
+    """As-of join: each event picks the latest order (by o_orderdate <= ts)
+    of the matching customer; the order side is pre-deduped per
+    (custkey, date) so the as-of pick is unambiguous on both engines."""
+    import duckdb
+
+    right = duckdb.connect().execute(
+        f"""SELECT o_custkey, o_orderdate,
+                   CAST(MAX(o_orderkey) AS BIGINT) AS o_orderkey
+            FROM read_parquet('{sf_dir}/orders.parquet')
+            GROUP BY 1, 2"""
+    ).arrow()
+    right = right.cast(
+        pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderkey", pa.int64()),
+            ]
+        )
+    )
+    left = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    joined = asof_join_per_key(
+        left, right, left_by="user_id", right_by="o_custkey",
+        left_on="ts", right_on="o_orderdate",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("o_orderkey")))
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- text / docs
+
+
+def doc_stats_by_lang(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars", "doc_id"]
+    )
+    return partial_group_agg(
+        ds,
+        ["lang"],
+        [
+            ("doc_id", "count", "n_docs"),
+            ("n_chars", "sum", "total_chars"),
+            ("doc_id", "min", "min_doc"),
+            ("doc_id", "max", "max_doc"),
+        ],
+    )
+
+
+def token_totals_by_lang(sf_dir: str):
+    from xgeo_ray.functions.text import token_count_table
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text", "doc_id"]
+    )
+    counted = ds.map_batches(
+        lambda b: token_count_table(b).drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return partial_group_agg(
+        counted,
+        ["lang"],
+        [("n_tokens", "sum", "total_tokens"), ("doc_id", "count", "n_docs")],
+    )
+
+
+def quality_counts(sf_dir: str):
+    from xgeo_ray.functions.text import QualityScore
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 4))
+    return out.map_batches(
+        lambda b: b.select(
+            ["doc_id", "n_chars_calc", "n_tokens", "n_punct", "n_upper", "n_digit"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def exact_dedup(sf_dir: str):
+    from xgeo_ray.functions.dedup import exact_dedup_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup_groups(ds)
+
+
+def _docs_with_planted_dups(sf_dir: str) -> ray.data.Dataset:
+    """documents plus copies of the 20 lowest doc_ids at doc_id+1_000_000:
+    guarantees the near-dup operators have true positives to find."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = t.sort_by([("doc_id", "ascending")])
+    dup = t.slice(0, 20)
+    dup = dup.set_column(
+        0, "doc_id", pc.add(dup.column("doc_id"), pa.scalar(1_000_000, pa.int64()))
+    )
+    return ray.data.from_arrow(pa.concat_tables([t, dup]))
+
+
+def minhash_dup_pairs(sf_dir: str):
+    from xgeo_ray.functions.dedup import minhash_lsh_dup_pairs
+
+    ds = _docs_with_planted_dups(sf_dir)
+    out = minhash_lsh_dup_pairs(ds, threshold=0.8)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id_a": b.column("doc_id_a").cast(pa.int64()),
+                "doc_id_b": b.column("doc_id_b").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def simhash_signatures(sf_dir: str):
+    from xgeo_ray.functions.dedup import SimHasher
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "simhash"])
+
+
+def embedding_dup_pairs_q(sf_dir: str):
+    from xgeo_ray.functions.dedup import embedding_dup_pairs
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.sort_by([("vec_id", "ascending")])
+    dup = t.slice(0, 20)
+    dup = dup.set_column(
+        0, "vec_id", pc.add(dup.column("vec_id"), pa.scalar(1_000_000, pa.int64()))
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([t, dup]))
+    out = embedding_dup_pairs(ds, threshold=0.999)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "vec_id_a": pa.array(
+                    np.asarray(b.column("vec_id_a"), dtype=np.int64), pa.int64()
+                ),
+                "vec_id_b": pa.array(
+                    np.asarray(b.column("vec_id_b"), dtype=np.int64), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def lang_id_pred(sf_dir: str):
+    from xgeo_ray.functions.text import LangId
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def doc_fingerprints(sf_dir: str):
+    from xgeo_ray.functions.text import add_fingerprint
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(add_fingerprint, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+# --------------------------------------------------------------- ANN
+
+
+def _query_vectors(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pc.is_in(t.column("vec_id"), value_set=pa.array([0, 1], pa.int64())))
+    t = t.sort_by([("vec_id", "ascending")])
+    return np.stack(t.column("embedding").to_numpy(zero_copy_only=False))
+
+
+def ann_top10(sf_dir: str):
+    from xgeo_ray.functions.ann import brute_force_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = brute_force_topk(emb, _query_vectors(sf_dir), k=10)
+    return t.cast(
+        pa.schema([("query_idx", pa.int64()), ("vec_id", pa.int64()), ("rank", pa.int64())])
+    )
+
+
+def ann_ivf_top10(sf_dir: str):
+    from xgeo_ray.functions.ann import ivf_topk, train_ivf_centroids
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents = train_ivf_centroids(emb, num_centroids=8)
+    t = ivf_topk(emb, cents, _query_vectors(sf_dir), k=10, nprobe=3)
+    return t.cast(
+        pa.schema([("query_idx", pa.int64()), ("vec_id", pa.int64()), ("rank", pa.int64())])
+    )
+
+
+# --------------------------------------------------------------- multimodal
+
+
+def multimodal_decode(sf_dir: str):
+    from xgeo_ray.functions.multimodal import DecodeMedia, docs_to_media
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = ds.map_batches(docs_to_media, batch_format="pyarrow")
+    return media.map_batches(
+        DecodeMedia, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+
+
+# --------------------------------------------------------------- registries
+
+
+def build_queries() -> dict:
+    return {
+        "cdc_lww_state": cdc_lww_state,
+        "cdc_deleted_keys": cdc_deleted_keys,
+        "cdc_op_counts": cdc_op_counts,
+        "cdc_partition_watermarks": cdc_partition_watermarks,
+        "cdc_dedup_replay": cdc_dedup_replay,
+        "q1_pricing_summary": q1_pricing_summary,
+        "region_nation_count": region_nation_count,
+        "customer_nation_count": customer_nation_count,
+        "orders_by_segment": orders_by_segment,
+        "top10_orders": top10_orders,
+        "highvalue_open_orders": highvalue_open_orders,
+        "events_hourly": events_hourly,
+        "distinct_event_types": distinct_event_types,
+        "user_sessions": user_sessions,
+        "events_orders_asof": events_orders_asof,
+        "doc_stats_by_lang": doc_stats_by_lang,
+        "token_totals_by_lang": token_totals_by_lang,
+        "quality_counts": quality_counts,
+        "exact_dedup": exact_dedup,
+        "minhash_dup_pairs": minhash_dup_pairs,
+        "simhash_signatures": simhash_signatures,
+        "embedding_dup_pairs": embedding_dup_pairs_q,
+        "lang_id_pred": lang_id_pred,
+        "doc_fingerprints": doc_fingerprints,
+        "ann_top10": ann_top10,
+        "ann_ivf_top10": ann_ivf_top10,
+        "multimodal_decode": multimodal_decode,
+    }
+
+
+def build_oracle_sql() -> dict[str, str]:
+    derive = _DERIVE_SQL
+    return {
+        "cdc_lww_state": f"""
+            WITH ev AS ({derive})
+            SELECT conv_id, turn_idx, role, text, ts FROM ev
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) = 1
+              AND op <> 'D'
+        """,
+        "cdc_deleted_keys": f"""
+            WITH ev AS ({derive}),
+            last AS (
+              SELECT conv_id, turn_idx, op FROM ev
+              QUALIFY row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) = 1
+            )
+            SELECT conv_id, turn_idx FROM last WHERE op = 'D'
+        """,
+        "cdc_op_counts": f"""
+            WITH ev AS ({derive})
+            SELECT op, count(*) AS n FROM ev GROUP BY op
+        """,
+        "cdc_partition_watermarks": """
+            SELECT user_id % 16 AS part_key,
+                   CAST(max(event_id) AS BIGINT) AS max_seq,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "cdc_dedup_replay": f"""
+            WITH ev AS ({derive}),
+            doubled AS (SELECT * FROM ev UNION ALL SELECT * FROM ev)
+            SELECT conv_id, turn_idx, text FROM doubled
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) = 1
+              AND op <> 'D'
+        """,
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '{_Q1_DATE} 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "region_nation_count": """
+            SELECT r_name, count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "customer_nation_count": """
+            SELECT n_name, count(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "top10_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "highvalue_open_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_totalprice > 300000.0 AND o_orderstatus = 'O'
+        """,
+        "events_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "distinct_event_types": """
+            SELECT DISTINCT event_type FROM events
+        """,
+        "user_sessions": """
+            WITH w AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            )
+            SELECT user_id, count(*) AS n_events,
+                   CAST(SUM(CASE WHEN prev_ts IS NULL
+                                 OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM w GROUP BY user_id
+        """,
+        "events_orders_asof": """
+            WITH o AS (
+              SELECT o_custkey, o_orderdate, CAST(MAX(o_orderkey) AS BIGINT) AS o_orderkey
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, o.o_orderkey
+            FROM events e ASOF JOIN o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        """,
+        "doc_stats_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc
+            FROM documents GROUP BY lang
+        """,
+        "token_totals_by_lang": r"""
+            SELECT lang,
+                   CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                            x -> x <> ''))) AS BIGINT) AS total_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "quality_counts": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc,
+                   CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct,
+                   CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "ann_top10": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1)
+            ),
+            s AS (
+              SELECT CAST(q.qid AS BIGINT) AS query_idx, e.vec_id,
+                     list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_idx, CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(row_number() OVER (PARTITION BY query_idx
+                                           ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM s
+            QUALIFY rank <= 10
+        """,
+        # minhash_dup_pairs / simhash_signatures / embedding_dup_pairs /
+        # lang_id_pred / doc_fingerprints / ann_ivf_top10 /
+        # multimodal_decode: intentionally no SQL oracle (sketch/heuristic
+        # operators are not SQL-expressible); the driver applies its
+        # rows-only check and pytest covers their semantics.
+    }
