@@ -1,0 +1,183 @@
+"""Benchmark harness: headline CDC ingest + operator query timings.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...extras}
+
+``--scaling`` runs the same bench in two fresh processes at
+num_cpus=8 and num_cpus=32 (the sandbox evidence for the north rule's
+N -> 4N-node criterion) and reports throughput at both plus efficiency.
+
+Usage:
+  python bench.py                # $GRAFT_SF_DIR (default sf0.1), $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# CDC stream size scales with the sf of the testdata dir
+_SF_EVENTS = {"0.001": 20_000, "0.01": 200_000, "0.1": 2_000_000}
+# fixed partitioning across parallelism levels → identical work at 8 and 32
+_NUM_PARTITIONS = 64
+_NUM_SALTS = 4
+_SEGMENTS = 8
+
+
+def _sf_of(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+
+def _ensure_fixtures(sf: str) -> tuple[str, str, int]:
+    """Deterministic cached CDC fixtures sized for the sf (generation is
+    excluded from timing; the cache survives across the scaling runs so
+    both parallelism levels read identical bytes)."""
+    from xgeo_ray import fixtures as fx
+    import pyarrow.parquet as pq
+
+    n_events = _SF_EVENTS.get(sf, 100_000)
+    n_convs = max(200, n_events // 100)
+    turns = 20
+    cache = f"/tmp/xgeo_bench_cache/sf{sf}-v1"
+    base_path = f"{cache}/base.parquet"
+    wal_dir = f"{cache}/wal"
+    done = f"{cache}/.done"
+    if not os.path.exists(done):
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache)
+        base = fx.make_transcripts(n_convs, turns)
+        pq.write_table(base, base_path)
+        ev = fx.make_change_events(
+            n_events, n_convs=n_convs, turns_per_conv=turns, dup_fraction=0.02
+        )
+        fx.write_segments(ev, wal_dir, n_segments=_SEGMENTS)
+        with open(done, "w") as f:
+            f.write("ok")
+    return base_path, wal_dir, n_events
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.pipelines import queries as Q
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    sf = _sf_of(SF_DIR)
+    base_path, wal_dir, n_events = _ensure_fixtures(sf)
+    segs = sorted(os.path.join(wal_dir, p) for p in os.listdir(wal_dir))
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    for p in segs + [base_path]:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+    table_root = f"/tmp/xgeo_bench_table_{os.getpid()}"
+    shutil.rmtree(table_root, ignore_errors=True)
+    table = DeltaTable.create(
+        table_root, num_partitions=_NUM_PARTITIONS, num_salts=_NUM_SALTS
+    )
+
+    t0 = time.perf_counter()
+    ing.bootstrap_base(table, base_path)
+    ing.run_stream(table, segs, segments_per_epoch=2)
+    n_final = ing.snapshot(table).count()
+    headline = time.perf_counter() - t0
+
+    total_events = sum(
+        m.totals.get("events_read", 0) for m in table.manifests()
+    )
+
+    queries = {}
+    for name in [
+        "cdc_lww_state",
+        "q1_pricing_summary",
+        "orders_by_segment",
+        "events_hourly",
+        "token_totals_by_lang",
+        "ann_top10",
+        "minhash_dup_pairs",
+    ]:
+        fn = Q.build_queries()[name]
+        tq = time.perf_counter()
+        res = fn(SF_DIR)
+        if hasattr(res, "count"):
+            res.count()  # force full execution
+        queries[name] = round(time.perf_counter() - tq, 3)
+
+    shutil.rmtree(table_root, ignore_errors=True)
+    out = {
+        "metric": "cdc_ingest_exactly_once_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "events": total_events,
+        "events_per_sec": round(total_events / headline),
+        "final_rows": n_final,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run_at(lo)
+    r_hi = run_at(hi)
+    # efficiency: achieved speedup / ideal speedup
+    speedup = r_lo["value"] / r_hi["value"]
+    eff = speedup / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "sf": r_lo["sf"],
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "events_per_sec_lo": r_lo["events_per_sec"],
+        "events_per_sec_hi": r_hi["events_per_sec"],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

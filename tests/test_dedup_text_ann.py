@@ -1,0 +1,148 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from xgeo_ray.functions import dedup as dd
+from xgeo_ray.functions import text as tx
+from xgeo_ray.functions.ann import brute_force_topk, ivf_topk, train_ivf_centroids
+
+
+def _docs():
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again today",  # near-dup of 0
+        "completely different content about distributed data processing engines",
+        "unrelated short text",
+        "the quick brown fox jumps over the lazy dog again and again",  # exact dup of 0
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+
+
+def test_jaccard_and_shingles_deterministic():
+    t = _docs()
+    a, b = t.column("text")[0].as_py(), t.column("text")[1].as_py()
+    j = dd.jaccard(a, b)
+    assert 0.5 < j < 1.0
+    assert dd.jaccard(a, a) == 1.0
+    s1 = dd._shingle_hashes(a)
+    s2 = dd._shingle_hashes(a)
+    assert np.array_equal(s1, s2)
+
+
+def test_minhash_approximates_jaccard():
+    mh = dd.MinHasher(num_hashes=128)
+    t = _docs()
+    out = mh(t)
+    sigs = np.stack(out.column("minhash").to_numpy(zero_copy_only=False))
+    est = (sigs[0] == sigs[1]).mean()
+    true = dd.jaccard(t.column("text")[0].as_py(), t.column("text")[1].as_py())
+    assert abs(est - true) < 0.25
+    assert (sigs[0] == sigs[4]).all()  # exact dup -> identical signature
+
+
+def test_minhash_lsh_finds_planted_dups():
+    ds = ray.data.from_arrow(_docs())
+    pairs = dd.minhash_lsh_dup_pairs(ds, threshold=0.7).to_pandas()
+    found = set(map(tuple, pairs[["doc_id_a", "doc_id_b"]].to_numpy()))
+    assert (0, 4) in found  # exact dup
+    assert (0, 1) in found or (1, 4) in found  # near dup
+    assert not any(2 in p or 3 in p for p in found)
+
+
+def test_simhash_close_for_near_dups():
+    sh = dd.SimHasher()
+    t = sh(_docs())
+    h = t.column("simhash").to_numpy().astype(np.uint64)
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+    assert ham(h[0], h[4]) == 0
+    assert ham(h[0], h[1]) < 12
+    assert ham(h[0], h[2]) > 12
+
+
+def test_exact_dedup_groups():
+    ds = ray.data.from_arrow(_docs())
+    out = dd.exact_dedup_groups(ds).to_pandas().sort_values("doc_id")
+    dup_group = out[out["n_copies"] == 2]
+    assert len(dup_group) == 1 and dup_group.iloc[0]["doc_id"] == 0
+    assert out["n_copies"].sum() == 5
+
+
+def test_embedding_dup_pairs():
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((30, 16)).astype(np.float32)
+    vecs[17] = vecs[3] * 2.0  # same direction = cosine 1.0
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(30), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    pairs = dd.embedding_dup_pairs(ray.data.from_arrow(t), threshold=0.999).to_pandas()
+    assert (3, 17) in set(map(tuple, pairs[["vec_id_a", "vec_id_b"]].to_numpy()))
+
+
+def test_token_count_matches_python_split():
+    t = pa.table({"text": ["a b  c", " x ", "", "one"]})
+    out = tx.token_count_table(t)
+    assert out.column("n_tokens").to_pylist() == [3, 1, 0, 1]
+
+
+def test_fingerprint_deterministic_and_content_sensitive():
+    fp = tx.fingerprint64(np.array(["hello world", "hello world", "bye"], dtype=object))
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+
+
+def test_brute_force_topk_self_first():
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = brute_force_topk(ds, vecs[[7]], k=5).to_pandas()
+    assert out[out["rank"] == 1].iloc[0]["vec_id"] == 7  # itself
+    # exact ground truth via numpy
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit @ unit[7]
+    want = np.lexsort((np.arange(50), -sims))[:5]
+    assert out.sort_values("rank")["vec_id"].tolist() == list(want)
+
+
+def test_ivf_recall_reasonable():
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    cents = train_ivf_centroids(ds, num_centroids=8, sample_fraction=0.5)
+    exact = brute_force_topk(ds, vecs[[0]], k=10).to_pandas()["vec_id"].tolist()
+    approx = ivf_topk(ds, cents, vecs[[0]], k=10, nprobe=4).to_pandas()["vec_id"].tolist()
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5
+    assert approx[0] == 0  # the query vector itself survives probing
+
+
+def test_multimodal_plumbing():
+    from xgeo_ray.functions.multimodal import DecodeMedia, ExtractFeatures, docs_to_media
+
+    media = docs_to_media(_docs())
+    assert media.schema.field("payload").type == pa.binary()
+    dec = DecodeMedia()(media)
+    assert {"width", "height", "channels"} <= set(dec.column_names)
+    assert "payload" not in dec.column_names
+    # deterministic stub dims
+    dec2 = DecodeMedia()(docs_to_media(_docs()))
+    assert dec.equals(dec2)
+    feats = ExtractFeatures()(media)
+    f = np.stack(feats.column("features").to_numpy(zero_copy_only=False))
+    assert f.shape == (5, 8)
+    assert np.allclose(f.sum(axis=1), 1.0, atol=1e-5)

@@ -23,21 +23,50 @@ import pyarrow.compute as pc
 import ray.data
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_HASH_KEY = "xgeo_ray_text_v1"  # fixed key → deterministic across processes
+_P1 = np.uint64(0x9E3779B97F4A7C15)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
+
+
+def hash_tokens(tokens: np.ndarray) -> np.ndarray:
+    """Vectorized deterministic uint64 hash of a string array (pandas
+    siphash with a fixed key — C speed, PYTHONHASHSEED-independent)."""
+    import pandas as pd
+
+    if len(tokens) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(
+        np.asarray(tokens, dtype=object), hash_key=_HASH_KEY, categorize=False
+    )
+
+
+def _shingles_from_token_hashes(th: np.ndarray, k: int = 3) -> np.ndarray:
+    """k-shingle hashes from token hashes: mix of k consecutive token
+    hashes, fully vectorized. Returns the UNIQUE shingle set."""
+    n = len(th)
+    if n == 0:
+        return np.array([np.uint64(0)], dtype=np.uint64)
+    if n < k:
+        h = np.uint64(0xCBF29CE484222325)
+        for x in th:
+            h = (h ^ x) * _P1
+        return np.array([h], dtype=np.uint64)
+    acc = th[: n - k + 1] * _P1
+    acc = acc ^ (th[1 : n - k + 2] * _P2)
+    if k >= 3:
+        acc = acc ^ (th[2 : n - k + 3] * _P3)
+    return np.unique(acc)
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Hashes of word k-shingles (k consecutive tokens)."""
-    toks = text.split()
-    if len(toks) < k:
-        return np.array(
-            [hash_bytes(" ".join(toks).encode())], dtype=np.uint64
-        )
-    joined = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(np.array([hash_bytes(s.encode()) for s in joined], dtype=np.uint64))
+    return _shingles_from_token_hashes(hash_tokens(np.array(text.split(), dtype=object)), k)
 
 
 def hash_bytes(b: bytes) -> np.uint64:
-    """FNV-1a 64-bit — deterministic across processes (no PYTHONHASHSEED)."""
+    """FNV-1a 64-bit over a short byte string (word-level use only;
+    shingle paths use the vectorized hash_tokens instead)."""
     h = np.uint64(0xCBF29CE484222325)
     for byte in b:
         h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
@@ -56,14 +85,28 @@ class MinHasher:
         self.n = num_hashes
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
+        return self._sig(_shingle_hashes(text, self.k))
+
+    def _sig(self, sh: np.ndarray) -> np.ndarray:
         # (n_hashes, n_shingles): ((a*x + b) mod M), min over shingles
         v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
         return v.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_numpy(zero_copy_only=False)
-        sigs = np.stack([self.signature(t) for t in texts])
+        # hash every token in the batch with ONE vectorized call, then
+        # slice per document — no per-token Python hashing
+        toks = [t.split() for t in texts]
+        lens = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        th_all = hash_tokens(flat)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        sigs = np.stack(
+            [
+                self._sig(_shingles_from_token_hashes(th_all[offs[i] : offs[i + 1]], self.k))
+                for i in range(len(texts))
+            ]
+        )
         return batch.append_column(
             "minhash", pa.array(list(sigs.astype(np.uint64).view(np.int64)), pa.list_(pa.int64(), self.n))
         )
@@ -119,24 +162,25 @@ def minhash_lsh_dup_pairs(
         lambda b: explode_bands(b, num_bands), batch_format="pyarrow"
     )
 
-    # candidate pairs inside each (band, band_hash) bucket
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_id_a": ids[a], "doc_id_b": ids[b]})
+    # candidate pairs: one map_groups call PER BAND (num_bands calls, not
+    # one per bucket); inside, singleton buckets are masked out and the
+    # surviving buckets pair up via one vectorized self-merge
+    def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated("band_hash", keep=False)][["band_hash", "doc_id"]]
+        if len(dup) < 2:
+            empty = np.empty(0, dtype=np.int64)
+            return pd.DataFrame({"doc_id_a": empty, "doc_id_b": empty})
+        m = dup.merge(dup, on="band_hash", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return m[["doc_id_a", "doc_id_b"]].drop_duplicates()
 
-    cands = bands.groupby(["band", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
-    )
-    # dedup candidate pairs discovered by multiple bands
-    uniq = cands.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    cands = bands.groupby("band").map_groups(pairs_in_band, batch_format="pandas")
 
     # verify with true Jaccard: broadcast the (doc_id, text) projection —
-    # two columns, not the full table — once via ray.put
+    # two columns, not the full table — once via ray.put. A pair found by
+    # multiple bands is verified up to num_bands times (bounded, cheap);
+    # the dedup happens on the *verified* (small) result instead of
+    # shuffling the whole candidate set a second time.
     import ray as _ray
 
     texts_ref = _ray.put(pa.concat_tables(_ray.get(texts_small.to_arrow_refs())))
@@ -147,19 +191,37 @@ def minhash_lsh_dup_pairs(
             self.text = dict(
                 zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
             )
+            self._sh: dict[int, frozenset] = {}  # shingle sets, computed once per doc
+
+        def _shingles(self, doc_id: int) -> frozenset:
+            s = self._sh.get(doc_id)
+            if s is None:
+                s = frozenset(_shingle_hashes(self.text[doc_id], k_shingle).tolist())
+                self._sh[doc_id] = s
+            return s
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             if len(batch) == 0:
-                batch["jaccard"] = []
+                batch["jaccard"] = np.empty(0, np.float64)
                 return batch
-            batch = batch.copy()
-            batch["jaccard"] = [
-                jaccard(self.text[a], self.text[b], k_shingle)
-                for a, b in zip(batch["doc_id_a"], batch["doc_id_b"])
-            ]
+            batch = batch.drop_duplicates(subset=["doc_id_a", "doc_id_b"]).copy()
+            js = []
+            for a, b in zip(batch["doc_id_a"], batch["doc_id_b"]):
+                sa, sb = self._shingles(a), self._shingles(b)
+                u = len(sa | sb)
+                js.append(len(sa & sb) / u if u else 1.0)
+            batch["jaccard"] = js
             return batch[batch["jaccard"] >= threshold]
 
-    return uniq.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+    verified = cands.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+    # global dedup of the verified pairs — a tiny result by construction,
+    # so a driver-side drop_duplicates beats a second full shuffle
+    out = pa.concat_tables(
+        _ray.get(verified.to_arrow_refs()), promote_options="permissive"
+    )
+    df = out.to_pandas().drop_duplicates(subset=["doc_id_a", "doc_id_b"])
+    df = df.sort_values(["doc_id_a", "doc_id_b"], kind="stable").reset_index(drop=True)
+    return ray.data.from_pandas(df)
 
 
 class SimHasher:
@@ -168,22 +230,30 @@ class SimHasher:
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
 
+    _SHIFTS = np.arange(64, dtype=np.uint64)
+
     def simhash(self, text: str) -> np.uint64:
-        acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for w in set(text.split()):
-            h = hash_bytes(w.encode())
-            bits = (h >> shifts) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        out = np.uint64(0)
-        for i in range(64):
-            if acc[i] > 0:
-                out |= np.uint64(1) << np.uint64(i)
-        return out
+        return self._from_hashes(hash_tokens(np.array(text.split(), dtype=object)))
+
+    def _from_hashes(self, th: np.ndarray) -> np.uint64:
+        th = np.unique(th)  # word-set semantics
+        if len(th) == 0:
+            return np.uint64(0)
+        bits = (th[:, None] >> self._SHIFTS[None, :]) & np.uint64(1)  # (n, 64)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        return ((acc > 0).astype(np.uint64) << self._SHIFTS).sum(dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_numpy(zero_copy_only=False)
-        hs = np.array([self.simhash(t) for t in texts], dtype=np.uint64)
+        toks = [t.split() for t in texts]
+        lens = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        th_all = hash_tokens(flat)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        hs = np.array(
+            [self._from_hashes(th_all[offs[i] : offs[i + 1]]) for i in range(len(texts))],
+            dtype=np.uint64,
+        )
         return batch.append_column("simhash", pa.array(hs.view(np.int64), pa.int64()))
 
 
@@ -229,7 +299,10 @@ def embedding_dup_pairs(
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "cosine": []})
+            e = np.empty(0, dtype=np.int64)
+            return pd.DataFrame(
+                {"vec_id_a": e, "vec_id_b": e, "cosine": np.empty(0, np.float64)}
+            )
         ids = g["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]

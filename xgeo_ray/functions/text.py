@@ -106,19 +106,20 @@ def fingerprint64(texts: np.ndarray, seed: int = 1315423911) -> np.ndarray:
     Vectorized per document over its byte array."""
     out = np.empty(len(texts), dtype=np.uint64)
     B = np.uint64(1000003)
-    for i, t in enumerate(texts):
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        if len(b) < 8:
-            h = np.uint64(seed)
-            for x in b:
-                h = h * B + x
-            out[i] = h
-            continue
-        # rolling hash via cumulative powers: h[j] = sum b[j+k]*B^(7-k)
-        w = np.lib.stride_tricks.sliding_window_view(b, 8)
-        powers = B ** np.arange(7, -1, -1, dtype=np.uint64)
-        hashes = (w * powers).sum(axis=1)
-        out[i] = hashes.min()
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the hash semantics
+        for i, t in enumerate(texts):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if len(b) < 8:
+                h = np.uint64(seed)
+                for x in b:
+                    h = h * B + x
+                out[i] = h
+                continue
+            # rolling hash via cumulative powers: h[j] = sum b[j+k]*B^(7-k)
+            w = np.lib.stride_tricks.sliding_window_view(b, 8)
+            powers = B ** np.arange(7, -1, -1, dtype=np.uint64)
+            hashes = (w * powers).sum(axis=1)
+            out[i] = hashes.min()
     return out
 
 
