@@ -146,3 +146,38 @@ def test_multimodal_plumbing():
     f = np.stack(feats.column("features").to_numpy(zero_copy_only=False))
     assert f.shape == (5, 8)
     assert np.allclose(f.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_ngram_jaccard_exact_join_matches_bruteforce():
+    """The inverted-index similarity join must equal all-pairs jaccard()."""
+    t = _docs()
+    thresh = 0.6
+    texts = t.column("text").to_pylist()
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if dd.jaccard(texts[i], texts[j]) >= thresh:
+                want.add((i, j))
+    ds = ray.data.from_arrow(t)
+    got_df = dd.ngram_jaccard_dup_pairs(ds, threshold=thresh).to_pandas()
+    got = set(map(tuple, got_df[["doc_id_a", "doc_id_b"]].to_numpy()))
+    assert got == want
+    for _, r in got_df.iterrows():
+        assert r["jaccard"] == pytest.approx(
+            dd.jaccard(texts[int(r["doc_id_a"])], texts[int(r["doc_id_b"])])
+        )
+
+
+def test_ngram_jaccard_max_df_drops_stop_shingles():
+    # every doc shares the ubiquitous shingle; max_df=2 removes it, so the
+    # only surviving pair is the exact dup that also shares rare shingles
+    texts = [
+        "alpha beta gamma uniq1 uniq2 uniq3",
+        "alpha beta gamma uniq1 uniq2 uniq3",
+        "alpha beta gamma other4 other5 other6",
+        "alpha beta gamma seven8 nine10 eleven12",
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": texts})
+    ds = ray.data.from_arrow(t)
+    got = dd.ngram_jaccard_dup_pairs(ds, threshold=0.5, max_df=2).to_pandas()
+    assert set(map(tuple, got[["doc_id_a", "doc_id_b"]].to_numpy())) == {(0, 1)}

@@ -438,6 +438,24 @@ def minhash_dup_pairs(sf_dir: str):
     )
 
 
+def ngram_jaccard_pairs(sf_dir: str):
+    """Exact set-similarity join (inverted shingle index) — unlike the
+    MinHash sketch this has a deterministic SQL oracle."""
+    from xgeo_ray.functions.dedup import ngram_jaccard_dup_pairs
+
+    ds = _docs_with_planted_dups(sf_dir)
+    out = ngram_jaccard_dup_pairs(ds, threshold=0.8)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id_a": b.column("doc_id_a").cast(pa.int64()),
+                "doc_id_b": b.column("doc_id_b").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def simhash_signatures(sf_dir: str):
     from xgeo_ray.functions.dedup import SimHasher
 
@@ -566,6 +584,7 @@ def build_queries() -> dict:
         "quality_counts": quality_counts,
         "exact_dedup": exact_dedup,
         "minhash_dup_pairs": minhash_dup_pairs,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "simhash_signatures": simhash_signatures,
         "embedding_dup_pairs": embedding_dup_pairs_q,
         "lang_id_pred": lang_id_pred,
@@ -704,6 +723,40 @@ def build_oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        # word-3-gram Jaccard over string shingles == the engine's join
+        # over 64-bit shingle hashes (collisions vanishingly unlikely)
+        "ngram_jaccard_pairs": r"""
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20)
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+              FROM docs
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              FROM toks, unnest(generate_series(1, len(w) - 2)) t(i)
+              WHERE len(w) >= 3
+              UNION ALL
+              SELECT doc_id, array_to_string(w, ' ') AS s FROM toks WHERE len(w) < 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT CAST(doc_id_a AS BIGINT) AS doc_id_a,
+                   CAST(doc_id_b AS BIGINT) AS doc_id_b
+            FROM pairs
+            JOIN sizes sa ON doc_id_a = sa.doc_id
+            JOIN sizes sb ON doc_id_b = sb.doc_id
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
         """,
         "ann_top10": """
             WITH q AS (
