@@ -41,7 +41,13 @@ def read_segment(path: str) -> ray.data.Dataset:
     | ``.zip`` containers of either."""
     logical, codec = _strip_compression(path)
     if logical.endswith(".parquet"):
-        return ray.data.read_parquet(path)
+        # Size the read tasks to the file, not the cluster: Ray's default
+        # splits every file into ~2*num_cpus micro-blocks, drowning small
+        # segments in per-task overhead. One block per ~16 MiB of file
+        # (~64 MiB decoded) keeps tasks substantial while huge segments
+        # still fan out; cross-segment parallelism comes from the union.
+        n_blocks = max(1, os.path.getsize(path) >> 24)
+        return ray.data.read_parquet(path, override_num_blocks=n_blocks)
     if logical.endswith((".json", ".jsonl", ".ndjson")):
         # ray.data.read_json handles gzip via arrow_open_stream_args
         kwargs = {}
