@@ -39,6 +39,21 @@ from xgeo_ray.functions.relational import (
 from xgeo_ray.partition import PART_COL, add_part_key
 from xgeo_ray.stages.collapse import lww_collapse
 
+
+def _read(
+    path: str, columns: list[str] | None = None, **kwargs
+) -> ray.data.Dataset:
+    """read_parquet with file-size-proportional block count (one block per
+    ~16 MiB of file instead of Ray's ~2*num_cpus micro-blocks) and column
+    pruning — the scan-side discipline every query shares. Extra kwargs
+    (e.g. ``filter`` for row-group pushdown) pass through."""
+    import os
+
+    n_blocks = max(1, os.path.getsize(path) >> 24)
+    return ray.data.read_parquet(
+        path, columns=columns, override_num_blocks=n_blocks, **kwargs
+    )
+
 # --------------------------------------------------------------- CDC surrogate
 
 _DERIVE_SQL = """
@@ -58,7 +73,7 @@ _DERIVE_SQL = """
 def derive_change_events(sf_dir: str) -> ray.data.Dataset:
     """Deterministic change stream from the events table: op by
     event_id%10 (6/3/1 I/U/D mix), key (user, event_id%40), seq=event_id."""
-    ds = ray.data.read_parquet(
+    ds = _read(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"],
     )
@@ -129,7 +144,7 @@ def cdc_op_counts(sf_dir: str):
 
 
 def cdc_partition_watermarks(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = _read(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
     )
 
@@ -171,7 +186,7 @@ _Q1_DATE = "1998-09-02"
 
 
 def q1_pricing_summary(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag",
@@ -215,7 +230,7 @@ def q1_pricing_summary(sf_dir: str):
 
 
 def region_nation_count(sf_dir: str):
-    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_regionkey"])
+    nation = _read(f"{sf_dir}/nation.parquet", columns=["n_regionkey"])
     import pyarrow.parquet as pq
 
     region = pq.read_table(f"{sf_dir}/region.parquet")
@@ -224,7 +239,7 @@ def region_nation_count(sf_dir: str):
 
 
 def customer_nation_count(sf_dir: str):
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    cust = _read(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
     import pyarrow.parquet as pq
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
@@ -236,7 +251,7 @@ def orders_by_segment(sf_dir: str):
     """Both-sides join shape: orders x customer on custkey, then group.
     The customer side is small enough to broadcast at these SFs — the
     same code path a partitioned hash join would feed at 100 TB."""
-    orders = ray.data.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
     import pyarrow.parquet as pq
@@ -256,7 +271,7 @@ def orders_by_segment(sf_dir: str):
 
 
 def top10_orders(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = _read(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
     return top_k(ds, ["o_totalprice", "o_orderkey"], [True, False], 10)
@@ -265,7 +280,7 @@ def top10_orders(sf_dir: str):
 def highvalue_open_orders(sf_dir: str):
     import pyarrow.dataset as pads
 
-    ds = ray.data.read_parquet(
+    ds = _read(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
         filter=(pads.field("o_totalprice") > 300000.0),  # row-group pushdown
@@ -279,7 +294,7 @@ def highvalue_open_orders(sf_dir: str):
 
 
 def events_hourly(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = _read(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
     ds = add_time_bucket(ds, "ts", "hour", "hour")
@@ -298,13 +313,13 @@ def events_hourly(sf_dir: str):
 
 
 def distinct_event_types(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["event_type"])
     vals = sorted(ds.unique("event_type"))
     return pa.table({"event_type": pa.array(vals, pa.string())})
 
 
 def user_sessions(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = _read(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
     return sessionize(ds, "user_id", "ts", "event_id", gap_us=3_600_000_000)
@@ -331,7 +346,7 @@ def events_orders_asof(sf_dir: str):
             ]
         )
     )
-    left = ray.data.read_parquet(
+    left = _read(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     joined = asof_join_per_key(
@@ -355,7 +370,7 @@ def events_orders_asof(sf_dir: str):
 
 
 def doc_stats_by_lang(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = _read(
         f"{sf_dir}/documents.parquet", columns=["lang", "n_chars", "doc_id"]
     )
     return partial_group_agg(
@@ -373,7 +388,7 @@ def doc_stats_by_lang(sf_dir: str):
 def token_totals_by_lang(sf_dir: str):
     from xgeo_ray.functions.text import token_count_table
 
-    ds = ray.data.read_parquet(
+    ds = _read(
         f"{sf_dir}/documents.parquet", columns=["lang", "text", "doc_id"]
     )
     counted = ds.map_batches(
@@ -391,7 +406,7 @@ def token_totals_by_lang(sf_dir: str):
 def quality_counts(sf_dir: str):
     from xgeo_ray.functions.text import QualityScore
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 4))
     return out.map_batches(
         lambda b: b.select(
@@ -404,7 +419,7 @@ def quality_counts(sf_dir: str):
 def exact_dedup(sf_dir: str):
     from xgeo_ray.functions.dedup import exact_dedup_groups
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return exact_dedup_groups(ds)
 
 
@@ -459,7 +474,7 @@ def ngram_jaccard_pairs(sf_dir: str):
 def simhash_signatures(sf_dir: str):
     from xgeo_ray.functions.dedup import SimHasher
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
     return out.select_columns(["doc_id", "simhash"])
 
@@ -495,7 +510,7 @@ def embedding_dup_pairs_q(sf_dir: str):
 def lang_id_pred(sf_dir: str):
     from xgeo_ray.functions.text import LangId
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
     return out.select_columns(["doc_id", "lang_pred"])
 
@@ -503,7 +518,7 @@ def lang_id_pred(sf_dir: str):
 def doc_fingerprints(sf_dir: str):
     from xgeo_ray.functions.text import add_fingerprint
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(add_fingerprint, batch_format="pyarrow").select_columns(
         ["doc_id", "fingerprint"]
     )
@@ -524,7 +539,7 @@ def _query_vectors(sf_dir: str) -> np.ndarray:
 def ann_top10(sf_dir: str):
     from xgeo_ray.functions.ann import brute_force_topk
 
-    emb = ray.data.read_parquet(
+    emb = _read(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     t = brute_force_topk(emb, _query_vectors(sf_dir), k=10)
@@ -536,7 +551,7 @@ def ann_top10(sf_dir: str):
 def ann_ivf_top10(sf_dir: str):
     from xgeo_ray.functions.ann import ivf_topk, train_ivf_centroids
 
-    emb = ray.data.read_parquet(
+    emb = _read(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     cents = train_ivf_centroids(emb, num_centroids=8)
@@ -552,7 +567,7 @@ def ann_ivf_top10(sf_dir: str):
 def multimodal_decode(sf_dir: str):
     from xgeo_ray.functions.multimodal import DecodeMedia, docs_to_media
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     media = ds.map_batches(docs_to_media, batch_format="pyarrow")
     return media.map_batches(
         DecodeMedia, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
