@@ -32,6 +32,15 @@ _NUM_PARTITIONS = 64
 _NUM_SALTS = 4
 _SEGMENTS = 8
 
+# env overrides (used by --scaling: a stream big enough that compute
+# dominates executor latency, so parallelism is actually measurable)
+_EV_OVERRIDE = int(os.environ.get("XGEO_BENCH_EVENTS", "0"))
+_SEGMENTS = int(os.environ.get("XGEO_BENCH_SEGMENTS", str(_SEGMENTS)))
+_SPE = int(os.environ.get("XGEO_BENCH_SPE", "2"))
+_SKIP_QUERIES = bool(os.environ.get("XGEO_BENCH_SKIP_QUERIES"))
+# the scaling stream: ~150 CPU-seconds of work at ~3 µs-CPU/event
+_SCALING_EVENTS = 48_000_000
+
 
 def _sf_of(sf_dir: str) -> str:
     return sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -44,10 +53,10 @@ def _ensure_fixtures(sf: str) -> tuple[str, str, int]:
     from xgeo_ray import fixtures as fx
     import pyarrow.parquet as pq
 
-    n_events = _SF_EVENTS.get(sf, 100_000)
+    n_events = _EV_OVERRIDE or _SF_EVENTS.get(sf, 100_000)
     n_convs = max(200, n_events // 100)
     turns = 20
-    cache = f"/tmp/xgeo_bench_cache/sf{sf}-v1"
+    cache = f"/tmp/xgeo_bench_cache/sf{sf}-e{n_events}-s{_SEGMENTS}-v2"
     base_path = f"{cache}/base.parquet"
     wal_dir = f"{cache}/wal"
     done = f"{cache}/.done"
@@ -102,7 +111,7 @@ def run_bench() -> dict:
 
     t0 = time.perf_counter()
     ing.bootstrap_base(table, base_path)
-    ing.run_stream(table, segs, segments_per_epoch=2)
+    ing.run_stream(table, segs, segments_per_epoch=_SPE)
     n_final = ing.snapshot(table).count()
     headline = time.perf_counter() - t0
 
@@ -111,7 +120,7 @@ def run_bench() -> dict:
     )
 
     queries = {}
-    for name in [
+    for name in [] if _SKIP_QUERIES else [
         "cdc_lww_state",
         "q1_pricing_summary",
         "orders_by_segment",
@@ -145,7 +154,14 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run_at(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            XGEO_BENCH_EVENTS=str(_EV_OVERRIDE or _SCALING_EVENTS),
+            XGEO_BENCH_SEGMENTS="16",
+            XGEO_BENCH_SPE="8",
+            XGEO_BENCH_SKIP_QUERIES="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

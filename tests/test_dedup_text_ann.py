@@ -181,3 +181,44 @@ def test_ngram_jaccard_max_df_drops_stop_shingles():
     ds = ray.data.from_arrow(t)
     got = dd.ngram_jaccard_dup_pairs(ds, threshold=0.5, max_df=2).to_pandas()
     assert set(map(tuple, got[["doc_id_a", "doc_id_b"]].to_numpy())) == {(0, 1)}
+
+
+def test_simhash_dup_pairs_finds_planted_dups():
+    ds = ray.data.from_arrow(_docs())
+    got = dd.simhash_dup_pairs(ds, max_hamming=3).to_pandas()
+    pairs = set(map(tuple, got[["doc_id_a", "doc_id_b"]].to_numpy()))
+    assert (0, 4) in pairs  # exact dup: hamming 0
+    row = got[(got.doc_id_a == 0) & (got.doc_id_b == 4)].iloc[0]
+    assert row["hamming"] == 0
+    assert not any(2 in p or 3 in p for p in pairs)
+
+
+def test_grouped_top_k_matches_pandas():
+    import pandas as pd
+    from xgeo_ray.functions.relational import grouped_top_k
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 5, 500),
+            "v": rng.standard_normal(500),
+            "id": np.arange(500),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    got = (
+        grouped_top_k(ds, ["g"], ["v", "id"], [True, False], 3, rank_col="rank")
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .groupby("g", sort=False)
+        .head(3)
+        .sort_values(["g"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got["id"].tolist() == want["id"].tolist()
+    assert got["rank"].tolist() == [1, 2, 3] * 5

@@ -191,7 +191,8 @@ def write_segments(
         if evolve_from is not None and k >= evolve_from:
             seg = evolve_events(seg)
         p = os.path.join(out_dir, f"segment-{k:05d}.parquet")
-        pq.write_table(seg, p)
+        # bounded row groups so big segments split into parallel read tasks
+        pq.write_table(seg, p, row_group_size=262_144)
         paths.append(p)
     return paths
 

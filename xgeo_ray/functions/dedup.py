@@ -425,3 +425,78 @@ def ngram_jaccard_dup_pairs(
         return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(
+        axis=1
+    ).astype(np.int64)
+
+
+def simhash_dup_pairs(
+    docs: ray.data.Dataset,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> ray.data.Dataset:
+    """Near-dup pairs by SimHash: band the 64-bit signature into
+    ``num_bands`` exact-match blocks (pigeonhole: any pair within
+    hamming distance num_bands-1 shares at least one identical band),
+    pair up within band buckets, verify true hamming distance.
+
+    Returns (doc_id_a, doc_id_b, hamming) with hamming <= max_hamming.
+    For full recall choose num_bands > max_hamming."""
+    from xgeo_ray.functions.relational import partial_group_agg
+
+    width = 64 // num_bands
+    mask = np.uint64((1 << width) - 1)
+
+    def explode(b: pa.Table) -> pa.Table:
+        h = b.column("simhash").to_numpy().view(np.uint64)
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        n = len(ids)
+        shifts = (np.uint64(width) * np.arange(num_bands, dtype=np.uint64))
+        band_val = ((h[:, None] >> shifts[None, :]) & mask).reshape(-1)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, num_bands), pa.int64()),
+                "simhash": pa.array(
+                    np.repeat(h, num_bands).view(np.int64), pa.int64()
+                ),
+                "band": pa.array(
+                    np.tile(np.arange(num_bands, dtype=np.int64), n), pa.int64()
+                ),
+                "band_val": pa.array(band_val.view(np.int64), pa.int64()),
+            }
+        )
+
+    sigs = docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+    bands = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated("band_val", keep=False)][
+            ["band_val", "doc_id", "simhash"]
+        ]
+        if len(dup) < 2:
+            e = np.empty(0, dtype=np.int64)
+            return pd.DataFrame({"doc_id_a": e, "doc_id_b": e, "hamming": e})
+        m = dup.merge(dup, on="band_val", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if not len(m):
+            e = np.empty(0, dtype=np.int64)
+            return pd.DataFrame({"doc_id_a": e, "doc_id_b": e, "hamming": e})
+        ham = _popcount64(
+            m["simhash_a"].to_numpy().view(np.uint64)
+            ^ m["simhash_b"].to_numpy().view(np.uint64)
+        )
+        m = m.assign(hamming=ham)
+        m = m[m["hamming"] <= max_hamming]
+        return m[["doc_id_a", "doc_id_b", "hamming"]].drop_duplicates(
+            ["doc_id_a", "doc_id_b"]
+        )
+
+    cands = bands.groupby("band").map_groups(pairs_in_band, batch_format="pandas")
+    # a pair found in multiple bands collapses via a tiny grouped min
+    return partial_group_agg(
+        cands, ["doc_id_a", "doc_id_b"], [("hamming", "min", "hamming")]
+    )

@@ -270,3 +270,52 @@ def sessionize(
         )
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def grouped_top_k(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sort_cols: list[str],
+    descending: list[bool],
+    k: int,
+    rank_col: str | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-group top-k without a global sort: prune each block to its
+    local per-group top-k (only num_groups*k rows cross the shuffle),
+    then finalize per key-hash bucket. ``rank_col`` adds a 1-based
+    dense position within each group (deterministic given the
+    tiebreak columns in sort_cols)."""
+    by = keys + sort_cols
+    ascending = [True] * len(keys) + [not d for d in descending]
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(by=by, ascending=ascending, kind="stable")
+            .groupby(keys, sort=False)
+            .head(k)
+        )
+
+    pruned = ds.map_batches(local, batch_format="pandas")
+    bucketed = pruned.map_batches(
+        lambda b: b.append_column(
+            _BUCKET_COL, pa.array(_key_buckets(b, keys, num_buckets))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[_BUCKET_COL])
+        out = (
+            df.sort_values(by=by, ascending=ascending, kind="stable")
+            .groupby(keys, sort=False)
+            .head(k)
+        )
+        if rank_col is not None:
+            out = out.copy()
+            out[rank_col] = out.groupby(keys, sort=False).cumcount() + 1
+        return out
+
+    return bucketed.groupby(_BUCKET_COL).map_groups(
+        finalize, batch_format="pandas"
+    )

@@ -225,17 +225,40 @@ def ingest_segments(
     envelope = plan_envelope_schema(table, segment_paths)
     wm = table.watermarks()
 
-    from xgeo_ray.sources.wal import read_segment
+    from xgeo_ray.sources.wal import read_segment, segment_schema
 
     stage = NormalizeCollapsePartition(
         envelope, table.num_partitions, table.num_salts
     )
-    parts = [
-        read_segment(p).map_batches(
-            stage, batch_format="pyarrow", zero_copy_batch=True
+    # Group plain-Parquet segments that share a schema into ONE read
+    # operator (a list-of-files read): an epoch of k homogeneous segments
+    # costs 2 operators instead of 2k — executor latency per epoch is
+    # proportional to DAG width, and mid-stream schema evolution (the
+    # only reason segments differ) is the rare case, not the common one.
+    pq_groups: dict[str, list[str]] = {}
+    others: list[str] = []
+    for p in segment_paths:
+        if p.endswith(".parquet"):
+            pq_groups.setdefault(str(segment_schema(p)), []).append(p)
+        else:
+            others.append(p)
+    parts = []
+    from xgeo_ray.sources.wal import plan_num_blocks
+
+    for paths in pq_groups.values():
+        n_blocks = max(
+            len(paths), plan_num_blocks(sum(os.path.getsize(p) for p in paths))
         )
-        for p in segment_paths
-    ]
+        src = ray.data.read_parquet(paths, override_num_blocks=n_blocks)
+        parts.append(
+            src.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+        )
+    for p in others:
+        parts.append(
+            read_segment(p).map_batches(
+                stage, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
     ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
     metrics = ds.groupby(PART_COL).map_groups(
         ApplyPartition(table.root, epoch, envelope, wm),
@@ -299,7 +322,9 @@ def bootstrap_base(
             cast_to(batch, envelope), table.num_partitions, table.num_salts
         )
 
-    n_blocks = max(1, os.path.getsize(base_parquet) >> 24)
+    from xgeo_ray.sources.wal import plan_num_blocks
+
+    n_blocks = plan_num_blocks(os.path.getsize(base_parquet))
     ds = ray.data.read_parquet(base_parquet, override_num_blocks=n_blocks)
     ds = ds.map_batches(to_envelope, batch_format="pyarrow", zero_copy_batch=True)
     metrics = ds.groupby(PART_COL).map_groups(

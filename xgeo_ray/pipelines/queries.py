@@ -43,13 +43,15 @@ from xgeo_ray.stages.collapse import lww_collapse
 def _read(
     path: str, columns: list[str] | None = None, **kwargs
 ) -> ray.data.Dataset:
-    """read_parquet with file-size-proportional block count (one block per
-    ~16 MiB of file instead of Ray's ~2*num_cpus micro-blocks) and column
-    pruning — the scan-side discipline every query shares. Extra kwargs
-    (e.g. ``filter`` for row-group pushdown) pass through."""
+    """read_parquet with width-aware block count (see
+    sources.wal.plan_num_blocks) and column pruning — the scan-side
+    discipline every query shares. Extra kwargs (e.g. ``filter`` for
+    row-group pushdown) pass through."""
     import os
 
-    n_blocks = max(1, os.path.getsize(path) >> 24)
+    from xgeo_ray.sources.wal import plan_num_blocks
+
+    n_blocks = plan_num_blocks(os.path.getsize(path))
     return ray.data.read_parquet(
         path, columns=columns, override_num_blocks=n_blocks, **kwargs
     )
@@ -453,6 +455,44 @@ def minhash_dup_pairs(sf_dir: str):
     )
 
 
+def top3_orders_per_segment(sf_dir: str):
+    """Per-group top-k: highest-value orders within each market segment
+    (broadcast join + grouped_top_k, rank included for determinism)."""
+    from xgeo_ray.functions.relational import grouped_top_k
+
+    orders = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = broadcast_join(orders, cust, keys="o_custkey", right_keys="c_custkey")
+    out = grouped_top_k(
+        joined,
+        keys=["c_mktsegment"],
+        sort_cols=["o_totalprice", "o_orderkey"],
+        descending=[True, False],
+        k=3,
+        rank_col="rank",
+    )
+    return out.map_batches(
+        lambda b: b.select(["c_mktsegment", "o_orderkey", "rank"]).set_column(
+            2, "rank", b.column("rank").cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def simhash_dup_pairs_q(sf_dir: str):
+    from xgeo_ray.functions.dedup import simhash_dup_pairs
+
+    ds = _docs_with_planted_dups(sf_dir)
+    return simhash_dup_pairs(ds, max_hamming=3)
+
+
 def ngram_jaccard_pairs(sf_dir: str):
     """Exact set-similarity join (inverted shingle index) — unlike the
     MinHash sketch this has a deterministic SQL oracle."""
@@ -600,6 +640,8 @@ def build_queries() -> dict:
         "exact_dedup": exact_dedup,
         "minhash_dup_pairs": minhash_dup_pairs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "top3_orders_per_segment": top3_orders_per_segment,
+        "simhash_dup_pairs": simhash_dup_pairs_q,
         "simhash_signatures": simhash_signatures,
         "embedding_dup_pairs": embedding_dup_pairs_q,
         "lang_id_pred": lang_id_pred,
@@ -738,6 +780,15 @@ def build_oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "top3_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, rank FROM (
+              SELECT c_mktsegment, o_orderkey,
+                     row_number() OVER (
+                         PARTITION BY c_mktsegment
+                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+              FROM orders JOIN customer ON o_custkey = c_custkey
+            ) WHERE rank <= 3
         """,
         # word-3-gram Jaccard over string shingles == the engine's join
         # over 64-bit shingle hashes (collisions vanishingly unlikely)

@@ -35,18 +35,30 @@ def _strip_compression(path: str) -> tuple[str, str | None]:
     return path, None
 
 
+def plan_num_blocks(total_bytes: int) -> int:
+    """Width-aware block count for a Parquet read.
+
+    Ray's default splits every read into ~2*num_cpus micro-blocks, so a
+    250k-row segment becomes 4k-row tasks drowned in dispatch overhead.
+    Prefer ~32 MiB of file per block (roughly 1M rows / 100+ MiB decoded:
+    tasks long enough to amortize executor latency); if that yields fewer
+    blocks than the cluster has cores, split further — but never below
+    ~8 MiB per block. Downstream width matters too: Ray's sort-shuffle
+    (groupby/map_groups) creates one output partition per input block,
+    so this count is also the apply-stage parallelism."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    preferred = total_bytes >> 25  # 32 MiB
+    smallest = total_bytes >> 23  # 8 MiB
+    return max(1, min(smallest, max(preferred, cpus)))
+
+
 def read_segment(path: str) -> ray.data.Dataset:
     """Read one WAL segment, dispatching on extension like the reference's
     main.go: ``.parquet`` | ``.json``/``.jsonl`` (optionally compressed)
     | ``.zip`` containers of either."""
     logical, codec = _strip_compression(path)
     if logical.endswith(".parquet"):
-        # Size the read tasks to the file, not the cluster: Ray's default
-        # splits every file into ~2*num_cpus micro-blocks, drowning small
-        # segments in per-task overhead. One block per ~16 MiB of file
-        # (~64 MiB decoded) keeps tasks substantial while huge segments
-        # still fan out; cross-segment parallelism comes from the union.
-        n_blocks = max(1, os.path.getsize(path) >> 24)
+        n_blocks = plan_num_blocks(os.path.getsize(path))
         return ray.data.read_parquet(path, override_num_blocks=n_blocks)
     if logical.endswith((".json", ".jsonl", ".ndjson")):
         # ray.data.read_json handles gzip via arrow_open_stream_args
