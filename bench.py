@@ -64,11 +64,19 @@ def _ensure_fixtures(sf: str) -> tuple[str, str, int]:
         shutil.rmtree(cache, ignore_errors=True)
         os.makedirs(cache)
         base = fx.make_transcripts(n_convs, turns)
-        pq.write_table(base, base_path)
-        ev = fx.make_change_events(
-            n_events, n_convs=n_convs, turns_per_conv=turns, dup_fraction=0.02
-        )
-        fx.write_segments(ev, wal_dir, n_segments=_SEGMENTS)
+        pq.write_table(base, base_path, row_group_size=262_144)
+        del base
+        if n_events > 5_000_000:
+            # sharded counter-based generator: bounded memory per segment
+            fx.write_change_stream_sharded(
+                n_events, wal_dir, n_segments=_SEGMENTS,
+                n_convs=n_convs, turns_per_conv=turns, dup_fraction=0.02,
+            )
+        else:
+            ev = fx.make_change_events(
+                n_events, n_convs=n_convs, turns_per_conv=turns, dup_fraction=0.02
+            )
+            fx.write_segments(ev, wal_dir, n_segments=_SEGMENTS)
         with open(done, "w") as f:
             f.write("ok")
     return base_path, wal_dir, n_events

@@ -86,10 +86,10 @@ def make_transcripts(n_convs: int = 20, turns_per_conv: int = 10) -> pa.Table:
     ts = BASE_TS_US + conv_i * 10_000_000 + turn * 1_000_000
     return pa.table(
         {
-            "conv_id": _conv_ids(conv_i),
+            "conv_id": _conv_ids_vec(conv_i),
             "turn_idx": turn.astype(np.int32),
             "role": role,
-            "text": _texts(conv_i, turn, np.zeros_like(conv_i)),
+            "text": _texts_vec(conv_i, turn, np.zeros_like(conv_i)),
             "tool": tool,
             "ts": ts.astype(np.int64),
         },
@@ -128,17 +128,18 @@ def make_change_events(
     role = _ROLES[(turn + seq) % 3]
     h = _mix(conv_i, turn, seq)
     tool = np.where(role == "tool", np.char.add("tool-", (h % np.uint64(7)).astype("U1")), "")
-    text = _texts(conv_i, turn, seq)
+    import pyarrow.compute as _pc
 
     is_del = op == "D"
+    null_s = pa.scalar(None, pa.string())
     t = pa.table(
         {
             "seq": seq,
             "op": op,
-            "conv_id": _conv_ids(conv_i),
+            "conv_id": _conv_ids_vec(conv_i),
             "turn_idx": turn.astype(np.int32),
             "role": pa.array(np.where(is_del, None, role)),
-            "text": pa.array([None if d else x for d, x in zip(is_del, text)], pa.string()),
+            "text": _pc.if_else(pa.array(is_del), null_s, _texts_vec(conv_i, turn, seq)),
             "tool": pa.array(np.where(is_del, None, tool)),
             "ts": ts.astype(np.int64),
         },
@@ -224,3 +225,120 @@ def naive_final_state(base: pa.Table | None, events: pa.Table) -> pa.Table:
     lead = [c for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts") if c in out_cols]
     rest = [c for c in out_cols if c not in lead]
     return pa.Table.from_pandas(df[lead + rest], preserve_index=False)
+
+
+# ------------------------------------------------------- bench-scale stream
+
+def _texts_vec(conv_i: np.ndarray, turn: np.ndarray, version: np.ndarray) -> pa.Array:
+    """Arrow-kernel variant of _texts: per-word-slot dictionary arrays
+    (nulls beyond the row's word count) joined by one C++
+    binary_join_element_wise call. Identical strings to _texts; used
+    everywhere — 10^7-row shards make per-row Python joins the dominant
+    generation cost."""
+    import pyarrow.compute as pc
+
+    h = _mix(conv_i, turn, version)
+    n_words = 4 + (h % np.uint64(12)).astype(np.int64)
+    max_w = 15
+    vocab = pa.array(_VOCAB)
+    cols = []
+    hw = h.copy()
+    for w in range(max_w):
+        hw = hw * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
+        idx = ((hw >> np.uint64(17)) % np.uint64(512)).astype(np.int32)
+        d = pa.DictionaryArray.from_arrays(
+            pa.array(idx, mask=(w >= n_words)), vocab
+        )
+        cols.append(d.cast(pa.string()))
+    return pc.binary_join_element_wise(*cols, " ", null_handling="skip")
+
+
+def _conv_ids_vec(conv_i: np.ndarray) -> pa.Array:
+    import pyarrow.compute as pc
+
+    padded = pc.utf8_lpad(
+        pa.array(conv_i.astype(np.int64)).cast(pa.string()), 6, "0"
+    )
+    return pc.binary_join_element_wise("conv-", padded, "")
+
+
+def make_change_events_shard(
+    start_seq: int,
+    n_events: int,
+    n_convs: int,
+    turns_per_conv: int,
+    dup_fraction: float = 0.02,
+    seed: int = SEED,
+) -> pa.Table:
+    """Counter-based change-event shard: every field derives from ``seq``
+    via the splitmix hash, so any seq range can be generated independently
+    with bounded memory (the whole-stream generator concatenates >2 GiB
+    string columns and overflows Arrow's 32-bit offsets at ~5e7 rows).
+    Used for bench-scale streams; tests keep make_change_events."""
+    seq = np.arange(start_seq, start_seq + n_events, dtype=np.int64)
+    hs = _mix(seq, np.full(n_events, 7, np.int64), np.full(n_events, seed, np.int64))
+    conv_i = (hs % np.uint64(2 * n_convs)).astype(np.int64)
+    h2 = _mix(conv_i, seq, np.full(n_events, 11, np.int64))
+    turn = (h2 % np.uint64(2 * turns_per_conv)).astype(np.int64)
+    opsel = (_mix(seq, turn, np.full(n_events, 13, np.int64)) % np.uint64(10)).astype(np.int64)
+    op = np.where(opsel < 6, "I", np.where(opsel < 9, "U", "D"))
+    jitter = (hs % np.uint64(2000)).astype(np.int64)
+    ts = BASE_TS_US + 100_000_000_000 + ((seq * 500 - jitter) // 250) * 250
+    role = _ROLES[(turn + seq) % 3]
+    h3 = _mix(conv_i, turn, seq)
+    tool = np.where(
+        role == "tool",
+        np.char.add("tool-", (h3 % np.uint64(7)).astype("U1")),
+        "",
+    )
+    import pyarrow.compute as _pc
+
+    is_del = op == "D"
+    null_s = pa.scalar(None, pa.string())
+    t = pa.table(
+        {
+            "seq": seq,
+            "op": op,
+            "conv_id": _conv_ids_vec(conv_i),
+            "turn_idx": turn.astype(np.int32),
+            "role": pa.array(np.where(is_del, None, role)),
+            "text": _pc.if_else(pa.array(is_del), null_s, _texts_vec(conv_i, turn, seq)),
+            "tool": pa.array(np.where(is_del, None, tool)),
+            "ts": ts.astype(np.int64),
+        },
+        schema=CHANGE_EVENTS_SCHEMA,
+    )
+    if dup_fraction <= 0:
+        return t
+    # re-deliver a deterministic sample (same seq+payload), appended late
+    # in the shard — still strictly after the originals
+    dup_sel = (_mix(seq, np.full(n_events, 17, np.int64), turn) % np.uint64(1000)) < np.uint64(
+        int(dup_fraction * 1000)
+    )
+    dup = t.filter(pa.array(dup_sel))
+    return pa.concat_tables([t, dup])
+
+
+def write_change_stream_sharded(
+    n_events: int,
+    out_dir: str,
+    n_segments: int,
+    n_convs: int,
+    turns_per_conv: int,
+    dup_fraction: float = 0.02,
+    seed: int = SEED,
+) -> list[str]:
+    """Write an n_events stream as n_segments WAL files, one bounded shard
+    at a time (constant memory in n_segments)."""
+    os.makedirs(out_dir, exist_ok=True)
+    bounds = [round(i * n_events / n_segments) for i in range(n_segments + 1)]
+    paths = []
+    for k in range(n_segments):
+        seg = make_change_events_shard(
+            bounds[k], bounds[k + 1] - bounds[k], n_convs, turns_per_conv,
+            dup_fraction, seed,
+        )
+        p = os.path.join(out_dir, f"segment-{k:05d}.parquet")
+        pq.write_table(seg, p, row_group_size=262_144)
+        paths.append(p)
+    return paths

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from xgeo_ray.schemas import unify, cast_to
 
@@ -54,8 +55,9 @@ def lww_collapse(t: pa.Table, drop_tombstones: bool) -> pa.Table:
     np.not_equal(codes[1:], codes[:-1], out=last[:-1])
     last[:-1] |= turn[1:] != turn[:-1]
     if drop_tombstones:
-        op = t.column("op").to_numpy(zero_copy_only=False)
-        last &= op != "D"
+        # arrow kernel, not numpy-object compare (that's a Python loop)
+        not_d = pc.fill_null(pc.not_equal(t.column("op"), "D"), True)
+        last &= not_d.to_numpy(zero_copy_only=False)
     return t.filter(pa.array(last))
 
 
