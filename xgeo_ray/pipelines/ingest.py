@@ -87,23 +87,30 @@ class NormalizeCollapsePartition:
     savings is one full pass of task dispatch + serialization."""
 
     def __init__(self, envelope: pa.Schema, num_partitions: int, num_salts: int):
+        from xgeo_ray.tuning import limit_worker_threads
+
+        limit_worker_threads()
         self.norm = NormalizeEvents(envelope)
         self.p = num_partitions
         self.s = num_salts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        batch = lww_collapse(self.norm(batch), drop_tombstones=False)
+        from xgeo_ray.stages.collapse import maybe_precollapse
+
+        batch = maybe_precollapse(self.norm(batch))
         return add_part_key(batch, self.p, self.s)
 
 
 class ApplyPartition:
-    """Per-partition merge worker (map_groups over the shuffle output).
+    """Per-partition merge worker (map_batches over the hash-shuffle
+    output; each incoming block holds one or more COMPLETE partitions).
 
-    Owns one hash partition per call: drops replayed events at or below
-    the committed seq watermark (idempotence under at-least-once
-    delivery), collapses to the latest version per key, keeps tombstones
-    as delta rows, sorts by (conv_id, turn_idx) and writes the epoch
-    delta file. Returns one lineage-metrics row."""
+    Per partition: drops replayed events at or below the committed seq
+    watermark (idempotence under at-least-once delivery), collapses to
+    the latest version per key (one sort, metrics off the same sort),
+    keeps tombstones as delta rows, sorted by (conv_id, turn_idx), and
+    writes the epoch delta file. Returns one lineage-metrics row per
+    partition."""
 
     def __init__(
         self,
@@ -112,23 +119,38 @@ class ApplyPartition:
         envelope_schema: pa.Schema,
         watermarks: np.ndarray,
     ):
+        from xgeo_ray.tuning import limit_worker_threads
+
+        limit_worker_threads()
         self.root = root
         self.epoch = epoch
         self.schema = envelope_schema
         self.wm = watermarks
         self.__name__ = "ApplyPartition"  # ray map_groups wraps fn.__name__
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        part = int(group.column(PART_COL)[0].as_py())
-        t = group.drop_columns([PART_COL])
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pk = batch.column(PART_COL).to_numpy(zero_copy_only=False)
+        parts = np.unique(pk)
+        outs = []
+        for part in parts:
+            sub = batch if len(parts) == 1 else batch.filter(pa.array(pk == part))
+            outs.append(self._apply_one(int(part), sub.drop_columns([PART_COL])))
+        return (
+            pa.concat_tables(outs) if outs else _ENTRY_SCHEMA.empty_table()
+        )
+
+    def _apply_one(self, part: int, t: pa.Table) -> pa.Table:
+        from xgeo_ray.stages.collapse import collapse_with_metrics
+
         rows_in = t.num_rows
         wm = int(self.wm[part])
         if wm >= 0:
             keep = pc.greater(t.column("seq"), pa.scalar(wm, pa.int64()))
             t = t.filter(keep)
         below_wm = rows_in - t.num_rows
-        n_keys, n_trips = count_unique_keys_and_seqs(t)
-        collapsed = lww_collapse(t, drop_tombstones=False)
+        collapsed, n_keys, n_trips = collapse_with_metrics(
+            t, drop_tombstones=False
+        )
         entry = PartitionEntry(
             part_key=part,
             path=delta_relpath(part, self.epoch),
@@ -178,6 +200,160 @@ def _entry_to_table(e: PartitionEntry) -> pa.Table:
     )
 
 
+@ray.remote
+def _radix_map(path: str, row_groups: list[int] | None, prep, num_parts: int):
+    """Map side of the radix exchange: read one chunk, prep (normalize +
+    pre-collapse + part key), order by the integer part key (one argsort
+    + one gather), return num_parts zero-copy slices as separate return
+    values so each lands in the object store addressable per-partition."""
+    from xgeo_ray.sources.wal import read_segment_table
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    if row_groups is None:
+        t = read_segment_table(path)
+    else:
+        t = pq.ParquetFile(path).read_row_groups(row_groups, use_threads=False)
+    t = prep(t)
+    pk = t.column(PART_COL).to_numpy(zero_copy_only=False)
+    order = np.argsort(pk, kind="stable")
+    t = t.take(order)
+    pk = pk[order]
+    bounds = np.searchsorted(pk, np.arange(num_parts + 1))
+    out = tuple(
+        t.slice(bounds[i], bounds[i + 1] - bounds[i]).drop_columns([PART_COL])
+        for i in range(num_parts)
+    )
+    return out if num_parts > 1 else out[0]
+
+
+@ray.remote
+def _radix_reduce(part: int, apply_partition, *subs: pa.Table):
+    """Reduce side: concat this partition's slices from every map task,
+    apply watermark dedup + LWW + delta write. Returns the lineage entry
+    table, or None for an empty partition."""
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    subs = [s for s in subs if s.num_rows]
+    if not subs:
+        return None
+    t = pa.concat_tables(subs, promote_options="permissive")
+    return apply_partition._apply_one(part, t)
+
+
+def _radix_exchange_apply(
+    chunks: list[tuple[str, list[int] | None]],
+    prep,
+    table: DeltaTable,
+    epoch: int,
+    envelope: pa.Schema,
+    wm: np.ndarray,
+) -> list[PartitionEntry]:
+    """The epoch's one all-to-all, as a raw-Ray MapReduce radix exchange.
+
+    Ray Data's generic exchanges pay for machinery this key doesn't need
+    (sort strategy: sample pass + comparison sort + merge; hash strategy:
+    aggregator-actor funnel) — measured on a 24M-row epoch they cost
+    4-7x this path's wall time. The part key is a precomputed int in
+    [0, P): an O(n) argsort-split in each map task and a concat per
+    partition IS the shuffle. Dataset stays the surface for sources,
+    snapshot and queries; this is the sanctioned raw-task fallback for
+    the one operation the Dataset API can't express efficiently.
+
+    Exactly-once is unaffected: map/reduce tasks are deterministic and
+    idempotent (delta paths are content-deterministic, rewritten whole on
+    retry), and nothing is visible until the manifest commit."""
+    P = table.num_partitions
+    prep_ref = ray.put(prep)
+    apply_ref = ray.put(ApplyPartition(table.root, epoch, envelope, wm))
+    maps = [
+        _radix_map.options(num_returns=P if P > 1 else None).remote(
+            path, rgs, prep_ref, P
+        )
+        for path, rgs in chunks
+    ]
+    if P == 1:
+        maps = [[m] for m in maps]
+    outs = [
+        _radix_reduce.remote(part, apply_ref, *[m[part] for m in maps])
+        for part in range(P)
+    ]
+    entries: list[PartitionEntry] = []
+    for t in ray.get(outs):
+        if t is None:
+            continue
+        for row in t.to_pylist():
+            entries.append(
+                PartitionEntry(
+                    **{k: (v if k == "path" else int(v)) for k, v in row.items()}
+                )
+            )
+    return entries
+
+
+def _apply_shuffled(
+    ds: ray.data.Dataset,
+    table: DeltaTable,
+    epoch: int,
+    envelope: pa.Schema,
+    wm: np.ndarray,
+) -> ray.data.Dataset:
+    """Route events to owner partitions (groupby exchange) and apply.
+
+    Measured on a 24M-row epoch: Ray's sort-based groupby shuffle beat
+    its hash-shuffle strategy >4x here (the hash path funnels through
+    aggregator actors), so the exchange stays groupby().map_groups().
+    ApplyPartition also accepts multi-partition batches, so either
+    exchange plugs in."""
+    return ds.groupby(PART_COL).map_groups(
+        ApplyPartition(table.root, epoch, envelope, wm),
+        batch_format="pyarrow",
+    )
+
+
+class _hash_shuffle_strategy:
+    """No-op retained for A/B experiments: switches
+    DataContext.shuffle_strategy to HASH_SHUFFLE for the scope (Ray
+    consults it when the plan's root dataset is created)."""
+
+    def __enter__(self):
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        self.ctx = DataContext.get_current()
+        self.prev = self.ctx.shuffle_strategy
+        self.ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        return self
+
+    def __exit__(self, *exc):
+        self.ctx.shuffle_strategy = self.prev
+        return False
+
+
+def _check_no_split_parts(entries: list[PartitionEntry]) -> None:
+    """A part split across two apply tasks would have raced on one delta
+    file — abort BEFORE the commit makes anything visible. Structurally
+    impossible in the radix exchange (one reduce per part); cheap
+    invariant kept for any alternative exchange."""
+    seen: set[int] = set()
+    for e in entries:
+        if e.part_key in seen:
+            raise RuntimeError(
+                f"partition {e.part_key} split across apply tasks — "
+                "increase num_partitions"
+            )
+        seen.add(e.part_key)
+
+
+def _collect_entries(metrics: ray.data.Dataset) -> list[PartitionEntry]:
+    entries = [
+        PartitionEntry(**{k: (v if k == "path" else int(v)) for k, v in row.items()})
+        for row in metrics.take_all()
+    ]
+    _check_no_split_parts(entries)
+    return entries
+
+
 def plan_envelope_schema(table: DeltaTable, segment_paths: list[str]) -> pa.Schema:
     """Schema-evolution planning from segment *metadata only* (Parquet
     footers; a small head sample for JSON): union of the table's current
@@ -225,49 +401,14 @@ def ingest_segments(
     envelope = plan_envelope_schema(table, segment_paths)
     wm = table.watermarks()
 
-    from xgeo_ray.sources.wal import read_segment, segment_schema
+    from xgeo_ray.sources.wal import plan_read_chunks
 
     stage = NormalizeCollapsePartition(
         envelope, table.num_partitions, table.num_salts
     )
-    # Group plain-Parquet segments that share a schema into ONE read
-    # operator (a list-of-files read): an epoch of k homogeneous segments
-    # costs 2 operators instead of 2k — executor latency per epoch is
-    # proportional to DAG width, and mid-stream schema evolution (the
-    # only reason segments differ) is the rare case, not the common one.
-    pq_groups: dict[str, list[str]] = {}
-    others: list[str] = []
-    for p in segment_paths:
-        if p.endswith(".parquet"):
-            pq_groups.setdefault(str(segment_schema(p)), []).append(p)
-        else:
-            others.append(p)
-    parts = []
-    from xgeo_ray.sources.wal import plan_num_blocks
-
-    for paths in pq_groups.values():
-        n_blocks = max(
-            len(paths), plan_num_blocks(sum(os.path.getsize(p) for p in paths))
-        )
-        src = ray.data.read_parquet(paths, override_num_blocks=n_blocks)
-        parts.append(
-            src.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
-        )
-    for p in others:
-        parts.append(
-            read_segment(p).map_batches(
-                stage, batch_format="pyarrow", zero_copy_batch=True
-            )
-        )
-    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-    metrics = ds.groupby(PART_COL).map_groups(
-        ApplyPartition(table.root, epoch, envelope, wm),
-        batch_format="pyarrow",
-    )
-    entries = [
-        PartitionEntry(**{k: (v if k == "path" else int(v)) for k, v in row.items()})
-        for row in metrics.take_all()
-    ]
+    chunks = plan_read_chunks(segment_paths)
+    entries = _radix_exchange_apply(chunks, stage, table, epoch, envelope, wm)
+    _check_no_split_parts(entries)
     # entries with path == "" (all rows deduped away) stay in the manifest
     # for lineage/watermarks; partition_files() skips them.
     from xgeo_ray.sources.wal import segment_row_count
@@ -313,31 +454,34 @@ def bootstrap_base(
 
     envelope = unify(table.current_schema(), pq.read_schema(base_parquet))
     epoch = table.latest_epoch() + 1
+    from xgeo_ray.sources.wal import plan_read_chunks
 
-    def to_envelope(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        batch = batch.append_column("op", pa.array(["I"] * n))
-        batch = batch.append_column("seq", pa.array(np.full(n, -1, np.int64)))
-        return add_part_key(
-            cast_to(batch, envelope), table.num_partitions, table.num_salts
-        )
-
-    from xgeo_ray.sources.wal import plan_num_blocks
-
-    n_blocks = plan_num_blocks(os.path.getsize(base_parquet))
-    ds = ray.data.read_parquet(base_parquet, override_num_blocks=n_blocks)
-    ds = ds.map_batches(to_envelope, batch_format="pyarrow", zero_copy_batch=True)
-    metrics = ds.groupby(PART_COL).map_groups(
-        ApplyPartition(table.root, epoch, envelope, table.watermarks()),
-        batch_format="pyarrow",
+    prep = _BootstrapPrep(envelope, table.num_partitions, table.num_salts)
+    chunks = plan_read_chunks([os.path.abspath(base_parquet)])
+    entries = _radix_exchange_apply(
+        chunks, prep, table, epoch, envelope, table.watermarks()
     )
-    entries = [
-        PartitionEntry(**{k: (v if k == "path" else int(v)) for k, v in row.items()})
-        for row in metrics.take_all()
-    ]
+    _check_no_split_parts(entries)
     return table.commit_epoch(
         epoch, [f"bootstrap:{os.path.abspath(base_parquet)}"], entries, envelope
     )
+
+
+class _BootstrapPrep:
+    """Prep for base-table loads: mark every row an implicit insert with
+    seq=-1 (sorts under every real WAL event for the same key and ts),
+    cast to the envelope, add the salted partition key."""
+
+    def __init__(self, envelope: pa.Schema, num_partitions: int, num_salts: int):
+        self.envelope = envelope
+        self.p = num_partitions
+        self.s = num_salts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        batch = batch.append_column("op", pa.array(["I"] * n))
+        batch = batch.append_column("seq", pa.array(np.full(n, -1, np.int64)))
+        return add_part_key(cast_to(batch, self.envelope), self.p, self.s)
 
 
 class _MergePartitions:
@@ -345,6 +489,9 @@ class _MergePartitions:
     dataset of partition descriptors — one task per partition, no shuffle)."""
 
     def __init__(self, envelope: pa.Schema, keep_lineage: bool):
+        from xgeo_ray.tuning import limit_worker_threads
+
+        limit_worker_threads()
         self.envelope = envelope
         self.keep = keep_lineage
 

@@ -180,3 +180,56 @@ def write_segment_jsonl(table: pa.Table, path: str) -> str:
         with open(path, "w") as f:
             f.write(raw)
     return path
+
+
+def read_segment_table(path: str) -> pa.Table:
+    """Eager whole-segment read to one Arrow table (used by the radix
+    exchange for non-splittable formats; Parquet segments are read by
+    row-group chunk instead)."""
+    logical, codec = _strip_compression(path)
+    if logical.endswith(".parquet"):
+        return pq.read_table(path, use_threads=False)
+    if logical.endswith((".json", ".jsonl", ".ndjson")):
+        with pa.input_stream(path, compression=codec) as f:
+            return pa_json.read_json(f)
+    if logical.endswith(".zip"):
+        out = []
+        with zipfile.ZipFile(path) as z:
+            for name in sorted(z.namelist()):
+                if name.endswith("/"):
+                    continue
+                try:
+                    out.append(_read_zip_member(z.read(name), name))
+                except ValueError:
+                    continue
+        from xgeo_ray.schemas import cast_to, unify
+
+        target = unify(*[t.schema for t in out])
+        return pa.concat_tables([cast_to(t, target) for t in out])
+    raise ValueError(f"unsupported segment format: {path}")
+
+
+def plan_read_chunks(
+    paths: list[str], target_rows: int = 500_000
+) -> list[tuple[str, list[int] | None]]:
+    """Split segment files into independent read chunks: consecutive
+    Parquet row-group runs of ~target_rows (parallel in-file reads with
+    no coordination), whole-file for non-splittable formats."""
+    chunks: list[tuple[str, list[int] | None]] = []
+    for p in paths:
+        logical, _ = _strip_compression(p)
+        if not logical.endswith(".parquet"):
+            chunks.append((p, None))
+            continue
+        md = pq.read_metadata(p)
+        run: list[int] = []
+        run_rows = 0
+        for rg in range(md.num_row_groups):
+            run.append(rg)
+            run_rows += md.row_group(rg).num_rows
+            if run_rows >= target_rows:
+                chunks.append((p, run))
+                run, run_rows = [], 0
+        if run:
+            chunks.append((p, run))
+    return chunks

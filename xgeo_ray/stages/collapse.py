@@ -61,6 +61,59 @@ def lww_collapse(t: pa.Table, drop_tombstones: bool) -> pa.Table:
     return t.filter(pa.array(last))
 
 
+def collapse_with_metrics(
+    t: pa.Table, drop_tombstones: bool = False
+) -> tuple[pa.Table, int, int]:
+    """LWW collapse + lineage counts off ONE sort.
+
+    Returns (collapsed, n_distinct_keys, n_distinct_(key,seq)_triples).
+    Replaces the separate count_unique_keys_and_seqs (numpy lexsort) +
+    lww_collapse (arrow sort) pair in the apply hot path — the sort is
+    ~half the per-partition cost, so doing it once matters."""
+    if t.num_rows == 0:
+        return t, 0, 0
+    t = t.sort_by(
+        [
+            ("conv_id", "ascending"),
+            ("turn_idx", "ascending"),
+            ("ts", "ascending"),
+            ("seq", "ascending"),
+        ]
+    )
+    codes, turn = _key_codes(t)
+    seq = t.column("seq").to_numpy(zero_copy_only=False)
+    key_change = (codes[1:] != codes[:-1]) | (turn[1:] != turn[:-1])
+    n_keys = int(key_change.sum()) + 1
+    # re-delivered duplicates carry identical (ts, seq) → sorted adjacent
+    n_trips = int((key_change | (seq[1:] != seq[:-1])).sum()) + 1
+    last = np.empty(len(codes), dtype=bool)
+    last[-1] = True
+    last[:-1] = key_change
+    if drop_tombstones:
+        not_d = pc.fill_null(pc.not_equal(t.column("op"), "D"), True)
+        last &= not_d.to_numpy(zero_copy_only=False)
+    return t.filter(pa.array(last)), n_keys, n_trips
+
+
+def maybe_precollapse(t: pa.Table, threshold: float = 0.9) -> pa.Table:
+    """Pre-shuffle collapse, only when it pays: an Arrow hash-aggregate
+    counts distinct keys in O(n) (no sort); if nearly every row is a
+    distinct key the batch passes through untouched and the
+    authoritative LWW happens at the owner partition. Under dup storms /
+    hot keys the collapse still shrinks the shuffle."""
+    if t.num_rows == 0:
+        return t
+    n_groups = (
+        t.select(["conv_id", "turn_idx"])
+        .group_by(["conv_id", "turn_idx"])
+        .aggregate([])
+        .num_rows
+    )
+    if n_groups >= threshold * t.num_rows:
+        return t
+    return lww_collapse(t, drop_tombstones=False)
+
+
 def count_unique_keys_and_seqs(t: pa.Table) -> tuple[int, int]:
     """(distinct primary keys, distinct (key, seq) triples) of a SORTED-or-not
     event table — used for lineage metrics (dup-dropped counting)."""
