@@ -46,10 +46,17 @@ def brute_force_topk(
     q_ref = ray.put(q)
 
     class ScanTopK:
-        def __init__(self):
-            self.q = ray.get(q_ref)  # broadcast once per worker
+        """Instance-passed (task-based) stage: trivial setup, so an actor
+        pool would only add spin-up latency. The query matrix ships as an
+        ObjectRef and derefs zero-copy once per task."""
+
+        def __init__(self, ref):
+            self.ref = ref
+            self.q = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.q is None:
+                self.q = ray.get(self.ref)
             m = _stack_unit(batch.column(vec_col))
             ids = batch.column(id_col).to_numpy()
             sims = m @ self.q.T  # (n_rows, n_queries)
@@ -70,7 +77,7 @@ def brute_force_topk(
                 }
             )
 
-    partials = emb.map_batches(ScanTopK, batch_format="pyarrow", concurrency=(1, 8))
+    partials = emb.map_batches(ScanTopK(q_ref), batch_format="pyarrow")
     t = pa.concat_tables(ray.get(partials.to_arrow_refs()))  # ≤ blocks×queries×k rows
     out_rows = {"query_idx": [], id_col: [], "rank": []}
     df = t.to_pandas()
@@ -123,15 +130,18 @@ def ivf_assign(
     c_ref = ray.put(centroids)
 
     class Assign:
-        def __init__(self):
-            self.c = ray.get(c_ref)
+        def __init__(self, ref):
+            self.ref = ref
+            self.c = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.c is None:
+                self.c = ray.get(self.ref)
             m = _stack_unit(batch.column(vec_col))
             part = (m @ self.c.T).argmax(axis=1).astype(np.int32)
             return batch.append_column("ivf_part", pa.array(part))
 
-    return emb.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+    return emb.map_batches(Assign(c_ref), batch_format="pyarrow")
 
 
 def ivf_topk(

@@ -152,11 +152,10 @@ def minhash_lsh_dup_pairs(
     docs must have columns (doc_id, text). Returns (doc_id_a, doc_id_b,
     jaccard) with doc_id_a < doc_id_b, deduplicated across bands."""
     texts_small = docs.select_columns(["doc_id", "text"])
+    # instance-passed (task-based): MinHasher's setup is 128 rng draws,
+    # an actor pool would only add spin-up latency at bench scale
     sigs = docs.map_batches(
-        MinHasher,
-        fn_constructor_args=(num_hashes, k_shingle),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        MinHasher(num_hashes, k_shingle), batch_format="pyarrow"
     )
     bands = sigs.map_batches(
         lambda b: explode_bands(b, num_bands), batch_format="pyarrow"
@@ -186,12 +185,16 @@ def minhash_lsh_dup_pairs(
     texts_ref = _ray.put(pa.concat_tables(_ray.get(texts_small.to_arrow_refs())))
 
     class Verify:
-        def __init__(self):
-            t = _ray.get(texts_ref)
+        def __init__(self, ref):
+            self.ref = ref
+            self.text = None
+            self._sh: dict[int, frozenset] = {}  # shingle sets, computed once per doc
+
+        def _load(self):
+            t = _ray.get(self.ref)  # zero-copy from local plasma, per task
             self.text = dict(
                 zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
             )
-            self._sh: dict[int, frozenset] = {}  # shingle sets, computed once per doc
 
         def _shingles(self, doc_id: int) -> frozenset:
             s = self._sh.get(doc_id)
@@ -204,6 +207,8 @@ def minhash_lsh_dup_pairs(
             if len(batch) == 0:
                 batch["jaccard"] = np.empty(0, np.float64)
                 return batch
+            if self.text is None:
+                self._load()
             batch = batch.drop_duplicates(subset=["doc_id_a", "doc_id_b"]).copy()
             js = []
             for a, b in zip(batch["doc_id_a"], batch["doc_id_b"]):
@@ -213,7 +218,7 @@ def minhash_lsh_dup_pairs(
             batch["jaccard"] = js
             return batch[batch["jaccard"] >= threshold]
 
-    verified = cands.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+    verified = cands.map_batches(Verify(texts_ref), batch_format="pandas")
     # global dedup of the verified pairs — a tiny result by construction,
     # so a driver-side drop_duplicates beats a second full shuffle
     out = pa.concat_tables(
@@ -377,10 +382,7 @@ def ngram_jaccard_dup_pairs(
     from ray.data.aggregate import Count, Max
 
     ex = docs.select_columns(["doc_id", "text"]).map_batches(
-        ShingleExploder,
-        fn_constructor_args=(k_shingle,),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        ShingleExploder(k_shingle), batch_format="pyarrow"
     )
     mask = pa.scalar(num_buckets - 1, pa.int64())
     ex = ex.map_batches(
@@ -470,7 +472,7 @@ def simhash_dup_pairs(
             }
         )
 
-    sigs = docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+    sigs = docs.map_batches(SimHasher(), batch_format="pyarrow")
     bands = sigs.map_batches(explode, batch_format="pyarrow")
 
     def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:

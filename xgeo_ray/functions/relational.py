@@ -121,16 +121,22 @@ def broadcast_join(
     small_ref = ray.put(small)
 
     class JoinSmall:
-        def __init__(self):
-            self.small = ray.get(small_ref)  # once per actor/task worker
+        """Instance-passed (task-based); the small side derefs zero-copy
+        from local plasma once per task."""
+
+        def __init__(self, ref):
+            self.ref = ref
+            self.small = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.small is None:
+                self.small = ray.get(self.ref)
             return batch.join(
                 self.small, keys=keys, right_keys=right_keys, join_type=join_type
             )
 
     return ds.map_batches(
-        JoinSmall, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        JoinSmall(small_ref), batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -194,11 +200,14 @@ def asof_join_per_key(
     right_ref = ray.put(right_small)
 
     class AsOf:
-        def __init__(self):
-            r = ray.get(right_ref).to_pandas()
-            self.right = r.sort_values(right_on, kind="stable")
+        def __init__(self, ref):
+            self.ref = ref
+            self.right = None
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self.right is None:
+                r = ray.get(self.ref).to_pandas()
+                self.right = r.sort_values(right_on, kind="stable")
             b = batch.sort_values(left_on, kind="stable")
             return pd.merge_asof(
                 b,
@@ -210,7 +219,7 @@ def asof_join_per_key(
                 direction=direction,
             )
 
-    return left.map_batches(AsOf, batch_format="pandas", concurrency=(1, 8))
+    return left.map_batches(AsOf(right_ref), batch_format="pandas")
 
 
 def top_k(

@@ -515,7 +515,7 @@ def simhash_signatures(sf_dir: str):
     from xgeo_ray.functions.dedup import SimHasher
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+    out = ds.map_batches(SimHasher(), batch_format="pyarrow")
     return out.select_columns(["doc_id", "simhash"])
 
 
