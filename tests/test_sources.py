@@ -74,3 +74,41 @@ def test_mixed_format_ingest_parity(stream, tmp_path):
 def test_dispatch_rejects_unknown_format(stream):
     with pytest.raises(ValueError):
         wal.read_segment("/tmp/whatever.xyz")
+
+
+def test_cli_lifecycle(tmp_path):
+    """python -m xgeo_ray create/bootstrap/ingest/snapshot/status in a
+    fresh process (the CLI owns its own Ray session)."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from xgeo_ray import fixtures as fx
+
+    root = str(tmp_path)
+    base = fx.make_transcripts(6, 4)
+    pq.write_table(base, f"{root}/base.parquet")
+    ev = fx.make_change_events(300, n_convs=6, turns_per_conv=4, dup_fraction=0)
+    segs = fx.write_segments(ev, f"{root}/wal", n_segments=2)
+
+    def run(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "xgeo_ray", *args],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout.strip().splitlines()[-1]
+
+    run("create", f"{root}/t", "--num-partitions", "4", "--num-salts", "2")
+    out = json.loads(run("bootstrap", f"{root}/t", f"{root}/base.parquet"))
+    assert out["epoch"] == 1
+    out = json.loads(run("ingest", f"{root}/t", *segs))
+    assert out["events_read"] == 300
+    out = json.loads(run("snapshot", f"{root}/t", f"{root}/snap"))
+    want = fx.naive_final_state(base, ev)
+    assert out["rows"] == want.num_rows
+    status = json.loads(run("status", f"{root}/t"))
+    assert len(status) == 2  # bootstrap + one ingest epoch

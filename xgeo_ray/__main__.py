@@ -1,0 +1,132 @@
+"""CLI entry points — the reference is a single-command CLI
+(/root/reference/cmd/xgeo/main.go:15-24: kingpin arg parse, one input
+file, stdout sink); this engine's CLI exposes the full table lifecycle:
+
+    python -m xgeo_ray create  TABLE --num-partitions 64 --num-salts 4
+    python -m xgeo_ray bootstrap TABLE BASE.parquet
+    python -m xgeo_ray ingest  TABLE SEG [SEG ...] [--segments-per-epoch 8]
+    python -m xgeo_ray snapshot TABLE OUT_DIR        # partitioned parquet
+    python -m xgeo_ray compact TABLE [--tombstone-ts-horizon USEC]
+    python -m xgeo_ray status  TABLE                 # manifests + lineage
+
+`ingest` is resumable: re-running after a crash skips committed
+segments (the exactly-once fence). The CLI owns its Ray session
+(guarded init, shutdown at exit) — library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="xgeo_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("create", help="create an empty delta table")
+    p.add_argument("table")
+    p.add_argument("--num-partitions", type=int, default=64)
+    p.add_argument("--num-salts", type=int, default=4)
+
+    p = sub.add_parser("bootstrap", help="load a base parquet as epoch-1 inserts")
+    p.add_argument("table")
+    p.add_argument("base")
+
+    p = sub.add_parser("ingest", help="apply WAL segments (resumable)")
+    p.add_argument("table")
+    p.add_argument("segments", nargs="+")
+    p.add_argument("--segments-per-epoch", type=int, default=8)
+
+    p = sub.add_parser("snapshot", help="write merged state as partitioned parquet")
+    p.add_argument("table")
+    p.add_argument("out_dir")
+
+    p = sub.add_parser("compact", help="fold each partition into one file")
+    p.add_argument("table")
+    p.add_argument("--tombstone-ts-horizon", type=int, default=None)
+
+    p = sub.add_parser("status", help="print manifests + lineage totals as JSON")
+    p.add_argument("table")
+
+    args = ap.parse_args(argv)
+
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    if args.cmd == "create":
+        DeltaTable.create(
+            args.table,
+            num_partitions=args.num_partitions,
+            num_salts=args.num_salts,
+        )
+        print(json.dumps({"created": args.table}))
+        return 0
+
+    table = DeltaTable.open(args.table)
+    from xgeo_ray.pipelines import ingest as ing
+
+    _init_ray()
+    try:
+        if args.cmd == "bootstrap":
+            m = ing.bootstrap_base(table, args.base)
+            print(json.dumps({"epoch": m.epoch, "totals": m.totals}))
+        elif args.cmd == "ingest":
+            ms = ing.run_stream(
+                table, args.segments, segments_per_epoch=args.segments_per_epoch
+            )
+            print(
+                json.dumps(
+                    {
+                        "epochs": [m.epoch for m in ms],
+                        "events_read": sum(
+                            m.totals.get("events_read", 0) for m in ms
+                        ),
+                    }
+                )
+            )
+        elif args.cmd == "snapshot":
+            ds = ing.snapshot(table)
+            ds.write_parquet(args.out_dir)
+            print(json.dumps({"out": args.out_dir, "rows": ds.count()}))
+        elif args.cmd == "compact":
+            m = ing.compact(table, tombstone_ts_horizon=args.tombstone_ts_horizon)
+            print(json.dumps({"epoch": m.epoch, "kind": m.kind}))
+        elif args.cmd == "status":
+            out = []
+            for m in table.manifests():
+                out.append(
+                    {
+                        "epoch": m.epoch,
+                        "kind": m.kind,
+                        "segments": m.segments,
+                        "schema_version": m.schema_version,
+                        "totals": m.totals,
+                        "partitions": len(m.partitions),
+                    }
+                )
+            print(json.dumps(out))
+    finally:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
