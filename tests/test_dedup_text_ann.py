@@ -222,3 +222,32 @@ def test_grouped_top_k_matches_pandas():
     assert len(got) == len(want)
     assert got["id"].tolist() == want["id"].tolist()
     assert got["rank"].tolist() == [1, 2, 3] * 5
+
+
+def test_multimodal_resize_and_frame_sampling():
+    from xgeo_ray.functions.multimodal import (
+        ResizeImage,
+        SampleFrames,
+        docs_to_media,
+    )
+
+    t = docs_to_media(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["a" * 1000, "b" * 100],
+            }
+        )
+    )
+    r = ResizeImage(width=8, height=8)(t)
+    assert r.column("n_bytes").to_pylist() == [8 * 8 * 3] * 2
+    assert all(len(p) == 8 * 8 * 3 for p in r.column("payload").to_pylist())
+    # deterministic: same input -> same resized bytes
+    r2 = ResizeImage(width=8, height=8)(t)
+    assert r.column("payload").to_pylist() == r2.column("payload").to_pylist()
+
+    f = SampleFrames(frame_bytes=256, max_frames=3)(t)
+    by_id = f.to_pandas().groupby("media_id")
+    assert len(by_id.get_group(1)) == 3  # 1000 bytes -> 3 frames sampled of 3
+    assert len(by_id.get_group(2)) == 1  # 100 bytes -> single frame
+    assert (f.to_pandas()["n_frames"] >= 1).all()

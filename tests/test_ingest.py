@@ -112,3 +112,49 @@ def test_snapshot_partition_local_sorted(built_table):
         assert df[["conv_id", "turn_idx"]].equals(
             df[["conv_id", "turn_idx"]].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
         )
+
+
+def test_export_snapshot_resumable(tmp_path):
+    """export_snapshot writes one sorted file per partition and skips
+    already-written partitions on re-run (resume after failure)."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from xgeo_ray import fixtures as fx
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    root = str(tmp_path)
+    base = fx.make_transcripts(10, 6)
+    pq.write_table(base, f"{root}/base.parquet")
+    ev = fx.make_change_events(800, n_convs=10, turns_per_conv=6)
+    segs = fx.write_segments(ev, f"{root}/wal", n_segments=2)
+    table = DeltaTable.create(f"{root}/t", num_partitions=4, num_salts=2)
+    ing.bootstrap_base(table, f"{root}/base.parquet")
+    ing.run_stream(table, segs, segments_per_epoch=2)
+
+    out = f"{root}/export"
+    s1 = ing.export_snapshot(table, out)
+    assert s1["skipped"] == 0 and s1["written"] == s1["partitions"]
+
+    # content parity with the merge-on-read snapshot
+    files = sorted(os.listdir(out))
+    got = (
+        pd.concat([pq.read_table(f"{out}/{f}").to_pandas() for f in files])
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ing.snapshot(table)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+    # resume: delete one partition file; only that one is rewritten
+    os.remove(f"{out}/{files[0]}")
+    s2 = ing.export_snapshot(table, out)
+    assert s2["written"] == 1 and s2["skipped"] == s1["partitions"] - 1

@@ -109,6 +109,9 @@ def test_cli_lifecycle(tmp_path):
     assert out["events_read"] == 300
     out = json.loads(run("snapshot", f"{root}/t", f"{root}/snap"))
     want = fx.naive_final_state(base, ev)
-    assert out["rows"] == want.num_rows
+    assert out["rows_written"] == want.num_rows
+    # resumable export: a second run skips every partition
+    out2 = json.loads(run("snapshot", f"{root}/t", f"{root}/snap"))
+    assert out2["written"] == 0 and out2["skipped"] == out["partitions"]
     status = json.loads(run("status", f"{root}/t"))
     assert len(status) == 2  # bootstrap + one ingest epoch

@@ -54,7 +54,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("segments", nargs="+")
     p.add_argument("--segments-per-epoch", type=int, default=8)
 
-    p = sub.add_parser("snapshot", help="write merged state as partitioned parquet")
+    p = sub.add_parser(
+        "snapshot",
+        help="write merged state as partitioned parquet (one file per "
+        "partition; resumable — existing files are skipped)",
+    )
     p.add_argument("table")
     p.add_argument("out_dir")
 
@@ -101,9 +105,8 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         elif args.cmd == "snapshot":
-            ds = ing.snapshot(table)
-            ds.write_parquet(args.out_dir)
-            print(json.dumps({"out": args.out_dir, "rows": ds.count()}))
+            stats = ing.export_snapshot(table, args.out_dir)
+            print(json.dumps({"out": args.out_dir, **stats}))
         elif args.cmd == "compact":
             m = ing.compact(table, tombstone_ts_horizon=args.tombstone_ts_horizon)
             print(json.dumps({"epoch": m.epoch, "kind": m.kind}))

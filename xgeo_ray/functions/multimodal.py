@@ -94,3 +94,73 @@ def docs_to_media(batch: pa.Table) -> pa.Table:
         },
         schema=MEDIA_SCHEMA,
     )
+
+
+class ResizeImage:
+    """Stub resize stage (actor-pool shape): produces a payload of the
+    target dimensions' size, derived deterministically from the source
+    bytes — stands in for a PIL/opencv resize. Keeps the binary-column
+    layout so downstream stages (feature extract, write) are exercised
+    with realistic wide rows."""
+
+    def __init__(self, width: int = 64, height: int = 64):
+        self.w = width
+        self.h = height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        target = self.w * self.h * 3
+        out_payloads = []
+        for p in batch.column("payload").to_pylist():
+            src = np.frombuffer(p, dtype=np.uint8)
+            if len(src) == 0:
+                src = np.zeros(1, dtype=np.uint8)
+            # deterministic nearest-neighbor-style byte resample
+            idx = (np.arange(target) * len(src) // target) % len(src)
+            out_payloads.append(src[idx].tobytes())
+        batch = batch.drop_columns(["payload", "n_bytes"])
+        return (
+            batch.append_column("payload", pa.array(out_payloads, pa.binary()))
+            .append_column(
+                "n_bytes", pa.array([target] * batch.num_rows, pa.int64())
+            )
+            .append_column("width", pa.array([self.w] * batch.num_rows, pa.int32()))
+            .append_column("height", pa.array([self.h] * batch.num_rows, pa.int32()))
+        )
+
+
+class SampleFrames:
+    """Frame-sampling stage for video-like payloads: treats the payload
+    as ``n_frames`` fixed-size frames and emits ONE ROW PER SAMPLED
+    FRAME (row-expanding map_batches — the flat_map shape). Sampling is
+    uniform-stride, deterministic."""
+
+    def __init__(self, frame_bytes: int = 256, max_frames: int = 4):
+        self.frame_bytes = frame_bytes
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds, frames, fidx, totals = [], [], [], [], []
+        for mid, kind, p in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            n_frames = max(1, len(p) // self.frame_bytes)
+            take = min(self.max_frames, n_frames)
+            stride = n_frames / take
+            for k in range(take):
+                i = int(k * stride)
+                ids.append(mid)
+                kinds.append(kind)
+                fidx.append(i)
+                totals.append(n_frames)
+                frames.append(p[i * self.frame_bytes : (i + 1) * self.frame_bytes])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "n_frames": pa.array(totals, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )

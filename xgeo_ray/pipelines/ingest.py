@@ -599,3 +599,52 @@ def compact(table: DeltaTable, tombstone_ts_horizon: int | None = None) -> Manif
     return table.commit_epoch(
         epoch, [], entries, envelope, kind="compact", replaces_up_to=upto
     )
+
+
+@ray.remote
+def _export_part(
+    part: int,
+    paths: list[str],
+    envelope: pa.Schema,
+    out_dir: str,
+    keep_lineage: bool,
+):
+    """Merge-and-write one partition's visible files to the export dir;
+    skipped entirely when the output file already exists (resume)."""
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    final = os.path.join(out_dir, f"part-{part:05d}.parquet")
+    if os.path.exists(final):
+        return (part, -1)
+    tables = [pq.read_table(p, use_threads=False) for p in paths]
+    t = merge_versions(tables, drop_tombstones=True)
+    t = cast_to(t, envelope)
+    if not keep_lineage:
+        t = t.drop_columns(LINEAGE_COLS)
+    _atomic_write_parquet(t, final)
+    return (part, t.num_rows)
+
+
+def export_snapshot(
+    table: DeltaTable, out_dir: str, keep_lineage: bool = False
+) -> dict[str, int]:
+    """Write the merged table state as partitioned Parquet — ONE file per
+    hash partition (``part-NNNNN.parquet``), each internally sorted by
+    (conv_id, turn_idx). Resumable: partitions whose output file already
+    exists are skipped, so a failed export re-run finishes only the
+    remainder (delete the directory for a fresh export)."""
+    os.makedirs(out_dir, exist_ok=True)
+    plan = table.partition_files()
+    envelope = table.current_schema()
+    refs = [
+        _export_part.remote(part, paths, envelope, out_dir, keep_lineage)
+        for part, paths in sorted(plan.items())
+    ]
+    results = ray.get(refs)
+    return {
+        "partitions": len(results),
+        "written": sum(1 for _, n in results if n >= 0),
+        "skipped": sum(1 for _, n in results if n < 0),
+        "rows_written": sum(n for _, n in results if n > 0),
+    }
