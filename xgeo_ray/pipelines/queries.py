@@ -614,6 +614,26 @@ def multimodal_decode(sf_dir: str):
     )
 
 
+def multimodal_frames(sf_dir: str):
+    """Frame-sampling over video-like binary payloads (row-expanding
+    stage) followed by a per-media frame count — summary is small and
+    deterministic for the rows-only check."""
+    from xgeo_ray.functions.multimodal import SampleFrames, docs_to_media
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = ds.map_batches(docs_to_media, batch_format="pyarrow")
+    frames = media.map_batches(
+        SampleFrames(frame_bytes=64, max_frames=4),
+        batch_format="pyarrow",
+        batch_size=128,
+    )
+    return partial_group_agg(
+        frames.select_columns(["media_id", "frame_idx"]),
+        ["media_id"],
+        [("frame_idx", "count", "n_sampled"), ("frame_idx", "max", "max_frame_idx")],
+    )
+
+
 # --------------------------------------------------------------- registries
 
 
@@ -649,6 +669,7 @@ def build_queries() -> dict:
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
         "multimodal_decode": multimodal_decode,
+        "multimodal_frames": multimodal_frames,
     }
 
 
