@@ -519,25 +519,38 @@ class _MergePartitions:
         return pa.concat_tables(out)
 
 
+@ray.remote
+def _merge_part_task(
+    paths: list[str], envelope: pa.Schema, keep_lineage: bool
+) -> pa.Table:
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    tables = [pq.read_table(p, use_threads=False) for p in paths]
+    t = cast_to(merge_versions(tables, drop_tombstones=True), envelope)
+    if not keep_lineage:
+        t = t.drop_columns(LINEAGE_COLS)
+    return t
+
+
 def snapshot(table: DeltaTable, keep_lineage: bool = False) -> ray.data.Dataset:
-    """Streaming merge-on-read view of the committed table state: rows are
-    partition-local sorted by (conv_id, turn_idx); no global shuffle."""
+    """Merge-on-read view of the committed table state: one raw-Ray merge
+    task per partition (launched immediately), surfaced as a Dataset via
+    from_arrow_refs — rows are partition-local sorted by
+    (conv_id, turn_idx); no shuffle anywhere. The raw tasks sidestep the
+    same executor latency the radix exchange avoids."""
     plan = table.partition_files()
     envelope = table.current_schema()
-    items = [
-        {"part_key": k, "paths": v} for k, v in sorted(plan.items())
-    ]
-    if not items:
+    if not plan:
         empty = pa.schema(
             [f for f in envelope if keep_lineage or f.name not in LINEAGE_COLS]
         ).empty_table()
         return ray.data.from_arrow(empty)
-    ds = ray.data.from_items(items)
-    return ds.map_batches(
-        _MergePartitions(envelope, keep_lineage),
-        batch_format="pyarrow",
-        batch_size=1,
-    )
+    refs = [
+        _merge_part_task.remote(paths, envelope, keep_lineage)
+        for _, paths in sorted(plan.items())
+    ]
+    return ray.data.from_arrow_refs(refs)
 
 
 def compact(table: DeltaTable, tombstone_ts_horizon: int | None = None) -> Manifest:
