@@ -418,6 +418,47 @@ def quality_counts(sf_dir: str):
     )
 
 
+def corpus_clean_stats(sf_dir: str):
+    """Composite training-data cleaning pipeline: quality filter (token
+    count + punctuation-ratio gates) -> exact dedup by content (keep the
+    lowest doc_id) -> per-lang counts + token totals. One pass of
+    map_batches feeding two grouped aggregations."""
+    from xgeo_ray.functions.text import QualityScore
+
+    ds = _read(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    scored = ds.map_batches(QualityScore(), batch_format="pyarrow")
+
+    def gate(b: pa.Table) -> pa.Table:
+        n_tok = b.column("n_tokens").to_numpy()
+        n_chars = b.column("n_chars_calc").to_numpy()
+        n_punct = b.column("n_punct").to_numpy()
+        keep = (n_tok >= 5) & (n_tok <= 1000) & (n_punct * 5 <= n_chars)
+        return b.filter(pa.array(keep)).select(
+            ["doc_id", "text", "lang", "n_tokens"]
+        )
+
+    gated = scored.map_batches(gate, batch_format="pyarrow")
+    # exact dedup keeping the representative's attributes (identical text
+    # => identical n_tokens; lang rides along via min) — no rejoin, no
+    # driver materialization, just two grouped aggregations
+    survivors = partial_group_agg(
+        gated,
+        ["text"],
+        [
+            ("doc_id", "min", "doc_id"),
+            ("lang", "min", "lang"),
+            ("n_tokens", "min", "n_tokens"),
+        ],
+    )
+    return partial_group_agg(
+        survivors,
+        ["lang"],
+        [("doc_id", "count", "n_docs"), ("n_tokens", "sum", "total_tokens")],
+    )
+
+
 def exact_dedup(sf_dir: str):
     from xgeo_ray.functions.dedup import exact_dedup_groups
 
@@ -657,6 +698,7 @@ def build_queries() -> dict:
         "doc_stats_by_lang": doc_stats_by_lang,
         "token_totals_by_lang": token_totals_by_lang,
         "quality_counts": quality_counts,
+        "corpus_clean_stats": corpus_clean_stats,
         "exact_dedup": exact_dedup,
         "minhash_dup_pairs": minhash_dup_pairs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -801,6 +843,28 @@ def build_oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "corpus_clean_stats": r"""
+            WITH scored AS (
+              SELECT doc_id, text, lang,
+                     CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                          x -> x <> '')) AS BIGINT) AS n_tokens,
+                     length(text) AS n_chars,
+                     length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct
+              FROM documents
+            ),
+            gated AS (
+              SELECT * FROM scored
+              WHERE n_tokens BETWEEN 5 AND 1000 AND n_punct * 5 <= n_chars
+            ),
+            survivors AS (
+              SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang,
+                     MIN(n_tokens) AS n_tokens
+              FROM gated GROUP BY text
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM survivors GROUP BY lang
         """,
         "top3_orders_per_segment": """
             SELECT c_mktsegment, o_orderkey, rank FROM (
