@@ -1,0 +1,92 @@
+"""Property-based check (hypothesis): for ANY small change stream —
+arbitrary op mix, colliding timestamps, duplicated seqs, any segment
+split — the engine's final state equals the naive single-process oracle
+reducer, row for row under (conv_id, turn_idx) ordering."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from xgeo_ray import fixtures as fx
+from xgeo_ray.partition import add_part_key
+from xgeo_ray.schemas import CHANGE_EVENTS_SCHEMA
+from xgeo_ray.stages.collapse import (
+    collapse_with_metrics,
+    lww_collapse,
+    merge_versions,
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(0, 4),  # conv
+        st.integers(0, 3),  # turn
+        st.integers(0, 5),  # ts bucket (collisions likely)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _build(events: list[tuple[str, int, int, int]]) -> pa.Table:
+    n = len(events)
+    return pa.table(
+        {
+            "seq": pa.array(range(n), pa.int64()),
+            "op": pa.array([e[0] for e in events]),
+            "conv_id": pa.array([f"c{e[1]}" for e in events]),
+            "turn_idx": pa.array([e[2] for e in events], pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array([f"t-{e[1]}-{e[2]}-{i}" for i, e in enumerate(events)]),
+            "tool": pa.array([""] * n),
+            "ts": pa.array(
+                [fx.BASE_TS_US + e[3] * 1000 for e in events], pa.int64()
+            ).cast(pa.timestamp("us")),
+        },
+        schema=CHANGE_EVENTS_SCHEMA,
+    )
+
+
+@given(events_strategy, st.integers(1, 4))
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+def test_collapse_matches_oracle(events, n_chunks):
+    """merge_versions over ANY chunking of the stream == oracle reducer.
+    (Pure kernels — no Ray — so hypothesis can afford many examples.)"""
+    t = _build(events)
+    bounds = [round(i * t.num_rows / n_chunks) for i in range(n_chunks + 1)]
+    chunks = [t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_chunks)]
+    # each chunk pre-collapsed independently, then merged — the engine's
+    # two-level collapse must equal collapsing the whole stream at once
+    pre = [lww_collapse(c, drop_tombstones=False) for c in chunks if c.num_rows]
+    got = merge_versions(pre, drop_tombstones=True).to_pandas()
+    want = fx.naive_final_state(None, t).to_pandas()
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "text"]], want[["conv_id", "turn_idx", "text"]]
+    )
+
+
+@given(events_strategy)
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+def test_collapse_with_metrics_counts(events):
+    """The single-sort metrics equal independent recomputation."""
+    t = _build(events)
+    collapsed, n_keys, n_trips = collapse_with_metrics(t, drop_tombstones=False)
+    df = t.to_pandas()
+    assert n_keys == df.groupby(["conv_id", "turn_idx"]).ngroups
+    assert n_trips == df.groupby(["conv_id", "turn_idx", "seq"]).ngroups
+    assert collapsed.num_rows == n_keys  # one winner per key
+
+
+@given(events_strategy, st.integers(1, 8), st.integers(1, 4))
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+def test_salting_never_splits_a_key(events, num_partitions, num_salts):
+    t = add_part_key(_build(events), num_partitions, num_salts)
+    df = t.to_pandas()
+    per_key = df.groupby(["conv_id", "turn_idx"])["part_key"].nunique()
+    assert (per_key == 1).all()

@@ -115,3 +115,48 @@ def test_cli_lifecycle(tmp_path):
     assert out2["written"] == 0 and out2["skipped"] == out["partitions"]
     status = json.loads(run("status", f"{root}/t"))
     assert len(status) == 2  # bootstrap + one ingest epoch
+
+
+def test_csv_segment_ingest_parity(stream, tmp_path):
+    """A CSV WAL segment (with header) flows through the radix path and
+    matches the oracle; csv null encoding: empty fields."""
+    import csv as _csv
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from xgeo_ray import fixtures as fx
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.sources.wal import segment_row_count, segment_schema
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    root = str(tmp_path)
+    ev = fx.make_change_events(300, n_convs=8, turns_per_conv=5, dup_fraction=0)
+    half = ev.num_rows // 2
+    seg_pq = f"{root}/seg0.parquet"
+    pq.write_table(ev.slice(0, half), seg_pq)
+    # second half as CSV
+    seg_csv = f"{root}/seg1.csv"
+    df = ev.slice(half).to_pandas()
+    # ts stays a datetime: pandas writes ISO, arrow csv infers timestamp
+    df.to_csv(seg_csv, index=False, quoting=_csv.QUOTE_NONNUMERIC)
+
+    assert segment_row_count(seg_csv) == ev.num_rows - half
+    assert "conv_id" in segment_schema(seg_csv).names
+
+    table = DeltaTable.create(f"{root}/t", num_partitions=4, num_salts=2)
+    ing.run_stream(table, [seg_pq, seg_csv], segments_per_epoch=2)
+    got = (
+        ing.snapshot(table)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = fx.naive_final_state(None, ev).to_pandas()
+    # CSV infers turn_idx int64 -> envelope legitimately widens (schema
+    # evolution); values must match, dtype may differ
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "text"]],
+        want[["conv_id", "turn_idx", "text"]].reset_index(drop=True),
+        check_dtype=False,
+    )

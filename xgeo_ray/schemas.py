@@ -74,6 +74,11 @@ def promote_types(a: pa.DataType, b: pa.DataType) -> pa.DataType:
         return a
     if pa.types.is_timestamp(b) and pa.types.is_string(a):
         return b
+    # differing timestamp granularities (e.g. csv-inferred ns vs the
+    # table's us): the finer unit wins — lossless in both directions
+    if pa.types.is_timestamp(a) and pa.types.is_timestamp(b):
+        order = {"s": 0, "ms": 1, "us": 2, "ns": 3}
+        return a if order[a.unit] >= order[b.unit] else b
     raise TypeError(f"cannot promote {a} and {b}")
 
 

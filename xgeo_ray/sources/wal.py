@@ -66,6 +66,11 @@ def read_segment(path: str) -> ray.data.Dataset:
         if codec:
             kwargs["arrow_open_stream_args"] = {"compression": codec}
         return ray.data.read_json(path, **kwargs)
+    if logical.endswith(".csv"):
+        kwargs = {}
+        if codec:
+            kwargs["arrow_open_stream_args"] = {"compression": codec}
+        return ray.data.read_csv(path, **kwargs)
     if logical.endswith(".zip"):
         return read_zip_container(path)
     raise ValueError(f"unsupported segment format: {path}")
@@ -80,6 +85,10 @@ def _read_zip_member(data: bytes, name: str) -> pa.Table:
         return pq.read_table(io.BytesIO(data))
     if logical.endswith((".json", ".jsonl", ".ndjson")):
         return pa_json.read_json(buf)
+    if logical.endswith(".csv"):
+        import pyarrow.csv as pa_csv
+
+        return pa_csv.read_csv(buf)
     raise ValueError(f"unsupported zip member: {name}")
 
 
@@ -125,6 +134,13 @@ def segment_schema(path: str) -> pa.Schema:
             head = f.read(256 * 1024)
         head = head[: head.rfind(b"\n") + 1] or head
         return pa_json.read_json(io.BytesIO(head)).schema
+    if logical.endswith(".csv"):
+        import pyarrow.csv as pa_csv
+
+        with pa.input_stream(path, compression=codec) as f:
+            head = f.read(256 * 1024)
+        head = head[: head.rfind(b"\n") + 1] or head
+        return pa_csv.read_csv(io.BytesIO(head)).schema
     if logical.endswith(".zip"):
         with zipfile.ZipFile(path) as z:
             for name in sorted(z.namelist()):
@@ -149,6 +165,12 @@ def segment_row_count(path: str) -> int:
             while chunk := f.read(1 << 20):
                 n += chunk.count(b"\n")
         return n
+    if logical.endswith(".csv"):
+        n = 0
+        with pa.input_stream(path, compression=codec) as f:
+            while chunk := f.read(1 << 20):
+                n += chunk.count(b"\n")
+        return max(0, n - 1)  # header row
     if logical.endswith(".zip"):
         total = 0
         with zipfile.ZipFile(path) as z:
@@ -192,6 +214,11 @@ def read_segment_table(path: str) -> pa.Table:
     if logical.endswith((".json", ".jsonl", ".ndjson")):
         with pa.input_stream(path, compression=codec) as f:
             return pa_json.read_json(f)
+    if logical.endswith(".csv"):
+        import pyarrow.csv as pa_csv
+
+        with pa.input_stream(path, compression=codec) as f:
+            return pa_csv.read_csv(f)
     if logical.endswith(".zip"):
         out = []
         with zipfile.ZipFile(path) as z:
