@@ -109,3 +109,63 @@ ing.run_stream(t, {segs!r}, segments_per_epoch=2)
     want = fx.naive_final_state(base, ev).to_pandas()
     got = _final(table)
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_tail_follows_live_wal(tmp_path):
+    """Segments appearing WHILE the tailer polls are picked up in order;
+    final state matches the oracle; a restarted tail is a no-op."""
+    import threading
+    import time
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from xgeo_ray import fixtures as fx
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    root = str(tmp_path)
+    wal = f"{root}/wal"
+    import os
+
+    os.makedirs(wal)
+    ev = fx.make_change_events(600, n_convs=8, turns_per_conv=5, dup_fraction=0.02)
+    n = ev.num_rows
+    bounds = [round(i * n / 4) for i in range(5)]
+
+    def writer():
+        for k in range(4):
+            seg = ev.slice(bounds[k], bounds[k + 1] - bounds[k])
+            tmp = f"{wal}/.tmp-{k}"
+            pq.write_table(seg, tmp)
+            os.replace(tmp, f"{wal}/segment-{k:05d}.parquet")  # atomic land
+            time.sleep(0.3)
+
+    table = DeltaTable.create(f"{root}/t", num_partitions=4, num_salts=2)
+    w = threading.Thread(target=writer)
+    w.start()
+    ms = ing.tail(
+        table,
+        wal,
+        poll_interval_s=0.1,
+        segments_per_epoch=2,
+        idle_polls_to_stop=15,
+        stable_for_s=0.05,
+    )
+    w.join()
+    assert sum(m.totals.get("events_read", 0) for m in ms) == n
+
+    got = (
+        ing.snapshot(table)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = fx.naive_final_state(None, ev).to_pandas()
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "text"]],
+        want[["conv_id", "turn_idx", "text"]].reset_index(drop=True),
+    )
+    # restart: everything committed, nothing to do
+    ms2 = ing.tail(table, wal, poll_interval_s=0.05, idle_polls_to_stop=2)
+    assert ms2 == []

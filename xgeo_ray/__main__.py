@@ -62,6 +62,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("table")
     p.add_argument("out_dir")
 
+    p = sub.add_parser(
+        "tail",
+        help="follow a WAL directory, applying new segments as they land",
+    )
+    p.add_argument("table")
+    p.add_argument("wal_dir")
+    p.add_argument("--poll-interval", type=float, default=0.5)
+    p.add_argument("--segments-per-epoch", type=int, default=8)
+    p.add_argument(
+        "--idle-polls-to-stop",
+        type=int,
+        default=None,
+        help="stop after this many empty polls (default: run forever)",
+    )
+
     p = sub.add_parser("compact", help="fold each partition into one file")
     p.add_argument("table")
     p.add_argument("--tombstone-ts-horizon", type=int, default=None)
@@ -93,6 +108,24 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "ingest":
             ms = ing.run_stream(
                 table, args.segments, segments_per_epoch=args.segments_per_epoch
+            )
+            print(
+                json.dumps(
+                    {
+                        "epochs": [m.epoch for m in ms],
+                        "events_read": sum(
+                            m.totals.get("events_read", 0) for m in ms
+                        ),
+                    }
+                )
+            )
+        elif args.cmd == "tail":
+            ms = ing.tail(
+                table,
+                args.wal_dir,
+                poll_interval_s=args.poll_interval,
+                segments_per_epoch=args.segments_per_epoch,
+                idle_polls_to_stop=args.idle_polls_to_stop,
             )
             print(
                 json.dumps(

@@ -661,3 +661,56 @@ def export_snapshot(
         "skipped": sum(1 for _, n in results if n < 0),
         "rows_written": sum(n for _, n in results if n > 0),
     }
+
+
+def tail(
+    table: DeltaTable,
+    wal_dir: str,
+    poll_interval_s: float = 0.5,
+    segments_per_epoch: int = 8,
+    idle_polls_to_stop: int | None = None,
+    stable_for_s: float = 0.2,
+) -> list[Manifest]:
+    """Follow a WAL directory and apply new segments as they land — the
+    'binlog tailer' entry point. Micro-batch streaming: each poll that
+    finds enough new *stable* segments (mtime older than
+    ``stable_for_s``, so half-written files are never read) runs one or
+    more fenced epochs via run_stream, which also makes tailing
+    resumable: restart the tailer and it continues from the committed
+    manifests.
+
+    ``idle_polls_to_stop`` bounds the loop for tests/batch drains
+    (None = run forever). Returns the manifests committed."""
+    import time as _time
+
+    committed: list[Manifest] = []
+    idle = 0
+    pending_exts = (".parquet", ".jsonl", ".json", ".ndjson", ".csv", ".zip", ".gz")
+    while True:
+        now = _time.time()
+        try:
+            names = sorted(os.listdir(wal_dir))
+        except FileNotFoundError:
+            names = []
+        done = table.committed_segments()
+        fresh = []
+        for n in names:
+            p = os.path.abspath(os.path.join(wal_dir, n))
+            if not n.endswith(pending_exts) or p in done:
+                continue
+            try:
+                if now - os.path.getmtime(p) < stable_for_s:
+                    continue  # still being written
+            except FileNotFoundError:
+                continue
+            fresh.append(p)
+        if fresh:
+            idle = 0
+            committed.extend(
+                run_stream(table, fresh, segments_per_epoch=segments_per_epoch)
+            )
+        else:
+            idle += 1
+            if idle_polls_to_stop is not None and idle >= idle_polls_to_stop:
+                return committed
+            _time.sleep(poll_interval_s)
