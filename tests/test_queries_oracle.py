@@ -75,3 +75,37 @@ def test_entry_smoke():
     df = _to_df(ds)
     assert len(df) > 0
     assert {"conv_id", "turn_idx", "text"} <= set(df.columns)
+
+
+def test_hash_join_matches_duckdb(con):
+    """Both-sides-large equi-join (Dataset.join / bucketed cogroup
+    fallback) equals the SQL join."""
+    import ray.data
+
+    from xgeo_ray.functions.relational import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{SF_DIR}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = hash_join(
+        orders,
+        cust.map_batches(
+            lambda b: b.rename_columns(["o_custkey", "c_mktsegment"]),
+            batch_format="pyarrow",
+        ),
+        on="o_custkey",
+        num_partitions=4,
+    )
+    got = _normalize(joined.to_pandas())
+    want = _normalize(
+        con.execute(
+            """
+            SELECT o_orderkey, o_custkey, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            """
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
