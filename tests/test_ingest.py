@@ -158,3 +158,31 @@ def test_export_snapshot_resumable(tmp_path):
     os.remove(f"{out}/{files[0]}")
     s2 = ing.export_snapshot(table, out)
     assert s2["written"] == 1 and s2["skipped"] == s1["partitions"] - 1
+
+
+def test_single_partition_table(tmp_path):
+    """num_partitions=1 exercises the radix exchange's single-return edge
+    (num_returns=None path) end-to-end."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from xgeo_ray import fixtures as fx
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    root = str(tmp_path)
+    base = fx.make_transcripts(5, 4)
+    pq.write_table(base, f"{root}/base.parquet")
+    ev = fx.make_change_events(200, n_convs=5, turns_per_conv=4)
+    segs = fx.write_segments(ev, f"{root}/wal", n_segments=2)
+    table = DeltaTable.create(f"{root}/t", num_partitions=1, num_salts=1)
+    ing.bootstrap_base(table, f"{root}/base.parquet")
+    ing.run_stream(table, segs, segments_per_epoch=2)
+    got = (
+        ing.snapshot(table)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = fx.naive_final_state(base, ev).to_pandas()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)

@@ -7,7 +7,9 @@ data, only k rows per block cross the wire).
 
 Scale path: IVF — k-means-style coarse centroids (trained on a sample),
 each vector assigned to its nearest centroid partition; queries probe
-only the closest ``nprobe`` partitions.
+only the closest ``nprobe`` partitions (the inverted-file index of
+Jegou, Douze & Schmid, "Product quantization for nearest neighbor
+search", TPAMI 2011 — coarse quantizer only, exact residual scan).
 """
 
 from __future__ import annotations

@@ -147,7 +147,9 @@ def minhash_lsh_dup_pairs(
     num_bands: int = 16,
     k_shingle: int = 3,
 ) -> ray.data.Dataset:
-    """Near-duplicate pairs via MinHash + LSH banding, Jaccard-verified.
+    """Near-duplicate pairs via MinHash + LSH banding, Jaccard-verified
+    (Broder, "On the resemblance and containment of documents", 1997;
+    banding per Indyk & Motwani / Gionis et al. LSH).
 
     docs must have columns (doc_id, text). Returns (doc_id_a, doc_id_b,
     jaccard) with doc_id_a < doc_id_b, deduplicated across bands."""
@@ -230,7 +232,9 @@ def minhash_lsh_dup_pairs(
 
 
 class SimHasher:
-    """64-bit SimHash over word-level features (callable-class stage)."""
+    """64-bit SimHash over word-level features (callable-class stage;
+    Charikar, "Similarity estimation techniques from rounding
+    algorithms", STOC 2002)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
@@ -367,7 +371,10 @@ def ngram_jaccard_dup_pairs(
     num_buckets: int = 256,
 ) -> ray.data.Dataset:
     """EXACT n-gram Jaccard similarity join (vs the probabilistic
-    MinHash/LSH path): distributed inverted index on shingle hashes.
+    MinHash/LSH path): distributed inverted index on shingle hashes —
+    the signature/candidate/verify shape of set-similarity joins
+    (Chaudhuri, Ganti & Kaushik, "A primitive operator for similarity
+    joins", ICDE 2006; max_df echoes their stop-signature pruning).
 
     explode distinct shingles -> co-group docs sharing a shingle (bucketed
     by sh % num_buckets so one vectorized self-merge handles many shingles
