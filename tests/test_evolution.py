@@ -71,3 +71,40 @@ def test_evolution_meta_nullness_matches_segment_boundary(tmp_path):
         got[["conv_id", "turn_idx", "text", "meta"]],
         want[["conv_id", "turn_idx", "text", "meta"]].reset_index(drop=True),
     )
+
+
+def test_segment_missing_column_null_fills(tmp_path):
+    """A WAL segment that LACKS a column of the table schema (producer
+    downgrade / column drop) still ingests: the envelope stays the union
+    and the segment's rows null-fill the missing column."""
+    root = str(tmp_path)
+    ev = fx.make_change_events(300, n_convs=6, turns_per_conv=4, dup_fraction=0)
+    half = ev.num_rows // 2
+    pq.write_table(ev.slice(0, half), f"{root}/s0.parquet")
+    # second segment drops the 'tool' column entirely
+    pq.write_table(ev.slice(half).drop_columns(["tool"]), f"{root}/s1.parquet")
+
+    table = DeltaTable.create(f"{root}/t", num_partitions=4, num_salts=1)
+    ing.run_stream(
+        table, [f"{root}/s0.parquet", f"{root}/s1.parquet"], segments_per_epoch=2
+    )
+    got = (
+        ing.snapshot(table)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert "tool" in got.columns  # union schema retained
+    # winners from the second half exist and carry null tool
+    ev_df = fx.naive_final_state(None, ev).to_pandas()
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "text"]],
+        ev_df[["conv_id", "turn_idx", "text"]].reset_index(drop=True),
+    )
+    # at least one surviving row originated in the tool-less segment
+    late_winners = got.merge(
+        ev.slice(half).to_pandas()[["conv_id", "turn_idx", "seq"]],
+        on=["conv_id", "turn_idx"],
+    )
+    assert len(late_winners) > 0
+    assert got["tool"].isna().any()

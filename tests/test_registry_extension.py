@@ -66,3 +66,45 @@ def test_stage_chain_composes_and_runs_on_ray():
 def test_stage_chain_unknown_stage():
     with pytest.raises(KeyError):
         StageChain(["nope"])
+
+
+def test_user_stage_chain_inside_ingest_dag(tmp_path):
+    """The registered-stage hook (the reference's Lua per-record script,
+    SURVEY §2.10) runs inside the change-apply DAG: a redaction stage
+    transforms every applied event, and the final state equals the
+    oracle applied to the transformed stream."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from xgeo_ray import fixtures as fx
+    from xgeo_ray.extension import StageChain, register_stage
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    @register_stage("redact-upper")
+    def redact(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("text")
+        return t.set_column(i, "text", pc.utf8_upper(t.column("text")))
+
+    root = str(tmp_path)
+    ev = fx.make_change_events(300, n_convs=6, turns_per_conv=4, dup_fraction=0.02)
+    segs = fx.write_segments(ev, f"{root}/wal", n_segments=2)
+    table = DeltaTable.create(f"{root}/t", num_partitions=4, num_salts=2)
+    ing.run_stream(
+        table, segs, segments_per_epoch=2, transform=StageChain(["redact-upper"])
+    )
+    got = (
+        ing.snapshot(table)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = fx.naive_final_state(None, ev).to_pandas()
+    assert got["text"].str.isupper().all()
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx"]].assign(text=got["text"]),
+        want[["conv_id", "turn_idx"]]
+        .assign(text=want["text"].str.upper())
+        .reset_index(drop=True),
+    )

@@ -86,23 +86,40 @@ class PreCollapse:
 
 
 class NormalizeCollapsePartition:
-    """Fused stateless stage: envelope normalize + within-batch LWW
-    pre-collapse + salted partition key, one map_batches per segment.
-    Fusing avoids re-batching between stages — at 10^10 events the
-    savings is one full pass of task dispatch + serialization."""
+    """Fused stateless stage: envelope normalize + optional user
+    transform + within-batch LWW pre-collapse + salted partition key,
+    one map_batches per segment. Fusing avoids re-batching between
+    stages — at 10^10 events the savings is one full pass of task
+    dispatch + serialization.
 
-    def __init__(self, envelope: pa.Schema, num_partitions: int, num_salts: int):
+    ``transform`` is the user-extension hook (SURVEY §2.10 — the
+    reference's Lua per-record script, replaced by a vectorized
+    ``fn(pa.Table) -> pa.Table``, e.g. an ``extension.StageChain``). It
+    runs on normalized events and must preserve the envelope columns;
+    its output is re-validated by the apply-side cast."""
+
+    def __init__(
+        self,
+        envelope: pa.Schema,
+        num_partitions: int,
+        num_salts: int,
+        transform=None,
+    ):
         from xgeo_ray.tuning import limit_worker_threads
 
         limit_worker_threads()
         self.norm = NormalizeEvents(envelope)
         self.p = num_partitions
         self.s = num_salts
+        self.transform = transform
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from xgeo_ray.stages.collapse import maybe_precollapse
 
-        batch = maybe_precollapse(self.norm(batch))
+        batch = self.norm(batch)
+        if self.transform is not None:
+            batch = self.transform(batch)
+        batch = maybe_precollapse(batch)
         return add_part_key(batch, self.p, self.s)
 
 
@@ -397,6 +414,7 @@ def ingest_segments(
     segment_paths: list[str],
     epoch: int | None = None,
     batch_size: int = 65536,
+    transform=None,
 ) -> Manifest:
     """Apply one epoch of WAL segments to the table; returns the committed
     manifest. Crash-safe: nothing is visible until the final commit."""
@@ -409,7 +427,7 @@ def ingest_segments(
     from xgeo_ray.sources.wal import plan_read_chunks
 
     stage = NormalizeCollapsePartition(
-        envelope, table.num_partitions, table.num_salts
+        envelope, table.num_partitions, table.num_salts, transform=transform
     )
     chunks = plan_read_chunks(segment_paths)
     entries = _radix_exchange_apply(chunks, stage, table, epoch, envelope, wm)
@@ -435,6 +453,7 @@ def run_stream(
     segment_paths: list[str],
     segments_per_epoch: int = 4,
     batch_size: int = 65536,
+    transform=None,
 ) -> list[Manifest]:
     """Process a WAL in epoch-sized gulps, skipping already-committed
     segments — this IS the resume path: call it again after a crash and it
@@ -445,7 +464,10 @@ def run_stream(
     for i in range(0, len(pending), segments_per_epoch):
         out.append(
             ingest_segments(
-                table, pending[i : i + segments_per_epoch], batch_size=batch_size
+                table,
+                pending[i : i + segments_per_epoch],
+                batch_size=batch_size,
+                transform=transform,
             )
         )
     return out
