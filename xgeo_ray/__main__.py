@@ -53,6 +53,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("table")
     p.add_argument("segments", nargs="+")
     p.add_argument("--segments-per-epoch", type=int, default=8)
+    p.add_argument(
+        "--stages",
+        default=None,
+        help="comma-separated registered stage names applied to every "
+        "normalized event (the scriptable per-record hook)",
+    )
+    p.add_argument(
+        "--stages-module",
+        default=None,
+        help="importable module whose import registers the stages",
+    )
 
     p = sub.add_parser(
         "snapshot",
@@ -106,8 +117,20 @@ def main(argv: list[str] | None = None) -> int:
             m = ing.bootstrap_base(table, args.base)
             print(json.dumps({"epoch": m.epoch, "totals": m.totals}))
         elif args.cmd == "ingest":
+            transform = None
+            if args.stages:
+                import importlib
+
+                if args.stages_module:
+                    importlib.import_module(args.stages_module)
+                from xgeo_ray.extension import StageChain
+
+                transform = StageChain(args.stages.split(","))
             ms = ing.run_stream(
-                table, args.segments, segments_per_epoch=args.segments_per_epoch
+                table,
+                args.segments,
+                segments_per_epoch=args.segments_per_epoch,
+                transform=transform,
             )
             print(
                 json.dumps(
