@@ -328,3 +328,39 @@ def grouped_top_k(
     return bucketed.groupby(_BUCKET_COL).map_groups(
         finalize, batch_format="pandas"
     )
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset, col: str, qs: list[float]
+) -> pa.Table:
+    """Exact discrete quantiles of an integer column without a global
+    sort: distributed value-histogram (partial per-batch counts, bucketed
+    finalize) then a driver-side cumulative walk over the DISTINCT values
+    — the driver holds one row per distinct value, not per input row.
+    For unbounded-cardinality columns, pre-bin (e.g. round to cents) so
+    the histogram stays bounded; this is the classic exact-quantile
+    shape for fixed-precision data.
+
+    quantile_disc semantics: value at 1-indexed position ceil(q * n)."""
+    import math
+
+    hist = partial_group_agg(
+        ds.select_columns([col]), [col], [(col, "count", "cnt")]
+    )
+    h = (
+        pa.concat_tables(ray.get(hist.to_arrow_refs()))
+        .sort_by([(col, "ascending")])
+        .to_pandas()
+    )
+    values = h[col].to_numpy()
+    cum = h["cnt"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        pos = max(1, math.ceil(q * n))
+        idx = int(np.searchsorted(cum, pos, side="left"))
+        out_q.append(q)
+        out_v.append(int(values[idx]))
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.int64())}
+    )

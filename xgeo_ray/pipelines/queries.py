@@ -418,6 +418,24 @@ def quality_counts(sf_dir: str):
     )
 
 
+def order_price_quantiles(sf_dir: str):
+    """Exact discrete quantiles of order value (integer cents) via the
+    distributed histogram — no global sort."""
+    from xgeo_ray.functions.relational import exact_quantiles
+
+    ds = _read(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = np.floor(b.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return pa.table({"price_cents": pa.array(v)})
+
+    return exact_quantiles(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "price_cents",
+        [0.1, 0.5, 0.9, 0.99],
+    )
+
+
 def corpus_clean_stats(sf_dir: str):
     """Composite training-data cleaning pipeline: quality filter (token
     count + punctuation-ratio gates) -> exact dedup by content (keep the
@@ -699,6 +717,7 @@ def build_queries() -> dict:
         "token_totals_by_lang": token_totals_by_lang,
         "quality_counts": quality_counts,
         "corpus_clean_stats": corpus_clean_stats,
+        "order_price_quantiles": order_price_quantiles,
         "exact_dedup": exact_dedup,
         "minhash_dup_pairs": minhash_dup_pairs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -843,6 +862,17 @@ def build_oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "order_price_quantiles": """
+            WITH p AS (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c
+                       FROM orders)
+            SELECT 0.1 AS q, CAST(quantile_disc(c, 0.1) AS BIGINT) AS value FROM p
+            UNION ALL
+            SELECT 0.5, CAST(quantile_disc(c, 0.5) AS BIGINT) FROM p
+            UNION ALL
+            SELECT 0.9, CAST(quantile_disc(c, 0.9) AS BIGINT) FROM p
+            UNION ALL
+            SELECT 0.99, CAST(quantile_disc(c, 0.99) AS BIGINT) FROM p
         """,
         "corpus_clean_stats": r"""
             WITH scored AS (
