@@ -187,9 +187,24 @@ def run_scaling() -> dict:
     # resources too). The full 2/4/8/16/32 curve is in BASELINE.md.
     lo = int(os.environ.get("XGEO_SCALE_LO", "2"))
     hi = int(os.environ.get("XGEO_SCALE_HI", str(4 * lo)))
-    r_lo = run_at(lo)
-    r_hi = run_at(hi)
-    # efficiency: achieved speedup / ideal speedup
+    reps = int(os.environ.get("XGEO_SCALE_REPS", "2"))
+
+    def measure(ncpu: int) -> tuple[dict, list[float]]:
+        """Best-of-reps per level: each run writes ~5 GB of table state,
+        and the NEXT fresh process otherwise pays its writeback — sync
+        between runs and take the min, reporting every sample."""
+        times, best = [], None
+        for _ in range(reps):
+            os.sync()
+            r = run_at(ncpu)
+            times.append(r["value"])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best, times
+
+    # interleave levels so neither systematically inherits dirty pages
+    r_hi, hi_times = measure(hi)
+    r_lo, lo_times = measure(lo)
     speedup = r_lo["value"] / r_hi["value"]
     eff = speedup / (hi / lo)
     return {
@@ -199,6 +214,8 @@ def run_scaling() -> dict:
         "cpus_hi": hi,
         "sec_lo": r_lo["value"],
         "sec_hi": r_hi["value"],
+        "sec_lo_samples": lo_times,
+        "sec_hi_samples": hi_times,
         "events_per_sec_lo": r_lo["events_per_sec"],
         "events_per_sec_hi": r_hi["events_per_sec"],
         "speedup": round(speedup, 3),
