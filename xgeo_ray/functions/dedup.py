@@ -155,13 +155,15 @@ def minhash_lsh_dup_pairs(
     jaccard) with doc_id_a < doc_id_b, deduplicated across bands."""
     texts_small = docs.select_columns(["doc_id", "text"])
     # instance-passed (task-based): MinHasher's setup is 128 rng draws,
-    # an actor pool would only add spin-up latency at bench scale
-    sigs = docs.map_batches(
-        MinHasher(num_hashes, k_shingle), batch_format="pyarrow"
-    )
-    bands = sigs.map_batches(
-        lambda b: explode_bands(b, num_bands), batch_format="pyarrow"
-    )
+    # an actor pool would only add spin-up latency at bench scale. The
+    # signature + banding steps fuse into one map stage (one execution,
+    # and the wide signature column never enters the object store).
+    mh = MinHasher(num_hashes, k_shingle)
+
+    def sig_and_bands(b: pa.Table) -> pa.Table:
+        return explode_bands(mh(b), num_bands)
+
+    bands = docs.map_batches(sig_and_bands, batch_format="pyarrow")
 
     # candidate pairs: one map_groups call PER BAND (num_bands calls, not
     # one per bucket); inside, singleton buckets are masked out and the
