@@ -201,3 +201,33 @@ def test_bz2_and_zst_jsonl(stream, tmp_path):
                 c.write(raw)
         assert wal.segment_row_count(p_zst) == ev.num_rows
         assert wal.read_segment_table(p_zst).num_rows == ev.num_rows
+
+
+def test_cli_tail_drains_and_stops(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from xgeo_ray import fixtures as fx
+
+    root = str(tmp_path)
+    ev = fx.make_change_events(200, n_convs=5, turns_per_conv=4, dup_fraction=0)
+    fx.write_segments(ev, f"{root}/wal", n_segments=2)
+    r = subprocess.run(
+        [sys.executable, "-m", "xgeo_ray", "create", f"{root}/t",
+         "--num-partitions", "2", "--num-salts", "1"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    r = subprocess.run(
+        [sys.executable, "-m", "xgeo_ray", "tail", f"{root}/t", f"{root}/wal",
+         "--poll-interval", "0.1", "--idle-polls-to-stop", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180,
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["events_read"] == 200
