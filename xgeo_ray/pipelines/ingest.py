@@ -587,44 +587,43 @@ def compact(table: DeltaTable, tombstone_ts_horizon: int | None = None) -> Manif
     epoch = upto + 1
     root = table.root
 
-    def compact_part(batch: pa.Table) -> pa.Table:
-        outs = []
-        for row in batch.to_pylist():
-            part = int(row["part_key"])
-            tables = [pq.read_table(p) for p in row["paths"]]
-            rows_in = sum(t.num_rows for t in tables)
-            t = merge_versions(tables, drop_tombstones=False)
-            if tombstone_ts_horizon is not None:
-                is_d = pc.equal(t.column("op"), "D")
-                old = pc.less(
-                    t.column("ts").cast(pa.int64()),
-                    pa.scalar(tombstone_ts_horizon, pa.int64()),
-                )
-                t = t.filter(pc.invert(pc.and_(is_d, old)))
-            t = cast_to(t, envelope)
-            entry = PartitionEntry(
-                part_key=part,
-                path=delta_relpath(part, epoch, compact=True),
-                rows_in=rows_in,
-                applied=t.num_rows,
-                tombstones=int(pc.sum(pc.equal(t.column("op"), "D")).as_py() or 0),
-                max_seq=int(pc.max(t.column("seq")).as_py())
-                if t.num_rows
-                else -1,
-                max_ts=int(pc.max(t.column("ts")).cast(pa.int64()).as_py())
-                if t.num_rows
-                else -1,
-            )
-            entry.bytes = _atomic_write_parquet(t, os.path.join(root, entry.path))
-            outs.append(_entry_to_table(entry))
-        return pa.concat_tables(outs) if outs else _ENTRY_SCHEMA.empty_table()
+    @ray.remote
+    def compact_part(part: int, paths: list[str]) -> pa.Table:
+        from xgeo_ray.tuning import limit_worker_threads
 
-    items = [{"part_key": k, "paths": v} for k, v in sorted(plan.items())]
-    ds = ray.data.from_items(items)
-    metrics = ds.map_batches(compact_part, batch_format="pyarrow", batch_size=1)
+        limit_worker_threads()
+        tables = [pq.read_table(p, use_threads=False) for p in paths]
+        rows_in = sum(t.num_rows for t in tables)
+        t = merge_versions(tables, drop_tombstones=False)
+        if tombstone_ts_horizon is not None:
+            is_d = pc.equal(t.column("op"), "D")
+            old = pc.less(
+                t.column("ts").cast(pa.int64()),
+                pa.scalar(tombstone_ts_horizon, pa.int64()),
+            )
+            t = t.filter(pc.invert(pc.and_(is_d, old)))
+        t = cast_to(t, envelope)
+        entry = PartitionEntry(
+            part_key=part,
+            path=delta_relpath(part, epoch, compact=True),
+            rows_in=rows_in,
+            applied=t.num_rows,
+            tombstones=int(pc.sum(pc.equal(t.column("op"), "D")).as_py() or 0),
+            max_seq=int(pc.max(t.column("seq")).as_py()) if t.num_rows else -1,
+            max_ts=int(pc.max(t.column("ts")).cast(pa.int64()).as_py())
+            if t.num_rows
+            else -1,
+        )
+        entry.bytes = _atomic_write_parquet(t, os.path.join(root, entry.path))
+        return _entry_to_table(entry)
+
+    # one raw merge task per partition (same executor-latency sidestep as
+    # snapshot/export); results are tiny metric rows
+    refs = [compact_part.remote(k, v) for k, v in sorted(plan.items())]
     entries = [
         PartitionEntry(**{k: (v if k == "path" else int(v)) for k, v in row.items()})
-        for row in metrics.take_all()
+        for t in ray.get(refs)
+        for row in t.to_pylist()
     ]
     # watermarks must survive compaction even for partitions whose rows all
     # compacted away (deleted): keep prior max_seq per partition
