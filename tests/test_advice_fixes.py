@@ -1,0 +1,132 @@
+"""Regression tests for the round-1 advisory findings (ADVICE.md):
+
+1. bootstrap_base on a table with committed WAL epochs must keep ALL base
+   rows (live watermarks used to drop them partition-dependently).
+2. tail() must ingest every format read_segment supports, including
+   .zst/.bz2-compressed segments (the old allowlist skipped them).
+3. Unsupported envelope types fail at PLAN time, before the epoch's
+   read/shuffle/write — and leave no partial state behind.
+4. durability="commit" round-trips through _table.json and ingests fine.
+"""
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from xgeo_ray import fixtures as fx
+from xgeo_ray.pipelines import ingest as ing
+from xgeo_ray.sources.wal import is_supported_segment
+from xgeo_ray.state.delta_table import DeltaTable
+
+N_CONVS, TURNS = 10, 6
+
+
+def test_bootstrap_after_committed_epochs_keeps_base_rows(tmp_path):
+    """The data-loss scenario: WAL epochs first (watermarks >= 0 in some
+    partitions), bootstrap second. Final state must equal the
+    order-independent LWW merge of base + events."""
+    base = fx.make_transcripts(N_CONVS, TURNS)
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(base, base_path)
+    events = fx.make_change_events(400, n_convs=N_CONVS, turns_per_conv=TURNS)
+    segs = fx.write_segments(events, str(tmp_path / "wal"), n_segments=2)
+
+    table = DeltaTable.create(str(tmp_path / "tbl"), num_partitions=8, num_salts=2)
+    ing.run_stream(table, segs, segments_per_epoch=2)  # watermarks now >= 0
+    assert (table.watermarks() >= 0).any()
+    ing.bootstrap_base(table, base_path)
+
+    got = (
+        ing.snapshot(table)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = fx.naive_final_state(base, events).to_pandas()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # specifically: base keys untouched by any event must all be present
+    ev_keys = set(
+        zip(events.column("conv_id").to_pylist(), events.column("turn_idx").to_pylist())
+    )
+    base_only = [
+        k
+        for k in zip(
+            base.column("conv_id").to_pylist(), base.column("turn_idx").to_pylist()
+        )
+        if k not in ev_keys
+    ]
+    got_keys = set(zip(got["conv_id"], got["turn_idx"]))
+    assert base_only and all(k in got_keys for k in base_only)
+
+
+def test_tail_ingests_zst_segment(tmp_path):
+    """A .jsonl.zst WAL segment in a tailed directory must be ingested."""
+    events = fx.make_change_events(200, n_convs=N_CONVS, turns_per_conv=TURNS)
+    wal = tmp_path / "wal"
+    wal.mkdir()
+    # first 100 rows as plain parquet, rest as zstd-compressed JSONL
+    pq.write_table(events.slice(0, 100), str(wal / "seg-0.parquet"))
+    rest = events.slice(100)
+    rows = rest.to_pylist()
+    payload = (
+        "\n".join(json.dumps({**r, "ts": r["ts"].isoformat()}) for r in rows) + "\n"
+    ).encode()
+    with pa.output_stream(str(wal / "seg-1.jsonl.zst"), compression="zstd") as f:
+        f.write(payload)
+
+    assert is_supported_segment("seg-1.jsonl.zst")
+    table = DeltaTable.create(str(tmp_path / "tbl"), num_partitions=4, num_salts=1)
+    ms = ing.tail(
+        table, str(wal), poll_interval_s=0.05, idle_polls_to_stop=2, stable_for_s=0.0
+    )
+    assert sum(m.totals["events_read"] for m in ms) == events.num_rows
+    done = table.committed_segments()
+    assert any(p.endswith(".jsonl.zst") for p in done)
+    want = fx.naive_final_state(None, events)
+    got = (
+        ing.snapshot(table)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got["text"].tolist() == want.column("text").to_pylist()
+
+
+def test_unsupported_envelope_fails_at_plan_time(tmp_path):
+    """A segment with a list column must raise BEFORE any shuffle/write."""
+    bad = pa.table(
+        {
+            "seq": pa.array([1], pa.int64()),
+            "op": pa.array(["I"]),
+            "conv_id": pa.array(["c1"]),
+            "turn_idx": pa.array([0], pa.int32()),
+            "ts": pa.array([0], pa.timestamp("us")),
+            "tags": pa.array([[1, 2]], pa.list_(pa.int64())),  # unsupported
+        }
+    )
+    seg = str(tmp_path / "bad.parquet")
+    pq.write_table(bad, seg)
+    table = DeltaTable.create(str(tmp_path / "tbl"), num_partitions=4, num_salts=1)
+    with pytest.raises(TypeError, match="unsupported envelope"):
+        ing.ingest_segments(table, [seg])
+    # plan-time failure leaves nothing behind: no manifests, no deltas
+    assert table.latest_epoch() == 0
+    assert not os.path.isdir(os.path.join(table.root, "parts"))
+
+
+def test_durability_commit_mode_roundtrip(tmp_path):
+    table = DeltaTable.create(
+        str(tmp_path / "tbl"), num_partitions=4, num_salts=1, durability="commit"
+    )
+    assert DeltaTable.open(table.root).durability == "commit"
+    events = fx.make_change_events(150, n_convs=N_CONVS, turns_per_conv=TURNS)
+    segs = fx.write_segments(events, str(tmp_path / "wal"), n_segments=1)
+    ing.run_stream(table, segs)
+    want = fx.naive_final_state(None, events)
+    assert ing.snapshot(table).count() == want.num_rows
+    with pytest.raises(ValueError):
+        DeltaTable.create(str(tmp_path / "t2"), durability="nope")

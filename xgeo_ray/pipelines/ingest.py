@@ -59,13 +59,29 @@ _SORT_KEYS = [
 ]
 
 
-def _atomic_write_parquet(t: pa.Table, final_path: str) -> int:
+def _atomic_write_parquet(
+    t: pa.Table, final_path: str, durable: bool = True
+) -> int:
     """Write tmp + os.replace; deterministic final path → idempotent under
-    Ray task retries (a retried writer just overwrites the same bytes)."""
-    os.makedirs(os.path.dirname(final_path), exist_ok=True)
+    Ray task retries (a retried writer just overwrites the same bytes).
+    With ``durable`` the file is fsync'd before the rename and the
+    directory after it, so a manifest committed later can never reference
+    bytes an OS/power crash took back (DeltaTable durability="full")."""
+    from xgeo_ray.state.manifest import fsync_dir
+
+    d = os.path.dirname(final_path)
+    os.makedirs(d, exist_ok=True)
     tmp = final_path + f".tmp-{os.getpid()}"
-    pq.write_table(t, tmp)
+    if durable:
+        with open(tmp, "wb") as f:
+            pq.write_table(t, f)
+            f.flush()
+            os.fsync(f.fileno())
+    else:
+        pq.write_table(t, tmp)
     os.replace(tmp, final_path)
+    if durable:
+        fsync_dir(d)
     return os.path.getsize(final_path)
 
 
@@ -105,9 +121,8 @@ class NormalizeCollapsePartition:
         num_salts: int,
         transform=None,
     ):
-        from xgeo_ray.tuning import limit_worker_threads
-
-        limit_worker_threads()
+        # limit_worker_threads happens in the task body (_radix_map), not
+        # here: driver-side __init__ would clamp the DRIVER's Arrow pools.
         self.norm = NormalizeEvents(envelope)
         self.p = num_partitions
         self.s = num_salts
@@ -140,17 +155,22 @@ class ApplyPartition:
         epoch: int,
         envelope_schema: pa.Schema,
         watermarks: np.ndarray,
+        durable: bool = True,
     ):
-        from xgeo_ray.tuning import limit_worker_threads
-
-        limit_worker_threads()
+        # NOTE: no limit_worker_threads() here — instance-passed stages are
+        # constructed on the DRIVER (pickled to workers, __init__ never
+        # re-runs there); the limit belongs in the task-side call path.
         self.root = root
         self.epoch = epoch
         self.schema = envelope_schema
         self.wm = watermarks
+        self.durable = durable
         self.__name__ = "ApplyPartition"  # ray map_groups wraps fn.__name__
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from xgeo_ray.tuning import limit_worker_threads
+
+        limit_worker_threads()
         pk = batch.column(PART_COL).to_numpy(zero_copy_only=False)
         parts = np.unique(pk)
         outs = []
@@ -192,7 +212,7 @@ class ApplyPartition:
         if collapsed.num_rows:
             out = cast_to(collapsed, self.schema)
             entry.bytes = _atomic_write_parquet(
-                out, os.path.join(self.root, entry.path)
+                out, os.path.join(self.root, entry.path), durable=self.durable
             )
         else:
             entry.path = ""
@@ -288,7 +308,11 @@ def _radix_exchange_apply(
     retry), and nothing is visible until the manifest commit."""
     P = table.num_partitions
     prep_ref = ray.put(prep)
-    apply_ref = ray.put(ApplyPartition(table.root, epoch, envelope, wm))
+    apply_ref = ray.put(
+        ApplyPartition(
+            table.root, epoch, envelope, wm, durable=table.durability == "full"
+        )
+    )
     maps = [
         _radix_map.options(num_returns=P if P > 1 else None).remote(
             path, rgs, prep_ref, P
@@ -329,7 +353,9 @@ def _apply_shuffled(
     ApplyPartition also accepts multi-partition batches, so either
     exchange plugs in."""
     return ds.groupby(PART_COL).map_groups(
-        ApplyPartition(table.root, epoch, envelope, wm),
+        ApplyPartition(
+            table.root, epoch, envelope, wm, durable=table.durability == "full"
+        ),
         batch_format="pyarrow",
     )
 
@@ -382,11 +408,14 @@ def plan_envelope_schema(table: DeltaTable, segment_paths: list[str]) -> pa.Sche
     envelope and every segment's schema. This is the scale-correct
     registry consult — metadata, not a shuffle."""
     from xgeo_ray.sources.wal import segment_schema
+    from xgeo_ray.state.manifest import validate_envelope
 
     schemas = [table.current_schema()]
     for p in segment_paths:
         schemas.append(segment_schema(p))
-    return unify(*schemas)
+    # fail fast HERE (plan time) on types the manifest can't record —
+    # not at commit time after the epoch's read/shuffle/write is spent
+    return validate_envelope(unify(*schemas))
 
 
 def read_segments(segment_paths: list[str], envelope: pa.Schema) -> ray.data.Dataset:
@@ -477,7 +506,15 @@ def bootstrap_base(
     table: DeltaTable, base_parquet: str, batch_size: int = 65536
 ) -> Manifest:
     """Load an existing base table as epoch-1 implicit inserts (seq=-1,
-    which sorts under every real WAL event for the same key and ts)."""
+    which sorts under every real WAL event for the same key and ts).
+
+    Bootstrap rows are exempt from the live seq watermarks: they carry
+    seq=-1, so filtering them against a partition whose watermark is
+    already >= 0 (a table with committed WAL epochs) would silently drop
+    every base row in that partition while keeping them elsewhere —
+    partition-dependent data loss. LWW by (ts, seq) already guarantees
+    base rows lose to any real event for the same key, so an all -1
+    watermark array is both safe and correct here."""
 
     envelope = unify(table.current_schema(), pq.read_schema(base_parquet))
     epoch = table.latest_epoch() + 1
@@ -485,8 +522,9 @@ def bootstrap_base(
 
     prep = _BootstrapPrep(envelope, table.num_partitions, table.num_salts)
     chunks = plan_read_chunks([os.path.abspath(base_parquet)])
+    no_wm = np.full(table.num_partitions, -1, dtype=np.int64)
     entries = _radix_exchange_apply(
-        chunks, prep, table, epoch, envelope, table.watermarks()
+        chunks, prep, table, epoch, envelope, no_wm
     )
     _check_no_split_parts(entries)
     return table.commit_epoch(
@@ -516,13 +554,13 @@ class _MergePartitions:
     dataset of partition descriptors — one task per partition, no shuffle)."""
 
     def __init__(self, envelope: pa.Schema, keep_lineage: bool):
-        from xgeo_ray.tuning import limit_worker_threads
-
-        limit_worker_threads()
         self.envelope = envelope
         self.keep = keep_lineage
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from xgeo_ray.tuning import limit_worker_threads
+
+        limit_worker_threads()
         out = []
         for row in batch.to_pylist():
             tables = [pq.read_table(p) for p in row["paths"]]
@@ -586,6 +624,7 @@ def compact(table: DeltaTable, tombstone_ts_horizon: int | None = None) -> Manif
     upto = table.latest_epoch()
     epoch = upto + 1
     root = table.root
+    durable = table.durability == "full"
 
     @ray.remote
     def compact_part(part: int, paths: list[str]) -> pa.Table:
@@ -614,7 +653,9 @@ def compact(table: DeltaTable, tombstone_ts_horizon: int | None = None) -> Manif
             if t.num_rows
             else -1,
         )
-        entry.bytes = _atomic_write_parquet(t, os.path.join(root, entry.path))
+        entry.bytes = _atomic_write_parquet(
+            t, os.path.join(root, entry.path), durable=durable
+        )
         return _entry_to_table(entry)
 
     # one raw merge task per partition (same executor-latency sidestep as
@@ -704,9 +745,10 @@ def tail(
     (None = run forever). Returns the manifests committed."""
     import time as _time
 
+    from xgeo_ray.sources.wal import is_supported_segment
+
     committed: list[Manifest] = []
     idle = 0
-    pending_exts = (".parquet", ".jsonl", ".json", ".ndjson", ".csv", ".zip", ".gz")
     while True:
         now = _time.time()
         try:
@@ -717,7 +759,9 @@ def tail(
         fresh = []
         for n in names:
             p = os.path.abspath(os.path.join(wal_dir, n))
-            if not n.endswith(pending_exts) or p in done:
+            # same dispatch table as read_segment/_strip_compression, so
+            # every ingestible format (incl. .zst/.bz2/.gzip) is tailed
+            if not is_supported_segment(n) or p in done:
                 continue
             try:
                 if now - os.path.getmtime(p) < stable_for_s:

@@ -35,6 +35,17 @@ def _strip_compression(path: str) -> tuple[str, str | None]:
     return path, None
 
 
+_BASE_EXTS = (".parquet", ".json", ".jsonl", ".ndjson", ".csv", ".zip")
+
+
+def is_supported_segment(name: str) -> bool:
+    """True if ``read_segment`` can ingest this file name — the ONE
+    dispatch predicate shared by readers and the tailer (a tailer with
+    its own allowlist silently skips formats the reader supports)."""
+    logical, _ = _strip_compression(name)
+    return logical.endswith(_BASE_EXTS)
+
+
 def plan_num_blocks(total_bytes: int) -> int:
     """Width-aware block count for a Parquet read.
 

@@ -62,10 +62,17 @@ class DeltaTable:
     so any worker/process sees the same committed view (the analogue of
     the reference's single consumer loop, distributed)."""
 
-    def __init__(self, root: str, num_partitions: int, num_salts: int):
+    def __init__(
+        self,
+        root: str,
+        num_partitions: int,
+        num_salts: int,
+        durability: str = "full",
+    ):
         self.root = root
         self.num_partitions = num_partitions
         self.num_salts = num_salts
+        self.durability = durability
 
     # ------------------------------------------------------------- lifecycle
     @classmethod
@@ -75,26 +82,47 @@ class DeltaTable:
         num_partitions: int = 32,
         num_salts: int = 4,
         base_schema: pa.Schema = TRANSCRIPTS_SCHEMA,
+        durability: str = "full",
     ) -> "DeltaTable":
+        """``durability``:
+        * ``"full"`` (default) — every delta Parquet is fsync'd (file and
+          directory) BEFORE the manifest commit: a committed manifest
+          never references lost/truncated data even across an OS/power
+          crash.
+        * ``"commit"`` — only the manifest fence is fsync'd; delta bytes
+          ride OS writeback. Safe against process crashes (the documented
+          Ray-task failure mode); an OS/power crash can lose data files a
+          manifest references. Use where the filesystem itself is
+          durable-on-close (object stores) or throughput matters more
+          than power-loss safety.
+        """
+        if durability not in ("full", "commit"):
+            raise ValueError(f"unknown durability {durability!r}")
         os.makedirs(root, exist_ok=True)
         meta = {
             "num_partitions": num_partitions,
             "num_salts": num_salts,
             "base_schema": schema_to_json(base_schema),
             "format_version": 1,
+            "durability": durability,
         }
         p = os.path.join(root, TABLE_META)
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
         os.replace(tmp, p)
-        return cls(root, num_partitions, num_salts)
+        return cls(root, num_partitions, num_salts, durability)
 
     @classmethod
     def open(cls, root: str) -> "DeltaTable":
         with open(os.path.join(root, TABLE_META)) as f:
             meta = json.load(f)
-        return cls(root, meta["num_partitions"], meta["num_salts"])
+        return cls(
+            root,
+            meta["num_partitions"],
+            meta["num_salts"],
+            meta.get("durability", "full"),
+        )
 
     @classmethod
     def exists(cls, root: str) -> bool:

@@ -40,11 +40,35 @@ _TYPE_PARSERS = {
 }
 
 
+def validate_envelope(schema: pa.Schema) -> pa.Schema:
+    """Fail fast on envelope types the manifest cannot record (e.g. an
+    all-null JSON column inferred as ``null``, or list/struct from an
+    evolved segment). Called at PLAN time, before the epoch's
+    read/shuffle/write — not at commit time when the work is already
+    spent."""
+    bad = [(f.name, str(f.type)) for f in schema if str(f.type) not in _TYPE_PARSERS]
+    if bad:
+        raise TypeError(
+            f"unsupported envelope column types {bad}; supported: "
+            f"{sorted(_TYPE_PARSERS)} — cast or drop these columns in the "
+            "source, or extend manifest._TYPE_PARSERS"
+        )
+    return schema
+
+
 def schema_to_json(schema: pa.Schema) -> list[list[str]]:
-    for f in schema:
-        if str(f.type) not in _TYPE_PARSERS:
-            raise TypeError(f"unsupported manifest type {f.type} for field {f.name}")
+    validate_envelope(schema)
     return [[f.name, str(f.type)] for f in schema]
+
+
+def fsync_dir(path: str) -> None:
+    """fsync a directory so a completed os.replace inside it survives an
+    OS/power crash (POSIX requires the dir entry itself be synced)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 def schema_from_json(fields: list[list[str]]) -> pa.Schema:
@@ -91,8 +115,12 @@ def manifest_path(root: str, epoch: int) -> str:
 
 
 def write_manifest(root: str, m: Manifest) -> str:
-    """Atomic commit: serialize to a tmp file, fsync, os.replace."""
-    os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
+    """Atomic commit: serialize to a tmp file, fsync, os.replace, fsync
+    the manifests directory (the rename itself must be durable — a
+    power crash after replace but before the dir entry hits disk would
+    otherwise roll the commit back while delta files survive)."""
+    d = os.path.join(root, MANIFEST_DIR)
+    os.makedirs(d, exist_ok=True)
     final = manifest_path(root, m.epoch)
     tmp = final + ".tmp"
     payload = asdict(m)
@@ -101,6 +129,7 @@ def write_manifest(root: str, m: Manifest) -> str:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, final)
+    fsync_dir(d)
     return final
 
 
