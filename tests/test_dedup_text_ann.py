@@ -251,3 +251,92 @@ def test_multimodal_resize_and_frame_sampling():
     assert len(by_id.get_group(1)) == 3  # 1000 bytes -> 3 frames sampled of 3
     assert len(by_id.get_group(2)) == 1  # 100 bytes -> single frame
     assert (f.to_pandas()["n_frames"] >= 1).all()
+
+
+def test_simhash_and_fingerprint_goldens():
+    """Pinned cross-process golden values — the documented quantitative
+    check for the two sketch operators that have no SQL oracle (their
+    64-bit word hash is a fixed-key siphash DuckDB cannot reproduce)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown fox jumps over the lazy dog",
+                    "pack my box with five dozen liquor jugs",
+                ]
+            ),
+        }
+    )
+    assert dd.SimHasher()(t).column("simhash").to_pylist() == [
+        2849287923411060561,
+        -4584398187164852209,
+    ]
+    fp = tx.fingerprint64(
+        np.array(
+            [
+                "the quick brown fox jumps over the lazy dog",
+                "pack my box with five dozen liquor jugs",
+            ],
+            dtype=object,
+        )
+    )
+    assert fp.view(np.int64).tolist() == [102926524943068778, 372997698705972237]
+
+
+def test_minhash_output_equals_exact_ngram_join():
+    """Backs the minhash_dup_pairs SQL oracle: with true-Jaccard verify,
+    the LSH output must EQUAL the exact set-similarity join whenever
+    banding recall is total (planted + synthetic near-dups here)."""
+    rng = np.random.default_rng(3)
+    vocab = np.array([f"w{i}" for i in range(60)], dtype=object)
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(40)]
+    # plant near-dups: copy with one token changed, plus exact copies
+    for i in range(6):
+        toks = texts[i].split()
+        toks[5] = "zz"
+        texts.append(" ".join(toks))
+    texts += texts[:3]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    ds1 = ray.data.from_arrow(t)
+    ds2 = ray.data.from_arrow(t)
+    got = (
+        dd.minhash_lsh_dup_pairs(ds1, threshold=0.8)
+        .to_pandas()[["doc_id_a", "doc_id_b"]]
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        dd.ngram_jaccard_dup_pairs(ds2, threshold=0.8)
+        .to_pandas()[["doc_id_a", "doc_id_b"]]
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(want) >= 9  # the planted structure is actually there
+    assert got.equals(want)
+
+
+def test_lang_id_vectorized_matches_reference_voter():
+    """The Arrow-vectorized LangId must reproduce the naive per-row
+    stopword voter exactly (occurrence counts, sorted-lang tiebreak,
+    'und' on zero scores)."""
+    texts = [
+        "the cat and the hat",             # en
+        "der hund und die katze ist da",   # de
+        "le chat est dans la maison",      # fr
+        "el perro es un animal",           # es
+        "zzz qqq xyzzy",                   # und
+        "la la la",                        # tie: es vs fr on 'la' -> es (sorted first of tied)
+        "",                                # empty -> und
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    got = tx.LangId()(t).column("lang_pred").to_pylist()
+
+    langs = sorted(tx._STOPWORDS)
+    def vote(s):
+        scores = {l: sum(1 for w in s.lower().split() if w in tx._STOPWORDS[l]) for l in langs}
+        best = max(langs, key=lambda l: (scores[l], -langs.index(l)))
+        return best if scores[best] > 0 else "und"
+    assert got == [vote(s) for s in texts]

@@ -79,8 +79,9 @@ class MinHasher:
 
     def __init__(self, num_hashes: int = 64, k_shingle: int = 3, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, int(_MERSENNE), size=num_hashes, dtype=np.uint64)
-        self.b = rng.integers(0, int(_MERSENNE), size=num_hashes, dtype=np.uint64)
+        # odd multipliers → each (a*x + b) mod 2^64 is a bijection
+        self.a = rng.integers(1, 1 << 63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
         self.k = k_shingle
         self.n = num_hashes
 
@@ -88,9 +89,14 @@ class MinHasher:
         return self._sig(_shingle_hashes(text, self.k))
 
     def _sig(self, sh: np.ndarray) -> np.ndarray:
-        # (n_hashes, n_shingles): ((a*x + b) mod M), min over shingles
-        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        # (n_hashes, n_shingles): multiply-add over Z/2^64 (wrap-around is
+        # the hash; a uint64 modulo here costs ~3x the whole multiply on
+        # modern SIMD), min over shingles
+        v = self.a[:, None] * sh[None, :] + self.b[:, None]
         return v.min(axis=1)
+
+    # docs per vectorized permute block: bounds the (num_hashes, S) temp
+    _CHUNK = 512
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_numpy(zero_copy_only=False)
@@ -101,14 +107,28 @@ class MinHasher:
         flat = np.array([w for ws in toks for w in ws], dtype=object)
         th_all = hash_tokens(flat)
         offs = np.concatenate([[0], np.cumsum(lens)])
-        sigs = np.stack(
-            [
-                self._sig(_shingles_from_token_hashes(th_all[offs[i] : offs[i + 1]], self.k))
-                for i in range(len(texts))
-            ]
+        n_docs = len(texts)
+        sh_list = [
+            _shingles_from_token_hashes(th_all[offs[i] : offs[i + 1]], self.k)
+            for i in range(n_docs)
+        ]
+        counts = np.array([len(s) for s in sh_list], dtype=np.int64)
+        sh_offs = np.concatenate([[0], np.cumsum(counts)])
+        sh_flat = (
+            np.concatenate(sh_list) if sh_list else np.empty(0, dtype=np.uint64)
         )
+        # one (num_hashes × shingles) permute + minimum.reduceat per chunk
+        # of docs — vectorized ACROSS documents, not a per-doc matmul loop
+        sigs = np.empty((n_docs, self.n), dtype=np.uint64)
+        for c0 in range(0, n_docs, self._CHUNK):
+            c1 = min(c0 + self._CHUNK, n_docs)
+            sl = sh_flat[sh_offs[c0] : sh_offs[c1]]
+            local = sh_offs[c0 : c1 + 1] - sh_offs[c0]
+            v = self.a[:, None] * sl[None, :] + self.b[:, None]
+            sigs[c0:c1] = np.minimum.reduceat(v, local[:-1], axis=1).T
         return batch.append_column(
-            "minhash", pa.array(list(sigs.astype(np.uint64).view(np.int64)), pa.list_(pa.int64(), self.n))
+            "minhash",
+            pa.array(list(sigs.view(np.int64)), pa.list_(pa.int64(), self.n)),
         )
 
 
@@ -140,97 +160,256 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+_PAIR_SCHEMA = pa.schema(
+    [
+        ("doc_id_a", pa.int64()),
+        ("doc_id_b", pa.int64()),
+        ("jaccard", pa.float64()),
+    ]
+)
+
+_BAND_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("band", pa.int32()), ("band_hash", pa.int64())]
+)
+
+
+@ray.remote
+def _mh_band_map(block: pa.Table, mh, num_bands: int, num_buckets: int):
+    """Map side of the candidate exchange: signatures + banding for one
+    block, argsort-split by band_hash bucket, num_buckets zero-copy
+    slices as separate returns (the ingest radix-exchange pattern,
+    pipelines/ingest._radix_map — Ray Data's generic all-to-alls
+    measured 4-7x slower on precomputed int keys)."""
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    if block.num_rows == 0:
+        empty = _BAND_SCHEMA.empty_table()
+        return tuple([empty] * num_buckets) if num_buckets > 1 else empty
+    t = explode_bands(mh(block), num_bands)
+    bk = (
+        t.column("band_hash").to_numpy().view(np.uint64)
+        * _P1
+        % np.uint64(num_buckets)
+    ).astype(np.int64)
+    order = np.argsort(bk, kind="stable")
+    t = t.take(order)
+    bk = bk[order]
+    bounds = np.searchsorted(bk, np.arange(num_buckets + 1))
+    out = tuple(
+        t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_buckets)
+    )
+    return out if num_buckets > 1 else out[0]
+
+
+@ray.remote
+def _mh_pair_reduce(*subs: pa.Table):
+    """Reduce side: all rows of this band_hash bucket, across all blocks.
+    Pairs form within exact (band, band_hash) groups via one vectorized
+    self-merge; singleton hashes are masked out first."""
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    subs = [s for s in subs if s.num_rows]
+    if not subs:
+        return None
+    g = pa.concat_tables(subs).to_pandas()
+    dup = g[g.duplicated(["band", "band_hash"], keep=False)][
+        ["band", "band_hash", "doc_id"]
+    ]
+    if len(dup) < 2:
+        return None
+    m = dup.merge(dup, on=["band", "band_hash"], suffixes=("_a", "_b"))
+    m = m[m["doc_id_a"] < m["doc_id_b"]][["doc_id_a", "doc_id_b"]]
+    m = m.drop_duplicates()
+    return pa.Table.from_pandas(m, preserve_index=False) if len(m) else None
+
+
+@ray.remote
+def _mh_sets_map(
+    block: pa.Table, route: dict, k_shingle: int, num_buckets: int
+):
+    """Pack shingle sets for this block's candidate docs, replicated to
+    the verify buckets that hold their pairs; returns num_buckets slices."""
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    keep = pc.is_in(
+        block.column("doc_id"), value_set=pa.array(list(route), pa.int64())
+    )
+    block = block.filter(keep)
+    empty = pa.table(
+        {"probe_id": pa.array([], pa.int64()), "sh": pa.array([], pa.list_(pa.int64()))}
+    )
+    if block.num_rows == 0:
+        return tuple([empty] * num_buckets) if num_buckets > 1 else empty
+    ex = ShingleExploder(k_shingle)(block)
+    ids = ex.column("doc_id").to_numpy()
+    bounds = np.flatnonzero(np.concatenate([[True], ids[1:] != ids[:-1], [True]]))
+    sh_vals = ex.column("sh").combine_chunks()
+    per_bucket: list[tuple[list, list]] = [([], []) for _ in range(num_buckets)]
+    for i in range(len(bounds) - 1):
+        d = int(ids[bounds[i]])
+        sh = sh_vals.slice(bounds[i], bounds[i + 1] - bounds[i]).to_pylist()
+        for bk in route[d]:
+            per_bucket[bk][0].append(d)
+            per_bucket[bk][1].append(sh)
+    out = tuple(
+        pa.table(
+            {
+                "probe_id": pa.array(pids, pa.int64()),
+                "sh": pa.array(shs, pa.list_(pa.int64())),
+            }
+        )
+        for pids, shs in per_bucket
+    )
+    return out if num_buckets > 1 else out[0]
+
+
+@ray.remote
+def _mh_verify_reduce(pairs: pa.Table, threshold: float, *set_slices: pa.Table):
+    """Exact-Jaccard verify of one bucket's candidate pairs against the
+    co-shuffled shingle sets. Pairs arrive pre-deduplicated."""
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    set_slices = [s for s in set_slices if s.num_rows]
+    if pairs.num_rows == 0 or not set_slices:
+        return _PAIR_SCHEMA.empty_table()
+    sets = pa.concat_tables(set_slices)
+    lut = {
+        p: np.asarray(s, dtype=np.int64)
+        for p, s in zip(
+            sets.column("probe_id").to_pylist(), sets.column("sh").to_pylist()
+        )
+    }
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(
+        pairs.column("doc_id_a").to_pylist(), pairs.column("doc_id_b").to_pylist()
+    ):
+        sa, sb = lut.get(a), lut.get(b)
+        if sa is None or sb is None:
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        j = inter / union if union else 1.0
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(j)
+    return pa.table(
+        {
+            "doc_id_a": pa.array(out_a, pa.int64()),
+            "doc_id_b": pa.array(out_b, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    )
+
+
 def minhash_lsh_dup_pairs(
     docs: ray.data.Dataset,
     threshold: float = 0.8,
     num_hashes: int = 64,
     num_bands: int = 16,
     k_shingle: int = 3,
+    num_buckets: int = 8,
 ) -> ray.data.Dataset:
-    """Near-duplicate pairs via MinHash + LSH banding, Jaccard-verified
-    (Broder, "On the resemblance and containment of documents", 1997;
-    banding per Indyk & Motwani / Gionis et al. LSH).
+    """Near-duplicate pairs via MinHash + LSH banding, true-Jaccard
+    verified (Broder, "On the resemblance and containment of documents",
+    1997; banding per Indyk & Motwani / Gionis et al. LSH).
 
     docs must have columns (doc_id, text). Returns (doc_id_a, doc_id_b,
-    jaccard) with doc_id_a < doc_id_b, deduplicated across bands."""
-    texts_small = docs.select_columns(["doc_id", "text"])
-    # instance-passed (task-based): MinHasher's setup is 128 rng draws,
-    # an actor pool would only add spin-up latency at bench scale. The
-    # signature + banding steps fuse into one map stage (one execution,
-    # and the wide signature column never enters the object store).
-    mh = MinHasher(num_hashes, k_shingle)
+    jaccard) with doc_id_a < doc_id_b, deduplicated across bands.
 
-    def sig_and_bands(b: pa.Table) -> pa.Table:
-        return explode_bands(mh(b), num_bands)
-
-    bands = docs.map_batches(sig_and_bands, batch_format="pyarrow")
-
-    # candidate pairs: one map_groups call PER BAND (num_bands calls, not
-    # one per bucket); inside, singleton buckets are masked out and the
-    # surviving buckets pair up via one vectorized self-merge
-    def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
-        dup = g[g.duplicated("band_hash", keep=False)][["band_hash", "doc_id"]]
-        if len(dup) < 2:
-            empty = np.empty(0, dtype=np.int64)
-            return pd.DataFrame({"doc_id_a": empty, "doc_id_b": empty})
-        m = dup.merge(dup, on="band_hash", suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
-        return m[["doc_id_a", "doc_id_b"]].drop_duplicates()
-
-    cands = bands.groupby("band").map_groups(pairs_in_band, batch_format="pandas")
-
-    # verify with true Jaccard: broadcast the (doc_id, text) projection —
-    # two columns, not the full table — once via ray.put. A pair found by
-    # multiple bands is verified up to num_bands times (bounded, cheap);
-    # the dedup happens on the *verified* (small) result instead of
-    # shuffling the whole candidate set a second time.
+    Fully distributed — nothing corpus-sized ever reaches the driver or
+    a broadcast:
+      1. signature + banding fused into one map task per block; candidate
+         pairs form inside (band, band_hash) buckets via a raw-Ray radix
+         exchange (the ingest pattern, ingest._radix_exchange_apply —
+         measured 4-7x faster than Dataset all-to-alls on int keys),
+      2. the driver touches only candidate id PAIRS (8 B ids, bounded by
+         the banding output, never text) to build the verify routing,
+      3. verification co-partitions the pairs with per-doc shingle sets
+         on hashed doc_id buckets: a second radix exchange ships each
+         candidate doc's set to exactly the buckets holding its pairs.
+    Partitioning assumption: the two-column (doc_id, text) projection is
+    materialized block-wise in the object store (spillable), each block
+    visited once per exchange."""
     import ray as _ray
 
-    texts_ref = _ray.put(pa.concat_tables(_ray.get(texts_small.to_arrow_refs())))
+    from ray.data.dataset import MaterializedDataset
 
-    class Verify:
-        def __init__(self, ref):
-            self.ref = ref
-            self.text = None
-            self._sh: dict[int, frozenset] = {}  # shingle sets, computed once per doc
+    if not (
+        isinstance(docs, MaterializedDataset)
+        and set(docs.schema().names) == {"doc_id", "text"}
+    ):
+        docs = docs.select_columns(["doc_id", "text"]).materialize()
+    block_refs = docs.to_arrow_refs()
+    if not block_refs:
+        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
 
-        def _load(self):
-            t = _ray.get(self.ref)  # zero-copy from local plasma, per task
-            self.text = dict(
-                zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    # instance-passed: MinHasher's setup is 128 rng draws — ship it once
+    mh_ref = _ray.put(MinHasher(num_hashes, k_shingle))
+    nb = num_buckets
+    maps = [
+        _mh_band_map.options(num_returns=nb if nb > 1 else None).remote(
+            r, mh_ref, num_bands, nb
+        )
+        for r in block_refs
+    ]
+    if nb == 1:
+        maps = [[m] for m in maps]
+    pair_refs = [
+        _mh_pair_reduce.remote(*[m[b] for m in maps]) for b in range(nb)
+    ]
+    id_tables = [t for t in _ray.get(pair_refs) if t is not None]
+    if not id_tables:
+        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+    idt = pa.concat_tables(id_tables)
+    df = idt.to_pandas().drop_duplicates()  # ids only; cross-bucket dedup
+    a_ids = df["doc_id_a"].to_numpy().astype(np.int64)
+    b_ids = df["doc_id_b"].to_numpy().astype(np.int64)
+
+    # each pair verifies in ONE bucket (hash of side a); a candidate doc's
+    # shingle set replicates to exactly the buckets holding its pairs —
+    # the routing map is ids-only and bounded like the candidate set
+    pair_bucket = (a_ids.astype(np.uint64) * _P1 % np.uint64(nb)).astype(np.int64)
+    route: dict[int, list[int]] = {}
+    for d, bk in zip(
+        np.concatenate([a_ids, b_ids]).tolist(),
+        np.concatenate([pair_bucket, pair_bucket]).tolist(),
+    ):
+        lst = route.setdefault(d, [])
+        if bk not in lst:
+            lst.append(bk)
+
+    pair_tables = []
+    for b in range(nb):
+        sel = pair_bucket == b
+        pair_tables.append(
+            pa.table(
+                {
+                    "doc_id_a": pa.array(a_ids[sel], pa.int64()),
+                    "doc_id_b": pa.array(b_ids[sel], pa.int64()),
+                }
             )
-
-        def _shingles(self, doc_id: int) -> frozenset:
-            s = self._sh.get(doc_id)
-            if s is None:
-                s = frozenset(_shingle_hashes(self.text[doc_id], k_shingle).tolist())
-                self._sh[doc_id] = s
-            return s
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if len(batch) == 0:
-                batch["jaccard"] = np.empty(0, np.float64)
-                return batch
-            if self.text is None:
-                self._load()
-            batch = batch.drop_duplicates(subset=["doc_id_a", "doc_id_b"]).copy()
-            js = []
-            for a, b in zip(batch["doc_id_a"], batch["doc_id_b"]):
-                sa, sb = self._shingles(a), self._shingles(b)
-                u = len(sa | sb)
-                js.append(len(sa & sb) / u if u else 1.0)
-            batch["jaccard"] = js
-            return batch[batch["jaccard"] >= threshold]
-
-    verified = cands.map_batches(Verify(texts_ref), batch_format="pandas")
-    # global dedup of the verified pairs — a tiny result by construction,
-    # so a driver-side drop_duplicates beats a second full shuffle
-    out = pa.concat_tables(
-        _ray.get(verified.to_arrow_refs()), promote_options="permissive"
-    )
-    df = out.to_pandas().drop_duplicates(subset=["doc_id_a", "doc_id_b"])
-    df = df.sort_values(["doc_id_a", "doc_id_b"], kind="stable").reset_index(drop=True)
-    return ray.data.from_pandas(df)
+        )
+    route_ref = _ray.put(route)
+    sets_maps = [
+        _mh_sets_map.options(num_returns=nb if nb > 1 else None).remote(
+            r, route_ref, k_shingle, nb
+        )
+        for r in block_refs
+    ]
+    if nb == 1:
+        sets_maps = [[m] for m in sets_maps]
+    verified = [
+        _mh_verify_reduce.remote(
+            pair_tables[b], threshold, *[m[b] for m in sets_maps]
+        )
+        for b in range(nb)
+    ]
+    return ray.data.from_arrow_refs(verified)
 
 
 class SimHasher:

@@ -409,7 +409,9 @@ def quality_counts(sf_dir: str):
     from xgeo_ray.functions.text import QualityScore
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 4))
+    # instance-passed: setup is three re.compile calls — an actor pool
+    # would pay 1-2 s spin-up for nothing (round-1 verdict finding)
+    out = ds.map_batches(QualityScore(), batch_format="pyarrow")
     return out.map_batches(
         lambda b: b.select(
             ["doc_id", "n_chars_calc", "n_tokens", "n_punct", "n_upper", "n_digit"]
@@ -495,7 +497,15 @@ def _docs_with_planted_dups(sf_dir: str) -> ray.data.Dataset:
     dup = dup.set_column(
         0, "doc_id", pc.add(dup.column("doc_id"), pa.scalar(1_000_000, pa.int64()))
     )
-    return ray.data.from_arrow(pa.concat_tables([t, dup]))
+    full = pa.concat_tables([t, dup])
+    # one Arrow table would become ONE Ray block → the signature pass
+    # (CPU-bound) would run on a single core; slice into blocks sized so
+    # each task stays well above dispatch latency (~650 docs each)
+    n_blocks = max(1, min(32, full.num_rows // 640))
+    step = max(1, -(-full.num_rows // n_blocks))
+    return ray.data.from_arrow(
+        [full.slice(i, step) for i in range(0, full.num_rows, step)]
+    )
 
 
 def minhash_dup_pairs(sf_dir: str):
@@ -610,7 +620,7 @@ def lang_id_pred(sf_dir: str):
     from xgeo_ray.functions.text import LangId
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    out = ds.map_batches(LangId(), batch_format="pyarrow")
     return out.select_columns(["doc_id", "lang_pred"])
 
 
@@ -955,9 +965,149 @@ def build_oracle_sql() -> dict[str, str]:
             FROM s
             QUALIFY rank <= 10
         """,
-        # minhash_dup_pairs / simhash_signatures / embedding_dup_pairs /
-        # lang_id_pred / doc_fingerprints / ann_ivf_top10 /
-        # multimodal_decode: intentionally no SQL oracle (sketch/heuristic
-        # operators are not SQL-expressible); the driver applies its
-        # rows-only check and pytest covers their semantics.
+        # minhash_dup_pairs verifies candidates with TRUE word-3-gram
+        # Jaccard >= 0.8, so its output is a SUBSET of the exact ngram
+        # join; the LSH banding (16 bands x 4 rows, fixed seed) recalls
+        # every >=0.8 pair at these scales, making the exact join the
+        # oracle. A banding recall miss would surface as a row-count
+        # mismatch — i.e. this check also guards recall.
+        "minhash_dup_pairs": r"""
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20)
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+              FROM docs
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              FROM toks, unnest(generate_series(1, len(w) - 2)) t(i)
+              WHERE len(w) >= 3
+              UNION ALL
+              SELECT doc_id, array_to_string(w, ' ') AS s FROM toks WHERE len(w) < 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT CAST(doc_id_a AS BIGINT) AS doc_id_a,
+                   CAST(doc_id_b AS BIGINT) AS doc_id_b
+            FROM pairs
+            JOIN sizes sa ON doc_id_a = sa.doc_id
+            JOIN sizes sb ON doc_id_b = sb.doc_id
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+        """,
+        # same stopword tables / occurrence counts / tiebreak (first in
+        # sorted lang order) as functions.text.LangId
+        "lang_id_pred": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ),
+            scored AS (
+              SELECT doc_id,
+                len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit'))) AS s_de,
+                len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','that','it','for'))) AS s_en,
+                len(list_filter(w, x -> x IN ('el','la','los','y','es','un','una','por','para'))) AS s_es,
+                len(list_filter(w, x -> x IN ('le','la','les','et','est','un','une','pour','dans'))) AS s_fr
+              FROM toks
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM scored
+        """,
+        # embedding near-dup: exact cosine cross-join (feasible at the
+        # driver's sf0.01 scale); the engine's hyperplane-LSH buckets
+        # recall every pair at this threshold (identical vectors always
+        # share a bucket), so exact == bucketed-verified
+        "embedding_dup_pairs": """
+            WITH e AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, embedding
+              FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 20)
+            )
+            SELECT CAST(a.vec_id AS BIGINT) AS vec_id_a,
+                   CAST(b.vec_id AS BIGINT) AS vec_id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.999
+        """,
+        # the sha256-derived decode stub (functions.multimodal) replayed
+        # byte-for-byte: width/height from the first two digest bytes
+        "multimodal_decode": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   'image' AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 192 AS INT) AS width,
+                   CAST(64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 192 AS INT) AS height,
+                   CAST(3 AS INT) AS channels
+            FROM documents
+        """,
+        # uniform-stride frame sampling (frame_bytes=64, max_frames=4):
+        # n_frames = max(1, bytes//64), take = min(4, n_frames),
+        # max sampled idx = floor((take-1) * n_frames / take)
+        "multimodal_frames": """
+            WITH m AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     greatest(1, octet_length(encode(text)) // 64) AS n_frames
+              FROM documents
+            )
+            SELECT media_id,
+                   least(4, n_frames) AS n_sampled,
+                   CAST(FLOOR((least(4, n_frames) - 1) * n_frames
+                              / CAST(least(4, n_frames) AS DOUBLE)) AS INT) AS max_frame_idx
+            FROM m
+        """,
+        # exact rolling Karp-Rabin min-hash fingerprint over the UTF-8
+        # bytes (ASCII corpus): 8-byte windows, base 1000003, wrap mod
+        # 2^64 (powers pre-reduced), min over windows, signed int64 view
+        "doc_fingerprints": """
+            WITH chars AS (
+              SELECT doc_id, i,
+                     CAST(ascii(substr(text, CAST(i AS INT), 1)) AS HUGEINT) AS c,
+                     length(text) AS L
+              FROM documents, unnest(generate_series(1, length(text))) t(i)
+            ),
+            h AS (
+              SELECT doc_id, i, L,
+                     (  c                    * 12924618581234127435
+                      + lead(c, 1) OVER w    * 10923514805226455897
+                      + lead(c, 2) OVER w    * 14453212906556403763
+                      + lead(c, 3) OVER w    * 14003818205314896721
+                      + lead(c, 4) OVER w    * 1000009000027000027
+                      + lead(c, 5) OVER w    * 1000006000009
+                      + lead(c, 6) OVER w    * 1000003
+                      + lead(c, 7) OVER w ) % 18446744073709551616 AS hm
+              FROM chars
+              WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            m AS (
+              SELECT doc_id, min(hm) AS hm FROM h WHERE i <= L - 7 GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN hm >= 9223372036854775808
+                             THEN hm - 18446744073709551616
+                             ELSE hm END AS BIGINT) AS fingerprint
+            FROM m
+        """,
+        # simhash_signatures / simhash_dup_pairs: the 64-bit word-hash
+        # (pandas siphash with a fixed key) is not SQL-reproducible, so no
+        # DuckDB oracle; tests/test_dedup_text_ann.py pins golden
+        # signature values and cross-validates banding recall against
+        # brute-force Hamming distance. ann_ivf_top10: approximate by
+        # design (nprobe < num_centroids); tests assert recall >= 0.8 vs
+        # the oracle-green ann_top10 instead of equality.
     }
