@@ -340,3 +340,43 @@ def test_lang_id_vectorized_matches_reference_voter():
         best = max(langs, key=lambda l: (scores[l], -langs.index(l)))
         return best if scores[best] > 0 else "und"
     assert got == [vote(s) for s in texts]
+
+
+def test_ivf_indexed_reads_only_probed_partitions(tmp_path):
+    """The persisted IVF index must open only the nprobe probed partition
+    files (I/O scales with nprobe, not index size), and the pruned read
+    must give the same answer as the in-memory filter variant."""
+    import os
+
+    from xgeo_ray.functions.ann import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        plan_probe_files,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    cents = train_ivf_centroids(ds, num_centroids=8, sample_fraction=0.5)
+    idx = str(tmp_path / "ivf")
+    manifest = build_ivf_index(ds, cents, idx)
+    n_files = len([f for f in os.listdir(idx) if f.startswith("part-")])
+    assert n_files == len(manifest["parts"]) >= 4
+    assert sum(manifest["parts"].values()) == 300  # every vector indexed once
+
+    q = vecs[[0, 7]]
+    _, f1 = plan_probe_files(idx, q, nprobe=1)
+    _, f3 = plan_probe_files(idx, q, nprobe=3)
+    assert len(f1) <= 2 < n_files  # two queries, one probe each
+    assert len(f1) < len(f3) < n_files  # bytes read grow with nprobe only
+
+    got = ivf_topk_indexed(idx, q, k=10, nprobe=3).to_pandas()
+    want = ivf_topk(ds, cents, q, k=10, nprobe=3).to_pandas()
+    assert got.equals(want)
+    assert got[got["query_idx"] == 0].iloc[0]["vec_id"] == 0

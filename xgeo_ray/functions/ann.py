@@ -146,6 +146,106 @@ def ivf_assign(
     return emb.map_batches(Assign(c_ref), batch_format="pyarrow")
 
 
+def build_ivf_index(
+    emb: ray.data.Dataset,
+    centroids: np.ndarray,
+    index_dir: str,
+    vec_col: str = "embedding",
+) -> dict:
+    """Write the IVF index as PARTITIONED Parquet: one file per inverted
+    list (``part-NNNNN.parquet``) plus a tiny ``_ivf.json`` manifest with
+    the centroids — so a probe-time reader opens only the nprobe files it
+    needs, scaling I/O with nprobe, not dataset size (the layout a 100 TB
+    index writes by; the same one-directory-per-partition discipline as
+    state.delta_table)."""
+    import json
+    import os
+
+    from xgeo_ray.pipelines.ingest import _atomic_write_parquet
+
+    os.makedirs(index_dir, exist_ok=True)
+    assigned = ivf_assign(emb, centroids, vec_col)
+
+    def write_part(g: pa.Table) -> pa.Table:
+        from xgeo_ray.tuning import limit_worker_threads
+
+        limit_worker_threads()
+        p = int(g.column("ivf_part")[0].as_py())
+        path = os.path.join(index_dir, f"part-{p:05d}.parquet")
+        _atomic_write_parquet(g.drop_columns(["ivf_part"]), path)
+        return pa.table(
+            {"ivf_part": pa.array([p], pa.int32()), "rows": pa.array([g.num_rows], pa.int64())}
+        )
+
+    write_part.__name__ = "write_ivf_part"
+    stats = (
+        assigned.groupby("ivf_part")
+        .map_groups(write_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    manifest = {
+        "centroids": centroids.tolist(),
+        "vec_col": vec_col,
+        "parts": {int(r.ivf_part): int(r.rows) for r in stats.itertuples()},
+    }
+    tmp = os.path.join(index_dir, "_ivf.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, "_ivf.json"))
+    return manifest
+
+
+def plan_probe_files(
+    index_dir: str, query_vecs: np.ndarray, nprobe: int
+) -> tuple[np.ndarray, list[str]]:
+    """(centroids, index files to read) for a query batch — the
+    probe-pruned read plan; files for partitions no query probes are
+    never opened."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_ivf.json")) as f:
+        manifest = json.load(f)
+    cents = np.asarray(manifest["centroids"], dtype=np.float64)
+    q = query_vecs.astype(np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    q = q / qn[:, None]
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(p) for row in probe for p in row})
+    avail = {int(p) for p in manifest["parts"]}
+    files = [
+        os.path.join(index_dir, f"part-{p:05d}.parquet")
+        for p in wanted
+        if p in avail  # empty inverted lists have no file
+    ]
+    return cents, files
+
+
+def ivf_topk_indexed(
+    index_dir: str,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Approximate top-k against a ``build_ivf_index`` directory: reads
+    ONLY the nprobe probed partitions' files — bytes touched scale with
+    nprobe, not with the index size."""
+    _, files = plan_probe_files(index_dir, query_vecs, nprobe)
+    if not files:
+        return pa.table(
+            {
+                "query_idx": pa.array([], pa.int32()),
+                id_col: pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int32()),
+            }
+        )
+    ds = ray.data.read_parquet(files)
+    return brute_force_topk(ds, query_vecs, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def ivf_topk(
     emb: ray.data.Dataset,
     centroids: np.ndarray,
@@ -156,7 +256,9 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> pa.Table:
     """Approximate top-k probing only the ``nprobe`` nearest IVF
-    partitions per query — the scan touches a fraction of the data."""
+    partitions per query. In-memory variant: assigns + filters the input
+    dataset (saves compute, not I/O — use build_ivf_index +
+    ivf_topk_indexed for the persisted, probe-pruned-read path)."""
     q = query_vecs.astype(np.float64)
     qn = np.linalg.norm(q, axis=1)
     qn[qn == 0] = 1.0

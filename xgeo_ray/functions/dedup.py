@@ -447,16 +447,36 @@ class SimHasher:
         return batch.append_column("simhash", pa.array(hs.view(np.int64), pa.int64()))
 
 
+_EXACT_KEYS = ("xgeo_exact_h1_v1", "xgeo_exact_h2_v1")  # 16-byte siphash keys
+CONTENT_HASH_COLS = ["__ch1", "__ch2"]
+
+
+def add_content_hash(batch: pa.Table, content_col: str = "text") -> pa.Table:
+    """Two independent 64-bit siphashes of the content column — a 128-bit
+    composite key (collision odds ~n²/2¹²⁹: none expected below ~10¹⁹
+    documents), so dedup shuffles 16 bytes per row instead of the text."""
+    texts = np.asarray(
+        batch.column(content_col).to_numpy(zero_copy_only=False), dtype=object
+    )
+    for col, key in zip(CONTENT_HASH_COLS, _EXACT_KEYS):
+        h = pd.util.hash_array(texts, hash_key=key, categorize=False)
+        batch = batch.append_column(col, pa.array(h.view(np.int64), pa.int64()))
+    return batch
+
+
 def exact_dedup_groups(docs: ray.data.Dataset, content_col: str = "text"):
-    """Exact dedup: group by content, keep (representative=min id, count).
-    At scale the groupby key would be a content hash computed per batch so
-    only (hash, id) crosses the shuffle — here text is the key directly
-    for oracle comparability."""
+    """Exact dedup: group by a 128-bit content hash computed per batch,
+    keep (representative=min id, count). Only (hash, id) crosses the
+    shuffle — never the content itself."""
     from xgeo_ray.functions.relational import partial_group_agg
 
+    keyed = docs.select_columns([content_col, "doc_id"]).map_batches(
+        lambda b: add_content_hash(b, content_col).drop_columns([content_col]),
+        batch_format="pyarrow",
+    )
     return partial_group_agg(
-        docs.select_columns([content_col, "doc_id"]),
-        [content_col],
+        keyed,
+        CONTENT_HASH_COLS,
         [("doc_id", "min", "doc_id"), ("doc_id", "count", "n_copies")],
     ).select_columns(["doc_id", "n_copies"])
 

@@ -222,6 +222,103 @@ def asof_join_per_key(
     return left.map_batches(AsOf(right_ref), batch_format="pandas")
 
 
+def asof_join_partitioned(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_by: str,
+    right_by: str,
+    left_on: str,
+    right_on: str,
+    direction: str = "backward",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Both-sides-large as-of join: co-partition left and right on the
+    hash of their key column, then run a pandas merge_asof inside each
+    bucket. Correct because every key lives in exactly one bucket on both
+    sides; neither side is broadcast or materialized. Use
+    ``asof_join_per_key`` (broadcast right) only when the right side is
+    genuinely small."""
+
+    def tag(by_col: str, side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.append_column(
+                _BUCKET_COL, pa.array(_key_buckets(batch, [by_col], num_buckets))
+            )
+            return batch.append_column("__side", pa.array([side] * batch.num_rows))
+
+        fn.__name__ = f"tag_{side}"
+        return fn
+
+    lt = left.map_batches(tag(left_by, "l"), batch_format="pyarrow")
+    rt = right.map_batches(tag(right_by, "r"), batch_format="pyarrow")
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+    if set(left_cols) & set(right_cols):
+        raise ValueError(
+            "asof_join_partitioned requires disjoint column names; "
+            f"shared: {sorted(set(left_cols) & set(right_cols))}"
+        )
+    ordered = left_cols + right_cols + [_BUCKET_COL, "__side"]
+
+    # align the union schema: each side null-fills the other's columns,
+    # then both project to one canonical column order
+    def widen(other_schema: pa.Schema):
+        def fn(batch: pa.Table) -> pa.Table:
+            for f in other_schema:
+                if f.name not in batch.column_names:
+                    batch = batch.append_column(
+                        f.name, pa.nulls(batch.num_rows, f.type)
+                    )
+            return batch.select(ordered)
+
+        fn.__name__ = "widen"
+        return fn
+
+    lt = lt.map_batches(widen(_schema_of(right)), batch_format="pyarrow")
+    rt = rt.map_batches(widen(_schema_of(left)), batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        list(_schema_of(left)) + list(_schema_of(right))
+    )
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # split sides in ARROW: each side's own columns are null-free, so
+        # the pandas conversion keeps exact dtypes (a pandas-side split
+        # would see the union's null fill and widen int64 -> float64)
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        l = g.filter(pa.array(side == "l")).select(left_cols).to_pandas()
+        r = g.filter(pa.array(side == "r")).select(right_cols).to_pandas()
+        if len(l) == 0:
+            return out_schema.empty_table()
+        l = l.sort_values(left_on, kind="stable")
+        r = r.sort_values(right_on, kind="stable")
+        out = pd.merge_asof(
+            l,
+            r,
+            left_on=left_on,
+            right_on=right_on,
+            left_by=left_by,
+            right_by=right_by,
+            direction=direction,
+        )
+        # per-column from_pandas: unmatched rows are NaN in pandas, which
+        # from_pandas maps to nulls (a whole-table cast would refuse the
+        # float->int truncation)
+        cols = [
+            pa.Array.from_pandas(out[f.name], type=f.type) for f in out_schema
+        ]
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    return lt.union(rt).groupby(_BUCKET_COL).map_groups(
+        join_bucket, batch_format="pyarrow"
+    )
+
+
+def _schema_of(ds: ray.data.Dataset) -> pa.Schema:
+    s = ds.schema()
+    return pa.schema(list(zip(s.names, s.types)))
+
+
 def top_k(
     ds: ray.data.Dataset, sort_cols: list[str], descending: list[bool], k: int
 ) -> ray.data.Dataset:
@@ -258,27 +355,49 @@ def sessionize(
     ts_col: str,
     order_tiebreak: str,
     gap_us: int,
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """Session windows per key: a new session starts when the gap from the
-    previous event exceeds ``gap_us``. groupby(key).map_groups with a
-    vectorized per-group computation; requires each key to fit in one
-    group (guaranteed by the groupby shuffle)."""
+    """Session windows per key: a new session starts when the gap from
+    the previous event exceeds ``gap_us``.
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, order_tiebreak], kind="stable")
+    Shuffles on a coarse key-hash BUCKET and computes every key in the
+    bucket with one sort + numpy boundary masks — one Python call per
+    bucket, not per key (Ray's per-group map_groups degrades to
+    Python-loop speed at high key cardinality; same fix as
+    partial_group_agg). Every key lives in exactly one bucket, so the
+    per-key session count is exact."""
+
+    bucketed = ds.map_batches(
+        lambda b: b.append_column(
+            _BUCKET_COL, pa.array(_key_buckets(b, [key], num_buckets))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, order_tiebreak], kind="stable")
         t = g[ts_col].astype("int64").to_numpy()
-        new_sess = np.ones(len(t), dtype=np.int64)
-        if len(t) > 1:
-            new_sess[1:] = (t[1:] - t[:-1] > gap_us).astype(np.int64)
+        k = g[key].to_numpy()
+        n = len(g)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = k[1:] != k[:-1]
+        gap = np.ones(n, dtype=bool)
+        gap[1:] = (t[1:] - t[:-1]) > gap_us
+        new_sess = (new_key | gap).astype(np.int64)
+        starts = np.flatnonzero(new_key)
+        ends = np.append(starts[1:], n)
+        cs = np.concatenate([[0], np.cumsum(new_sess)])
         return pd.DataFrame(
             {
-                key: [g[key].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [int(new_sess.sum())],
+                key: k[starts],
+                "n_events": (ends - starts).astype(np.int64),
+                "n_sessions": (cs[ends] - cs[starts]).astype(np.int64),
             }
         )
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return bucketed.groupby(_BUCKET_COL).map_groups(
+        per_bucket, batch_format="pandas"
+    )
 
 
 def grouped_top_k(
