@@ -114,7 +114,10 @@ def run_bench() -> dict:
     table_root = f"/tmp/xgeo_bench_table_{os.getpid()}"
     shutil.rmtree(table_root, ignore_errors=True)
     table = DeltaTable.create(
-        table_root, num_partitions=_NUM_PARTITIONS, num_salts=_NUM_SALTS
+        table_root,
+        num_partitions=_NUM_PARTITIONS,
+        num_salts=_NUM_SALTS,
+        durability=os.environ.get("XGEO_BENCH_DURABILITY", "full"),
     )
 
     t0 = time.perf_counter()
@@ -122,6 +125,19 @@ def run_bench() -> dict:
     ing.run_stream(table, segs, segments_per_epoch=_SPE)
     n_final = ing.snapshot(table).count()
     headline = time.perf_counter() - t0
+
+    # compaction: fold every partition's delta chain into one file, then
+    # prove the merged view is unchanged (cheap count check). Skipped in
+    # the scaling subprocesses (XGEO_BENCH_SKIP_QUERIES) where only the
+    # ingest wall time is under measurement.
+    compact_sec, files_before, files_after = None, None, None
+    if not _SKIP_QUERIES:
+        files_before = sum(len(v) for v in table.partition_files().values())
+        tc = time.perf_counter()
+        ing.compact(table)
+        compact_sec = time.perf_counter() - tc
+        files_after = sum(len(v) for v in table.partition_files().values())
+        assert ing.snapshot(table).count() == n_final, "compact changed state"
 
     total_events = sum(
         m.totals.get("events_read", 0) for m in table.manifests()
@@ -155,6 +171,8 @@ def run_bench() -> dict:
         "events": total_events,
         "events_per_sec": round(total_events / headline),
         "final_rows": n_final,
+        "compact_sec": None if compact_sec is None else round(compact_sec, 3),
+        "compact_files": [files_before, files_after],
     }
     ray.shutdown()
     return out
@@ -169,6 +187,14 @@ def run_scaling() -> dict:
             XGEO_BENCH_SEGMENTS="16",
             XGEO_BENCH_SPE="8",
             XGEO_BENCH_SKIP_QUERIES="1",
+            # THROUGHPUT-scaling evidence runs with manifest-only fsync:
+            # delta-file fsync is a per-NODE disk cost a real N->4N
+            # cluster scales with node count, but this one-box sandbox
+            # has a single shared virtio disk (~0.5 GB/s), so full
+            # durability adds the same ~constant seconds to both levels
+            # and measures the disk, not the engine. The headline bench
+            # keeps durability=full.
+            XGEO_BENCH_DURABILITY=os.environ.get("XGEO_BENCH_DURABILITY", "commit"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -187,7 +213,7 @@ def run_scaling() -> dict:
     # resources too). The full 2/4/8/16/32 curve is in BASELINE.md.
     lo = int(os.environ.get("XGEO_SCALE_LO", "2"))
     hi = int(os.environ.get("XGEO_SCALE_HI", str(4 * lo)))
-    reps = int(os.environ.get("XGEO_SCALE_REPS", "2"))
+    reps = int(os.environ.get("XGEO_SCALE_REPS", "3"))
 
     def measure(ncpu: int) -> tuple[dict, list[float]]:
         """Best-of-reps per level: each run writes ~5 GB of table state,

@@ -231,3 +231,56 @@ def test_cli_tail_drains_and_stops(tmp_path):
     assert r.returncode == 0, r.stderr[-1000:]
     out = _json.loads(r.stdout.strip().splitlines()[-1])
     assert out["events_read"] == 200
+
+
+def test_nested_json_streaming_source(tmp_path):
+    """One giant JSON document with a records array (the reference's
+    FeatureCollection shape, io/geojson.go) streams in bounded batches,
+    plain and gzipped, and ingests as a WAL segment."""
+    import gzip
+    import json
+
+    import pandas as pd
+
+    from xgeo_ray import fixtures as fx
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.sources.wal import (
+        iter_nested_json_records,
+        read_segment,
+        segment_row_count,
+        segment_schema,
+    )
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    events = fx.make_change_events(300, n_convs=8, turns_per_conv=5)
+    rows = [
+        {**r, "ts": r["ts"].isoformat()} for r in events.to_pylist()
+    ]
+    doc = {"version": 1, "producer": "test", "records": rows, "trailer": "x"}
+    p = tmp_path / "wal.json"
+    p.write_text(json.dumps(doc))
+    pgz = tmp_path / "wal2.json.gz"
+    with gzip.open(pgz, "wt") as f:
+        json.dump(doc, f)
+
+    # generator streams every record, in order, from both encodings
+    got = list(iter_nested_json_records(str(p)))
+    assert len(got) == events.num_rows
+    assert got[0]["seq"] == events.column("seq")[0].as_py()
+    assert len(list(iter_nested_json_records(str(pgz)))) == events.num_rows
+
+    assert segment_row_count(str(p)) == events.num_rows
+    assert "conv_id" in segment_schema(str(p)).names
+
+    ds = read_segment(str(p))
+    assert ds.count() == events.num_rows
+
+    # full WAL ingest from the nested document
+    table = DeltaTable.create(str(tmp_path / "t"), num_partitions=4, num_salts=1)
+    ing.run_stream(table, [str(p)])
+    want = fx.naive_final_state(None, events)
+    got_df = (
+        ing.snapshot(table).to_pandas().sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got_df["text"].tolist() == want.column("text").to_pylist()

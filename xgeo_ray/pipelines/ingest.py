@@ -120,6 +120,7 @@ class NormalizeCollapsePartition:
         num_partitions: int,
         num_salts: int,
         transform=None,
+        precombine: bool = True,
     ):
         # limit_worker_threads happens in the task body (_radix_map), not
         # here: driver-side __init__ would clamp the DRIVER's Arrow pools.
@@ -127,6 +128,9 @@ class NormalizeCollapsePartition:
         self.p = num_partitions
         self.s = num_salts
         self.transform = transform
+        # non-precombinable merge policies (e.g. additive) must see the
+        # epoch's full key history at the owner partition
+        self.precombine = precombine
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from xgeo_ray.stages.collapse import maybe_precollapse
@@ -134,7 +138,8 @@ class NormalizeCollapsePartition:
         batch = self.norm(batch)
         if self.transform is not None:
             batch = self.transform(batch)
-        batch = maybe_precollapse(batch)
+        if self.precombine:
+            batch = maybe_precollapse(batch)
         return add_part_key(batch, self.p, self.s)
 
 
@@ -156,6 +161,7 @@ class ApplyPartition:
         envelope_schema: pa.Schema,
         watermarks: np.ndarray,
         durable: bool = True,
+        policy: str = "lww",
     ):
         # NOTE: no limit_worker_threads() here — instance-passed stages are
         # constructed on the DRIVER (pickled to workers, __init__ never
@@ -165,6 +171,12 @@ class ApplyPartition:
         self.schema = envelope_schema
         self.wm = watermarks
         self.durable = durable
+        self.policy = policy
+        # resolve the callable HERE (driver): runtime-registered policies
+        # are not in the worker's registry; the pickled instance carries it
+        from xgeo_ray.stages.collapse import MERGE_POLICIES
+
+        self.policy_fn = MERGE_POLICIES[policy]["fn"]
         self.__name__ = "ApplyPartition"  # ray map_groups wraps fn.__name__
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -182,7 +194,11 @@ class ApplyPartition:
         )
 
     def _apply_one(self, part: int, t: pa.Table) -> pa.Table:
-        from xgeo_ray.stages.collapse import collapse_with_metrics
+        from xgeo_ray.stages.collapse import (
+            MERGE_POLICIES,
+            collapse_with_metrics,
+            count_unique_keys_and_seqs,
+        )
 
         rows_in = t.num_rows
         wm = int(self.wm[part])
@@ -190,9 +206,13 @@ class ApplyPartition:
             keep = pc.greater(t.column("seq"), pa.scalar(wm, pa.int64()))
             t = t.filter(keep)
         below_wm = rows_in - t.num_rows
-        collapsed, n_keys, n_trips = collapse_with_metrics(
-            t, drop_tombstones=False
-        )
+        if self.policy == "lww":
+            collapsed, n_keys, n_trips = collapse_with_metrics(
+                t, drop_tombstones=False
+            )
+        else:
+            collapsed = self.policy_fn(t, False)
+            n_keys, n_trips = count_unique_keys_and_seqs(t)
         entry = PartitionEntry(
             part_key=part,
             path=delta_relpath(part, self.epoch),
@@ -310,7 +330,12 @@ def _radix_exchange_apply(
     prep_ref = ray.put(prep)
     apply_ref = ray.put(
         ApplyPartition(
-            table.root, epoch, envelope, wm, durable=table.durability == "full"
+            table.root,
+            epoch,
+            envelope,
+            wm,
+            durable=table.durability == "full",
+            policy=table.merge_policy,
         )
     )
     maps = [
@@ -354,7 +379,12 @@ def _apply_shuffled(
     exchange plugs in."""
     return ds.groupby(PART_COL).map_groups(
         ApplyPartition(
-            table.root, epoch, envelope, wm, durable=table.durability == "full"
+            table.root,
+            epoch,
+            envelope,
+            wm,
+            durable=table.durability == "full",
+            policy=table.merge_policy,
         ),
         batch_format="pyarrow",
     )
@@ -455,8 +485,14 @@ def ingest_segments(
 
     from xgeo_ray.sources.wal import plan_read_chunks
 
+    from xgeo_ray.stages.collapse import MERGE_POLICIES
+
     stage = NormalizeCollapsePartition(
-        envelope, table.num_partitions, table.num_salts, transform=transform
+        envelope,
+        table.num_partitions,
+        table.num_salts,
+        transform=transform,
+        precombine=MERGE_POLICIES[table.merge_policy]["precombinable"],
     )
     chunks = plan_read_chunks(segment_paths)
     entries = _radix_exchange_apply(chunks, stage, table, epoch, envelope, wm)
@@ -486,19 +522,114 @@ def run_stream(
 ) -> list[Manifest]:
     """Process a WAL in epoch-sized gulps, skipping already-committed
     segments — this IS the resume path: call it again after a crash and it
-    continues exactly where the last committed manifest left off."""
+    continues exactly where the last committed manifest left off.
+
+    Epochs are PIPELINED depth-2: epoch i+1's map tasks (read + normalize
+    + pre-collapse + partition split — CPU-bound) launch before epoch i's
+    reduces (concat + sort + delta write — object-store/disk-bound) are
+    awaited, so the two phases overlap across epochs and the saturated
+    resource alternates instead of idling. Exactly-once is unchanged:
+    commits stay strictly ordered, epoch i+1's watermarks are computed
+    from epoch i's collected entries BEFORE its reduces launch (identical
+    to the sequential values), and a crash leaves any in-flight epoch's
+    delta files invisible behind the manifest fence."""
+    from xgeo_ray.sources.wal import (
+        plan_read_chunks,
+        segment_row_count,
+        segment_schema,
+    )
+    from xgeo_ray.state.manifest import validate_envelope
+
     done = table.committed_segments()
     pending = [p for p in (os.path.abspath(s) for s in segment_paths) if p not in done]
-    out = []
-    for i in range(0, len(pending), segments_per_epoch):
-        out.append(
-            ingest_segments(
-                table,
-                pending[i : i + segments_per_epoch],
-                batch_size=batch_size,
-                transform=transform,
+    groups = [
+        pending[i : i + segments_per_epoch]
+        for i in range(0, len(pending), segments_per_epoch)
+    ]
+    if not groups:
+        return []
+    if os.environ.get("XGEO_SEQUENTIAL_EPOCHS"):  # A/B escape hatch
+        return [
+            ingest_segments(table, segs, batch_size=batch_size, transform=transform)
+            for segs in groups
+        ]
+    P = table.num_partitions
+    durable = table.durability == "full"
+    # cumulative schema-evolution plan, all from metadata (fail fast)
+    env = table.current_schema()
+    envs: list[pa.Schema] = []
+    chunk_lists = []
+    for segs in groups:
+        env = validate_envelope(unify(env, *[segment_schema(p) for p in segs]))
+        envs.append(env)
+        chunk_lists.append(plan_read_chunks(segs))
+    wm = table.watermarks()
+    epoch_base = table.latest_epoch()
+    out: list[Manifest] = []
+
+    from xgeo_ray.stages.collapse import MERGE_POLICIES
+
+    def launch_maps(i: int):
+        prep = NormalizeCollapsePartition(
+            envs[i],
+            P,
+            table.num_salts,
+            transform=transform,
+            precombine=MERGE_POLICIES[table.merge_policy]["precombinable"],
+        )
+        prep_ref = ray.put(prep)
+        maps = [
+            _radix_map.options(num_returns=P if P > 1 else None).remote(
+                path, rgs, prep_ref, P
+            )
+            for path, rgs in chunk_lists[i]
+        ]
+        return [[m] for m in maps] if P == 1 else maps
+
+    maps_i = launch_maps(0)
+    for i, segs in enumerate(groups):
+        epoch = epoch_base + 1 + i
+        apply_ref = ray.put(
+            ApplyPartition(
+                table.root,
+                epoch,
+                envs[i],
+                wm,
+                durable=durable,
+                policy=table.merge_policy,
             )
         )
+        reduces = [
+            _radix_reduce.remote(part, apply_ref, *[m[part] for m in maps_i])
+            for part in range(P)
+        ]
+        # the overlap: next epoch's maps start while this epoch reduces
+        maps_i = launch_maps(i + 1) if i + 1 < len(groups) else None
+        entries: list[PartitionEntry] = []
+        for t in ray.get(reduces):
+            if t is None:
+                continue
+            for row in t.to_pylist():
+                entries.append(
+                    PartitionEntry(
+                        **{k: (v if k == "path" else int(v)) for k, v in row.items()}
+                    )
+                )
+        _check_no_split_parts(entries)
+        if os.environ.get("XGEO_CRASH_BEFORE_COMMIT"):
+            os._exit(137)  # crash-injection hook for exactly-once tests
+        events_read = sum(segment_row_count(p) for p in segs)
+        out.append(
+            table.commit_epoch(
+                epoch,
+                segs,
+                entries,
+                envs[i],
+                extra_totals={"events_read": events_read},
+            )
+        )
+        for e in entries:  # epoch i+1 sees exactly the sequential watermarks
+            wm[e.part_key] = max(wm[e.part_key], e.max_seq)
     return out
 
 
@@ -553,9 +684,12 @@ class _MergePartitions:
     """Merge-on-read of one or more partitions (map_batches over a tiny
     dataset of partition descriptors — one task per partition, no shuffle)."""
 
-    def __init__(self, envelope: pa.Schema, keep_lineage: bool):
+    def __init__(self, envelope: pa.Schema, keep_lineage: bool, policy: str = "lww"):
+        from xgeo_ray.stages.collapse import MERGE_POLICIES
+
         self.envelope = envelope
         self.keep = keep_lineage
+        self.policy = MERGE_POLICIES[policy]["fn"] if isinstance(policy, str) else policy
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from xgeo_ray.tuning import limit_worker_threads
@@ -564,7 +698,7 @@ class _MergePartitions:
         out = []
         for row in batch.to_pylist():
             tables = [pq.read_table(p) for p in row["paths"]]
-            t = merge_versions(tables, drop_tombstones=True)
+            t = merge_versions(tables, drop_tombstones=True, policy=self.policy)
             if t.num_rows == 0:
                 continue
             t = cast_to(t, self.envelope)
@@ -581,13 +715,15 @@ class _MergePartitions:
 
 @ray.remote
 def _merge_part_task(
-    paths: list[str], envelope: pa.Schema, keep_lineage: bool
+    paths: list[str], envelope: pa.Schema, keep_lineage: bool, policy: str = "lww"
 ) -> pa.Table:
     from xgeo_ray.tuning import limit_worker_threads
 
     limit_worker_threads()
     tables = [pq.read_table(p, use_threads=False) for p in paths]
-    t = cast_to(merge_versions(tables, drop_tombstones=True), envelope)
+    t = cast_to(
+        merge_versions(tables, drop_tombstones=True, policy=policy), envelope
+    )
     if not keep_lineage:
         t = t.drop_columns(LINEAGE_COLS)
     return t
@@ -606,8 +742,11 @@ def snapshot(table: DeltaTable, keep_lineage: bool = False) -> ray.data.Dataset:
             [f for f in envelope if keep_lineage or f.name not in LINEAGE_COLS]
         ).empty_table()
         return ray.data.from_arrow(empty)
+    from xgeo_ray.stages.collapse import MERGE_POLICIES
+
+    policy_fn = MERGE_POLICIES[table.merge_policy]["fn"]
     refs = [
-        _merge_part_task.remote(paths, envelope, keep_lineage)
+        _merge_part_task.remote(paths, envelope, keep_lineage, policy_fn)
         for _, paths in sorted(plan.items())
     ]
     return ray.data.from_arrow_refs(refs)
@@ -625,6 +764,9 @@ def compact(table: DeltaTable, tombstone_ts_horizon: int | None = None) -> Manif
     epoch = upto + 1
     root = table.root
     durable = table.durability == "full"
+    from xgeo_ray.stages.collapse import MERGE_POLICIES
+
+    policy = MERGE_POLICIES[table.merge_policy]["fn"]
 
     @ray.remote
     def compact_part(part: int, paths: list[str]) -> pa.Table:
@@ -633,7 +775,7 @@ def compact(table: DeltaTable, tombstone_ts_horizon: int | None = None) -> Manif
         limit_worker_threads()
         tables = [pq.read_table(p, use_threads=False) for p in paths]
         rows_in = sum(t.num_rows for t in tables)
-        t = merge_versions(tables, drop_tombstones=False)
+        t = merge_versions(tables, drop_tombstones=False, policy=policy)
         if tombstone_ts_horizon is not None:
             is_d = pc.equal(t.column("op"), "D")
             old = pc.less(
@@ -671,6 +813,8 @@ def compact(table: DeltaTable, tombstone_ts_horizon: int | None = None) -> Manif
     wm = table.watermarks()
     for e in entries:
         e.max_seq = max(e.max_seq, int(wm[e.part_key]))
+    if os.environ.get("XGEO_CRASH_BEFORE_COMPACT_COMMIT"):
+        os._exit(137)  # crash-injection hook: compacted files are orphans
     return table.commit_epoch(
         epoch, [], entries, envelope, kind="compact", replaces_up_to=upto
     )
@@ -683,6 +827,7 @@ def _export_part(
     envelope: pa.Schema,
     out_dir: str,
     keep_lineage: bool,
+    policy: str = "lww",
 ):
     """Merge-and-write one partition's visible files to the export dir;
     skipped entirely when the output file already exists (resume)."""
@@ -693,7 +838,7 @@ def _export_part(
     if os.path.exists(final):
         return (part, -1)
     tables = [pq.read_table(p, use_threads=False) for p in paths]
-    t = merge_versions(tables, drop_tombstones=True)
+    t = merge_versions(tables, drop_tombstones=True, policy=policy)
     t = cast_to(t, envelope)
     if not keep_lineage:
         t = t.drop_columns(LINEAGE_COLS)
@@ -712,8 +857,13 @@ def export_snapshot(
     os.makedirs(out_dir, exist_ok=True)
     plan = table.partition_files()
     envelope = table.current_schema()
+    from xgeo_ray.stages.collapse import MERGE_POLICIES
+
+    policy_fn = MERGE_POLICIES[table.merge_policy]["fn"]
     refs = [
-        _export_part.remote(part, paths, envelope, out_dir, keep_lineage)
+        _export_part.remote(
+            part, paths, envelope, out_dir, keep_lineage, policy_fn
+        )
         for part, paths in sorted(plan.items())
     ]
     results = ray.get(refs)

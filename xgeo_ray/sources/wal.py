@@ -72,6 +72,8 @@ def read_segment(path: str) -> ray.data.Dataset:
         n_blocks = plan_num_blocks(os.path.getsize(path))
         return ray.data.read_parquet(path, override_num_blocks=n_blocks)
     if logical.endswith((".json", ".jsonl", ".ndjson")):
+        if logical.endswith(".json") and _sniff_nested_json(path, codec):
+            return read_nested_json(path)
         # ray.data.read_json handles gzip via arrow_open_stream_args
         kwargs = {}
         if codec:
@@ -133,6 +135,133 @@ def read_segments_dispatch(paths: list[str]) -> list[ray.data.Dataset]:
     return [read_segment(p) for p in paths]
 
 
+# ---------------------------------------------------- nested-JSON streaming
+
+_NESTED_CHUNK = 1 << 16  # 64 KiB read unit (reference used 16 KiB: geojson.go:8)
+_NESTED_HEAD_CAP = 1 << 24  # refuse >16 MiB of pre-records header
+
+
+def iter_nested_json_records(path: str, records_key: str = "records"):
+    """Constant-memory incremental parse of ONE huge JSON document
+    ``{..., "<records_key>": [ {...}, {...}, ... ], ...}`` — the direct
+    analogue of the reference's streaming FeatureCollection reader
+    (/root/reference/io/geojson.go:20-43: fixed read buffer, skip keys
+    until the target array, then decode one element at a time). Yields
+    dicts; memory is bounded by one record + one read chunk regardless of
+    file size. Transparent decompression by suffix as everywhere else.
+
+    Limitation (documented): the key is located textually, so a byte-
+    identical '"records_key"' inside an earlier STRING VALUE would
+    mis-anchor; keep the target array first-ish in the document (the
+    reference's skipToFeatures has the same shallow-scan spirit).
+    """
+    import json
+
+    logical, codec = _strip_compression(path)
+    dec = json.JSONDecoder()
+    needle = f'"{records_key}"'
+    with pa.input_stream(path, compression=codec) as f:
+        buf = ""
+        while True:
+            chunk = f.read(_NESTED_CHUNK)
+            if not chunk:
+                raise ValueError(f"key {records_key!r} not found in {path}")
+            buf += chunk.decode("utf-8")
+            i = buf.find(needle)
+            if i >= 0:
+                j = buf.find("[", i + len(needle))
+                if j >= 0:
+                    buf = buf[j + 1 :]
+                    break
+                buf = buf[i:]  # key seen, '[' not yet — keep from the key
+            else:
+                buf = buf[-(len(needle) - 1) :]  # keep a possible prefix
+            if len(buf) > _NESTED_HEAD_CAP:
+                raise ValueError("records array not found within header cap")
+        while True:
+            buf = buf.lstrip()
+            while buf[:1] == ",":
+                buf = buf[1:].lstrip()
+            if buf[:1] == "]":
+                return
+            try:
+                obj, end = dec.raw_decode(buf)
+            except json.JSONDecodeError:
+                chunk = f.read(_NESTED_CHUNK)
+                if not chunk:
+                    raise
+                buf += chunk.decode("utf-8")
+                continue
+            yield obj
+            buf = buf[end:]
+
+
+def _nested_json_batches(
+    path: str, records_key: str = "records", batch_rows: int = 8192
+):
+    """Arrow-batch generator over iter_nested_json_records."""
+    rows: list[dict] = []
+    for obj in iter_nested_json_records(path, records_key):
+        rows.append(obj)
+        if len(rows) >= batch_rows:
+            yield pa.Table.from_pylist(rows)
+            rows = []
+    if rows:
+        yield pa.Table.from_pylist(rows)
+
+
+def read_nested_json(
+    path: str, records_key: str = "records", batch_rows: int = 8192
+) -> ray.data.Dataset:
+    """Dataset over one giant nested-JSON document, streamed in bounded
+    Arrow blocks by a single read task (a lone JSON array is not
+    splittable without parsing — exactly the reference's single-reader
+    model, generalized to blocks with backpressure)."""
+    from ray.data.block import BlockMetadata
+    from ray.data.datasource import Datasource, ReadTask
+
+    class _NestedJson(Datasource):
+        def estimate_inmemory_data_size(self):
+            return None
+
+        def get_read_tasks(self, parallelism: int):
+            meta = BlockMetadata(
+                num_rows=None,
+                size_bytes=None,
+                input_files=[path],
+                exec_stats=None,
+            )
+
+            def _read():
+                yield from _nested_json_batches(path, records_key, batch_rows)
+
+            return [ReadTask(_read, meta)]
+
+        def get_name(self):
+            return "NestedJson"
+
+    return ray.data.read_datasource(_NestedJson())
+
+
+def _sniff_nested_json(path: str, codec: str | None) -> bool:
+    """True when a .json file is one big object (stream it) rather than
+    JSON-lines (whose first line is a complete record)."""
+    with pa.input_stream(path, compression=codec) as f:
+        head = f.read(4096).decode("utf-8", errors="replace").lstrip()
+    if not head.startswith("{"):
+        return False
+    first_line = head.split("\n", 1)[0].rstrip()
+    if first_line.endswith("}"):  # a full object per line -> JSONL
+        import json
+
+        try:
+            json.loads(first_line)
+            return False
+        except json.JSONDecodeError:
+            return True
+    return True
+
+
 def segment_schema(path: str) -> pa.Schema:
     """Segment schema from metadata only: Parquet footer, or a bounded
     head-sample parse for JSON (the analogue of the reference's 16 KiB
@@ -141,6 +270,10 @@ def segment_schema(path: str) -> pa.Schema:
     if logical.endswith(".parquet"):
         return pq.read_schema(path)
     if logical.endswith((".json", ".jsonl", ".ndjson")):
+        if logical.endswith(".json") and _sniff_nested_json(path, codec):
+            for batch in _nested_json_batches(path, batch_rows=256):
+                return batch.schema
+            raise ValueError(f"empty nested-JSON segment: {path}")
         with pa.input_stream(path, compression=codec) as f:
             head = f.read(256 * 1024)
         head = head[: head.rfind(b"\n") + 1] or head
@@ -171,6 +304,8 @@ def segment_row_count(path: str) -> int:
     if logical.endswith(".parquet"):
         return pq.read_metadata(path).num_rows
     if logical.endswith((".json", ".jsonl", ".ndjson")):
+        if logical.endswith(".json") and _sniff_nested_json(path, codec):
+            return sum(1 for _ in iter_nested_json_records(path))
         n = 0
         with pa.input_stream(path, compression=codec) as f:
             while chunk := f.read(1 << 20):
@@ -223,6 +358,14 @@ def read_segment_table(path: str) -> pa.Table:
     if logical.endswith(".parquet"):
         return pq.read_table(path, use_threads=False)
     if logical.endswith((".json", ".jsonl", ".ndjson")):
+        if logical.endswith(".json") and _sniff_nested_json(path, codec):
+            from xgeo_ray.schemas import cast_to, unify
+
+            batches = list(_nested_json_batches(path))
+            if not batches:
+                return pa.table({})
+            target = unify(*[b.schema for b in batches])
+            return pa.concat_tables([cast_to(b, target) for b in batches])
         with pa.input_stream(path, compression=codec) as f:
             return pa_json.read_json(f)
     if logical.endswith(".csv"):

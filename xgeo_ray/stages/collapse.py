@@ -130,16 +130,96 @@ def count_unique_keys_and_seqs(t: pa.Table) -> tuple[int, int]:
     return int(new_key.sum()), int(new_trip.sum())
 
 
-def merge_versions(tables: list[pa.Table], drop_tombstones: bool = True) -> pa.Table:
-    """Merge row-version tables (base + epoch deltas) under LWW.
+def additive_collapse(t: pa.Table, drop_tombstones: bool) -> pa.Table:
+    """Additive merge policy: per primary key, NUMERIC data columns (not
+    ts/seq/turn_idx) accumulate by SUM; non-numeric columns and ts/seq
+    take the last writer's value by (ts, seq); a key whose last writer is
+    a tombstone drops (with ``drop_tombstones``) or keeps the tombstone
+    row with the accumulated sums (epoch-delta form).
+
+    Exact duplicates — redelivered (conv_id, turn_idx, seq) triples —
+    are removed BEFORE summing, so at-least-once delivery cannot double
+    count. NOT pre-combinable across batches: a cross-batch duplicate
+    would evade the dedup, so the pre-shuffle collapse is skipped for
+    this policy (the owner partition sees the epoch's full key history).
+    Associativity across EPOCHS holds because seq watermarks make epochs
+    disjoint: a sum of epoch sums is the total sum.
+    """
+    if t.num_rows == 0:
+        return t
+    t = t.sort_by(
+        [
+            ("conv_id", "ascending"),
+            ("turn_idx", "ascending"),
+            ("ts", "ascending"),
+            ("seq", "ascending"),
+        ]
+    )
+    codes, turn = _key_codes(t)
+    seq = t.column("seq").to_numpy(zero_copy_only=False)
+    key_change = np.empty(len(codes), dtype=bool)
+    key_change[0] = True
+    key_change[1:] = (codes[1:] != codes[:-1]) | (turn[1:] != turn[:-1])
+    # drop redelivered duplicates: same key AND same seq as previous row
+    fresh = key_change | np.concatenate([[True], seq[1:] != seq[:-1]])
+    t = t.filter(pa.array(fresh))
+    codes, turn = _key_codes(t)
+    starts = np.flatnonzero(
+        np.concatenate(
+            [[True], (codes[1:] != codes[:-1]) | (turn[1:] != turn[:-1])]
+        )
+    )
+    last = np.append(starts[1:], len(codes)) - 1
+    out = t.take(last)  # last writer per key for non-summed columns
+    skip = {"conv_id", "turn_idx", "ts", "seq", "op"}
+    for i, f in enumerate(t.schema):
+        if f.name in skip or not (
+            pa.types.is_integer(f.type) or pa.types.is_floating(f.type)
+        ):
+            continue
+        col = t.column(f.name)
+        vals = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(vals, starts)
+        out = out.set_column(i, f.name, pa.array(sums).cast(f.type))
+    if drop_tombstones:
+        not_d = pc.fill_null(pc.not_equal(out.column("op"), "D"), True)
+        out = out.filter(not_d)
+    return out
+
+
+# Pluggable merge policies (SURVEY §2.10c): conflict resolution between
+# row versions of one primary key. A policy is
+#   fn(table, drop_tombstones) -> table  (one row per surviving key)
+# plus a flag saying whether the pre-shuffle partial collapse is sound
+# for it. "lww" is the default and keeps its fused metrics fast path.
+MERGE_POLICIES: dict[str, dict] = {}
+
+
+def register_merge_policy(name: str, fn, precombinable: bool) -> None:
+    MERGE_POLICIES[name] = {"fn": fn, "precombinable": precombinable}
+
+
+register_merge_policy("lww", lww_collapse, precombinable=True)
+register_merge_policy("additive", additive_collapse, precombinable=False)
+
+
+def merge_versions(
+    tables: list[pa.Table], drop_tombstones: bool = True, policy="lww"
+) -> pa.Table:
+    """Merge row-version tables (base + epoch deltas) under the merge
+    policy (default last-writer-wins). ``policy`` is a registered name OR
+    the policy callable itself — callers crossing a process boundary
+    resolve the name on the driver and ship the callable, so runtime-
+    registered policies work without a worker-side registry.
 
     Schemas are unified first (schema evolution: added columns null-fill,
     widened ints cast — see xgeo_ray.schemas.unify), then a single
-    collapse picks the winner per key.
+    collapse resolves each key.
     """
     tables = [t for t in tables if t is not None and t.num_rows > 0]
     if not tables:
         return pa.table({})
     target = unify(*[t.schema for t in tables])
     t = pa.concat_tables([cast_to(t, target) for t in tables])
-    return lww_collapse(t, drop_tombstones=drop_tombstones)
+    fn = policy if callable(policy) else MERGE_POLICIES[policy]["fn"]
+    return fn(t, drop_tombstones)

@@ -68,11 +68,13 @@ class DeltaTable:
         num_partitions: int,
         num_salts: int,
         durability: str = "full",
+        merge_policy: str = "lww",
     ):
         self.root = root
         self.num_partitions = num_partitions
         self.num_salts = num_salts
         self.durability = durability
+        self.merge_policy = merge_policy
 
     # ------------------------------------------------------------- lifecycle
     @classmethod
@@ -83,6 +85,7 @@ class DeltaTable:
         num_salts: int = 4,
         base_schema: pa.Schema = TRANSCRIPTS_SCHEMA,
         durability: str = "full",
+        merge_policy: str = "lww",
     ) -> "DeltaTable":
         """``durability``:
         * ``"full"`` (default) — every delta Parquet is fsync'd (file and
@@ -98,6 +101,13 @@ class DeltaTable:
         """
         if durability not in ("full", "commit"):
             raise ValueError(f"unknown durability {durability!r}")
+        from xgeo_ray.stages.collapse import MERGE_POLICIES
+
+        if merge_policy not in MERGE_POLICIES:
+            raise ValueError(
+                f"unknown merge_policy {merge_policy!r}; "
+                f"registered: {sorted(MERGE_POLICIES)}"
+            )
         os.makedirs(root, exist_ok=True)
         meta = {
             "num_partitions": num_partitions,
@@ -105,13 +115,14 @@ class DeltaTable:
             "base_schema": schema_to_json(base_schema),
             "format_version": 1,
             "durability": durability,
+            "merge_policy": merge_policy,
         }
         p = os.path.join(root, TABLE_META)
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
         os.replace(tmp, p)
-        return cls(root, num_partitions, num_salts, durability)
+        return cls(root, num_partitions, num_salts, durability, merge_policy)
 
     @classmethod
     def open(cls, root: str) -> "DeltaTable":
@@ -122,6 +133,7 @@ class DeltaTable:
             meta["num_partitions"],
             meta["num_salts"],
             meta.get("durability", "full"),
+            meta.get("merge_policy", "lww"),
         )
 
     @classmethod
