@@ -380,3 +380,28 @@ def test_ivf_indexed_reads_only_probed_partitions(tmp_path):
     want = ivf_topk(ds, cents, q, k=10, nprobe=3).to_pandas()
     assert got.equals(want)
     assert got[got["query_idx"] == 0].iloc[0]["vec_id"] == 0
+
+
+def test_normalize_and_pii_redaction_kernels():
+    """Real Unicode + PII inputs (the sf fixtures are plain ASCII, so
+    their oracle rows exercise only plumbing; these pin the semantics)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                [
+                    "Café LATTE",  # e + combining acute -> é under NFC
+                    "mail a.b+c@ex-ample.org or call +1 (415) 555-0199, "
+                    "ssn 123-45-6789, host 10.0.0.1",
+                ]
+            ),
+        }
+    )
+    out = tx.normalize_text(t, form="NFC", casefold=True)
+    assert out.column("text_norm").to_pylist()[0] == "café latte"
+
+    red = tx.PiiRedactor()(t)
+    r1 = red.column("text_redacted").to_pylist()[1]
+    assert "<EMAIL>" in r1 and "<PHONE>" in r1 and "<SSN>" in r1 and "<IP>" in r1
+    assert "a.b+c@" not in r1 and "555-0199" not in r1
+    assert red.column("n_redactions").to_pylist() == [0, 4]

@@ -110,6 +110,68 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(pred, pa.string()))
 
 
+def normalize_text(
+    batch: pa.Table,
+    text_col: str = "text",
+    form: str = "NFC",
+    casefold: bool = False,
+    out_col: str = "text_norm",
+) -> pa.Table:
+    """Unicode normalization (+ optional lowercase) — the scalar-library
+    breadth the reference's lock tier implies (SURVEY §2.8), text-domain
+    counterpart of its geometry normalizers.
+
+    Uses CPython's unicodedata (one C call per string): this pyarrow's
+    utf8_normalize does NOT compose combining sequences under NFC
+    (e + U+0301 stays decomposed), diverging from UAX#15 and from
+    DuckDB's nfc_normalize — so Arrow's kernel would silently break
+    oracle parity on real Unicode."""
+    import unicodedata
+
+    texts = batch.column(text_col).to_pylist()
+    normed = [
+        None if t is None else unicodedata.normalize(form, t) for t in texts
+    ]
+    col: pa.Array | pa.ChunkedArray = pa.array(normed, pa.string())
+    if casefold:
+        col = pc.utf8_lower(col)
+    return batch.append_column(out_col, col)
+
+
+# RE2 syntax on BOTH sides: Arrow's replace_substring_regex and DuckDB's
+# regexp_replace are RE2, so the oracle replays these byte-for-byte.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # SSN before phone: the looser phone run would swallow 123-45-6789
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+class PiiRedactor:
+    """Vectorized PII redaction: per pattern, one Arrow
+    count_substring_regex (lineage metric) + one replace_substring_regex
+    over the whole column. Order matters (SSN/phone before bare number
+    runs would); patterns apply in PII_PATTERNS order on both the engine
+    and the SQL oracle. Instance-passed task stage — setup is a pattern
+    list, no actor pool needed."""
+
+    def __init__(self, text_col: str = "text", patterns=None):
+        self.text_col = text_col
+        self.patterns = patterns or PII_PATTERNS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_col)
+        counts_total = None
+        for name, pat, token in self.patterns:
+            n = pc.count_substring_regex(col, pattern=pat).cast(pa.int64())
+            counts_total = n if counts_total is None else pc.add(counts_total, n)
+            col = pc.replace_substring_regex(col, pattern=pat, replacement=token)
+        batch = batch.append_column("text_redacted", col)
+        return batch.append_column("n_redactions", counts_total)
+
+
 def fingerprint64(texts: np.ndarray, seed: int = 1315423911) -> np.ndarray:
     """Deterministic 64-bit document fingerprint: min of rolling Karp-
     Rabin hashes over 8-byte windows (winnowing-style content signature).

@@ -182,6 +182,79 @@ def cdc_dedup_replay(sf_dir: str):
     return out.select_columns(["conv_id", "turn_idx", "text"])
 
 
+def _derive_amount_events(sf_dir: str) -> ray.data.Dataset:
+    """Counter-style change stream for the additive merge policy demo:
+    same keys/ops as _DERIVE_SQL, amount = value in integer cents
+    (zeroed on deletes so both engines sum identical series)."""
+    ds = _read(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy()
+        mod = eid % 10
+        op = np.where(mod < 6, "I", np.where(mod < 9, "U", "D"))
+        conv = np.char.add("u", b.column("user_id").to_numpy().astype("U20"))
+        amount = np.floor(b.column("value").to_numpy() * 100).astype(np.int64)
+        amount[mod >= 9] = 0
+        return pa.table(
+            {
+                "seq": b.column("event_id"),
+                "op": pa.array(op, pa.string()),
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": pa.array(eid % 40, pa.int64()),
+                "ts": b.column("ts"),
+                "amount": pa.array(amount),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cdc_additive_state(sf_dir: str):
+    """The ADDITIVE merge policy as a pure query: salted partition
+    shuffle, then per-partition additive collapse (numeric columns
+    accumulate per key; a key whose last writer is a tombstone drops) —
+    the same kernel the engine applies when a table is created with
+    merge_policy='additive'."""
+    from xgeo_ray.stages.collapse import additive_collapse
+
+    ds = _derive_amount_events(sf_dir)
+    ds = ds.map_batches(
+        lambda b: add_part_key(b, 16, 2), batch_format="pyarrow"
+    )
+
+    def collapse_group(g: pa.Table) -> pa.Table:
+        out = additive_collapse(g.drop_columns([PART_COL]), drop_tombstones=True)
+        return out.select(["conv_id", "turn_idx", "amount"])
+
+    return ds.groupby(PART_COL).map_groups(collapse_group, batch_format="pyarrow")
+
+
+def text_normalized(sf_dir: str):
+    """Unicode NFC normalization + casefold over the corpus (Arrow
+    utf8_normalize — SURVEY §2.8 scalar family)."""
+    from xgeo_ray.functions.text import normalize_text
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: normalize_text(b, form="NFC", casefold=True),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["doc_id", "text_norm"])
+
+
+def pii_redacted(sf_dir: str):
+    """PII redaction sweep (emails/phones/SSNs/IPs -> typed tokens),
+    RE2 on both engine and oracle."""
+    from xgeo_ray.functions.text import PiiRedactor
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(PiiRedactor(), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "text_redacted", "n_redactions"])
+
+
 # --------------------------------------------------------------- relational
 
 _Q1_DATE = "1998-09-02"
@@ -762,6 +835,9 @@ def build_queries() -> dict:
         "cdc_op_counts": cdc_op_counts,
         "cdc_partition_watermarks": cdc_partition_watermarks,
         "cdc_dedup_replay": cdc_dedup_replay,
+        "cdc_additive_state": cdc_additive_state,
+        "text_normalized": text_normalized,
+        "pii_redacted": pii_redacted,
         "q1_pricing_summary": q1_pricing_summary,
         "region_nation_count": region_nation_count,
         "customer_nation_count": customer_nation_count,
@@ -830,6 +906,65 @@ def build_oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) = 1
               AND op <> 'D'
+        """,
+        "cdc_additive_state": """
+            WITH ev AS (
+              SELECT event_id AS seq,
+                     CASE WHEN event_id % 10 < 6 THEN 'I'
+                          WHEN event_id % 10 < 9 THEN 'U'
+                          ELSE 'D' END AS op,
+                     'u' || CAST(user_id AS VARCHAR) AS conv_id,
+                     event_id % 40 AS turn_idx,
+                     ts,
+                     CASE WHEN event_id % 10 >= 9 THEN 0
+                          ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS amount
+              FROM events
+            ),
+            last AS (
+              SELECT conv_id, turn_idx, op FROM ev
+              QUALIFY row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) = 1
+            )
+            SELECT e.conv_id, e.turn_idx, CAST(SUM(e.amount) AS BIGINT) AS amount
+            FROM ev e JOIN last l USING (conv_id, turn_idx)
+            WHERE l.op <> 'D'
+            GROUP BY e.conv_id, e.turn_idx
+        """,
+        "text_normalized": """
+            SELECT doc_id, lower(nfc_normalize(text)) AS text_norm
+            FROM documents
+        """,
+        # identical RE2 patterns applied in identical order; counts taken
+        # on the intermediate text exactly as the engine does
+        "pii_redacted": r"""
+            WITH t0 AS (SELECT doc_id, text FROM documents),
+            t1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n1,
+                     regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text
+              FROM t0
+            ),
+            t2 AS (
+              SELECT doc_id, n1,
+                     len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n2,
+                     regexp_replace(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS text
+              FROM t1
+            ),
+            t3 AS (
+              SELECT doc_id, n1, n2,
+                     len(regexp_extract_all(text, '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS n3,
+                     regexp_replace(text, '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS text
+              FROM t2
+            ),
+            t4 AS (
+              SELECT doc_id, n1, n2, n3,
+                     len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n4,
+                     regexp_replace(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS text
+              FROM t3
+            )
+            SELECT doc_id, text AS text_redacted,
+                   CAST(n1 + n2 + n3 + n4 AS BIGINT) AS n_redactions
+            FROM t4
         """,
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
