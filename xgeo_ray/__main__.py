@@ -44,6 +44,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("table")
     p.add_argument("--num-partitions", type=int, default=64)
     p.add_argument("--num-salts", type=int, default=4)
+    p.add_argument(
+        "--durability",
+        choices=["full", "commit"],
+        default="full",
+        help="full = fsync delta files before the manifest fence; "
+        "commit = fence-only (process-crash safe)",
+    )
+    p.add_argument(
+        "--merge-policy",
+        default="lww",
+        help="registered merge policy name (lww | additive | custom)",
+    )
 
     p = sub.add_parser("bootstrap", help="load a base parquet as epoch-1 inserts")
     p.add_argument("table")
@@ -104,6 +116,8 @@ def main(argv: list[str] | None = None) -> int:
             args.table,
             num_partitions=args.num_partitions,
             num_salts=args.num_salts,
+            durability=args.durability,
+            merge_policy=args.merge_policy,
         )
         print(json.dumps({"created": args.table}))
         return 0

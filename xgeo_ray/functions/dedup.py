@@ -587,8 +587,6 @@ def ngram_jaccard_dup_pairs(
     ubiquitous shingles at the cost of recall only for pairs whose every
     common shingle is a stop-shingle. None = exact join semantics.
     """
-    from ray.data.aggregate import Count, Max
-
     ex = docs.select_columns(["doc_id", "text"]).map_batches(
         ShingleExploder(k_shingle), batch_format="pyarrow"
     )
@@ -616,8 +614,19 @@ def ngram_jaccard_dup_pairs(
     cands = ex.groupby("bucket").map_groups(
         pairs_in_bucket, batch_format="pandas"
     )
-    agg = cands.groupby(["doc_id_a", "doc_id_b"]).aggregate(
-        Count(), Max("size_a"), Max("size_b")
+    # bucketed vectorized finalize — Ray's per-group aggregate reduce
+    # degrades to Python-loop speed at pair-key cardinality (measured
+    # 44 s vs 0.3 s on 12.5k pair groups at sf0.01)
+    from xgeo_ray.functions.relational import partial_group_agg
+
+    agg = partial_group_agg(
+        cands,
+        ["doc_id_a", "doc_id_b"],
+        [
+            ("size_a", "count", "count()"),
+            ("size_a", "max", "max(size_a)"),
+            ("size_b", "max", "max(size_b)"),
+        ],
     )
 
     def finish(b: pa.Table) -> pa.Table:

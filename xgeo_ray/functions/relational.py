@@ -400,6 +400,72 @@ def sessionize(
     )
 
 
+def sliding_window_count(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    window_us: int,
+    out_col: str = "n_in_window",
+    keep_cols: list[str] | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Sliding time-window aggregate: for every event, the number of
+    events with the SAME key whose timestamp lies in
+    ``[ts - window_us, ts]`` (both ends inclusive — exactly SQL's
+    ``RANGE BETWEEN <w> PRECEDING AND CURRENT ROW``, including ts-peers
+    that sort after the current row).
+
+    One shuffle on a coarse key-hash bucket; inside a bucket the whole
+    computation is TWO np.searchsorted calls over a composite
+    (segment, ts-offset) encoding — no per-key Python loop:
+    rows sort by (key, ts); each key segment s maps its timestamps to
+    ``dt + s*SPAN`` where SPAN exceeds the bucket's time extent + window,
+    so the remapped array stays globally monotone and window bounds
+    resolve with ordinary binary search. Constraint (checked): segments
+    per bucket × SPAN must fit int64 — size ``num_buckets`` so a bucket
+    holds < 2^62/SPAN keys (~250k keys/bucket for multi-year extents)."""
+
+    bucketed = ds.map_batches(
+        lambda b: b.append_column(
+            _BUCKET_COL, pa.array(_key_buckets(b, [key], num_buckets))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_BUCKET_COL]).sort_by(
+            [(key, "ascending"), (ts_col, "ascending")]
+        )
+        n = g.num_rows
+        if n == 0:
+            out = g
+            return out.append_column(out_col, pa.array([], pa.int64()))
+        kcol = g.column(key)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        codes = kcol.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        ts = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        seg = np.zeros(n, dtype=np.int64)
+        seg[1:] = np.cumsum(codes[1:] != codes[:-1])
+        dt = ts - ts.min()
+        span = np.int64(dt.max() + window_us + 2)
+        if (seg[-1] + 1) * span >= np.iinfo(np.int64).max // 2:
+            raise ValueError(
+                "sliding_window_count: bucket too wide for the composite "
+                "encoding — raise num_buckets"
+            )
+        enc = dt + seg * span
+        lo = np.searchsorted(enc, enc - window_us, side="left")
+        hi = np.searchsorted(enc, enc, side="right")
+        cols = keep_cols if keep_cols is not None else g.column_names
+        out = g.select(cols)
+        return out.append_column(out_col, pa.array(hi - lo, pa.int64()))
+
+    return bucketed.groupby(_BUCKET_COL).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+
+
 def grouped_top_k(
     ds: ray.data.Dataset,
     keys: list[str],

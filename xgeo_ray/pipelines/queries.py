@@ -432,6 +432,23 @@ def user_sessions(sf_dir: str):
     return sessionize(ds, "user_id", "ts", "event_id", gap_us=3_600_000_000)
 
 
+def events_sliding_1h(sf_dir: str):
+    """Sliding-window aggregate: per event, how many events the same
+    user produced in the preceding hour (inclusive RANGE frame) — the
+    windowed-aggregate operator class, searchsorted-vectorized per
+    key-hash bucket."""
+    from xgeo_ray.functions.relational import sliding_window_count
+
+    ds = _read(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    out = sliding_window_count(
+        ds, key="user_id", ts_col="ts", window_us=3_600_000_000,
+        keep_cols=["event_id"],
+    )
+    return out
+
+
 def events_orders_asof(sf_dir: str):
     """As-of join through the CO-PARTITIONED path (both sides are
     Datasets; neither is broadcast — the shape that survives a large
@@ -848,6 +865,7 @@ def build_queries() -> dict:
         "events_hourly": events_hourly,
         "distinct_event_types": distinct_event_types,
         "user_sessions": user_sessions,
+        "events_sliding_1h": events_sliding_1h,
         "events_orders_asof": events_orders_asof,
         "doc_stats_by_lang": doc_stats_by_lang,
         "token_totals_by_lang": token_totals_by_lang,
@@ -1027,6 +1045,14 @@ def build_oracle_sql() -> dict[str, str]:
                                  OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM w GROUP BY user_id
+        """,
+        "events_sliding_1h": """
+            SELECT event_id,
+                   CAST(count(*) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS n_in_window
+            FROM events
         """,
         "events_orders_asof": """
             WITH o AS (
