@@ -186,3 +186,31 @@ def test_single_partition_table(tmp_path):
     )
     want = fx.naive_final_state(base, ev).to_pandas()
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_fused_bootstrap_stream_matches_separate(tmp_path):
+    """run_stream(bootstrap=...) must equal bootstrap_base + run_stream
+    (same final state, same watermarks), be resumable (second call
+    no-op), and keep base rows watermark-exempt."""
+    base = fx.make_transcripts(10, 6)
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(base, base_path)
+    events = fx.make_change_events(600, n_convs=10, turns_per_conv=6, dup_fraction=0.03)
+    segs = fx.write_segments(events, str(tmp_path / "wal"), n_segments=4)
+
+    t1 = DeltaTable.create(str(tmp_path / "t1"), num_partitions=8, num_salts=2)
+    ing.run_stream(t1, segs, segments_per_epoch=2, bootstrap=base_path)
+    t2 = DeltaTable.create(str(tmp_path / "t2"), num_partitions=8, num_salts=2)
+    ing.bootstrap_base(t2, base_path)
+    ing.run_stream(t2, segs, segments_per_epoch=2)
+
+    a = ing.snapshot(t1).to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = ing.snapshot(t2).to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (t1.watermarks() == t2.watermarks()).all()
+    want = fx.naive_final_state(base, events).to_pandas()
+    pd.testing.assert_frame_equal(a[want.columns.tolist()], want)
+    # resume is a no-op for both the bootstrap and the segments
+    before = t1.latest_epoch()
+    ms = ing.run_stream(t1, segs, segments_per_epoch=2, bootstrap=base_path)
+    assert ms == [] and t1.latest_epoch() == before

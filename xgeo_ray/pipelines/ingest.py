@@ -519,6 +519,7 @@ def run_stream(
     segments_per_epoch: int = 4,
     batch_size: int = 65536,
     transform=None,
+    bootstrap: str | None = None,
 ) -> list[Manifest]:
     """Process a WAL in epoch-sized gulps, skipping already-committed
     segments — this IS the resume path: call it again after a crash and it
@@ -532,7 +533,12 @@ def run_stream(
     commits stay strictly ordered, epoch i+1's watermarks are computed
     from epoch i's collected entries BEFORE its reduces launch (identical
     to the sequential values), and a crash leaves any in-flight epoch's
-    delta files invisible behind the manifest fence."""
+    delta files invisible behind the manifest fence.
+
+    ``bootstrap``: optional base-table Parquet loaded as the FIRST epoch
+    of the same pipelined run (seq=-1 implicit inserts, watermark-exempt
+    like bootstrap_base) — its reduces overlap the first WAL epoch's
+    maps instead of serializing before them."""
     from xgeo_ray.sources.wal import (
         plan_read_chunks,
         segment_row_count,
@@ -541,15 +547,24 @@ def run_stream(
     from xgeo_ray.state.manifest import validate_envelope
 
     done = table.committed_segments()
+    if bootstrap is not None and f"bootstrap:{os.path.abspath(bootstrap)}" in done:
+        bootstrap = None  # already committed (resume)
     pending = [p for p in (os.path.abspath(s) for s in segment_paths) if p not in done]
-    groups = [
+    groups: list[list[str]] = [
         pending[i : i + segments_per_epoch]
         for i in range(0, len(pending), segments_per_epoch)
     ]
+    boot_group = bootstrap is not None
+    if boot_group:
+        groups.insert(0, [os.path.abspath(bootstrap)])
     if not groups:
         return []
     if os.environ.get("XGEO_SEQUENTIAL_EPOCHS"):  # A/B escape hatch
-        return [
+        out = []
+        if boot_group:
+            out.append(bootstrap_base(table, groups[0][0], batch_size=batch_size))
+            groups = groups[1:]
+        return out + [
             ingest_segments(table, segs, batch_size=batch_size, transform=transform)
             for segs in groups
         ]
@@ -559,8 +574,11 @@ def run_stream(
     env = table.current_schema()
     envs: list[pa.Schema] = []
     chunk_lists = []
-    for segs in groups:
-        env = validate_envelope(unify(env, *[segment_schema(p) for p in segs]))
+    for gi, segs in enumerate(groups):
+        if boot_group and gi == 0:
+            env = validate_envelope(unify(env, pq.read_schema(segs[0])))
+        else:
+            env = validate_envelope(unify(env, *[segment_schema(p) for p in segs]))
         envs.append(env)
         chunk_lists.append(plan_read_chunks(segs))
     wm = table.watermarks()
@@ -570,13 +588,16 @@ def run_stream(
     from xgeo_ray.stages.collapse import MERGE_POLICIES
 
     def launch_maps(i: int):
-        prep = NormalizeCollapsePartition(
-            envs[i],
-            P,
-            table.num_salts,
-            transform=transform,
-            precombine=MERGE_POLICIES[table.merge_policy]["precombinable"],
-        )
+        if boot_group and i == 0:
+            prep = _BootstrapPrep(envs[0], P, table.num_salts)
+        else:
+            prep = NormalizeCollapsePartition(
+                envs[i],
+                P,
+                table.num_salts,
+                transform=transform,
+                precombine=MERGE_POLICIES[table.merge_policy]["precombinable"],
+            )
         prep_ref = ray.put(prep)
         maps = [
             _radix_map.options(num_returns=P if P > 1 else None).remote(
@@ -586,15 +607,17 @@ def run_stream(
         ]
         return [[m] for m in maps] if P == 1 else maps
 
+    no_wm = np.full(P, -1, dtype=np.int64)
     maps_i = launch_maps(0)
     for i, segs in enumerate(groups):
+        is_boot = boot_group and i == 0
         epoch = epoch_base + 1 + i
         apply_ref = ray.put(
             ApplyPartition(
                 table.root,
                 epoch,
                 envs[i],
-                wm,
+                no_wm if is_boot else wm,  # bootstrap rows are wm-exempt
                 durable=durable,
                 policy=table.merge_policy,
             )
@@ -618,6 +641,13 @@ def run_stream(
         _check_no_split_parts(entries)
         if os.environ.get("XGEO_CRASH_BEFORE_COMMIT"):
             os._exit(137)  # crash-injection hook for exactly-once tests
+        if is_boot:
+            out.append(
+                table.commit_epoch(
+                    epoch, [f"bootstrap:{segs[0]}"], entries, envs[i]
+                )
+            )
+            continue  # bootstrap max_seq is -1: watermarks unchanged
         events_read = sum(segment_row_count(p) for p in segs)
         out.append(
             table.commit_epoch(
