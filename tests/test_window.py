@@ -48,3 +48,24 @@ def test_sliding_window_count_matches_naive():
     # the three ts-peers of key 3 must each count all three (RANGE frame)
     peers = out[out["event_id"].isin([50, 51, 52])]["n_in_window"]
     assert (peers >= 3).all()
+
+
+def test_kmv_distinct_sketch_accuracy_and_determinism():
+    from xgeo_ray.functions.relational import kmv_distinct_sketch
+
+    rng = np.random.default_rng(23)
+    vals = rng.integers(0, 5000, size=20000)  # ~4920 distinct
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    true_distinct = len(np.unique(vals))
+    ds = ray.data.from_arrow([t.slice(i, 5000) for i in range(0, 20000, 5000)])
+    out = kmv_distinct_sketch(ds, "v", k=256).to_pylist()[0]
+    est = out["n_distinct_est"]
+    assert abs(est - true_distinct) / true_distinct < 0.2  # ~1/sqrt(k) error
+    # deterministic across block layouts (merge of per-block prunes)
+    ds2 = ray.data.from_arrow(t)
+    out2 = kmv_distinct_sketch(ds2, "v", k=256).to_pylist()[0]
+    assert out == out2
+    # exact below k
+    small = pa.table({"v": pa.array(np.arange(40), pa.int64())})
+    o3 = kmv_distinct_sketch(ray.data.from_arrow(small), "v", k=64).to_pylist()[0]
+    assert o3["n_distinct_est"] == 40

@@ -538,6 +538,67 @@ def grouped_top_k(
     )
 
 
+def kmv_distinct_sketch(
+    ds: ray.data.Dataset, col: str, k: int = 64
+) -> pa.Table:
+    """Approximate distinct count via a K-Minimum-Values sketch
+    (Bar-Yossef et al., "Counting distinct elements in a data stream",
+    RANDOM 2002): keep the k smallest 64-bit hashes of the values; the
+    kth-smallest normalized hash estimates density, so
+    n̂ = (k-1) / (kth / 2^64).
+
+    DETERMINISTIC and oracle-replayable: the hash is the first 8 bytes
+    of sha256 of the value's string form (DuckDB computes the identical
+    digest), unlike HLL whose register layout is implementation-defined.
+    Each map task prunes its batch to k candidate hashes (np.unique +
+    partition), so only blocks×k values reach the merge.
+
+    Returns one row: (k, kth_hash, n_distinct_est)."""
+    import hashlib
+
+    two64 = float(1 << 64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = np.unique(
+            np.asarray(batch.column(col).to_numpy(zero_copy_only=False), dtype=object)
+        )
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.sha256(str(v).encode()).digest()[:8], "big")
+                for v in vals
+            ),
+            dtype=np.uint64,
+            count=len(vals),
+        )
+        if len(hs) > k:
+            hs = np.partition(hs, k - 1)[:k]
+        return pa.table({"h": pa.array(np.sort(hs).view(np.int64), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    )
+    hs = np.unique(merged.column("h").to_numpy().view(np.uint64))
+    if len(hs) == 0:
+        return pa.table(
+            {"k": pa.array([k], pa.int64()), "kth_hash": pa.array([0], pa.int64()),
+             "n_distinct_est": pa.array([0], pa.int64())}
+        )
+    if len(hs) < k:  # fewer distincts than k: the sketch is exact
+        est = float(len(hs))
+        kth = int(hs[-1])
+    else:
+        kth = int(hs[k - 1])
+        est = np.floor((k - 1) / (kth / two64))
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "kth_hash": pa.array([np.uint64(kth).astype(np.int64)], pa.int64()),
+            "n_distinct_est": pa.array([int(est)], pa.int64()),
+        }
+    )
+
+
 def exact_quantiles(
     ds: ray.data.Dataset, col: str, qs: list[float]
 ) -> pa.Table:

@@ -425,6 +425,16 @@ def distinct_event_types(sf_dir: str):
     return pa.table({"event_type": pa.array(vals, pa.string())})
 
 
+def approx_distinct_users(sf_dir: str):
+    """KMV distinct-count sketch over user_id — deterministic (sha256
+    value hashing) so the oracle replays the sketch itself, not just a
+    tolerance band."""
+    from xgeo_ray.functions.relational import kmv_distinct_sketch
+
+    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return kmv_distinct_sketch(ds, "user_id", k=64)
+
+
 def user_sessions(sf_dir: str):
     ds = _read(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
@@ -864,6 +874,7 @@ def build_queries() -> dict:
         "highvalue_open_orders": highvalue_open_orders,
         "events_hourly": events_hourly,
         "distinct_event_types": distinct_event_types,
+        "approx_distinct_users": approx_distinct_users,
         "user_sessions": user_sessions,
         "events_sliding_1h": events_sliding_1h,
         "events_orders_asof": events_orders_asof,
@@ -1033,6 +1044,31 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         "distinct_event_types": """
             SELECT DISTINCT event_type FROM events
+        """,
+        "approx_distinct_users": """
+            WITH d AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events),
+            u AS (
+              SELECT DISTINCT
+                     CAST(CAST(('0x' || substr(sha256(s), 1, 8)) AS BIGINT) AS HUGEINT) * 4294967296
+                   + CAST(CAST(('0x' || substr(sha256(s), 9, 8)) AS BIGINT) AS HUGEINT) AS hv
+              FROM d
+            ),
+            ranked AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM u),
+            kth AS (
+              SELECT CASE WHEN (SELECT count(*) FROM u) < 64
+                          THEN (SELECT max(hv) FROM u)
+                          ELSE (SELECT hv FROM ranked WHERE rn = 64) END AS hv,
+                     (SELECT count(*) FROM u) AS n
+            )
+            SELECT CAST(64 AS BIGINT) AS k,
+                   CAST(CASE WHEN hv >= 9223372036854775808
+                             THEN hv - 18446744073709551616
+                             ELSE hv END AS BIGINT) AS kth_hash,
+                   CAST(CASE WHEN n < 64 THEN n
+                             ELSE FLOOR(63 / (CAST(hv AS DOUBLE)
+                                              / 18446744073709551616.0)) END
+                        AS BIGINT) AS n_distinct_est
+            FROM kth
         """,
         "user_sessions": """
             WITH w AS (
