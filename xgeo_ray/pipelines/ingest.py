@@ -37,11 +37,7 @@ import ray.data
 
 from xgeo_ray.partition import PART_COL, add_part_key
 from xgeo_ray.schemas import CHANGE_EVENTS_SCHEMA, cast_to, unify
-from xgeo_ray.stages.collapse import (
-    count_unique_keys_and_seqs,
-    lww_collapse,
-    merge_versions,
-)
+from xgeo_ray.stages.collapse import merge_versions
 from xgeo_ray.stages.normalize import NormalizeEvents
 from xgeo_ray.state.delta_table import (
     LINEAGE_COLS,
@@ -83,22 +79,6 @@ def _atomic_write_parquet(
     if durable:
         fsync_dir(d)
     return os.path.getsize(final_path)
-
-
-class PreCollapse:
-    """Within-batch LWW collapse + salted partition key (stateless task).
-
-    Collapsing before the shuffle is the partial-aggregation trick: at
-    10^10 events with hot keys, most superseded versions die here instead
-    of crossing the exchange."""
-
-    def __init__(self, num_partitions: int, num_salts: int):
-        self.p = num_partitions
-        self.s = num_salts
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        batch = lww_collapse(batch, drop_tombstones=False)
-        return add_part_key(batch, self.p, self.s)
 
 
 class NormalizeCollapsePartition:
