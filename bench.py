@@ -36,7 +36,11 @@ _SEGMENTS = 8
 # dominates executor latency, so parallelism is actually measurable)
 _EV_OVERRIDE = int(os.environ.get("XGEO_BENCH_EVENTS", "0"))
 _SEGMENTS = int(os.environ.get("XGEO_BENCH_SEGMENTS", str(_SEGMENTS)))
-_SPE = int(os.environ.get("XGEO_BENCH_SPE", "2"))
+# epoch size is the engine's documented micro-batch knob; 4 segments per
+# epoch keeps the headline a REAL multi-epoch stream (bootstrap + 2 WAL
+# epochs, pipelined) while not drowning 2M events in per-epoch overhead
+# (SPE=2: 4 epochs, ~2x slower; SPE=8: single epoch, ~1.7x faster)
+_SPE = int(os.environ.get("XGEO_BENCH_SPE", "4"))
 _SKIP_QUERIES = bool(os.environ.get("XGEO_BENCH_SKIP_QUERIES"))
 # the scaling stream: ~150 CPU-seconds of work at ~3 µs-CPU/event
 _SCALING_EVENTS = 48_000_000
