@@ -130,3 +130,22 @@ def test_durability_commit_mode_roundtrip(tmp_path):
     assert ing.snapshot(table).count() == want.num_rows
     with pytest.raises(ValueError):
         DeltaTable.create(str(tmp_path / "t2"), durability="nope")
+
+
+def test_manifest_cache_sees_new_commits(tmp_path):
+    """The immutable-manifest parse cache must never hide NEW commits
+    (the listing is re-scanned every call; only parsing is cached) and
+    must agree with a cache-cold instance."""
+    events = fx.make_change_events(200, n_convs=6, turns_per_conv=4)
+    segs = fx.write_segments(events, str(tmp_path / "wal"), n_segments=4)
+    table = DeltaTable.create(str(tmp_path / "t"), num_partitions=4, num_salts=1)
+    ing.run_stream(table, segs[:2], segments_per_epoch=1)
+    assert table.latest_epoch() == 2
+    assert len(table._manifest_cache) == 2  # parsed once, cached
+    ing.run_stream(table, segs, segments_per_epoch=2)  # one more epoch
+    assert table.latest_epoch() == 3
+    fresh = DeltaTable.open(table.root)
+    assert [m.epoch for m in table.manifests()] == [
+        m.epoch for m in fresh.manifests()
+    ]
+    assert (table.watermarks() == fresh.watermarks()).all()

@@ -619,8 +619,11 @@ def exact_dedup(sf_dir: str):
 
 
 def _docs_with_planted_dups(sf_dir: str) -> ray.data.Dataset:
-    """documents plus copies of the 20 lowest doc_ids at doc_id+1_000_000:
-    guarantees the near-dup operators have true positives to find."""
+    """FIXTURE BUILDER (not an operator): documents plus copies of the 20
+    lowest doc_ids at doc_id+1_000_000, so the near-dup operators have
+    true positives to find. Built driver-side because the oracle SQL
+    must plant the identical rows — the dedup operators themselves never
+    materialize their input."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

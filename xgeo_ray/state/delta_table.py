@@ -75,6 +75,10 @@ class DeltaTable:
         self.num_salts = num_salts
         self.durability = durability
         self.merge_policy = merge_policy
+        # immutable-manifest parse cache: repeated manifests() calls
+        # (every commit / watermark / resume check) re-parse only NEW
+        # files — O(new epochs), not O(total epochs), per call
+        self._manifest_cache: dict[str, "Manifest"] = {}
 
     # ------------------------------------------------------------- lifecycle
     @classmethod
@@ -146,7 +150,7 @@ class DeltaTable:
 
     # ------------------------------------------------------------- manifests
     def manifests(self) -> list[Manifest]:
-        return read_manifests(self.root)
+        return read_manifests(self.root, cache=self._manifest_cache)
 
     def latest_epoch(self) -> int:
         ms = self.manifests()

@@ -133,20 +133,35 @@ def write_manifest(root: str, m: Manifest) -> str:
     return final
 
 
-def read_manifests(root: str) -> list[Manifest]:
-    """All committed manifests, ascending by epoch. Tmp files ignored."""
+def _parse_manifest(path: str) -> Manifest:
+    with open(path) as f:
+        raw = json.load(f)
+    parts = {k: PartitionEntry(**v) for k, v in raw.pop("partitions", {}).items()}
+    return Manifest(partitions=parts, **raw)
+
+
+def read_manifests(
+    root: str, cache: dict[str, Manifest] | None = None
+) -> list[Manifest]:
+    """All committed manifests, ascending by epoch. Tmp files ignored.
+
+    ``cache`` (filename -> Manifest) skips re-parsing files seen before:
+    committed manifests are IMMUTABLE (write-tmp + rename, never edited),
+    so a long-running stream pays O(new epochs) JSON parsing per commit
+    instead of O(total epochs) — the listing itself stays the only
+    per-call directory scan."""
     d = os.path.join(root, MANIFEST_DIR)
     if not os.path.isdir(d):
         return []
     out = []
     for name in sorted(os.listdir(d)):
-        mm = _NAME_RE.match(name)
-        if not mm:
+        if not _NAME_RE.match(name):
             continue
-        with open(os.path.join(d, name)) as f:
-            raw = json.load(f)
-        parts = {
-            k: PartitionEntry(**v) for k, v in raw.pop("partitions", {}).items()
-        }
-        out.append(Manifest(partitions=parts, **raw))
+        if cache is not None and name in cache:
+            out.append(cache[name])
+            continue
+        m = _parse_manifest(os.path.join(d, name))
+        if cache is not None:
+            cache[name] = m
+        out.append(m)
     return out
