@@ -405,3 +405,43 @@ def test_normalize_and_pii_redaction_kernels():
     assert "<EMAIL>" in r1 and "<PHONE>" in r1 and "<SSN>" in r1 and "<IP>" in r1
     assert "a.b+c@" not in r1 and "555-0199" not in r1
     assert red.column("n_redactions").to_pylist() == [0, 4]
+
+
+def test_dup_clusters_matches_union_find():
+    """Min-label propagation must equal a classic union-find over random
+    edge lists, including multi-hop chains (diameter > 1)."""
+    rng = np.random.default_rng(7)
+    edges = set()
+    # chains: 0-1-2-3 ... plus random extra edges among 40 nodes
+    for i in range(0, 36, 4):
+        edges |= {(i, i + 1), (i + 1, i + 2), (i + 2, i + 3)}
+    for _ in range(10):
+        a, b = sorted(rng.choice(40, size=2, replace=False).tolist())
+        if a != b:
+            edges.add((a, b))
+    t = pa.table(
+        {
+            "doc_id_a": pa.array([a for a, _ in sorted(edges)], pa.int64()),
+            "doc_id_b": pa.array([b for _, b in sorted(edges)], pa.int64()),
+        }
+    )
+    got = (
+        dd.dup_clusters(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # union-find reference
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want

@@ -412,6 +412,98 @@ def minhash_lsh_dup_pairs(
     return ray.data.from_arrow_refs(verified)
 
 
+def dup_clusters(
+    pairs: ray.data.Dataset, max_iters: int = 25
+) -> ray.data.Dataset:
+    """Connected components over a duplicate-pair edge list — the
+    cluster-assignment step of a dedup pipeline (every doc in a cluster
+    gets ``cluster_id`` = the smallest doc_id it can reach; downstream
+    keeps one representative per cluster).
+
+    Iterative MIN-LABEL PROPAGATION (the classic Pregel/hash-min
+    shape): labels start at min(self, neighbors) and each round ships
+    every node's label across its edges, keeping the grouped min;
+    converges in O(component diameter) rounds — 1-2 for dup clusters.
+    Convergence is detected by the label sum, which is strictly
+    decreasing until fixpoint. Each round's label table is ids-only
+    (16 B per CANDIDATE doc, bounded by the pair list, never corpus-
+    sized) and broadcast once via ray.put for the edge join.
+
+    Input: (doc_id_a, doc_id_b [, ...]) pairs. Output: (doc_id,
+    cluster_id) for every doc appearing in at least one pair."""
+    import ray as _ray
+
+    from xgeo_ray.functions.relational import partial_group_agg
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column("doc_id_a").to_numpy().astype(np.int64)
+        bb = b.column("doc_id_b").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, bb])),
+                "v": pa.array(np.concatenate([bb, a])),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy()
+        v = b.column("v").to_numpy()
+        return pa.table(
+            {"node": b.column("u"), "label": pa.array(np.minimum(u, v))}
+        )
+
+    labels = partial_group_agg(
+        edges.map_batches(init_labels, batch_format="pyarrow"),
+        ["node"],
+        [("label", "min", "label")],
+    ).materialize()
+
+    class Propagate:
+        """edges (u, v) -> (node=v, label=label[u]); the label map derefs
+        zero-copy from plasma once per task."""
+
+        def __init__(self, ref):
+            self.ref = ref
+            self.lut = None
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if self.lut is None:
+                t = _ray.get(self.ref)
+                self.lut = dict(
+                    zip(t.column("node").to_pylist(), t.column("label").to_pylist())
+                )
+            u = b.column("u").to_pylist()
+            lab = np.fromiter(
+                (self.lut[x] for x in u), dtype=np.int64, count=len(u)
+            )
+            return pa.table({"node": b.column("v"), "label": pa.array(lab)})
+
+    prev_sum = None
+    for _ in range(max_iters):
+        lab_tables = [t for t in _ray.get(labels.to_arrow_refs()) if t.num_rows]
+        lab_tbl = pa.concat_tables(lab_tables)
+        s = int(pc.sum(lab_tbl.column("label")).as_py() or 0)
+        if s == prev_sum:
+            break
+        prev_sum = s
+        lab_ref = _ray.put(lab_tbl)
+        propagated = edges.map_batches(Propagate(lab_ref), batch_format="pyarrow")
+        labels = partial_group_agg(
+            labels.union(propagated), ["node"], [("label", "min", "label")]
+        ).materialize()
+    return labels.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("node").cast(pa.int64()),
+                "cluster_id": b.column("label").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 class SimHasher:
     """64-bit SimHash over word-level features (callable-class stage;
     Charikar, "Similarity estimation techniques from rounding

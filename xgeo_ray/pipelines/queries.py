@@ -690,6 +690,16 @@ def top3_orders_per_segment(sf_dir: str):
     )
 
 
+def dup_clusters_q(sf_dir: str):
+    """Duplicate-cluster assignment: exact ngram pairs -> connected
+    components by iterative min-label propagation (every clustered doc
+    mapped to the smallest doc_id it can reach)."""
+    from xgeo_ray.functions.dedup import dup_clusters, ngram_jaccard_dup_pairs
+
+    pairs = ngram_jaccard_dup_pairs(_docs_with_planted_dups(sf_dir), threshold=0.8)
+    return dup_clusters(pairs)
+
+
 def simhash_dup_pairs_q(sf_dir: str):
     from xgeo_ray.functions.dedup import simhash_dup_pairs
 
@@ -890,6 +900,7 @@ def build_queries() -> dict:
         "minhash_dup_pairs": minhash_dup_pairs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "top3_orders_per_segment": top3_orders_per_segment,
+        "dup_clusters": dup_clusters_q,
         "simhash_dup_pairs": simhash_dup_pairs_q,
         "simhash_signatures": simhash_signatures,
         "embedding_dup_pairs": embedding_dup_pairs_q,
@@ -900,6 +911,44 @@ def build_queries() -> dict:
         "multimodal_decode": multimodal_decode,
         "multimodal_frames": multimodal_frames,
     }
+
+
+# word-3-gram Jaccard >= 0.8 pair list over documents + planted dups —
+# shared by the ngram join oracle, the minhash oracle (true-Jaccard
+# verified LSH == the exact join when banding recall is total) and the
+# duplicate-cluster oracle
+_NGRAM_PAIRS_SQL = r"""
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20)
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+              FROM docs
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              FROM toks, unnest(generate_series(1, len(w) - 2)) t(i)
+              WHERE len(w) >= 3
+              UNION ALL
+              SELECT doc_id, array_to_string(w, ' ') AS s FROM toks WHERE len(w) < 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT CAST(doc_id_a AS BIGINT) AS doc_id_a,
+                   CAST(doc_id_b AS BIGINT) AS doc_id_b
+            FROM pairs
+            JOIN sizes sa ON doc_id_a = sa.doc_id
+            JOIN sizes sb ON doc_id_b = sb.doc_id
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+"""
 
 
 def build_oracle_sql() -> dict[str, str]:
@@ -1174,37 +1223,24 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         # word-3-gram Jaccard over string shingles == the engine's join
         # over 64-bit shingle hashes (collisions vanishingly unlikely)
-        "ngram_jaccard_pairs": r"""
-            WITH docs AS (
-              SELECT doc_id, text FROM documents
+        "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,
+        # connected components over the same pair list: recursive
+        # transitive closure, cluster id = min reachable doc id
+        "dup_clusters": f"""
+            WITH RECURSIVE p AS ({_NGRAM_PAIRS_SQL}),
+            e AS (
+              SELECT doc_id_a AS u, doc_id_b AS v FROM p
               UNION ALL
-              SELECT doc_id + 1000000 AS doc_id, text
-              FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20)
+              SELECT doc_id_b, doc_id_a FROM p
             ),
-            toks AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
-              FROM docs
-            ),
-            sh AS (
-              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-              FROM toks, unnest(generate_series(1, len(w) - 2)) t(i)
-              WHERE len(w) >= 3
-              UNION ALL
-              SELECT doc_id, array_to_string(w, ' ') AS s FROM toks WHERE len(w) < 3
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-            pairs AS (
-              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
+            cc(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT cc.u, e.v FROM cc JOIN e ON cc.v = e.u
             )
-            SELECT CAST(doc_id_a AS BIGINT) AS doc_id_a,
-                   CAST(doc_id_b AS BIGINT) AS doc_id_b
-            FROM pairs
-            JOIN sizes sa ON doc_id_a = sa.doc_id
-            JOIN sizes sb ON doc_id_b = sb.doc_id
-            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+            SELECT CAST(u AS BIGINT) AS doc_id,
+                   CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
+            FROM cc GROUP BY u
         """,
         "ann_top10": """
             WITH q AS (
@@ -1228,38 +1264,7 @@ def build_oracle_sql() -> dict[str, str]:
         # every >=0.8 pair at these scales, making the exact join the
         # oracle. A banding recall miss would surface as a row-count
         # mismatch — i.e. this check also guards recall.
-        "minhash_dup_pairs": r"""
-            WITH docs AS (
-              SELECT doc_id, text FROM documents
-              UNION ALL
-              SELECT doc_id + 1000000 AS doc_id, text
-              FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20)
-            ),
-            toks AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
-              FROM docs
-            ),
-            sh AS (
-              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-              FROM toks, unnest(generate_series(1, len(w) - 2)) t(i)
-              WHERE len(w) >= 3
-              UNION ALL
-              SELECT doc_id, array_to_string(w, ' ') AS s FROM toks WHERE len(w) < 3
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-            pairs AS (
-              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            )
-            SELECT CAST(doc_id_a AS BIGINT) AS doc_id_a,
-                   CAST(doc_id_b AS BIGINT) AS doc_id_b
-            FROM pairs
-            JOIN sizes sa ON doc_id_a = sa.doc_id
-            JOIN sizes sb ON doc_id_b = sb.doc_id
-            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
-        """,
+        "minhash_dup_pairs": _NGRAM_PAIRS_SQL,
         # same stopword tables / occurrence counts / tiebreak (first in
         # sorted lang order) as functions.text.LangId
         "lang_id_pred": r"""
