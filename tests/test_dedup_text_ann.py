@@ -445,3 +445,33 @@ def test_dup_clusters_matches_union_find():
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+
+
+def test_chunk_documents_semantics():
+    """Chunk boundaries, overlap duplication, short-last-chunk, empty-doc
+    elision, and whitespace normalization vs a per-doc reference."""
+    texts = [
+        " ".join(f"t{i}" for i in range(10)),   # 10 tokens
+        "a  b\n c",                              # messy whitespace, 3 tokens
+        "",                                      # no chunks
+        "solo",
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)})
+    out = tx.chunk_documents(t, tokens_per_chunk=4, overlap=1)
+    df = out.to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+    def ref(doc_id, s):
+        w = s.split()
+        step = 3
+        return [
+            (doc_id, k, " ".join(w[st : st + 4]), min(st + 4, len(w)) - st)
+            for k, st in enumerate(range(0, len(w), step))
+            if st < len(w)
+        ] if w else []
+    want = [r for i, s in enumerate(texts) for r in ref(i, s)]
+    got = list(df.itertuples(index=False, name=None))
+    assert got == want
+    # overlap: token t3 appears in doc 0's chunk 0 and chunk 1
+    c0 = df[(df.doc_id == 0) & (df.chunk_idx == 0)].iloc[0]["chunk_text"]
+    c1 = df[(df.doc_id == 0) & (df.chunk_idx == 1)].iloc[0]["chunk_text"]
+    assert c0.endswith("t3") and c1.startswith("t3")

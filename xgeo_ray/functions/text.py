@@ -172,6 +172,77 @@ class PiiRedactor:
         return batch.append_column("n_redactions", counts_total)
 
 
+def chunk_documents(
+    batch: pa.Table,
+    tokens_per_chunk: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Split documents into fixed-token sliding chunks (the training-data
+    windowing step): chunk k of a doc covers tokens
+    [k*step, k*step + tokens_per_chunk) with step = tokens_per_chunk -
+    overlap; the last chunk may be short; empty docs yield no chunks.
+    Chunk text is the space-join of its tokens (whitespace-normalizing,
+    like the SQL oracle's array_to_string).
+
+    Row-expanding map_batches stage, fully vectorized: one whitespace
+    split, one flat index gather (arange-concat via cumsum) duplicating
+    overlapped tokens, one ListArray rebuild, one binary_join — no
+    per-document Python."""
+    if overlap >= tokens_per_chunk:
+        raise ValueError("overlap must be < tokens_per_chunk")
+    step = tokens_per_chunk - overlap
+    toks = pc.utf8_split_whitespace(batch.column(text_col))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    nonempty = pc.not_equal(flat, "")
+    flat_clean = flat.filter(nonempty)
+    # per-doc clean token counts via cumsum segment differences
+    lens_raw = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    raw_offs = np.concatenate([[0], np.cumsum(lens_raw)]).astype(np.int64)
+    cs = np.concatenate(
+        [[0], np.cumsum(nonempty.to_numpy(zero_copy_only=False).astype(np.int64))]
+    )
+    n_tok = cs[raw_offs[1:]] - cs[raw_offs[:-1]]
+    doc_offs = np.concatenate([[0], np.cumsum(n_tok)]).astype(np.int64)
+    n_chunks = np.where(n_tok > 0, (n_tok + step - 1) // step, 0).astype(np.int64)
+    total_chunks = int(n_chunks.sum())
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    if total_chunks == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+    doc_of_chunk = np.repeat(np.arange(len(n_tok)), n_chunks)
+    chunk_idx = np.arange(total_chunks) - np.repeat(
+        np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks
+    )
+    starts = chunk_idx * step
+    ends = np.minimum(starts + tokens_per_chunk, n_tok[doc_of_chunk])
+    clens = ends - starts
+    # arange-concat: flat token indices of every chunk, overlaps duplicated
+    out_offs = np.concatenate([[0], np.cumsum(clens)]).astype(np.int64)
+    idx = np.arange(out_offs[-1]) - np.repeat(out_offs[:-1], clens)
+    idx = idx + np.repeat(doc_offs[doc_of_chunk] + starts, clens)
+    taken = flat_clean.take(pa.array(idx, pa.int64()))
+    chunks_list = pa.ListArray.from_arrays(pa.array(out_offs, pa.int32()), taken)
+    text = pc.binary_join(chunks_list, " ")
+    return pa.table(
+        {
+            id_col: pa.array(ids[doc_of_chunk].astype(np.int64), pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "chunk_text": text,
+            "n_tokens": pa.array(clens, pa.int64()),
+        }
+    )
+
+
 def fingerprint64(texts: np.ndarray, seed: int = 1315423911) -> np.ndarray:
     """Deterministic 64-bit document fingerprint: min of rolling Karp-
     Rabin hashes over 8-byte windows (winnowing-style content signature).

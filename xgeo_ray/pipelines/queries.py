@@ -245,6 +245,18 @@ def text_normalized(sf_dir: str):
     return out.select_columns(["doc_id", "text_norm"])
 
 
+def doc_chunks(sf_dir: str):
+    """Sliding-window document chunking (64-token chunks, 16 overlap) —
+    the row-expanding training-data windowing stage."""
+    from xgeo_ray.functions.text import chunk_documents
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: chunk_documents(b, tokens_per_chunk=64, overlap=16),
+        batch_format="pyarrow",
+    )
+
+
 def pii_redacted(sf_dir: str):
     """PII redaction sweep (emails/phones/SSNs/IPs -> typed tokens),
     RE2 on both engine and oracle."""
@@ -878,6 +890,7 @@ def build_queries() -> dict:
         "cdc_additive_state": cdc_additive_state,
         "text_normalized": text_normalized,
         "pii_redacted": pii_redacted,
+        "doc_chunks": doc_chunks,
         "q1_pricing_summary": q1_pricing_summary,
         "region_nation_count": region_nation_count,
         "customer_nation_count": customer_nation_count,
@@ -1014,6 +1027,20 @@ def build_oracle_sql() -> dict[str, str]:
         "text_normalized": """
             SELECT doc_id, lower(nfc_normalize(text)) AS text_norm
             FROM documents
+        """,
+        # 64-token chunks, 16-token overlap (step 48), 1-based list slice
+        "doc_chunks": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(s / 48 AS BIGINT) AS chunk_idx,
+                   array_to_string(w[s + 1 : least(s + 64, len(w))], ' ') AS chunk_text,
+                   CAST(least(s + 64, len(w)) - s AS BIGINT) AS n_tokens
+            FROM toks, unnest(generate_series(0, len(w) - 1, 48)) t(s)
+            WHERE len(w) > 0
         """,
         # identical RE2 patterns applied in identical order; counts taken
         # on the intermediate text exactly as the engine does
