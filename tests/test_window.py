@@ -69,3 +69,47 @@ def test_kmv_distinct_sketch_accuracy_and_determinism():
     small = pa.table({"v": pa.array(np.arange(40), pa.int64())})
     o3 = kmv_distinct_sketch(ray.data.from_arrow(small), "v", k=64).to_pylist()[0]
     assert o3["n_distinct_est"] == 40
+
+
+def test_range_join_per_key_matches_naive():
+    from xgeo_ray.functions.relational import range_join_per_key
+
+    rng = np.random.default_rng(31)
+    n_l, n_r = 120, 150
+    lk = rng.integers(0, 9, size=n_l).astype(np.int64)
+    rk = rng.integers(0, 9, size=n_r).astype(np.int64)
+    lts = rng.integers(0, 3000, size=n_l).astype(np.int64)
+    rts = rng.integers(0, 3000, size=n_r).astype(np.int64)
+    lo_off, hi_off = -200, 100  # asymmetric band, both ends inclusive
+    left = pa.table(
+        {
+            "lid": pa.array(np.arange(n_l), pa.int64()),
+            "lkey": pa.array(lk),
+            "lts": pa.array(lts, pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": pa.array(np.arange(n_r), pa.int64()),
+            "rkey": pa.array(rk),
+            "rts": pa.array(rts, pa.timestamp("us")),
+        }
+    )
+    out = (
+        range_join_per_key(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            left_by="lkey", right_by="rkey", left_on="lts", right_on="rts",
+            lower_offset_us=lo_off, upper_offset_us=hi_off, num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    got = set(zip(out["lid"], out["rid"]))
+    want = {
+        (i, j)
+        for i in range(n_l)
+        for j in range(n_r)
+        if lk[i] == rk[j] and lts[i] + lo_off <= rts[j] <= lts[i] + hi_off
+    }
+    assert got == want and len(out) == len(want)

@@ -342,6 +342,124 @@ def _schema_of(ds: ray.data.Dataset) -> pa.Schema:
     return pa.schema(list(zip(s.names, s.types)))
 
 
+def range_join_per_key(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_by: str,
+    right_by: str,
+    left_on: str,
+    right_on: str,
+    lower_offset_us: int,
+    upper_offset_us: int,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Band/range join: every (left, right) pair with matching keys and
+    ``right_on`` in ``[left_on + lower_offset, left_on + upper_offset]``
+    (both ends inclusive — SQL BETWEEN). Both sides co-partition on the
+    key hash; inside a bucket the whole match is TWO np.searchsorted
+    calls over the same (key-segment, ts-offset) composite encoding as
+    sliding_window_count, then an arange-concat gather — no per-key
+    Python, no per-row loops. Output rows = left columns + right
+    columns (names must be disjoint)."""
+    if upper_offset_us < lower_offset_us:
+        raise ValueError("upper_offset_us must be >= lower_offset_us")
+
+    def tag(by_col: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.append_column(
+                _BUCKET_COL, pa.array(_key_buckets(batch, [by_col], num_buckets))
+            )
+            return batch.append_column(
+                "__side", pa.array(np.full(batch.num_rows, side, np.int8))
+            )
+
+        fn.__name__ = f"tag_side{side}"
+        return fn
+
+    l_schema, r_schema = _schema_of(left), _schema_of(right)
+    left_cols = list(l_schema.names)
+    right_cols = list(r_schema.names)
+    if set(left_cols) & set(right_cols):
+        raise ValueError(
+            "range_join_per_key requires disjoint column names; shared: "
+            f"{sorted(set(left_cols) & set(right_cols))}"
+        )
+    ordered = left_cols + right_cols + [_BUCKET_COL, "__side"]
+
+    def widen(other: pa.Schema):
+        def fn(batch: pa.Table) -> pa.Table:
+            for f in other:
+                if f.name not in batch.column_names:
+                    batch = batch.append_column(
+                        f.name, pa.nulls(batch.num_rows, f.type)
+                    )
+            return batch.select(ordered)
+
+        fn.__name__ = "widen"
+        return fn
+
+    lt = left.map_batches(tag(left_by, 0), batch_format="pyarrow").map_batches(
+        widen(r_schema), batch_format="pyarrow"
+    )
+    rt = right.map_batches(tag(right_by, 1), batch_format="pyarrow").map_batches(
+        widen(l_schema), batch_format="pyarrow"
+    )
+    out_schema = pa.schema(list(l_schema) + list(r_schema))
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        l = g.filter(pa.array(side == 0)).select(left_cols)
+        r = g.filter(pa.array(side == 1)).select(right_cols)
+        if l.num_rows == 0 or r.num_rows == 0:
+            return out_schema.empty_table()
+        # joint key coding so both sides share segment ids
+        lk = l.column(left_by)
+        rk = r.column(right_by)
+        both = pa.chunked_array(
+            [c for col in (lk, rk) for c in (
+                col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+            )]
+        ).combine_chunks()
+        codes_all = both.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        lc, rc = codes_all[: l.num_rows], codes_all[l.num_rows :]
+        lts = l.column(left_on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rts = r.column(right_on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = min(int(lts.min()) + lower_offset_us, int(rts.min()))
+        hi_t = max(int(lts.max()) + upper_offset_us, int(rts.max()))
+        span = np.int64(hi_t - base + 2)
+        n_seg = int(max(lc.max(), rc.max())) + 1
+        if n_seg * span >= np.iinfo(np.int64).max // 2:
+            raise ValueError(
+                "range_join_per_key: bucket too wide for the composite "
+                "encoding — raise num_buckets"
+            )
+        order = np.lexsort((rts, rc))
+        r_sorted = r.take(pa.array(order))
+        enc_r = (rts[order] - base) + rc[order] * span
+        q_lo = (lts + np.int64(lower_offset_us) - base) + lc * span
+        q_hi = (lts + np.int64(upper_offset_us) - base) + lc * span
+        lo = np.searchsorted(enc_r, q_lo, side="left")
+        hi = np.searchsorted(enc_r, q_hi, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        ridx = np.arange(total) - np.repeat(offs[:-1], counts) + np.repeat(lo, counts)
+        lidx = np.repeat(np.arange(l.num_rows), counts)
+        out_l = l.take(pa.array(lidx, pa.int64()))
+        out_r = r_sorted.take(pa.array(ridx, pa.int64()))
+        return pa.Table.from_arrays(
+            [out_l.column(c) for c in left_cols]
+            + [out_r.column(c) for c in right_cols],
+            schema=out_schema,
+        )
+
+    return lt.union(rt).groupby(_BUCKET_COL).map_groups(
+        join_bucket, batch_format="pyarrow"
+    )
+
+
 def top_k(
     ds: ray.data.Dataset, sort_cols: list[str], descending: list[bool], k: int
 ) -> ray.data.Dataset:

@@ -471,6 +471,33 @@ def events_sliding_1h(sf_dir: str):
     return out
 
 
+def events_pairs_1h(sf_dir: str):
+    """Range (band) self-join: every ordered pair of same-user events
+    whose earlier side lies in the later side's trailing one-hour window
+    (includes the self-pair) — co-partitioned by key,
+    searchsorted-vectorized per bucket."""
+    from xgeo_ray.functions.relational import range_join_per_key
+
+    left = _read(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    right = _read(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(
+        lambda b: b.rename_columns(["event_id2", "user_id2", "ts2"]),
+        batch_format="pyarrow",
+    )
+    out = range_join_per_key(
+        left, right,
+        left_by="user_id", right_by="user_id2",
+        left_on="ts", right_on="ts2",
+        lower_offset_us=-3_600_000_000, upper_offset_us=0,
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "event_id2"]), batch_format="pyarrow"
+    )
+
+
 def events_orders_asof(sf_dir: str):
     """As-of join through the CO-PARTITIONED path (both sides are
     Datasets; neither is broadcast — the shape that survives a large
@@ -903,6 +930,7 @@ def build_queries() -> dict:
         "approx_distinct_users": approx_distinct_users,
         "user_sessions": user_sessions,
         "events_sliding_1h": events_sliding_1h,
+        "events_pairs_1h": events_pairs_1h,
         "events_orders_asof": events_orders_asof,
         "doc_stats_by_lang": doc_stats_by_lang,
         "token_totals_by_lang": token_totals_by_lang,
@@ -1168,6 +1196,12 @@ def build_oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                              AND CURRENT ROW) AS BIGINT) AS n_in_window
             FROM events
+        """,
+        "events_pairs_1h": """
+            SELECT a.event_id, b.event_id AS event_id2
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
         """,
         "events_orders_asof": """
             WITH o AS (
