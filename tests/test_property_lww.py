@@ -90,3 +90,67 @@ def test_salting_never_splits_a_key(events, num_partitions, num_salts):
     df = t.to_pandas()
     per_key = df.groupby(["conv_id", "turn_idx"])["part_key"].nunique()
     assert (per_key == 1).all()
+
+
+# ------------------------------------------------------ additive policy
+
+additive_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(0, 3),   # conv
+        st.integers(0, 2),   # turn
+        st.integers(0, 4),   # ts bucket (collisions likely)
+        st.integers(-5, 9),  # amount (negatives too)
+        st.booleans(),       # redeliver this event later?
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(additive_strategy)
+@settings(max_examples=60, deadline=None)
+def test_additive_collapse_matches_pandas_oracle(events):
+    """additive_collapse == pandas oracle for ANY op mix / ts collisions /
+    redelivered seqs: per key, dedup (key, seq), sum amounts, last op by
+    (ts, seq) decides tombstone survival."""
+    from xgeo_ray.stages.collapse import additive_collapse
+
+    n = len(events)
+    t = pa.table(
+        {
+            "seq": pa.array(range(n), pa.int64()),
+            "op": pa.array([e[0] for e in events]),
+            "conv_id": pa.array([f"c{e[1]}" for e in events]),
+            "turn_idx": pa.array([e[2] for e in events], pa.int32()),
+            "ts": pa.array(
+                [fx.BASE_TS_US + e[3] * 1000 for e in events], pa.int64()
+            ).cast(pa.timestamp("us")),
+            "amount": pa.array([e[4] for e in events], pa.int64()),
+        }
+    )
+    dup_idx = [i for i, e in enumerate(events) if e[5]]
+    if dup_idx:
+        t = pa.concat_tables([t, t.take(pa.array(dup_idx, pa.int64()))])
+
+    got = (
+        additive_collapse(t, drop_tombstones=True)
+        .select(["conv_id", "turn_idx", "amount"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+    df = t.to_pandas()
+    df = df.sort_values(["ts", "seq"], kind="stable")
+    df = df.drop_duplicates(subset=["conv_id", "turn_idx", "seq"], keep="first")
+    g = df.groupby(["conv_id", "turn_idx"], sort=True)
+    want = g.agg(amount=("amount", "sum"), op=("op", "last")).reset_index()
+    want = (
+        want[want["op"] != "D"]
+        .drop(columns=["op"])
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want["turn_idx"] = want["turn_idx"].astype(got["turn_idx"].dtype)
+    pd.testing.assert_frame_equal(got, want)

@@ -284,3 +284,27 @@ def test_nested_json_streaming_source(tmp_path):
         .reset_index(drop=True)
     )
     assert got_df["text"].tolist() == want.column("text").to_pylist()
+
+
+def test_nested_json_multibyte_chars_across_chunk_boundaries(tmp_path):
+    """A multi-byte UTF-8 char straddling the 64 KiB read boundary must
+    decode cleanly (incremental decoder, not per-chunk bytes.decode)."""
+    import json
+
+    from xgeo_ray.sources import wal as W
+    from xgeo_ray.sources.wal import iter_nested_json_records
+
+    # force tiny read chunks so boundaries land mid-record constantly
+    old = W._NESTED_CHUNK
+    W._NESTED_CHUNK = 64
+    try:
+        rows = [
+            {"seq": i, "text": "héllo wörld ünïcode ☃ 結論 " * 3, "op": "I"}
+            for i in range(50)
+        ]
+        p = tmp_path / "u.json"
+        p.write_text(json.dumps({"records": rows}), encoding="utf-8")
+        got = list(iter_nested_json_records(str(p)))
+        assert got == rows
+    finally:
+        W._NESTED_CHUNK = old

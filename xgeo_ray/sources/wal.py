@@ -155,10 +155,14 @@ def iter_nested_json_records(path: str, records_key: str = "records"):
     mis-anchor; keep the target array first-ish in the document (the
     reference's skipToFeatures has the same shallow-scan spirit).
     """
+    import codecs
     import json
 
     logical, codec = _strip_compression(path)
     dec = json.JSONDecoder()
+    # incremental decoder: a multi-byte UTF-8 character may straddle a
+    # read-chunk boundary — a per-chunk bytes.decode would raise there
+    utf8 = codecs.getincrementaldecoder("utf-8")()
     needle = f'"{records_key}"'
     with pa.input_stream(path, compression=codec) as f:
         buf = ""
@@ -166,7 +170,7 @@ def iter_nested_json_records(path: str, records_key: str = "records"):
             chunk = f.read(_NESTED_CHUNK)
             if not chunk:
                 raise ValueError(f"key {records_key!r} not found in {path}")
-            buf += chunk.decode("utf-8")
+            buf += utf8.decode(chunk)
             i = buf.find(needle)
             if i >= 0:
                 j = buf.find("[", i + len(needle))
@@ -190,7 +194,7 @@ def iter_nested_json_records(path: str, records_key: str = "records"):
                 chunk = f.read(_NESTED_CHUNK)
                 if not chunk:
                     raise
-                buf += chunk.decode("utf-8")
+                buf += utf8.decode(chunk)
                 continue
             yield obj
             buf = buf[end:]
