@@ -45,7 +45,9 @@ def _key_buckets(batch: pa.Table, keys: list[str], num_buckets: int) -> np.ndarr
             col = pc.fill_null(col.cast(pa.int64()), 0)
             code = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         elif pa.types.is_floating(col.type):
-            col = pc.fill_null(col, 0.0)
+            # +0.0 normalizes -0.0 (equal values must share a bucket even
+            # though their bit patterns differ)
+            col = pc.add(pc.fill_null(col, 0.0), pa.scalar(0.0))
             code = col.to_numpy(zero_copy_only=False).view(np.uint64)
         else:
             code = pd.util.hash_array(
@@ -579,7 +581,7 @@ def sliding_window_count(
         )
         n = g.num_rows
         if n == 0:
-            out = g
+            out = g.select(keep_cols) if keep_cols is not None else g
             return out.append_column(out_col, pa.array([], pa.int64()))
         kcol = g.column(key)
         if isinstance(kcol, pa.ChunkedArray):
