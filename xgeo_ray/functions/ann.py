@@ -80,7 +80,17 @@ def brute_force_topk(
             )
 
     partials = emb.map_batches(ScanTopK(q_ref), batch_format="pyarrow")
-    t = pa.concat_tables(ray.get(partials.to_arrow_refs()))  # ≤ blocks×queries×k rows
+    tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    empty_out = pa.table(
+        {
+            "query_idx": pa.array([], pa.int32()),
+            id_col: pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int32()),
+        }
+    )
+    if not tables:
+        return empty_out
+    t = pa.concat_tables(tables)  # ≤ blocks×queries×k rows
     out_rows = {"query_idx": [], id_col: [], "rank": []}
     df = t.to_pandas()
     for j, g in df.groupby("query_idx"):

@@ -736,11 +736,12 @@ def exact_quantiles(
     hist = partial_group_agg(
         ds.select_columns([col]), [col], [(col, "count", "cnt")]
     )
-    h = (
-        pa.concat_tables(ray.get(hist.to_arrow_refs()))
-        .sort_by([(col, "ascending")])
-        .to_pandas()
-    )
+    tables = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {"q": pa.array([], pa.float64()), "value": pa.array([], pa.int64())}
+        )
+    h = pa.concat_tables(tables).sort_by([(col, "ascending")]).to_pandas()
     values = h[col].to_numpy()
     cum = h["cnt"].to_numpy().cumsum()
     n = int(cum[-1]) if len(cum) else 0

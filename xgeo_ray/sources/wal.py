@@ -310,17 +310,9 @@ def segment_row_count(path: str) -> int:
     if logical.endswith((".json", ".jsonl", ".ndjson")):
         if logical.endswith(".json") and _sniff_nested_json(path, codec):
             return sum(1 for _ in iter_nested_json_records(path))
-        n = 0
-        with pa.input_stream(path, compression=codec) as f:
-            while chunk := f.read(1 << 20):
-                n += chunk.count(b"\n")
-        return n
+        return _count_lines(path, codec)
     if logical.endswith(".csv"):
-        n = 0
-        with pa.input_stream(path, compression=codec) as f:
-            while chunk := f.read(1 << 20):
-                n += chunk.count(b"\n")
-        return max(0, n - 1)  # header row
+        return max(0, _count_lines(path, codec) - 1)  # header row
     if logical.endswith(".zip"):
         total = 0
         with zipfile.ZipFile(path) as z:
@@ -333,6 +325,17 @@ def segment_row_count(path: str) -> int:
                     continue
         return total
     raise ValueError(f"unsupported segment format: {path}")
+
+
+def _count_lines(path: str, codec: str | None) -> int:
+    """Line count that tolerates a missing trailing newline (a final
+    unterminated record is still a record)."""
+    n, last = 0, b"\n"
+    with pa.input_stream(path, compression=codec) as f:
+        while chunk := f.read(1 << 20):
+            n += chunk.count(b"\n")
+            last = chunk[-1:]
+    return n + (0 if last == b"\n" else 1)
 
 
 def write_segment_jsonl(table: pa.Table, path: str) -> str:
