@@ -274,8 +274,87 @@ def run_scaling() -> dict:
     }
 
 
+def run_tail_latency() -> dict:
+    """Streaming-mode latency: a writer appends WAL segments while the
+    tailer follows; latency per segment = commit wall clock minus the
+    segment file's close time. Reports p50/p95 over the stream."""
+    import threading
+
+    import numpy as np
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow.parquet as pq
+
+    from xgeo_ray import fixtures as fx
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    n_segments, seg_rows = 20, 25_000
+    events = fx.make_change_events(
+        n_segments * seg_rows, n_convs=2_000, turns_per_conv=20
+    )
+    root = f"/tmp/xgeo_tail_bench_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    wal = os.path.join(root, "wal")
+    os.makedirs(wal)
+    table = DeltaTable.create(
+        os.path.join(root, "t"), num_partitions=16, num_salts=2
+    )
+    write_ts: dict[str, float] = {}
+
+    def writer():
+        for k in range(n_segments):
+            seg = events.slice(k * seg_rows, seg_rows)
+            p = os.path.join(wal, f"seg-{k:05d}.parquet")
+            pq.write_table(seg, p)
+            write_ts[os.path.abspath(p)] = time.time()
+            time.sleep(0.25)
+
+    th = threading.Thread(target=writer, daemon=True)
+    th.start()
+    ms = ing.tail(
+        table,
+        wal,
+        poll_interval_s=0.05,
+        segments_per_epoch=1,
+        idle_polls_to_stop=30,
+        stable_for_s=0.05,
+    )
+    th.join()
+    lats = []
+    for m in ms:
+        commit_s = m.totals["commit_unix_us"] / 1e6
+        newest = max(write_ts[s] for s in m.segments)
+        lats.append((commit_s - newest) * 1000)
+    lats = np.array(sorted(lats))
+    out = {
+        "metric": "tail_commit_latency_ms",
+        "epochs": len(ms),
+        "events": int(sum(m.totals["events_read"] for m in ms)),
+        "p50_ms": round(float(np.percentile(lats, 50)), 1),
+        "p95_ms": round(float(np.percentile(lats, 95)), 1),
+        "max_ms": round(float(lats.max()), 1),
+        "num_cpus": NUM_CPUS,
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--tail-latency" in sys.argv:
+        print(json.dumps(run_tail_latency()))
     else:
         print(json.dumps(run_bench()))

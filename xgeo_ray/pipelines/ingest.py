@@ -587,9 +587,12 @@ def run_stream(
         ]
         return [[m] for m in maps] if P == 1 else maps
 
+    import time as _time
+
     no_wm = np.full(P, -1, dtype=np.int64)
     maps_i = launch_maps(0)
     for i, segs in enumerate(groups):
+        t_epoch = _time.perf_counter()
         is_boot = boot_group and i == 0
         epoch = epoch_base + 1 + i
         apply_ref = ray.put(
@@ -635,7 +638,13 @@ def run_stream(
                 segs,
                 entries,
                 envs[i],
-                extra_totals={"events_read": events_read},
+                extra_totals={
+                    "events_read": events_read,
+                    # streaming ops metrics: barrier cost of this epoch
+                    # (reduce wait + commit) and the commit wall clock
+                    "epoch_wall_ms": int((_time.perf_counter() - t_epoch) * 1000),
+                    "commit_unix_us": int(_time.time() * 1_000_000),
+                },
             )
         )
         for e in entries:  # epoch i+1 sees exactly the sequential watermarks
