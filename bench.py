@@ -351,10 +351,51 @@ def run_tail_latency() -> dict:
     return out
 
 
+def run_curve(levels: list[int]) -> dict:
+    """Parallelism curve over the 48M-event fixture (one fresh process
+    per level, os.sync between runs) — the BASELINE.md table command:
+    ``python bench.py --curve 2,4,8,16,32``."""
+
+    def run_at(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            XGEO_BENCH_EVENTS=str(_EV_OVERRIDE or _SCALING_EVENTS),
+            XGEO_BENCH_SEGMENTS="16",
+            XGEO_BENCH_SPE="4",
+            XGEO_BENCH_SKIP_QUERIES="1",
+            XGEO_BENCH_DURABILITY=os.environ.get("XGEO_BENCH_DURABILITY", "commit"),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    points = []
+    for ncpu in levels:
+        os.sync()
+        r = run_at(ncpu)
+        points.append(
+            {"cpus": ncpu, "sec": r["value"], "events_per_sec": r["events_per_sec"]}
+        )
+    base = points[0]
+    for p in points:
+        p["speedup"] = round(base["sec"] / p["sec"], 2)
+        p["efficiency"] = round(p["speedup"] / (p["cpus"] / base["cpus"]), 2)
+    return {"metric": "parallelism_curve", "points": points}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--tail-latency" in sys.argv:
         print(json.dumps(run_tail_latency()))
+    elif "--curve" in sys.argv:
+        arg = sys.argv[sys.argv.index("--curve") + 1] if len(
+            sys.argv
+        ) > sys.argv.index("--curve") + 1 else "2,4,8,16,32"
+        print(json.dumps(run_curve([int(x) for x in arg.split(",")])))
     else:
         print(json.dumps(run_bench()))
