@@ -149,3 +149,25 @@ def test_manifest_cache_sees_new_commits(tmp_path):
         m.epoch for m in fresh.manifests()
     ]
     assert (table.watermarks() == fresh.watermarks()).all()
+
+
+def test_manifest_commit_is_exclusive(tmp_path):
+    """Two writers racing to commit the SAME epoch: exactly one wins; the
+    loser raises instead of silently overwriting the fence."""
+    from xgeo_ray.state.manifest import Manifest, write_manifest
+
+    root = str(tmp_path)
+    m1 = Manifest(epoch=1, kind="delta", totals={"marker": 1})
+    m2 = Manifest(epoch=1, kind="delta", totals={"marker": 2})
+    write_manifest(root, m1)
+    with pytest.raises(FileExistsError):
+        write_manifest(root, m2)
+    from xgeo_ray.state.manifest import read_manifests
+
+    got = read_manifests(root)
+    assert len(got) == 1 and got[0].totals["marker"] == 1
+    # no tmp litter left behind
+    leftovers = [
+        n for n in os.listdir(os.path.join(root, "manifests")) if ".tmp" in n
+    ]
+    assert leftovers == []

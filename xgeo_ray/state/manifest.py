@@ -115,20 +115,26 @@ def manifest_path(root: str, epoch: int) -> str:
 
 
 def write_manifest(root: str, m: Manifest) -> str:
-    """Atomic commit: serialize to a tmp file, fsync, os.replace, fsync
-    the manifests directory (the rename itself must be durable — a
-    power crash after replace but before the dir entry hits disk would
-    otherwise roll the commit back while delta files survive)."""
+    """Atomic EXCLUSIVE commit: serialize to a tmp file, fsync, claim the
+    epoch with os.link (fails with FileExistsError if another writer
+    already committed it — os.replace would silently overwrite in a
+    two-driver race), then fsync the manifests directory (the new dir
+    entry must be durable — a power crash after the link but before the
+    entry hits disk would otherwise roll the commit back while delta
+    files survive)."""
     d = os.path.join(root, MANIFEST_DIR)
     os.makedirs(d, exist_ok=True)
     final = manifest_path(root, m.epoch)
-    tmp = final + ".tmp"
+    tmp = final + f".tmp-{os.getpid()}"
     payload = asdict(m)
     with open(tmp, "w") as f:
         json.dump(payload, f, indent=1)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, final)
+    try:
+        os.link(tmp, final)  # atomic claim: exactly one committer per epoch
+    finally:
+        os.unlink(tmp)
     fsync_dir(d)
     return final
 
