@@ -212,3 +212,46 @@ def test_crash_during_compact_is_invisible_then_retry(tmp_path, monkeypatch):
     assert (table.watermarks() == wm_before).all()
     files = table.partition_files()
     assert all(len(v) == 1 for v in files.values())  # folded to one file each
+
+
+def test_vacuum_reclaims_superseded_deltas_only(tmp_path):
+    """After compact, vacuum deletes exactly the superseded delta files:
+    the visible view, resume watermarks, and crash-orphan files from
+    epochs ABOVE the committed fence all survive."""
+    import glob
+
+    events = fx.make_change_events(400, n_convs=10, turns_per_conv=5)
+    segs = fx.write_segments(events, str(tmp_path / "wal"), n_segments=4)
+    table = DeltaTable.create(str(tmp_path / "t"), num_partitions=4, num_salts=1)
+    ing.run_stream(table, segs, segments_per_epoch=1)  # 4 delta epochs
+    before = (
+        ing.snapshot(table).to_pandas().sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    wm = table.watermarks().copy()
+    ing.compact(table)
+    # plant a crash-orphan from a FUTURE (uncommitted) epoch
+    orphan = os.path.join(
+        table.root, "parts", "part=00000", f"epoch={table.latest_epoch()+1:06d}.parquet"
+    )
+    pq.write_table(pa.table({"x": [1]}), orphan)
+
+    all_files = lambda: glob.glob(
+        os.path.join(table.root, "parts", "*", "*epoch=*.parquet")
+    )
+    n_before = len(all_files())
+    stats = ing.vacuum(table)
+    assert stats["deleted"] > 0 and stats["bytes_freed"] > 0
+    remaining = all_files()
+    # exactly the visible compact files + the future-epoch orphan remain
+    visible = {p for v in table.partition_files().values() for p in v}
+    assert set(remaining) == visible | {orphan}
+    assert len(remaining) < n_before
+    after = (
+        ing.snapshot(table).to_pandas().sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before, after)
+    assert (table.watermarks() == wm).all()
+    # idempotent
+    assert ing.vacuum(table)["deleted"] == 0

@@ -104,6 +104,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("table")
     p.add_argument("--tombstone-ts-horizon", type=int, default=None)
 
+    p = sub.add_parser(
+        "vacuum", help="delete delta files superseded by a committed compaction"
+    )
+    p.add_argument("table")
+
     p = sub.add_parser("status", help="print manifests + lineage totals as JSON")
     p.add_argument("table")
 
@@ -180,6 +185,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             m = ing.compact(table, tombstone_ts_horizon=args.tombstone_ts_horizon)
             print(json.dumps({"epoch": m.epoch, "kind": m.kind}))
+        elif args.cmd == "vacuum":
+            print(json.dumps(ing.vacuum(table)))
         elif args.cmd == "status":
             out = []
             for m in table.manifests():

@@ -41,6 +41,7 @@ from xgeo_ray.stages.collapse import merge_versions
 from xgeo_ray.stages.normalize import NormalizeEvents
 from xgeo_ray.state.delta_table import (
     LINEAGE_COLS,
+    PARTS_DIR,
     DeltaTable,
     delta_relpath,
     part_dir,
@@ -837,6 +838,52 @@ def compact(table: DeltaTable, tombstone_ts_horizon: int | None = None) -> Manif
     return table.commit_epoch(
         epoch, [], entries, envelope, kind="compact", replaces_up_to=upto
     )
+
+
+def vacuum(table: DeltaTable) -> dict:
+    """Delete partition files superseded by a committed compaction —
+    the storage-reclaim half of compact() (which rewrites but never
+    deletes, so a long-running table otherwise accumulates every epoch's
+    deltas forever).
+
+    Deletes exactly the files that (a) live under parts/, (b) belong to
+    an epoch at or below the latest COMMITTED epoch, and (c) are not
+    referenced by the current visible view (partition_files). Files from
+    epochs above the committed fence are left alone: they belong to an
+    in-flight or crashed epoch — the former must not lose its
+    pre-commit deltas, the latter is overwritten deterministically on
+    retry. Readers that planned a snapshot before a compact committed
+    should finish before vacuuming (same reader-grace contract as any
+    LSM store)."""
+    import re as _re
+
+    visible = {
+        os.path.abspath(p)
+        for paths in table.partition_files().values()
+        for p in paths
+    }
+    latest = table.latest_epoch()
+    pat = _re.compile(r"^(?:compact-)?epoch=(\d{6})\.parquet$")
+    deleted = 0
+    bytes_freed = 0
+    parts_root = os.path.join(table.root, PARTS_DIR)
+    if not os.path.isdir(parts_root):
+        return {"deleted": 0, "bytes_freed": 0}
+    for part in sorted(os.listdir(parts_root)):
+        d = os.path.join(parts_root, part)
+        if not os.path.isdir(d):
+            continue
+        for name in sorted(os.listdir(d)):
+            mm = pat.match(name)
+            if not mm or int(mm.group(1)) > latest:
+                continue
+            full = os.path.abspath(os.path.join(d, name))
+            if full in visible:
+                continue
+            bytes_freed += os.path.getsize(full)
+            os.remove(full)
+            deleted += 1
+    return {"deleted": deleted, "bytes_freed": bytes_freed}
 
 
 @ray.remote
