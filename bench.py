@@ -118,7 +118,7 @@ def run_bench() -> dict:
     # best-of-N with published samples: this sandbox's host shows
     # co-tenant noise swings up to 2x on single shots (same methodology
     # as the scaling bench; all samples reported so outliers are visible)
-    reps = int(os.environ.get("XGEO_BENCH_REPS", "1" if _SKIP_QUERIES else "2"))
+    reps = int(os.environ.get("XGEO_BENCH_REPS", "1" if _SKIP_QUERIES else "3"))
     samples = []
     n_final = 0
     table = None
