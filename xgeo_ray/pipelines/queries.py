@@ -378,14 +378,22 @@ def order_revenue_by_priority(sf_dir: str):
         )
 
     li2 = li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    # aggregation pushdown below the join: collapse lineitem to one row
+    # per orderkey first, so the join shuffles |orders| rows instead of
+    # |lineitem| (4x fewer here; the win grows with lines per order)
+    per_order = partial_group_agg(
+        li2,
+        ["o_orderkey"],
+        [("rev_cents", "sum", "rev_cents"), ("rev_cents", "count", "n_lines")],
+    )
     orders = _read(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    joined = hash_join(li2, orders, on="o_orderkey", num_partitions=16)
+    joined = hash_join(per_order, orders, on="o_orderkey", num_partitions=16)
     return partial_group_agg(
         joined,
         ["o_orderpriority"],
-        [("rev_cents", "sum", "revenue_cents"), ("rev_cents", "count", "n_items")],
+        [("rev_cents", "sum", "revenue_cents"), ("n_lines", "sum", "n_items")],
     )
 
 
