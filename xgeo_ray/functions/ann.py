@@ -14,8 +14,6 @@ search", TPAMI 2011 — coarse quantizer only, exact residual scan).
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pyarrow as pa
 

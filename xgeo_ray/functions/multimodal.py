@@ -16,8 +16,6 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-import ray.data
-
 MEDIA_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64()),

@@ -26,7 +26,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
 
 AggSpec = tuple[str, Literal["sum", "min", "max", "count"], str]  # col, fn, alias
 

@@ -36,7 +36,7 @@ import ray
 import ray.data
 
 from xgeo_ray.partition import PART_COL, add_part_key
-from xgeo_ray.schemas import CHANGE_EVENTS_SCHEMA, cast_to, unify
+from xgeo_ray.schemas import cast_to, unify
 from xgeo_ray.stages.collapse import merge_versions
 from xgeo_ray.stages.normalize import NormalizeEvents
 from xgeo_ray.state.delta_table import (
@@ -44,7 +44,6 @@ from xgeo_ray.state.delta_table import (
     PARTS_DIR,
     DeltaTable,
     delta_relpath,
-    part_dir,
 )
 from xgeo_ray.state.manifest import Manifest, PartitionEntry
 

@@ -30,7 +30,6 @@ import ray.data
 
 from xgeo_ray.functions.relational import (
     add_time_bucket,
-    asof_join_per_key,
     broadcast_join,
     partial_group_agg,
     sessionize,

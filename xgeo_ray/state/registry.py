@@ -15,7 +15,6 @@ concurrent ingesters and for monitoring surfaces.
 from __future__ import annotations
 
 import numpy as np
-import pyarrow as pa
 
 import ray
 
