@@ -214,3 +214,19 @@ def test_fused_bootstrap_stream_matches_separate(tmp_path):
     before = t1.latest_epoch()
     ms = ing.run_stream(t1, segs, segments_per_epoch=2, bootstrap=base_path)
     assert ms == [] and t1.latest_epoch() == before
+
+
+def test_snapshot_column_pruning(built_table):
+    """snapshot(columns=...) must equal the projection of the full
+    snapshot while reading only key/order/op + requested columns."""
+    table, base, events, _ = built_table
+    full = (
+        ing.snapshot(table).to_pandas()[["conv_id", "turn_idx", "text"]]
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pruned = (
+        ing.snapshot(table, columns=["conv_id", "turn_idx", "text"])
+        .to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert list(pruned.columns) == ["conv_id", "turn_idx", "text"]
+    pd.testing.assert_frame_equal(pruned, full)

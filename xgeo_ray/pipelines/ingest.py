@@ -732,40 +732,72 @@ class _MergePartitions:
         return pa.concat_tables(out)
 
 
+_MERGE_COLS = ["conv_id", "turn_idx", "ts", "seq", "op"]  # LWW needs these
+
+
 @ray.remote
 def _merge_part_task(
-    paths: list[str], envelope: pa.Schema, keep_lineage: bool, policy: str = "lww"
+    paths: list[str],
+    envelope: pa.Schema,
+    keep_lineage: bool,
+    policy: str = "lww",
+    columns: list[str] | None = None,
 ) -> pa.Table:
     from xgeo_ray.tuning import limit_worker_threads
 
     limit_worker_threads()
-    tables = [pq.read_table(p, use_threads=False) for p in paths]
+    read_cols = None
+    if columns is not None:
+        read_cols = list(dict.fromkeys(_MERGE_COLS + list(columns)))
+    tables = []
+    for p in paths:
+        if read_cols is None:
+            tables.append(pq.read_table(p, use_threads=False))
+        else:
+            have = [c for c in read_cols if c in pq.read_schema(p).names]
+            tables.append(pq.read_table(p, columns=have, use_threads=False))
+    if read_cols is not None:
+        envelope = pa.schema([f for f in envelope if f.name in read_cols])
     t = cast_to(
         merge_versions(tables, drop_tombstones=True, policy=policy), envelope
     )
     if not keep_lineage:
-        t = t.drop_columns(LINEAGE_COLS)
+        t = t.drop_columns([c for c in LINEAGE_COLS if c in t.column_names])
+    if columns is not None:
+        t = t.select([c for c in columns if c in t.column_names])
     return t
 
 
-def snapshot(table: DeltaTable, keep_lineage: bool = False) -> ray.data.Dataset:
+def snapshot(
+    table: DeltaTable,
+    keep_lineage: bool = False,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
     """Merge-on-read view of the committed table state: one raw-Ray merge
     task per partition (launched immediately), surfaced as a Dataset via
     from_arrow_refs — rows are partition-local sorted by
     (conv_id, turn_idx); no shuffle anywhere. The raw tasks sidestep the
-    same executor latency the radix exchange avoids."""
+    same executor latency the radix exchange avoids.
+
+    ``columns`` prunes at the PARQUET READ: merge tasks load only the
+    primary-key/order/op columns plus the requested ones, so a narrow
+    projection of a wide table never pulls the wide payload off disk —
+    the scan-side discipline required at 100 TB."""
     plan = table.partition_files()
     envelope = table.current_schema()
     if not plan:
-        empty = pa.schema(
-            [f for f in envelope if keep_lineage or f.name not in LINEAGE_COLS]
-        ).empty_table()
-        return ray.data.from_arrow(empty)
+        fields = [
+            f
+            for f in envelope
+            if (keep_lineage or f.name not in LINEAGE_COLS)
+            and (columns is None or f.name in columns)
+        ]
+        return ray.data.from_arrow(pa.schema(fields).empty_table())
     from xgeo_ray.stages.collapse import MERGE_POLICIES
 
     policy_fn = MERGE_POLICIES[table.merge_policy]["fn"]
     refs = [
-        _merge_part_task.remote(paths, envelope, keep_lineage, policy_fn)
+        _merge_part_task.remote(paths, envelope, keep_lineage, policy_fn, columns)
         for _, paths in sorted(plan.items())
     ]
     return ray.data.from_arrow_refs(refs)
