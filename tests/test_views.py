@@ -60,7 +60,7 @@ def test_incremental_view_refresh(tmp_path):
     view = str(tmp_path / "view")
 
     ing.run_stream(table, segs[:2], segments_per_epoch=1)
-    s1 = refresh_view(table, view, _make_agg())
+    s1 = refresh_view(table, view, _make_agg(), columns=["conv_id", "turn_idx", "ts"])
     assert s1["refreshed"] > 0 and s1["skipped"] == 0
     pd.testing.assert_frame_equal(_combined(view), _expected(table))
 

@@ -61,9 +61,14 @@ def _partition_version(table: DeltaTable) -> dict[int, int]:
 
 @ray.remote
 def _refresh_part(
-    paths: list[str], envelope: pa.Schema, policy, agg_fn, out_path: str
+    paths: list[str],
+    envelope: pa.Schema,
+    policy,
+    agg_fn,
+    out_path: str,
+    columns: list[str] | None,
 ) -> int:
-    from xgeo_ray.pipelines.ingest import _atomic_write_parquet
+    from xgeo_ray.pipelines.ingest import _MERGE_COLS, _atomic_write_parquet
     from xgeo_ray.stages.collapse import merge_versions
     from xgeo_ray.tuning import limit_worker_threads
 
@@ -71,9 +76,19 @@ def _refresh_part(
     from xgeo_ray.schemas import cast_to
     from xgeo_ray.state.delta_table import LINEAGE_COLS
 
-    tables = [pq.read_table(p, use_threads=False) for p in paths]
+    read_cols = None
+    if columns is not None:
+        read_cols = list(dict.fromkeys(_MERGE_COLS + list(columns)))
+        envelope = pa.schema([f for f in envelope if f.name in read_cols])
+    tables = []
+    for p in paths:
+        if read_cols is None:
+            tables.append(pq.read_table(p, use_threads=False))
+        else:
+            have = [c for c in read_cols if c in pq.read_schema(p).names]
+            tables.append(pq.read_table(p, columns=have, use_threads=False))
     t = cast_to(merge_versions(tables, drop_tombstones=True, policy=policy), envelope)
-    t = t.drop_columns(LINEAGE_COLS)
+    t = t.drop_columns([c for c in LINEAGE_COLS if c in t.column_names])
     out = agg_fn(t)
     _atomic_write_parquet(out, out_path)
     return out.num_rows
@@ -83,6 +98,7 @@ def refresh_view(
     table: DeltaTable,
     view_dir: str,
     agg_fn: Callable[[pa.Table], pa.Table],
+    columns: list[str] | None = None,
 ) -> dict:
     """Bring the view up to date: one raw merge+aggregate task per STALE
     partition (fresh partitions are skipped entirely). Returns refresh
@@ -109,6 +125,7 @@ def refresh_view(
             policy_fn,
             agg_fn,
             os.path.join(view_dir, f"part-{part:05d}.parquet"),
+            columns,  # prune the merge read to what agg_fn touches
         )
         for part, paths in stale.items()
     }
