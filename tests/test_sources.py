@@ -115,6 +115,13 @@ def test_cli_lifecycle(tmp_path):
     assert out2["written"] == 0 and out2["skipped"] == out["partitions"]
     status = json.loads(run("status", f"{root}/t"))
     assert len(status) == 2  # bootstrap + one ingest epoch
+    out = json.loads(run("compact", f"{root}/t"))
+    assert out["kind"] == "compact"
+    out = json.loads(run("vacuum", f"{root}/t"))
+    assert out["deleted"] > 0 and out["bytes_freed"] > 0
+    # post-compact+vacuum export still matches the oracle
+    out = json.loads(run("snapshot", f"{root}/t", f"{root}/snap2"))
+    assert out["rows_written"] == want.num_rows
 
 
 def test_csv_segment_ingest_parity(stream, tmp_path):
