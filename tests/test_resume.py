@@ -169,3 +169,35 @@ def test_tail_follows_live_wal(tmp_path):
     # restart: everything committed, nothing to do
     ms2 = ing.tail(table, wal, poll_interval_s=0.05, idle_polls_to_stop=2)
     assert ms2 == []
+
+
+def test_tail_with_inline_maintenance(tmp_path):
+    """tail(compact_every_epochs=2, vacuum_after_compact=True): the
+    drain interleaves compactions, reclaims superseded deltas, and the
+    final state still matches the oracle."""
+    events = fx.make_change_events(400, n_convs=8, turns_per_conv=5)
+    wal = tmp_path / "wal"
+    fx.write_segments(events, str(wal), n_segments=4)
+    table = DeltaTable.create(str(tmp_path / "t"), num_partitions=4, num_salts=1)
+    ms = ing.tail(
+        table, str(wal), poll_interval_s=0.05, segments_per_epoch=1,
+        idle_polls_to_stop=2, stable_for_s=0.0,
+        compact_every_epochs=2, vacuum_after_compact=True,
+    )
+    kinds = [m.kind for m in ms]
+    # all segments are present at the first poll, so one drain (4 delta
+    # epochs) triggers one maintenance pass
+    assert kinds.count("compact") >= 1
+    # all partitions folded to a single visible file, old deltas reclaimed
+    files = table.partition_files()
+    assert all(len(v) == 1 for v in files.values())
+    import glob
+
+    on_disk = glob.glob(os.path.join(table.root, "parts", "*", "*epoch=*.parquet"))
+    assert set(on_disk) == {p for v in files.values() for p in v}
+    want = fx.naive_final_state(None, events)
+    got = (
+        ing.snapshot(table).to_pandas().sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got["text"].tolist() == want.column("text").to_pylist()

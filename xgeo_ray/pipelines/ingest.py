@@ -979,6 +979,8 @@ def tail(
     segments_per_epoch: int = 8,
     idle_polls_to_stop: int | None = None,
     stable_for_s: float = 0.2,
+    compact_every_epochs: int | None = None,
+    vacuum_after_compact: bool = False,
 ) -> list[Manifest]:
     """Follow a WAL directory and apply new segments as they land — the
     'binlog tailer' entry point. Micro-batch streaming: each poll that
@@ -989,13 +991,20 @@ def tail(
     manifests.
 
     ``idle_polls_to_stop`` bounds the loop for tests/batch drains
-    (None = run forever). Returns the manifests committed."""
+    (None = run forever). Returns the manifests committed.
+
+    ``compact_every_epochs`` runs background maintenance inline: after
+    every N committed delta epochs the tailer folds each partition's
+    delta chain (compact) and, with ``vacuum_after_compact``, reclaims
+    the superseded files — keeping merge-on-read cost bounded on an
+    endless stream without an external scheduler."""
     import time as _time
 
     from xgeo_ray.sources.wal import is_supported_segment
 
     committed: list[Manifest] = []
     idle = 0
+    epochs_since_compact = 0
     while True:
         now = _time.time()
         try:
@@ -1018,9 +1027,17 @@ def tail(
             fresh.append(p)
         if fresh:
             idle = 0
-            committed.extend(
-                run_stream(table, fresh, segments_per_epoch=segments_per_epoch)
-            )
+            ms = run_stream(table, fresh, segments_per_epoch=segments_per_epoch)
+            committed.extend(ms)
+            epochs_since_compact += len(ms)
+            if (
+                compact_every_epochs is not None
+                and epochs_since_compact >= compact_every_epochs
+            ):
+                committed.append(compact(table))
+                if vacuum_after_compact:
+                    vacuum(table)
+                epochs_since_compact = 0
         else:
             idle += 1
             if idle_polls_to_stop is not None and idle >= idle_polls_to_stop:
