@@ -94,6 +94,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--poll-interval", type=float, default=0.5)
     p.add_argument("--segments-per-epoch", type=int, default=8)
     p.add_argument(
+        "--compact-every",
+        type=int,
+        default=None,
+        help="fold delta chains after every N committed epochs",
+    )
+    p.add_argument(
+        "--vacuum",
+        action="store_true",
+        help="reclaim superseded delta files after each inline compaction",
+    )
+    p.add_argument(
         "--idle-polls-to-stop",
         type=int,
         default=None,
@@ -168,6 +179,8 @@ def main(argv: list[str] | None = None) -> int:
                 poll_interval_s=args.poll_interval,
                 segments_per_epoch=args.segments_per_epoch,
                 idle_polls_to_stop=args.idle_polls_to_stop,
+                compact_every_epochs=args.compact_every,
+                vacuum_after_compact=args.vacuum,
             )
             print(
                 json.dumps(
