@@ -120,3 +120,45 @@ def test_view_refresh_crash_retry(tmp_path, monkeypatch):
     s = refresh_view(table, view, _make_agg())
     assert s["refreshed"] > 0
     pd.testing.assert_frame_equal(_combined(view), _expected(table))
+
+
+def test_view_on_additive_table(tmp_path):
+    """Views honor the table's merge policy: an additive table's view
+    aggregates the ACCUMULATED state."""
+    import numpy as np
+
+    from tests.test_merge_policy import _additive_oracle, _events_table, _ev
+
+    rng = np.random.default_rng(5)
+    rows = [
+        _ev(seq, "I", f"c{rng.integers(0, 6)}", int(rng.integers(0, 3)),
+            1000 * seq, int(rng.integers(1, 9)))
+        for seq in range(200)
+    ]
+    events = _events_table(rows)
+    segs = fx.write_segments(events, str(tmp_path / "wal"), n_segments=2)
+    table = DeltaTable.create(
+        str(tmp_path / "t"), num_partitions=4, num_salts=1, merge_policy="additive"
+    )
+    ing.run_stream(table, segs, segments_per_epoch=1)
+
+    def make_agg():
+        def agg(t: pa.Table) -> pa.Table:
+            return t.group_by(["conv_id"]).aggregate([("amount", "sum")])
+        return agg
+
+    view = str(tmp_path / "view")
+    refresh_view(table, view, make_agg())
+    got = (
+        read_view(view).to_pandas().groupby("conv_id")["amount_sum"].sum()
+        .reset_index().sort_values("conv_id").reset_index(drop=True)
+    )
+    want = (
+        _additive_oracle(events).groupby("conv_id")["amount"].sum()
+        .reset_index().sort_values("conv_id").reset_index(drop=True)
+        .rename(columns={"amount": "amount_sum"})
+    )
+    import pandas as _pd
+
+    _pd.testing.assert_frame_equal(got.astype({"amount_sum": "int64"}),
+                                   want.astype({"amount_sum": "int64"}))
