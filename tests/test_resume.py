@@ -201,3 +201,30 @@ def test_tail_with_inline_maintenance(tmp_path):
         .reset_index(drop=True)
     )
     assert got["text"].tolist() == want.column("text").to_pylist()
+
+
+def test_long_stream_many_epochs(tmp_path):
+    """50 single-segment epochs through one pipelined run_stream call:
+    commit ordering, watermark accumulation and the manifest parse cache
+    all hold on a long stream; final state matches the oracle."""
+    events = fx.make_change_events(5000, n_convs=20, turns_per_conv=8,
+                                   dup_fraction=0.02)
+    segs = fx.write_segments(events, str(tmp_path / "wal"), n_segments=50)
+    table = DeltaTable.create(str(tmp_path / "t"), num_partitions=8, num_salts=2,
+                              durability="commit")
+    ms = ing.run_stream(table, segs, segments_per_epoch=1)
+    assert [m.epoch for m in ms] == list(range(1, 51))
+    assert len(table.manifests()) == 50  # fills the parse cache
+    assert len(table._manifest_cache) == 50
+    want = fx.naive_final_state(None, events)
+    got = (
+        ing.snapshot(table).to_pandas().sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got["text"].tolist() == want.column("text").to_pylist()
+    # per-epoch streaming metrics present and sane
+    assert all(m.totals["epoch_wall_ms"] >= 0 for m in ms)
+    assert all(
+        a.totals["commit_unix_us"] <= b.totals["commit_unix_us"]
+        for a, b in zip(ms, ms[1:])
+    )
