@@ -230,3 +230,23 @@ def test_snapshot_column_pruning(built_table):
     )
     assert list(pruned.columns) == ["conv_id", "turn_idx", "text"]
     pd.testing.assert_frame_equal(pruned, full)
+
+
+def test_point_lookup_single_conversation(built_table):
+    """lookup(conv_id) returns exactly the snapshot's rows for that
+    conversation while touching only its hash partitions."""
+    table, base, events, _ = built_table
+    snap = ing.snapshot(table).to_pandas()
+    conv = snap["conv_id"].iloc[len(snap) // 2]
+    want = (
+        snap[snap["conv_id"] == conv]
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    got = ing.lookup(table, conv).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # single-turn variant
+    turn = int(want["turn_idx"].iloc[0])
+    one = ing.lookup(table, conv, turn_idx=turn).to_pandas()
+    assert len(one) == 1 and one["text"].iloc[0] == want["text"].iloc[0]
+    # missing key -> typed empty
+    assert ing.lookup(table, "no-such-conv").num_rows == 0

@@ -803,6 +803,58 @@ def snapshot(
     return ray.data.from_arrow_refs(refs)
 
 
+def lookup(
+    table: DeltaTable,
+    conv_id: str,
+    turn_idx: int | None = None,
+    keep_lineage: bool = False,
+) -> pa.Table:
+    """Point lookup: the merged state of ONE conversation (optionally one
+    turn) touching only the <= num_salts partitions its keys hash to —
+    O(partition) I/O instead of a table scan, the read-path payoff of
+    hash partitioning. Runs inline on the caller (no task round-trip:
+    the data read is a handful of files)."""
+    from xgeo_ray.partition import compute_part_key
+    from xgeo_ray.stages.collapse import MERGE_POLICIES
+
+    salts = np.arange(max(1, table.num_salts), dtype=np.int64)
+    conv_arr = pa.array([conv_id] * len(salts))
+    turn_arr = pa.array(
+        salts if turn_idx is None else np.full(len(salts), turn_idx, np.int64),
+        pa.int64(),
+    )
+    # turn_idx drives only the salt; probing every salt value covers all
+    # partitions any turn of this conv can live in
+    parts = {
+        int(p)
+        for p in compute_part_key(
+            conv_arr, turn_arr, table.num_partitions, table.num_salts
+        )
+    }
+    plan = table.partition_files()
+    policy_fn = MERGE_POLICIES[table.merge_policy]["fn"]
+    envelope = table.current_schema()
+    tables = []
+    for part in sorted(parts):
+        for p in plan.get(part, []):
+            t = pq.read_table(p, use_threads=False)
+            t = t.filter(pc.equal(t.column("conv_id"), conv_id))
+            if t.num_rows:
+                tables.append(t)
+    t = merge_versions(tables, drop_tombstones=True, policy=policy_fn)
+    if t.num_rows == 0:
+        base = pa.schema(
+            [f for f in envelope if keep_lineage or f.name not in LINEAGE_COLS]
+        )
+        return base.empty_table()
+    t = cast_to(t, envelope)
+    if turn_idx is not None:
+        t = t.filter(pc.equal(t.column("turn_idx").cast(pa.int64()), turn_idx))
+    if not keep_lineage:
+        t = t.drop_columns([c for c in LINEAGE_COLS if c in t.column_names])
+    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
 def compact(table: DeltaTable, tombstone_ts_horizon: int | None = None) -> Manifest:
     """Fold each partition's visible files into one compacted file.
 
