@@ -116,6 +116,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--tombstone-ts-horizon", type=int, default=None)
 
     p = sub.add_parser(
+        "get", help="point lookup: merged rows of one conversation"
+    )
+    p.add_argument("table")
+    p.add_argument("conv_id")
+    p.add_argument("--turn", type=int, default=None)
+
+    p = sub.add_parser(
         "vacuum", help="delete delta files superseded by a committed compaction"
     )
     p.add_argument("table")
@@ -141,7 +148,8 @@ def main(argv: list[str] | None = None) -> int:
     table = DeltaTable.open(args.table)
     from xgeo_ray.pipelines import ingest as ing
 
-    _init_ray()
+    if args.cmd not in ("get", "status", "vacuum"):
+        _init_ray()  # these three are inline metadata/file ops — no cluster
     try:
         if args.cmd == "bootstrap":
             m = ing.bootstrap_base(table, args.base)
@@ -200,6 +208,9 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"epoch": m.epoch, "kind": m.kind}))
         elif args.cmd == "vacuum":
             print(json.dumps(ing.vacuum(table)))
+        elif args.cmd == "get":
+            t = ing.lookup(table, args.conv_id, turn_idx=args.turn)
+            print(json.dumps(t.to_pylist(), default=str))
         elif args.cmd == "status":
             out = []
             for m in table.manifests():
