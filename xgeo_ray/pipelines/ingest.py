@@ -837,8 +837,12 @@ def lookup(
     tables = []
     for part in sorted(parts):
         for p in plan.get(part, []):
-            t = pq.read_table(p, use_threads=False)
-            t = t.filter(pc.equal(t.column("conv_id"), conv_id))
+            # delta files are sorted by conv_id, so row-group statistics
+            # prune this predicate to the few groups holding the key —
+            # the read touches O(row-group), not the whole partition
+            t = pq.read_table(
+                p, use_threads=False, filters=[("conv_id", "==", conv_id)]
+            )
             if t.num_rows:
                 tables.append(t)
     t = merge_versions(tables, drop_tombstones=True, policy=policy_fn)
