@@ -68,13 +68,17 @@ def _atomic_write_parquet(
     d = os.path.dirname(final_path)
     os.makedirs(d, exist_ok=True)
     tmp = final_path + f".tmp-{os.getpid()}"
+    # 128k-row groups: fine enough that a sorted file's row-group stats
+    # prune point lookups to a few groups, coarse enough that scans and
+    # chunk planning (~500k-row runs) stay metadata-light
+    rg = 131_072
     if durable:
         with open(tmp, "wb") as f:
-            pq.write_table(t, f)
+            pq.write_table(t, f, row_group_size=rg)
             f.flush()
             os.fsync(f.fileno())
     else:
-        pq.write_table(t, tmp)
+        pq.write_table(t, tmp, row_group_size=rg)
     os.replace(tmp, final_path)
     if durable:
         fsync_dir(d)
