@@ -749,6 +749,7 @@ def simhash_dup_pairs(
     docs: ray.data.Dataset,
     max_hamming: int = 3,
     num_bands: int = 4,
+    num_buckets: int = 16,
 ) -> ray.data.Dataset:
     """Near-dup pairs by SimHash: band the 64-bit signature into
     ``num_bands`` exact-match blocks (pigeonhole: any pair within
@@ -783,15 +784,28 @@ def simhash_dup_pairs(
 
     sigs = docs.map_batches(SimHasher(), batch_format="pyarrow")
     bands = sigs.map_batches(explode, batch_format="pyarrow")
+    # shuffle on a hash of (band, band_val), not on band alone: grouping
+    # by band caps parallelism at num_bands (4) — a scale ceiling; the
+    # bucketed key spreads work while pairs still form within exact
+    # (band, band_val) matches via the in-group merge
+    from xgeo_ray.functions.relational import _BUCKET_COL, _key_buckets
 
-    def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
-        dup = g[g.duplicated("band_val", keep=False)][
-            ["band_val", "doc_id", "simhash"]
+    bands = bands.map_batches(
+        lambda b: b.append_column(
+            _BUCKET_COL,
+            pa.array(_key_buckets(b, ["band", "band_val"], num_buckets)),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated(["band", "band_val"], keep=False)][
+            ["band", "band_val", "doc_id", "simhash"]
         ]
         if len(dup) < 2:
             e = np.empty(0, dtype=np.int64)
             return pd.DataFrame({"doc_id_a": e, "doc_id_b": e, "hamming": e})
-        m = dup.merge(dup, on="band_val", suffixes=("_a", "_b"))
+        m = dup.merge(dup, on=["band", "band_val"], suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
         if not len(m):
             e = np.empty(0, dtype=np.int64)
@@ -806,7 +820,9 @@ def simhash_dup_pairs(
             ["doc_id_a", "doc_id_b"]
         )
 
-    cands = bands.groupby("band").map_groups(pairs_in_band, batch_format="pandas")
+    cands = bands.groupby(_BUCKET_COL).map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
     # a pair found in multiple bands collapses via a tiny grouped min
     return partial_group_agg(
         cands, ["doc_id_a", "doc_id_b"], [("hamming", "min", "hamming")]
