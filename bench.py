@@ -240,22 +240,24 @@ def run_scaling() -> dict:
     hi = int(os.environ.get("XGEO_SCALE_HI", str(4 * lo)))
     reps = int(os.environ.get("XGEO_SCALE_REPS", "3"))
 
-    def measure(ncpu: int) -> tuple[dict, list[float]]:
-        """Best-of-reps per level: each run writes ~5 GB of table state,
-        and the NEXT fresh process otherwise pays its writeback — sync
-        between runs and take the min, reporting every sample."""
-        times, best = [], None
-        for _ in range(reps):
+    # INTERLEAVE the levels (hi, lo, hi, lo, ...): host co-tenant noise
+    # comes in multi-minute windows, so running one level's reps
+    # back-to-back lets a single slow window poison that entire level
+    # and skew the ratio; alternating samples both levels across the
+    # same windows. Best-of per level, every sample published;
+    # os.sync between runs so no run pays its predecessor's ~5 GB of
+    # table-state writeback.
+    times: dict[int, list[float]] = {hi: [], lo: []}
+    best: dict[int, dict] = {}
+    for _ in range(reps):
+        for ncpu in (hi, lo):
             os.sync()
             r = run_at(ncpu)
-            times.append(r["value"])
-            if best is None or r["value"] < best["value"]:
-                best = r
-        return best, times
-
-    # interleave levels so neither systematically inherits dirty pages
-    r_hi, hi_times = measure(hi)
-    r_lo, lo_times = measure(lo)
+            times[ncpu].append(r["value"])
+            if ncpu not in best or r["value"] < best[ncpu]["value"]:
+                best[ncpu] = r
+    r_hi, hi_times = best[hi], times[hi]
+    r_lo, lo_times = best[lo], times[lo]
     speedup = r_lo["value"] / r_hi["value"]
     eff = speedup / (hi / lo)
     return {
