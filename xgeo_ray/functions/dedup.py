@@ -202,68 +202,114 @@ def _mh_band_map(block: pa.Table, mh, num_bands: int, num_buckets: int):
     return out if num_buckets > 1 else out[0]
 
 
+_MH_IDPAIR_SCHEMA = pa.schema([("doc_id_a", pa.int64()), ("doc_id_b", pa.int64())])
+
+
 @ray.remote
-def _mh_pair_reduce(*subs: pa.Table):
+def _mh_pair_reduce(num_buckets: int, *subs: pa.Table):
     """Reduce side: all rows of this band_hash bucket, across all blocks.
     Pairs form within exact (band, band_hash) groups via one vectorized
-    self-merge; singleton hashes are masked out first."""
+    self-merge (singleton hashes masked out first), then radix-split by
+    hash(doc_id_a) into the VERIFY buckets — every copy of a pair (found
+    by different bands) lands in the same verify bucket, so the
+    cross-band dedup happens there, never on the driver."""
     from xgeo_ray.tuning import limit_worker_threads
 
     limit_worker_threads()
+    nb = num_buckets
+    empty = _MH_IDPAIR_SCHEMA.empty_table()
     subs = [s for s in subs if s.num_rows]
-    if not subs:
-        return None
-    g = pa.concat_tables(subs).to_pandas()
-    dup = g[g.duplicated(["band", "band_hash"], keep=False)][
-        ["band", "band_hash", "doc_id"]
-    ]
-    if len(dup) < 2:
-        return None
-    m = dup.merge(dup, on=["band", "band_hash"], suffixes=("_a", "_b"))
-    m = m[m["doc_id_a"] < m["doc_id_b"]][["doc_id_a", "doc_id_b"]]
-    m = m.drop_duplicates()
-    return pa.Table.from_pandas(m, preserve_index=False) if len(m) else None
+    m = None
+    if subs:
+        g = pa.concat_tables(subs).to_pandas()
+        dup = g[g.duplicated(["band", "band_hash"], keep=False)][
+            ["band", "band_hash", "doc_id"]
+        ]
+        if len(dup) >= 2:
+            m = dup.merge(dup, on=["band", "band_hash"], suffixes=("_a", "_b"))
+            m = m[m["doc_id_a"] < m["doc_id_b"]][["doc_id_a", "doc_id_b"]]
+            m = m.drop_duplicates()
+    if m is None or not len(m):
+        return tuple([empty] * nb) if nb > 1 else empty
+    t = pa.Table.from_pandas(m, preserve_index=False).cast(_MH_IDPAIR_SCHEMA)
+    a = t.column("doc_id_a").to_numpy()
+    bk = (a.astype(np.uint64) * _P1 % np.uint64(nb)).astype(np.int64)
+    order = np.argsort(bk, kind="stable")
+    t = t.take(order)
+    bounds = np.searchsorted(bk[order], np.arange(nb + 1))
+    out = tuple(t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nb))
+    return out if nb > 1 else out[0]
+
+
+@ray.remote(num_returns=2)
+def _mh_pair_dedup(*slices: pa.Table):
+    """One verify bucket's candidate pairs from every band bucket:
+    concat, drop cross-band duplicates, and derive the ids this bucket
+    needs shingle sets for. Returns (pairs, needed_ids) — both stay in
+    the object store; the driver only passes the refs along."""
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    slices = [s for s in slices if s.num_rows]
+    if not slices:
+        empty = _MH_IDPAIR_SCHEMA.empty_table()
+        return empty, pa.table({"doc_id": pa.array([], pa.int64())})
+    df = pa.concat_tables(slices).to_pandas().drop_duplicates()
+    t = pa.Table.from_pandas(df, preserve_index=False).cast(_MH_IDPAIR_SCHEMA)
+    ids = np.unique(
+        np.concatenate(
+            [t.column("doc_id_a").to_numpy(), t.column("doc_id_b").to_numpy()]
+        )
+    )
+    return t, pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
 @ray.remote
-def _mh_sets_map(
-    block: pa.Table, route: dict, k_shingle: int, num_buckets: int
-):
+def _mh_sets_map(block: pa.Table, k_shingle: int, num_buckets: int, *needed: pa.Table):
     """Pack shingle sets for this block's candidate docs, replicated to
-    the verify buckets that hold their pairs; returns num_buckets slices."""
+    the verify buckets that need them (one needed-ids table per bucket,
+    shipped by reference from _mh_pair_dedup — no driver routing dict);
+    returns num_buckets slices. Sets are packed ONCE per doc (a zero-copy
+    ListArray rebuild over the exploded shingles), then each bucket's
+    slice is an is_in filter over the packed table."""
     from xgeo_ray.tuning import limit_worker_threads
 
     limit_worker_threads()
-    keep = pc.is_in(
-        block.column("doc_id"), value_set=pa.array(list(route), pa.int64())
-    )
-    block = block.filter(keep)
+    nb = num_buckets
     empty = pa.table(
         {"probe_id": pa.array([], pa.int64()), "sh": pa.array([], pa.list_(pa.int64()))}
     )
+    union_ids = np.unique(
+        np.concatenate([t.column("doc_id").to_numpy() for t in needed])
+        if needed
+        else np.empty(0, dtype=np.int64)
+    )
+    block = block.filter(
+        pc.is_in(block.column("doc_id"), value_set=pa.array(union_ids, pa.int64()))
+    )
     if block.num_rows == 0:
-        return tuple([empty] * num_buckets) if num_buckets > 1 else empty
+        return tuple([empty] * nb) if nb > 1 else empty
     ex = ShingleExploder(k_shingle)(block)
     ids = ex.column("doc_id").to_numpy()
     bounds = np.flatnonzero(np.concatenate([[True], ids[1:] != ids[:-1], [True]]))
-    sh_vals = ex.column("sh").combine_chunks()
-    per_bucket: list[tuple[list, list]] = [([], []) for _ in range(num_buckets)]
-    for i in range(len(bounds) - 1):
-        d = int(ids[bounds[i]])
-        sh = sh_vals.slice(bounds[i], bounds[i + 1] - bounds[i]).to_pylist()
-        for bk in route[d]:
-            per_bucket[bk][0].append(d)
-            per_bucket[bk][1].append(sh)
-    out = tuple(
-        pa.table(
-            {
-                "probe_id": pa.array(pids, pa.int64()),
-                "sh": pa.array(shs, pa.list_(pa.int64())),
-            }
-        )
-        for pids, shs in per_bucket
+    packed = pa.table(
+        {
+            "probe_id": pa.array(ids[bounds[:-1]], pa.int64()),
+            "sh": pa.ListArray.from_arrays(
+                pa.array(bounds, pa.int32()), ex.column("sh").combine_chunks()
+            ),
+        }
     )
-    return out if num_buckets > 1 else out[0]
+    out = tuple(
+        packed.filter(
+            pc.is_in(
+                packed.column("probe_id"),
+                value_set=t.column("doc_id").combine_chunks(),
+            )
+        )
+        for t in needed
+    )
+    return out if nb > 1 else out[0]
 
 
 @ray.remote
@@ -321,17 +367,21 @@ def minhash_lsh_dup_pairs(
     docs must have columns (doc_id, text). Returns (doc_id_a, doc_id_b,
     jaccard) with doc_id_a < doc_id_b, deduplicated across bands.
 
-    Fully distributed — nothing corpus-sized ever reaches the driver or
-    a broadcast:
+    Fully distributed — NOTHING data-proportional reaches the driver,
+    not even candidate id pairs (the driver only wires object refs):
       1. signature + banding fused into one map task per block; candidate
          pairs form inside (band, band_hash) buckets via a raw-Ray radix
          exchange (the ingest pattern, ingest._radix_exchange_apply —
          measured 4-7x faster than Dataset all-to-alls on int keys),
-      2. the driver touches only candidate id PAIRS (8 B ids, bounded by
-         the banding output, never text) to build the verify routing,
-      3. verification co-partitions the pairs with per-doc shingle sets
-         on hashed doc_id buckets: a second radix exchange ships each
-         candidate doc's set to exactly the buckets holding its pairs.
+      2. each band bucket radix-splits its pairs by hash(doc_id_a) into
+         the verify buckets; one task per verify bucket dedups cross-band
+         copies (hash(doc_id_a) is deterministic, so every copy of a pair
+         meets there) and derives its needed-ids table — pairs and
+         routing live in the object store end to end,
+      3. verification co-partitions the pairs with per-doc shingle sets:
+         a second radix exchange over the doc blocks packs each candidate
+         doc's set once and ships it to exactly the buckets whose
+         needed-ids tables contain it.
     Partitioning assumption: the two-column (doc_id, text) projection is
     materialized block-wise in the object store (spillable), each block
     visited once per exchange."""
@@ -359,45 +409,22 @@ def minhash_lsh_dup_pairs(
     ]
     if nb == 1:
         maps = [[m] for m in maps]
-    pair_refs = [
-        _mh_pair_reduce.remote(*[m[b] for m in maps]) for b in range(nb)
-    ]
-    id_tables = [t for t in _ray.get(pair_refs) if t is not None]
-    if not id_tables:
-        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
-    idt = pa.concat_tables(id_tables)
-    df = idt.to_pandas().drop_duplicates()  # ids only; cross-bucket dedup
-    a_ids = df["doc_id_a"].to_numpy().astype(np.int64)
-    b_ids = df["doc_id_b"].to_numpy().astype(np.int64)
-
-    # each pair verifies in ONE bucket (hash of side a); a candidate doc's
-    # shingle set replicates to exactly the buckets holding its pairs —
-    # the routing map is ids-only and bounded like the candidate set
-    pair_bucket = (a_ids.astype(np.uint64) * _P1 % np.uint64(nb)).astype(np.int64)
-    route: dict[int, list[int]] = {}
-    for d, bk in zip(
-        np.concatenate([a_ids, b_ids]).tolist(),
-        np.concatenate([pair_bucket, pair_bucket]).tolist(),
-    ):
-        lst = route.setdefault(d, [])
-        if bk not in lst:
-            lst.append(bk)
-
-    pair_tables = []
-    for b in range(nb):
-        sel = pair_bucket == b
-        pair_tables.append(
-            pa.table(
-                {
-                    "doc_id_a": pa.array(a_ids[sel], pa.int64()),
-                    "doc_id_b": pa.array(b_ids[sel], pa.int64()),
-                }
-            )
+    band_pairs = [
+        _mh_pair_reduce.options(num_returns=nb if nb > 1 else None).remote(
+            nb, *[m[b] for m in maps]
         )
-    route_ref = _ray.put(route)
+        for b in range(nb)
+    ]
+    if nb == 1:
+        band_pairs = [[p] for p in band_pairs]
+    pair_refs, needed_refs = [], []
+    for b in range(nb):
+        p, ids = _mh_pair_dedup.remote(*[band_pairs[src][b] for src in range(nb)])
+        pair_refs.append(p)
+        needed_refs.append(ids)
     sets_maps = [
         _mh_sets_map.options(num_returns=nb if nb > 1 else None).remote(
-            r, route_ref, k_shingle, nb
+            r, k_shingle, nb, *needed_refs
         )
         for r in block_refs
     ]
@@ -405,95 +432,183 @@ def minhash_lsh_dup_pairs(
         sets_maps = [[m] for m in sets_maps]
     verified = [
         _mh_verify_reduce.remote(
-            pair_tables[b], threshold, *[m[b] for m in sets_maps]
+            pair_refs[b], threshold, *[m[b] for m in sets_maps]
         )
         for b in range(nb)
     ]
     return ray.data.from_arrow_refs(verified)
 
 
+def _cc_bucket_of(ids: np.ndarray, nb: int) -> np.ndarray:
+    return (ids.astype(np.uint64) * _P1 % np.uint64(nb)).astype(np.int64)
+
+
+def _cc_split(t: pa.Table, bk: np.ndarray, nb: int):
+    """argsort-split a table into nb zero-copy slices by bucket id (the
+    radix-exchange map shape, pipelines/ingest._radix_map)."""
+    order = np.argsort(bk, kind="stable")
+    t = t.take(order)
+    bounds = np.searchsorted(bk[order], np.arange(nb + 1))
+    out = tuple(t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nb))
+    return out if nb > 1 else out[0]
+
+
+_CC_EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+_CC_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+
+@ray.remote
+def _cc_edge_map(block: pa.Table, nb: int):
+    """Symmetrize one pairs block and radix-split by hash(u) bucket, so
+    every node's full adjacency lands in exactly one bucket."""
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    if block.num_rows == 0:
+        empty = _CC_EDGE_SCHEMA.empty_table()
+        return tuple([empty] * nb) if nb > 1 else empty
+    a = block.column("doc_id_a").to_numpy().astype(np.int64)
+    b = block.column("doc_id_b").to_numpy().astype(np.int64)
+    u = np.concatenate([a, b])
+    v = np.concatenate([b, a])
+    t = pa.table({"u": pa.array(u), "v": pa.array(v)}, schema=_CC_EDGE_SCHEMA)
+    return _cc_split(t, _cc_bucket_of(u, nb), nb)
+
+
+@ray.remote(num_returns=2)
+def _cc_edge_reduce(*slices: pa.Table):
+    """One bucket's edges from every map task: concat, sort by u, and
+    derive the initial labels (grouped min of min(u, v) per u) in the
+    same pass. Returns (edges sorted by u, labels sorted by node)."""
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    slices = [s for s in slices if s.num_rows]
+    if not slices:
+        return _CC_EDGE_SCHEMA.empty_table(), _CC_LABEL_SCHEMA.empty_table()
+    t = pa.concat_tables(slices)
+    u = t.column("u").to_numpy()
+    order = np.argsort(u, kind="stable")
+    t = t.take(order)
+    u = u[order]
+    v = t.column("v").to_numpy()
+    starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+    lab = np.minimum.reduceat(np.minimum(u, v), starts)
+    labels = pa.table(
+        {"node": pa.array(u[starts]), "label": pa.array(lab)},
+        schema=_CC_LABEL_SCHEMA,
+    )
+    return t, labels
+
+
+@ray.remote
+def _cc_step(edges: pa.Table, labels: pa.Table, nb: int):
+    """One propagation round, map side: message (v, label[u]) per edge,
+    radix-split by hash(v) bucket. label[u] is a searchsorted gather —
+    both tables arrive sorted, no dict, no per-row Python."""
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    if edges.num_rows == 0:
+        empty = _CC_LABEL_SCHEMA.empty_table()
+        return tuple([empty] * nb) if nb > 1 else empty
+    u = edges.column("u").to_numpy()
+    v = edges.column("v").to_numpy()
+    nodes = labels.column("node").to_numpy()
+    lab = labels.column("label").to_numpy()
+    msg = pa.table(
+        {"node": pa.array(v), "label": pa.array(lab[np.searchsorted(nodes, u)])},
+        schema=_CC_LABEL_SCHEMA,
+    )
+    return _cc_split(msg, _cc_bucket_of(v, nb), nb)
+
+
+@ray.remote(num_returns=2)
+def _cc_update(labels: pa.Table, *msg_slices: pa.Table):
+    """One propagation round, reduce side: grouped min over (own labels +
+    incoming messages). Returns (new labels sorted by node, number of
+    labels that changed) — the driver sees only the scalar."""
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    msg_slices = [m for m in msg_slices if m.num_rows]
+    if not msg_slices:
+        return labels, 0
+    t = pa.concat_tables([labels, *msg_slices])
+    n = t.column("node").to_numpy()
+    order = np.argsort(n, kind="stable")
+    n = n[order]
+    lab = t.column("label").to_numpy()[order]
+    starts = np.flatnonzero(np.concatenate([[True], n[1:] != n[:-1]]))
+    new_lab = np.minimum.reduceat(lab, starts)
+    # node set is static (every node appears in its bucket's edges as u),
+    # so old and new label arrays align positionally
+    changed = int(np.count_nonzero(new_lab != labels.column("label").to_numpy()))
+    out = pa.table(
+        {"node": pa.array(n[starts]), "label": pa.array(new_lab)},
+        schema=_CC_LABEL_SCHEMA,
+    )
+    return out, changed
+
+
 def dup_clusters(
-    pairs: ray.data.Dataset, max_iters: int = 25
+    pairs: ray.data.Dataset, max_iters: int = 25, num_buckets: int = 8
 ) -> ray.data.Dataset:
     """Connected components over a duplicate-pair edge list — the
     cluster-assignment step of a dedup pipeline (every doc in a cluster
     gets ``cluster_id`` = the smallest doc_id it can reach; downstream
     keeps one representative per cluster).
 
-    Iterative MIN-LABEL PROPAGATION (the classic Pregel/hash-min
-    shape): labels start at min(self, neighbors) and each round ships
-    every node's label across its edges, keeping the grouped min;
-    converges in O(component diameter) rounds — 1-2 for dup clusters.
-    Convergence is detected by the label sum, which is strictly
-    decreasing until fixpoint. Each round's label table is ids-only
-    (16 B per CANDIDATE doc, bounded by the pair list, never corpus-
-    sized) and broadcast once via ray.put for the edge join.
+    Iterative MIN-LABEL PROPAGATION (the classic Pregel/hash-min shape),
+    FULLY DISTRIBUTED via the repo's raw radix-exchange pattern: edges
+    are hash-partitioned by node once (each node's full adjacency in one
+    bucket), then every round is nb map tasks (message = (v, label[u]),
+    a searchsorted gather over the co-sorted label table) and nb reduce
+    tasks (grouped min of own labels + incoming messages). Converges in
+    O(component diameter) rounds — 1-2 for dup clusters. The driver sees
+    only nb changed-label COUNTS per round (convergence = zero changed);
+    no label table, pair table, or dict ever materializes driver-side.
 
     Input: (doc_id_a, doc_id_b [, ...]) pairs. Output: (doc_id,
     cluster_id) for every doc appearing in at least one pair."""
     import ray as _ray
 
-    from xgeo_ray.functions.relational import partial_group_agg
-
-    def sym(b: pa.Table) -> pa.Table:
-        a = b.column("doc_id_a").to_numpy().astype(np.int64)
-        bb = b.column("doc_id_b").to_numpy().astype(np.int64)
-        return pa.table(
-            {
-                "u": pa.array(np.concatenate([a, bb])),
-                "v": pa.array(np.concatenate([bb, a])),
-            }
+    nb = num_buckets
+    block_refs = pairs.materialize().to_arrow_refs()
+    if not block_refs:
+        return ray.data.from_arrow(
+            pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]).empty_table()
         )
-
-    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
-
-    def init_labels(b: pa.Table) -> pa.Table:
-        u = b.column("u").to_numpy()
-        v = b.column("v").to_numpy()
-        return pa.table(
-            {"node": b.column("u"), "label": pa.array(np.minimum(u, v))}
-        )
-
-    labels = partial_group_agg(
-        edges.map_batches(init_labels, batch_format="pyarrow"),
-        ["node"],
-        [("label", "min", "label")],
-    ).materialize()
-
-    class Propagate:
-        """edges (u, v) -> (node=v, label=label[u]); the label map derefs
-        zero-copy from plasma once per task."""
-
-        def __init__(self, ref):
-            self.ref = ref
-            self.lut = None
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            if self.lut is None:
-                t = _ray.get(self.ref)
-                self.lut = dict(
-                    zip(t.column("node").to_pylist(), t.column("label").to_pylist())
-                )
-            u = b.column("u").to_pylist()
-            lab = np.fromiter(
-                (self.lut[x] for x in u), dtype=np.int64, count=len(u)
-            )
-            return pa.table({"node": b.column("v"), "label": pa.array(lab)})
-
-    prev_sum = None
+    maps = [
+        _cc_edge_map.options(num_returns=nb if nb > 1 else None).remote(r, nb)
+        for r in block_refs
+    ]
+    if nb == 1:
+        maps = [[m] for m in maps]
+    edges, labels = [], []
+    for b in range(nb):
+        e, l = _cc_edge_reduce.remote(*[m[b] for m in maps])
+        edges.append(e)
+        labels.append(l)
     for _ in range(max_iters):
-        lab_tables = [t for t in _ray.get(labels.to_arrow_refs()) if t.num_rows]
-        lab_tbl = pa.concat_tables(lab_tables)
-        s = int(pc.sum(lab_tbl.column("label")).as_py() or 0)
-        if s == prev_sum:
+        msgs = [
+            _cc_step.options(num_returns=nb if nb > 1 else None).remote(
+                edges[b], labels[b], nb
+            )
+            for b in range(nb)
+        ]
+        if nb == 1:
+            msgs = [[m] for m in msgs]
+        changed = []
+        new_labels = []
+        for b in range(nb):
+            lref, cref = _cc_update.remote(labels[b], *[msgs[src][b] for src in range(nb)])
+            new_labels.append(lref)
+            changed.append(cref)
+        labels = new_labels
+        if sum(_ray.get(changed)) == 0:
             break
-        prev_sum = s
-        lab_ref = _ray.put(lab_tbl)
-        propagated = edges.map_batches(Propagate(lab_ref), batch_format="pyarrow")
-        labels = partial_group_agg(
-            labels.union(propagated), ["node"], [("label", "min", "label")]
-        ).materialize()
-    return labels.map_batches(
+    return ray.data.from_arrow_refs(labels).map_batches(
         lambda b: pa.table(
             {
                 "doc_id": b.column("node").cast(pa.int64()),
