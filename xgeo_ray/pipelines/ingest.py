@@ -44,6 +44,7 @@ from xgeo_ray.state.delta_table import (
     PARTS_DIR,
     DeltaTable,
     delta_relpath,
+    new_commit_token,
 )
 from xgeo_ray.state.manifest import Manifest, PartitionEntry
 
@@ -58,12 +59,14 @@ _SORT_KEYS = [
 def _atomic_write_parquet(
     t: pa.Table, final_path: str, durable: bool = True
 ) -> int:
-    """Write tmp + os.replace; deterministic final path → idempotent under
-    Ray task retries (a retried writer just overwrites the same bytes).
-    With ``durable`` the file is fsync'd before the rename and the
-    directory after it, so a manifest committed later can never reference
-    bytes an OS/power crash took back (DeltaTable durability="full")."""
-    from xgeo_ray.state.manifest import fsync_dir
+    """Write tmp, then publish through the storage seam (POSIX:
+    os.replace + dir fsync; object stores: a plain atomic PUT — see
+    state/storage.py). Within one epoch attempt the final path is
+    deterministic, so Ray task retries just overwrite the same bytes.
+    With ``durable`` the file is fsync'd before publication, so a
+    manifest committed later can never reference bytes an OS/power
+    crash took back (DeltaTable durability="full")."""
+    from xgeo_ray.state.storage import DEFAULT_STORAGE
 
     d = os.path.dirname(final_path)
     os.makedirs(d, exist_ok=True)
@@ -79,9 +82,7 @@ def _atomic_write_parquet(
             os.fsync(f.fileno())
     else:
         pq.write_table(t, tmp, row_group_size=rg)
-    os.replace(tmp, final_path)
-    if durable:
-        fsync_dir(d)
+    DEFAULT_STORAGE.publish_file(tmp, final_path, durable)
     return os.path.getsize(final_path)
 
 
@@ -146,6 +147,7 @@ class ApplyPartition:
         watermarks: np.ndarray,
         durable: bool = True,
         policy: str = "lww",
+        token: str = "",
     ):
         # NOTE: no limit_worker_threads() here — instance-passed stages are
         # constructed on the DRIVER (pickled to workers, __init__ never
@@ -156,6 +158,11 @@ class ApplyPartition:
         self.wm = watermarks
         self.durable = durable
         self.policy = policy
+        # attempt-unique commit token, minted ONCE on the driver per epoch
+        # attempt and pickled into every worker: task retries reuse it
+        # (idempotent overwrite), concurrent drivers never share it (their
+        # data files stay disjoint; only the fence winner's are visible)
+        self.token = token
         # resolve the callable HERE (driver): runtime-registered policies
         # are not in the worker's registry; the pickled instance carries it
         from xgeo_ray.stages.collapse import MERGE_POLICIES
@@ -199,7 +206,7 @@ class ApplyPartition:
             n_keys, n_trips = count_unique_keys_and_seqs(t)
         entry = PartitionEntry(
             part_key=part,
-            path=delta_relpath(part, self.epoch),
+            path=delta_relpath(part, self.epoch, token=self.token),
             rows_in=rows_in,
             dup_dropped=t.num_rows - n_trips,
             superseded=n_trips - n_keys,
@@ -295,6 +302,7 @@ def _radix_exchange_apply(
     epoch: int,
     envelope: pa.Schema,
     wm: np.ndarray,
+    token: str | None = None,
 ) -> list[PartitionEntry]:
     """The epoch's one all-to-all, as a raw-Ray MapReduce radix exchange.
 
@@ -320,6 +328,7 @@ def _radix_exchange_apply(
             wm,
             durable=table.durability == "full",
             policy=table.merge_policy,
+            token=new_commit_token() if token is None else token,
         )
     )
     maps = [
@@ -369,6 +378,7 @@ def _apply_shuffled(
             wm,
             durable=table.durability == "full",
             policy=table.merge_policy,
+            token=new_commit_token(),
         ),
         batch_format="pyarrow",
     )
@@ -607,6 +617,7 @@ def run_stream(
                 no_wm if is_boot else wm,  # bootstrap rows are wm-exempt
                 durable=durable,
                 policy=table.merge_policy,
+                token=new_commit_token(),
             )
         )
         reduces = [
@@ -875,6 +886,7 @@ def compact(table: DeltaTable, tombstone_ts_horizon: int | None = None) -> Manif
     epoch = upto + 1
     root = table.root
     durable = table.durability == "full"
+    token = new_commit_token()
     from xgeo_ray.stages.collapse import MERGE_POLICIES
 
     policy = MERGE_POLICIES[table.merge_policy]["fn"]
@@ -897,7 +909,7 @@ def compact(table: DeltaTable, tombstone_ts_horizon: int | None = None) -> Manif
         t = cast_to(t, envelope)
         entry = PartitionEntry(
             part_key=part,
-            path=delta_relpath(part, epoch, compact=True),
+            path=delta_relpath(part, epoch, compact=True, token=token),
             rows_in=rows_in,
             applied=t.num_rows,
             tombstones=int(pc.sum(pc.equal(t.column("op"), "D")).as_py() or 0),
@@ -939,13 +951,19 @@ def vacuum(table: DeltaTable) -> dict:
 
     Deletes exactly the files that (a) live under parts/, (b) belong to
     an epoch at or below the latest COMMITTED epoch, and (c) are not
-    referenced by the current visible view (partition_files). Files from
-    epochs above the committed fence are left alone: they belong to an
-    in-flight or crashed epoch — the former must not lose its
-    pre-commit deltas, the latter is overwritten deterministically on
-    retry. Readers that planned a snapshot before a compact committed
-    should finish before vacuuming (same reader-grace contract as any
-    LSM store)."""
+    referenced by the current visible view (partition_files) — this
+    covers superseded deltas AND losing-attempt token files (a crashed
+    or fence-losing driver's data, reclaimable once its epoch number is
+    committed by the winner). Files from epochs above the committed
+    fence are left alone: they belong to an in-flight or crashed epoch —
+    the former must not lose its pre-commit deltas, the latter is
+    reclaimed after a later attempt commits that epoch. Also unlinks
+    ``*.tmp-<pid>`` leftovers from writers that crashed between
+    pq.write_table and publish, once they are older than the latest
+    committed manifest (no live writer can still be racing them).
+    Readers that planned a snapshot before a compact committed should
+    finish before vacuuming (same reader-grace contract as any LSM
+    store)."""
     import re as _re
 
     visible = {
@@ -954,7 +972,16 @@ def vacuum(table: DeltaTable) -> dict:
         for p in paths
     }
     latest = table.latest_epoch()
-    pat = _re.compile(r"^(?:compact-)?epoch=(\d{6})\.parquet$")
+    pat = _re.compile(r"^(?:compact-)?epoch=(\d{6})(?:-[0-9a-f]{8})?\.parquet$")
+    tmp_pat = _re.compile(r"\.tmp-\d+$")
+    from xgeo_ray.state.manifest import manifest_path
+
+    tmp_horizon = -1.0
+    if latest > 0:
+        try:
+            tmp_horizon = os.path.getmtime(manifest_path(table.root, latest))
+        except FileNotFoundError:
+            pass
     deleted = 0
     bytes_freed = 0
     parts_root = os.path.join(table.root, PARTS_DIR)
@@ -965,10 +992,19 @@ def vacuum(table: DeltaTable) -> dict:
         if not os.path.isdir(d):
             continue
         for name in sorted(os.listdir(d)):
+            full = os.path.abspath(os.path.join(d, name))
+            if tmp_pat.search(name):
+                try:
+                    if os.path.getmtime(full) < tmp_horizon:
+                        bytes_freed += os.path.getsize(full)
+                        os.remove(full)
+                        deleted += 1
+                except FileNotFoundError:
+                    pass
+                continue
             mm = pat.match(name)
             if not mm or int(mm.group(1)) > latest:
                 continue
-            full = os.path.abspath(os.path.join(d, name))
             if full in visible:
                 continue
             bytes_freed += os.path.getsize(full)

@@ -5,8 +5,11 @@ On-disk layout (one directory per hash partition → resumable, skew-visible):
     root/
       _table.json                      # partitioning config, base schema
       manifests/epoch=000001.json      # the commit fence (manifest.py)
-      parts/part=00007/epoch=000001.parquet         # epoch delta (sorted)
-      parts/part=00007/compact-epoch=000009.parquet # compaction rewrite
+      parts/part=00007/epoch=000001-3fa9c1d2.parquet         # epoch delta
+      parts/part=00007/compact-epoch=000009-a41be007.parquet # compaction
+
+(the 8-hex suffix is the attempt's commit token — see delta_relpath;
+storage primitives behind the fence live in state/storage.py)
 
 Delta rows carry the *envelope* schema: the data columns plus ``op``
 ("I"/"U" upsert rows, "D" tombstones) and ``seq`` (WAL offset). Reads are
@@ -52,9 +55,28 @@ def part_dir(root: str, part_key: int) -> str:
     return os.path.join(root, PARTS_DIR, f"part={part_key:05d}")
 
 
-def delta_relpath(part_key: int, epoch: int, compact: bool = False) -> str:
+def delta_relpath(
+    part_key: int, epoch: int, compact: bool = False, token: str = ""
+) -> str:
+    """``token`` is the attempt-unique commit token (see new_commit_token):
+    two drivers racing on the same epoch write DISJOINT files, so the
+    loser can never overwrite bytes the winner's manifest references —
+    the manifest fence orders commits, the token isolates data. Retries
+    of the SAME attempt (Ray task retries) reuse the attempt's token, so
+    they stay idempotent (same path, same bytes). Empty token = legacy
+    name, still read fine."""
     stem = "compact-epoch" if compact else "epoch"
-    return os.path.join(PARTS_DIR, f"part={part_key:05d}", f"{stem}={epoch:06d}.parquet")
+    suffix = f"-{token}" if token else ""
+    return os.path.join(
+        PARTS_DIR, f"part={part_key:05d}", f"{stem}={epoch:06d}{suffix}.parquet"
+    )
+
+
+def new_commit_token() -> str:
+    """8-hex attempt id minted on the driver once per epoch attempt."""
+    import uuid
+
+    return uuid.uuid4().hex[:8]
 
 
 class DeltaTable:

@@ -1,11 +1,13 @@
 """Epoch manifests — the exactly-once fence (SURVEY.md §4, §7 step 6).
 
-A manifest is a small JSON file, one per committed epoch, written with
-write-tmp + atomic ``os.replace``. Delta Parquet files are only *visible*
-if some committed manifest lists them; files from a crashed, uncommitted
-epoch are ignored by every reader and deterministically overwritten on
-replay. This turns Ray's at-least-once task execution into exactly-once
-table state.
+A manifest is a small JSON file, one per committed epoch, published
+exclusively through the storage seam (state/storage.py: POSIX os.link
+claim; object stores: conditional put). Delta Parquet files are only
+*visible* if some committed manifest lists them; files from a crashed or
+fence-losing attempt carry that attempt's commit token in their name, are
+ignored by every reader, and are reclaimed by vacuum once their epoch
+number commits. This turns Ray's at-least-once task execution into
+exactly-once table state.
 
 Each manifest records, per partition: the delta file, the seq/ts
 watermarks, and the lineage counters the north rule requires (events
@@ -63,12 +65,12 @@ def schema_to_json(schema: pa.Schema) -> list[list[str]]:
 
 def fsync_dir(path: str) -> None:
     """fsync a directory so a completed os.replace inside it survives an
-    OS/power crash (POSIX requires the dir entry itself be synced)."""
-    fd = os.open(path, os.O_RDONLY)
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
+    OS/power crash (POSIX requires the dir entry itself be synced).
+    Kept as the POSIX helper for data-file writers; the fence itself
+    goes through state.storage (the swappable seam)."""
+    from xgeo_ray.state.storage import DEFAULT_STORAGE
+
+    DEFAULT_STORAGE.sync_dir(path)
 
 
 def schema_from_json(fields: list[list[str]]) -> pa.Schema:
@@ -115,27 +117,19 @@ def manifest_path(root: str, epoch: int) -> str:
 
 
 def write_manifest(root: str, m: Manifest) -> str:
-    """Atomic EXCLUSIVE commit: serialize to a tmp file, fsync, claim the
-    epoch with os.link (fails with FileExistsError if another writer
-    already committed it — os.replace would silently overwrite in a
-    two-driver race), then fsync the manifests directory (the new dir
-    entry must be durable — a power crash after the link but before the
-    entry hits disk would otherwise roll the commit back while delta
-    files survive)."""
-    d = os.path.join(root, MANIFEST_DIR)
-    os.makedirs(d, exist_ok=True)
+    """Atomic EXCLUSIVE commit of the epoch manifest — the fence. Goes
+    through the storage seam (state.storage): POSIX = write-tmp + fsync
+    + os.link claim + dir fsync; object stores = conditional put (see
+    storage.py for the mapping). Exactly one committer per epoch wins;
+    the loser gets FileExistsError. Losing attempts cannot clobber the
+    winner's DATA either: delta files carry an attempt-unique commit
+    token in their filename, so only the files the winning manifest
+    lists are ever visible."""
+    from xgeo_ray.state.storage import DEFAULT_STORAGE
+
     final = manifest_path(root, m.epoch)
-    tmp = final + f".tmp-{os.getpid()}"
-    payload = asdict(m)
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=1)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, final)  # atomic claim: exactly one committer per epoch
-    finally:
-        os.unlink(tmp)
-    fsync_dir(d)
+    payload = json.dumps(asdict(m), indent=1).encode()
+    DEFAULT_STORAGE.commit_bytes_exclusive(final, payload)
     return final
 
 
