@@ -872,7 +872,11 @@ def simhash_dup_pairs(
     pair up within band buckets, verify true hamming distance.
 
     Returns (doc_id_a, doc_id_b, hamming) with hamming <= max_hamming.
-    For full recall choose num_bands > max_hamming."""
+    For full recall choose num_bands > max_hamming.
+
+    If ``docs`` already carries a ``simhash`` column the signature pass
+    is skipped (callers that export signatures for the SQL oracle reuse
+    one pass)."""
     from xgeo_ray.functions.relational import partial_group_agg
 
     width = 64 // num_bands
@@ -897,7 +901,10 @@ def simhash_dup_pairs(
             }
         )
 
-    sigs = docs.map_batches(SimHasher(), batch_format="pyarrow")
+    if "simhash" in docs.schema().names:
+        sigs = docs
+    else:
+        sigs = docs.map_batches(SimHasher(), batch_format="pyarrow")
     bands = sigs.map_batches(explode, batch_format="pyarrow")
     # shuffle on a hash of (band, band_val), not on band alone: grouping
     # by band caps parallelism at num_bands (4) — a scale ceiling; the

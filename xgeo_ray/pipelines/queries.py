@@ -749,11 +749,36 @@ def dup_clusters_q(sf_dir: str):
     return dup_clusters(pairs)
 
 
+SIMHASH_SIG_EXPORT = "/tmp/xgeo_simhash_planted_sigs.parquet"
+
+
 def simhash_dup_pairs_q(sf_dir: str):
-    from xgeo_ray.functions.dedup import simhash_dup_pairs
+    """SimHash near-dup pairs over the planted-dup corpus. The signature
+    pass runs ONCE; its (doc_id, simhash) output is also exported to
+    SIMHASH_SIG_EXPORT so the DuckDB oracle — which cannot reproduce the
+    fixed-key siphash word hashes — can replay the banding + bit_count
+    Hamming verify in pure SQL over the engine's own signatures (the
+    signatures themselves stay golden-pinned cross-process in
+    tests/test_dedup_text_ann.py)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from xgeo_ray.functions.dedup import SimHasher, simhash_dup_pairs
 
     ds = _docs_with_planted_dups(sf_dir)
-    return simhash_dup_pairs(ds, max_hamming=3)
+    sigs = (
+        ds.map_batches(SimHasher(), batch_format="pyarrow")
+        .select_columns(["doc_id", "simhash"])
+        .materialize()
+    )
+    export = pa.concat_tables(ray.get(sigs.to_arrow_refs())).sort_by(
+        [("doc_id", "ascending")]
+    )
+    tmp = SIMHASH_SIG_EXPORT + f".tmp-{os.getpid()}"
+    pq.write_table(export, tmp)
+    os.replace(tmp, SIMHASH_SIG_EXPORT)
+    return simhash_dup_pairs(sigs, max_hamming=3)
 
 
 def ngram_jaccard_pairs(sf_dir: str):
@@ -1436,11 +1461,42 @@ def build_oracle_sql() -> dict[str, str]:
                              ELSE hm END AS BIGINT) AS fingerprint
             FROM m
         """,
-        # simhash_signatures / simhash_dup_pairs: the 64-bit word-hash
-        # (pandas siphash with a fixed key) is not SQL-reproducible, so no
-        # DuckDB oracle; tests/test_dedup_text_ann.py pins golden
-        # signature values and cross-validates banding recall against
-        # brute-force Hamming distance. ann_ivf_top10: approximate by
-        # design (nprobe < num_centroids); tests assert recall >= 0.8 vs
-        # the oracle-green ann_top10 instead of equality.
+        # simhash_dup_pairs: the signatures themselves are not
+        # SQL-reproducible (fixed-key siphash word hashes; they stay
+        # golden-pinned cross-process in tests/test_dedup_text_ann.py),
+        # but GIVEN the engine-exported signatures the pair stage is pure
+        # banding + bit_count Hamming — replayed here over the export the
+        # engine query writes (SIMHASH_SIG_EXPORT). h is the two's-
+        # complement uint64 of the stored int64; bands are the four
+        # 16-bit slices; a pair is a candidate iff some band matches
+        # exactly (the pigeonhole guarantee), verified at hamming <= 3.
+        "simhash_dup_pairs": f"""
+            WITH sigs AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN simhash < 0
+                               THEN simhash::HUGEINT + 18446744073709551616
+                               ELSE simhash::HUGEINT END AS UBIGINT) AS h
+              FROM read_parquet('{SIMHASH_SIG_EXPORT}')
+            ),
+            bands AS (
+              SELECT doc_id, h, band, (h >> (16 * band)) & 65535 AS band_val
+              FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS band) bs
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                              a.h AS ha, b.h AS hb
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+            )
+            SELECT doc_id_a, doc_id_b,
+                   CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(ha, hb)) <= 3
+        """,
+        # simhash_signatures: no oracle — the signature VALUES are the
+        # non-SQL-reproducible part (pinned goldens instead).
+        # ann_ivf_top10: approximate by design (nprobe < num_centroids);
+        # tests assert recall >= 0.8 vs the oracle-green ann_top10
+        # instead of equality.
     }
