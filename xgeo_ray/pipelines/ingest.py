@@ -121,6 +121,8 @@ class NormalizeCollapsePartition:
         from xgeo_ray.stages.collapse import maybe_precollapse
 
         batch = self.norm(batch)
+        # surfaced per map task into the manifest's totals["invalid"]
+        self.last_invalid = self.norm.last_invalid
         if self.transform is not None:
             batch = self.transform(batch)
         if self.precombine:
@@ -258,7 +260,10 @@ def _radix_map(path: str, row_groups: list[int] | None, prep, num_parts: int):
     """Map side of the radix exchange: read one chunk, prep (normalize +
     pre-collapse + part key), order by the integer part key (one argsort
     + one gather), return num_parts zero-copy slices as separate return
-    values so each lands in the object store addressable per-partition."""
+    values so each lands in the object store addressable per-partition,
+    plus ONE extra return (call with num_returns=num_parts+1): this
+    chunk's invalid-row drop count from the normalizer — a scalar the
+    driver sums into the manifest's totals["invalid"]."""
     from xgeo_ray.sources.wal import read_segment_table
     from xgeo_ray.tuning import limit_worker_threads
 
@@ -277,7 +282,7 @@ def _radix_map(path: str, row_groups: list[int] | None, prep, num_parts: int):
         t.slice(bounds[i], bounds[i + 1] - bounds[i]).drop_columns([PART_COL])
         for i in range(num_parts)
     )
-    return out if num_parts > 1 else out[0]
+    return out + (int(getattr(prep, "last_invalid", 0)),)
 
 
 @ray.remote
@@ -332,17 +337,14 @@ def _radix_exchange_apply(
         )
     )
     maps = [
-        _radix_map.options(num_returns=P if P > 1 else None).remote(
-            path, rgs, prep_ref, P
-        )
+        _radix_map.options(num_returns=P + 1).remote(path, rgs, prep_ref, P)
         for path, rgs in chunks
     ]
-    if P == 1:
-        maps = [[m] for m in maps]
     outs = [
         _radix_reduce.remote(part, apply_ref, *[m[part] for m in maps])
         for part in range(P)
     ]
+    invalid = sum(ray.get([m[P] for m in maps]))
     entries: list[PartitionEntry] = []
     for t in ray.get(outs):
         if t is None:
@@ -353,7 +355,7 @@ def _radix_exchange_apply(
                     **{k: (v if k == "path" else int(v)) for k, v in row.items()}
                 )
             )
-    return entries
+    return entries, invalid
 
 
 def _apply_shuffled(
@@ -489,7 +491,9 @@ def ingest_segments(
         precombine=MERGE_POLICIES[table.merge_policy]["precombinable"],
     )
     chunks = plan_read_chunks(segment_paths)
-    entries = _radix_exchange_apply(chunks, stage, table, epoch, envelope, wm)
+    entries, invalid = _radix_exchange_apply(
+        chunks, stage, table, epoch, envelope, wm
+    )
     _check_no_split_parts(entries)
     # entries with path == "" (all rows deduped away) stay in the manifest
     # for lineage/watermarks; partition_files() skips them.
@@ -503,7 +507,7 @@ def ingest_segments(
         segment_paths,
         entries,
         envelope,
-        extra_totals={"events_read": events_read},
+        extra_totals={"events_read": events_read, "invalid": invalid},
     )
 
 
@@ -593,13 +597,10 @@ def run_stream(
                 precombine=MERGE_POLICIES[table.merge_policy]["precombinable"],
             )
         prep_ref = ray.put(prep)
-        maps = [
-            _radix_map.options(num_returns=P if P > 1 else None).remote(
-                path, rgs, prep_ref, P
-            )
+        return [
+            _radix_map.options(num_returns=P + 1).remote(path, rgs, prep_ref, P)
             for path, rgs in chunk_lists[i]
         ]
-        return [[m] for m in maps] if P == 1 else maps
 
     import time as _time
 
@@ -624,6 +625,7 @@ def run_stream(
             _radix_reduce.remote(part, apply_ref, *[m[part] for m in maps_i])
             for part in range(P)
         ]
+        invalid_refs = [m[P] for m in maps_i]
         # the overlap: next epoch's maps start while this epoch reduces
         maps_i = launch_maps(i + 1) if i + 1 < len(groups) else None
         entries: list[PartitionEntry] = []
@@ -655,6 +657,7 @@ def run_stream(
                 envs[i],
                 extra_totals={
                     "events_read": events_read,
+                    "invalid": sum(ray.get(invalid_refs)),
                     # streaming ops metrics: barrier cost of this epoch
                     # (reduce wait + commit) and the commit wall clock
                     "epoch_wall_ms": int((_time.perf_counter() - t_epoch) * 1000),
@@ -688,7 +691,7 @@ def bootstrap_base(
     prep = _BootstrapPrep(envelope, table.num_partitions, table.num_salts)
     chunks = plan_read_chunks([os.path.abspath(base_parquet)])
     no_wm = np.full(table.num_partitions, -1, dtype=np.int64)
-    entries = _radix_exchange_apply(
+    entries, _ = _radix_exchange_apply(
         chunks, prep, table, epoch, envelope, no_wm
     )
     _check_no_split_parts(entries)

@@ -8,9 +8,13 @@ union schema (missing columns null-filled, ints widened).
 
 Stateless, vectorized, Arrow-in/Arrow-out — used as a plain-function
 ``map_batches`` stage. Unlike the reference's panic-on-error model
-(/root/reference/cmd/xgeo/main.go:41-50), malformed rows are *dropped and
-counted* into the ``_invalid`` lineage metric (dead-letter semantics
-suit at-least-once replay better than job death at 10^10 events).
+(/root/reference/cmd/xgeo/main.go:41-50), malformed rows are *dropped
+and counted*: each call records its drop count in ``last_invalid``,
+which the ingest map tasks return alongside the partition slices and
+the epoch commit sums into the manifest's ``totals["invalid"]``
+(dead-letter semantics suit at-least-once replay better than job death
+at 10^10 events). The count is epoch-level, not per-partition: an
+invalid row may have a null key, so it has no partition to charge.
 """
 
 from __future__ import annotations
@@ -34,6 +38,10 @@ class NormalizeEvents:
 
     def __init__(self, target_schema: pa.Schema):
         self.schema = target_schema
+        # drop count of the most recent __call__; read by the ingest map
+        # task right after it invokes the stage (one call per chunk), so
+        # no cross-call accumulation is needed
+        self.last_invalid = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         valid = pc.and_(
@@ -49,14 +57,8 @@ class NormalizeEvents:
         n_bad = batch.num_rows - pc.sum(valid).as_py()
         if n_bad:
             batch = batch.filter(valid)
-        out = cast_to(batch, self.schema)
-        if n_bad:
-            # surface drop counts to lineage without a side channel: an
-            # extra column summed later would bloat every row; instead we
-            # piggyback on Ray metrics via a cheap attribute — the epoch
-            # apply recomputes authoritative counts per partition.
-            pass
-        return out
+        self.last_invalid = int(n_bad)
+        return cast_to(batch, self.schema)
 
 
 def validate_mask(batch: pa.Table) -> np.ndarray:
