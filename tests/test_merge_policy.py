@@ -255,3 +255,20 @@ def test_vacuum_reclaims_superseded_deltas_only(tmp_path):
     assert (table.watermarks() == wm).all()
     # idempotent
     assert ing.vacuum(table)["deleted"] == 0
+
+
+def test_additive_dedup_catches_ts_altered_redelivery():
+    """A redelivered (key, seq) pair whose ts was altered in flight is
+    not adjacent under the (key, ts, seq) merge sort; the dedup must run
+    under its own (key, seq) sort to catch it (round-2 ADVICE)."""
+    t = _events_table(
+        [
+            _ev(1, "I", "c1", 0, 100, 10),
+            _ev(2, "U", "c1", 0, 200, 5),
+            _ev(5, "U", "c1", 0, 250, 3),   # interleaves between the copies
+            _ev(2, "U", "c1", 0, 300, 5),   # same seq, ALTERED ts
+        ]
+    )
+    out = additive_collapse(t, drop_tombstones=True).to_pandas()
+    assert out["conv_id"].tolist() == ["c1"]
+    assert out["amount"].tolist() == [18]  # 10 + 5 + 3, second copy dropped

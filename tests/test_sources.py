@@ -315,3 +315,25 @@ def test_nested_json_multibyte_chars_across_chunk_boundaries(tmp_path):
         assert got == rows
     finally:
         W._NESTED_CHUNK = old
+
+
+def test_sniff_compact_single_line_nested_json(tmp_path):
+    """A compact one-line nested document ('{"records": [...]}' with no
+    internal newlines — json.dump's default output) must stream as a
+    nested source, not parse as one JSONL record (round-2 ADVICE)."""
+    import json
+
+    from xgeo_ray import fixtures as fx
+    from xgeo_ray.sources.wal import read_segment, segment_row_count
+
+    events = fx.make_change_events(50, n_convs=4, turns_per_conv=4)
+    rows = [{**r, "ts": r["ts"].isoformat()} for r in events.to_pylist()]
+    p = tmp_path / "compact.json"
+    p.write_text(json.dumps({"records": rows}))  # single line, no newlines
+    assert segment_row_count(str(p)) == events.num_rows
+    assert read_segment(str(p)).count() == events.num_rows
+    # a genuine one-line JSONL file must still classify as JSONL
+    p2 = tmp_path / "one.jsonl.json"
+    rec = dict(rows[0])
+    p2.write_text(json.dumps(rec))
+    assert read_segment(str(p2)).count() == 1

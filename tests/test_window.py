@@ -113,3 +113,22 @@ def test_range_join_per_key_matches_naive():
         if lk[i] == rk[j] and lts[i] + lo_off <= rts[j] <= lts[i] + hi_off
     }
     assert got == want and len(out) == len(want)
+
+
+def test_exact_quantiles_cardinality_guard(ray_session):
+    """A column whose distinct-value count exceeds max_bins must fail
+    fast instead of silently materializing a huge driver histogram."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from xgeo_ray.functions.relational import exact_quantiles
+
+    t = pa.table({"v": pa.array(np.arange(10_000, dtype=np.int64))})
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(ValueError, match="distinct values"):
+        exact_quantiles(ds, "v", [0.5], max_bins=1_000)
+    # under the bound it still answers exactly
+    out = exact_quantiles(ds, "v", [0.5], max_bins=100_000).to_pandas()
+    assert out["value"].tolist() == [4999]

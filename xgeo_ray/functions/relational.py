@@ -719,7 +719,7 @@ def kmv_distinct_sketch(
 
 
 def exact_quantiles(
-    ds: ray.data.Dataset, col: str, qs: list[float]
+    ds: ray.data.Dataset, col: str, qs: list[float], max_bins: int = 4_000_000
 ) -> pa.Table:
     """Exact discrete quantiles of an integer column without a global
     sort: distributed value-histogram (partial per-batch counts, bucketed
@@ -729,13 +729,26 @@ def exact_quantiles(
     the histogram stays bounded; this is the classic exact-quantile
     shape for fixed-precision data.
 
+    ``max_bins`` is the fail-fast guard for that contract: if the
+    distinct-value count exceeds it, the call raises BEFORE pulling the
+    histogram to the driver (the default bounds driver memory to tens of
+    MB) instead of silently building a huge driver table.
+
     quantile_disc semantics: value at 1-indexed position ceil(q * n)."""
     import math
 
     hist = partial_group_agg(
         ds.select_columns([col]), [col], [(col, "count", "cnt")]
     )
-    tables = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+    m = hist.materialize()
+    n_bins = m.count()  # block metadata only — nothing reaches the driver
+    if n_bins > max_bins:
+        raise ValueError(
+            f"exact_quantiles: column {col!r} has {n_bins} distinct values "
+            f"(> max_bins={max_bins}); pre-bin the column (e.g. round to "
+            "fixed precision) or raise max_bins explicitly"
+        )
+    tables = [t for t in ray.get(m.to_arrow_refs()) if t.num_rows]
     if not tables:
         return pa.table(
             {"q": pa.array([], pa.float64()), "value": pa.array([], pa.int64())}

@@ -28,18 +28,27 @@ _STOPWORDS = {
 
 def token_count_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count per row (exactly Python's str.split():
-    runs of whitespace, no empty tokens), as int64 column ``n_tokens``."""
+    runs of whitespace, no empty tokens), as int64 column ``n_tokens``.
+
+    Fully vectorized even when edge-empties exist: per-row count = list
+    length minus per-row empty count, the latter via a cumulative sum
+    over the flattened values indexed at the list offsets (the same
+    cumsum-segment trick LangId and chunk_documents use)."""
     toks = pc.utf8_split_whitespace(batch.column(text_col))
-    # split_whitespace can emit empty strings at the edges; count non-empty
-    flat = pc.list_flatten(toks)
-    nonempty = pc.not_equal(flat, "")
-    # per-row count = list length minus per-row empty count
     lens = pc.list_value_length(toks).cast(pa.int64())
-    if pc.any(pc.invert(nonempty)).as_py():
-        # slow path only when edge-empties exist
-        df = toks.to_pandas()
-        counts = df.map(lambda ws: sum(1 for w in ws if w != "")).astype(np.int64)
-        lens = pa.array(counts.to_numpy(), pa.int64())
+    la = (
+        toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    )
+    # split_whitespace emits empty strings at the edges of padded text;
+    # subtract them per row without any per-row Python
+    is_empty = pc.equal(la.values, "").to_numpy(zero_copy_only=False).astype(np.int64)
+    if is_empty.any():
+        cum = np.concatenate([[0], np.cumsum(is_empty)])
+        offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        per_row_empty = cum[offs[1:]] - cum[offs[:-1]]
+        lens = pa.array(
+            lens.to_numpy(zero_copy_only=False) - per_row_empty, pa.int64()
+        )
     return batch.append_column("n_tokens", lens)
 
 

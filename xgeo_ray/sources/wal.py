@@ -249,20 +249,33 @@ def read_nested_json(
 
 def _sniff_nested_json(path: str, codec: str | None) -> bool:
     """True when a .json file is one big object (stream it) rather than
-    JSON-lines (whose first line is a complete record)."""
+    JSON-lines (whose first line is a complete record).
+
+    A COMPACT single-line nested document ('{"records": [...]}' with no
+    internal newlines — the common json.dump output) also has a first
+    line that parses as complete JSON, so a parse success alone does not
+    mean JSONL: the parsed object is additionally inspected, and a
+    single dict wrapping a list-of-dicts value is classified nested."""
     with pa.input_stream(path, compression=codec) as f:
         head = f.read(4096).decode("utf-8", errors="replace").lstrip()
     if not head.startswith("{"):
         return False
     first_line = head.split("\n", 1)[0].rstrip()
-    if first_line.endswith("}"):  # a full object per line -> JSONL
+    if first_line.endswith("}"):
         import json
 
         try:
-            json.loads(first_line)
-            return False
+            obj = json.loads(first_line)
         except json.JSONDecodeError:
+            return True  # first 'line' is a fragment of one big object
+        # complete JSON on line 1: JSONL record, UNLESS it is itself a
+        # wrapper object holding the record array
+        if isinstance(obj, dict) and any(
+            isinstance(v, list) and v and all(isinstance(x, dict) for x in v)
+            for v in obj.values()
+        ):
             return True
+        return False
     return True
 
 

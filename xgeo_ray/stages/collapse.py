@@ -137,16 +137,32 @@ def additive_collapse(t: pa.Table, drop_tombstones: bool) -> pa.Table:
     a tombstone drops (with ``drop_tombstones``) or keeps the tombstone
     row with the accumulated sums (epoch-delta form).
 
-    Exact duplicates — redelivered (conv_id, turn_idx, seq) triples —
-    are removed BEFORE summing, so at-least-once delivery cannot double
-    count. NOT pre-combinable across batches: a cross-batch duplicate
-    would evade the dedup, so the pre-shuffle collapse is skipped for
-    this policy (the owner partition sees the epoch's full key history).
-    Associativity across EPOCHS holds because seq watermarks make epochs
-    disjoint: a sum of epoch sums is the total sum.
+    Exact duplicates — redelivered (conv_id, turn_idx, seq) pairs — are
+    removed BEFORE summing, so at-least-once delivery cannot double
+    count. The dedup is on (key, seq) adjacency under its OWN (key, seq)
+    sort, not on the (key, ts, seq) merge order: a redelivered event
+    whose ts was altered in flight would not be adjacent to its original
+    there and would double-count (round-2 ADVICE). NOT pre-combinable
+    across batches: a cross-batch duplicate would evade the dedup, so
+    the pre-shuffle collapse is skipped for this policy (the owner
+    partition sees the epoch's full key history). Associativity across
+    EPOCHS holds because seq watermarks make epochs disjoint: a sum of
+    epoch sums is the total sum.
     """
     if t.num_rows == 0:
         return t
+    # pass 1 — dedup on (key, seq) regardless of ts
+    codes, turn = _key_codes(t)
+    seq = t.column("seq").to_numpy(zero_copy_only=False)
+    order = np.lexsort((seq, turn, codes))
+    c, tu, s = codes[order], turn[order], seq[order]
+    fresh_sorted = np.ones(len(c), dtype=bool)
+    fresh_sorted[1:] = (c[1:] != c[:-1]) | (tu[1:] != tu[:-1]) | (s[1:] != s[:-1])
+    if not fresh_sorted.all():
+        keep = np.zeros(len(c), dtype=bool)
+        keep[order] = fresh_sorted
+        t = t.filter(pa.array(keep))
+    # pass 2 — last-writer order for the non-summed columns
     t = t.sort_by(
         [
             ("conv_id", "ascending"),
@@ -155,14 +171,6 @@ def additive_collapse(t: pa.Table, drop_tombstones: bool) -> pa.Table:
             ("seq", "ascending"),
         ]
     )
-    codes, turn = _key_codes(t)
-    seq = t.column("seq").to_numpy(zero_copy_only=False)
-    key_change = np.empty(len(codes), dtype=bool)
-    key_change[0] = True
-    key_change[1:] = (codes[1:] != codes[:-1]) | (turn[1:] != turn[:-1])
-    # drop redelivered duplicates: same key AND same seq as previous row
-    fresh = key_change | np.concatenate([[True], seq[1:] != seq[:-1]])
-    t = t.filter(pa.array(fresh))
     codes, turn = _key_codes(t)
     starts = np.flatnonzero(
         np.concatenate(
