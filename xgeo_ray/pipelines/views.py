@@ -10,6 +10,15 @@ table size (the partition-level analogue of incremental view
 maintenance; exact for any aggregate because the partition's merged
 state, not a diff, is re-aggregated — no old-value bookkeeping needed).
 
+For ADDITIVE tables a second gear exists: pass ``delta_combine`` and a
+stale partition whose new epochs carry no tombstones or compactions is
+refreshed by aggregating ONLY the new delta files and folding the
+result into the cached partial — I/O tracks the change size, not the
+partition size. Partial files are epoch-versioned
+(``part-NNNNN-eEEEEEE.parquet``) and the view manifest is the commit
+point, so a crashed delta fold re-runs against the still-present old
+partial instead of double-counting.
+
 Reading the view concatenates the per-partition partials; a final
 combine (e.g. relational.partial_group_agg over the partials) produces
 the global aggregate — partials for a key spread over at most num_salts
@@ -59,6 +68,78 @@ def _partition_version(table: DeltaTable) -> dict[int, int]:
     return ver
 
 
+def _delta_files_since(
+    table: DeltaTable, part: int, since_epoch: int
+) -> list[str] | None:
+    """Absolute paths of the DELTA files that touched ``part`` after
+    ``since_epoch`` — or None when the delta-combine shortcut is unsound
+    for this partition: a compaction rewrote the visible set (the cached
+    partial's base files are gone), or a new delta carries tombstones
+    (a sum-combine cannot retract). Decided entirely from manifest
+    metadata; no data file is opened."""
+    out: list[str] = []
+    for m in table.manifests():
+        if m.epoch <= since_epoch:
+            continue
+        e = m.partitions.get(str(part))
+        if e is None:
+            continue
+        if m.kind == "compact" or e.tombstones:
+            return None
+        if e.path:
+            out.append(os.path.join(table.root, e.path))
+    return out
+
+
+@ray.remote
+def _refresh_part_delta(
+    new_paths: list[str],
+    envelope: pa.Schema,
+    agg_fn,
+    delta_combine,
+    cached_path: str,
+    out_path: str,
+    columns: list[str] | None,
+) -> int:
+    """Delta-aware refresh of one partition: aggregate ONLY the new epoch
+    delta files and fold the result into the cached partial with
+    ``delta_combine`` — I/O tracks the CHANGE size, not the partition
+    size. Sound when the table's merge policy is additive and the new
+    deltas carry no tombstones (the caller verifies both from manifest
+    metadata): additive merge makes per-key state the sum of its delta
+    rows, so any sum-decomposable aggregate over the merged state equals
+    the combine of per-epoch aggregates. Group-by columns must be
+    immutable per key (the standard IVM restriction)."""
+    from xgeo_ray.schemas import cast_to
+    from xgeo_ray.state.delta_table import LINEAGE_COLS
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    read_cols = None
+    if columns is not None:
+        read_cols = list(dict.fromkeys(columns))
+        envelope = pa.schema([f for f in envelope if f.name in read_cols])
+    tables = []
+    for p in new_paths:
+        have = (
+            None
+            if read_cols is None
+            else [c for c in read_cols if c in pq.read_schema(p).names]
+        )
+        tables.append(pq.read_table(p, columns=have, use_threads=False))
+    t = pa.concat_tables(
+        [cast_to(x, envelope) for x in tables], promote_options="permissive"
+    )
+    t = t.drop_columns([c for c in LINEAGE_COLS if c in t.column_names])
+    delta_partial = agg_fn(t)
+    cached = pq.read_table(cached_path, use_threads=False)
+    out = delta_combine(cached, delta_partial)
+    from xgeo_ray.pipelines.ingest import _atomic_write_parquet
+
+    _atomic_write_parquet(out, out_path)
+    return out.num_rows
+
+
 @ray.remote
 def _refresh_part(
     paths: list[str],
@@ -94,17 +175,29 @@ def _refresh_part(
     return out.num_rows
 
 
+def _part_file(part: int, epoch: int) -> str:
+    return f"part-{part:05d}-e{epoch:06d}.parquet"
+
+
 def refresh_view(
     table: DeltaTable,
     view_dir: str,
     agg_fn: Callable[[pa.Table], pa.Table],
     columns: list[str] | None = None,
+    delta_combine: Callable[[pa.Table, pa.Table], pa.Table] | None = None,
 ) -> dict:
-    """Bring the view up to date: one raw merge+aggregate task per STALE
-    partition (fresh partitions are skipped entirely). Returns refresh
-    stats. The view manifest commits only after every task succeeded, so
-    a crashed refresh re-runs its stale partitions (files overwrite
-    deterministically — same idempotence as the epoch deltas)."""
+    """Bring the view up to date: one task per STALE partition (fresh
+    partitions are skipped entirely). Returns refresh stats. The view
+    manifest commits only after every task succeeded; partial files are
+    epoch-versioned and the old partial survives until the commit, so a
+    crashed refresh re-runs its stale partitions idempotently.
+
+    With ``delta_combine`` (contract: ``combine(cached_partial,
+    delta_partial) -> partial``, sound for sum-decomposable aggregates)
+    on an additive-policy table, eligible partitions take the delta
+    path: aggregate only the post-cache epoch files, fold into the
+    cached partial. Ineligible partitions (tombstones, compactions,
+    first refresh, non-additive tables) fall back to full merge+agg."""
     os.makedirs(view_dir, exist_ok=True)
     state = _view_state(view_dir)
     ver = _partition_version(table)
@@ -113,28 +206,69 @@ def refresh_view(
     from xgeo_ray.stages.collapse import MERGE_POLICIES
 
     policy_fn = MERGE_POLICIES[table.merge_policy]["fn"]
+    # Partitions that left the visible set (e.g. emptied by a
+    # tombstone-horizon compaction) must not keep serving stale partials:
+    # drop them from the manifest; the post-commit sweep reclaims their
+    # files (deleting only after the commit keeps every pre-commit state
+    # readable).
+    gone = [k for k in list(state["partitions"]) if int(k) not in plan]
+    for k in gone:
+        del state["partitions"][k]
     stale = {
         part: paths
         for part, paths in sorted(plan.items())
         if state["partitions"].get(str(part), -1) < ver.get(part, -1)
     }
-    refs = {
-        part: _refresh_part.remote(
-            paths,
-            envelope,
-            policy_fn,
-            agg_fn,
-            os.path.join(view_dir, f"part-{part:05d}.parquet"),
-            columns,  # prune the merge read to what agg_fn touches
-        )
-        for part, paths in stale.items()
-    }
+    refs: dict[int, object] = {}
+    n_delta = 0
+    for part, paths in stale.items():
+        out_path = os.path.join(view_dir, _part_file(part, ver[part]))
+        cached_epoch = state["partitions"].get(str(part))
+        new_paths = None
+        if (
+            delta_combine is not None
+            and table.merge_policy == "additive"
+            and cached_epoch is not None
+        ):
+            cached_path = os.path.join(view_dir, _part_file(part, cached_epoch))
+            new_paths = _delta_files_since(table, part, cached_epoch)
+            if not new_paths or not os.path.isfile(cached_path):
+                new_paths = None  # ineligible → full recompute
+        if new_paths is not None:
+            n_delta += 1
+            refs[part] = _refresh_part_delta.remote(
+                new_paths,
+                envelope,
+                agg_fn,
+                delta_combine,
+                cached_path,
+                out_path,
+                columns,
+            )
+        else:
+            refs[part] = _refresh_part.remote(
+                paths,
+                envelope,
+                policy_fn,
+                agg_fn,
+                out_path,
+                columns,  # prune the merge read to what agg_fn touches
+            )
     rows = ray.get(list(refs.values()))
     for part in refs:
         state["partitions"][str(part)] = ver[part]
     _write_view_state(view_dir, state)
+    # Commit point passed: reclaim superseded / orphaned epoch files.
+    keep = {
+        _part_file(int(k), e) for k, e in state["partitions"].items()
+    }
+    for n in os.listdir(view_dir):
+        if n.startswith("part-") and n.endswith(".parquet") and n not in keep:
+            os.unlink(os.path.join(view_dir, n))
     return {
         "refreshed": len(refs),
+        "delta": n_delta,
+        "dropped": len(gone),
         "skipped": len(plan) - len(refs),
         "rows": int(sum(rows)),
     }
@@ -142,12 +276,14 @@ def refresh_view(
 
 def read_view(view_dir: str) -> ray.data.Dataset:
     """The view's per-partition partial aggregates as a Dataset (apply a
-    final combine for global aggregates)."""
-    files = sorted(
-        os.path.join(view_dir, n)
-        for n in os.listdir(view_dir)
-        if n.startswith("part-") and n.endswith(".parquet")
-    )
+    final combine for global aggregates). Reads the COMMITTED file set
+    from the view manifest — uncommitted epoch files from an in-flight
+    or crashed refresh are invisible."""
+    state = _view_state(view_dir)
+    files = [
+        os.path.join(view_dir, _part_file(int(k), e))
+        for k, e in sorted(state["partitions"].items())
+    ]
     if not files:
         raise FileNotFoundError(f"no view partitions under {view_dir}")
     return ray.data.read_parquet(files)
