@@ -134,10 +134,15 @@ def run_bench() -> dict:
         if rep:
             os.sync()
         t0 = time.perf_counter()
-        # fused: bootstrap rides the same pipelined stream (its reduces
-        # overlap the first WAL epoch's maps)
-        ing.run_stream(table, segs, segments_per_epoch=_SPE, bootstrap=base_path)
-        n_final = ing.snapshot(table).count()
+        # fused twice over: bootstrap rides the same pipelined stream
+        # (its reduces overlap the first WAL epoch's maps), and the
+        # closing snapshot merges inside the last epoch's reduces
+        # (final_snapshot=True) instead of a separate pass after commit
+        _, snap = ing.run_stream(
+            table, segs, segments_per_epoch=_SPE, bootstrap=base_path,
+            final_snapshot=True,
+        )
+        n_final = snap.count()
         samples.append(time.perf_counter() - t0)
         if rep < reps - 1:
             shutil.rmtree(table_root, ignore_errors=True)

@@ -250,3 +250,44 @@ def test_point_lookup_single_conversation(built_table):
     assert len(one) == 1 and one["text"].iloc[0] == want["text"].iloc[0]
     # missing key -> typed empty
     assert ing.lookup(table, "no-such-conv").num_rows == 0
+
+
+def test_final_snapshot_fused_matches_snapshot(tmp_path):
+    """run_stream(final_snapshot=True) returns the same merged state as
+    a separate snapshot() pass, commits identically, and the returned
+    dataset reflects only committed state (including a no-op resume that
+    snapshots prior state from files alone)."""
+    base = fx.make_transcripts(10, 6)
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(base, base_path)
+    events = fx.make_change_events(
+        700, n_convs=10, turns_per_conv=6, dup_fraction=0.03
+    )
+    segs = fx.write_segments(events, str(tmp_path / "wal"), n_segments=4)
+
+    t1 = DeltaTable.create(str(tmp_path / "t1"), num_partitions=8, num_salts=2)
+    ms, snap = ing.run_stream(
+        t1, segs, segments_per_epoch=2, bootstrap=base_path, final_snapshot=True
+    )
+    assert len(ms) == t1.latest_epoch()
+    fused = (
+        snap.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    separate = (
+        ing.snapshot(t1)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fused, separate)
+    want = fx.naive_final_state(base, events).to_pandas()
+    pd.testing.assert_frame_equal(fused[want.columns.tolist()], want)
+    # resume no-op still hands back the committed state
+    ms2, snap2 = ing.run_stream(
+        t1, segs, segments_per_epoch=2, bootstrap=base_path, final_snapshot=True
+    )
+    assert ms2 == []
+    again = (
+        snap2.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(again, separate)

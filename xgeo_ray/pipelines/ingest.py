@@ -186,7 +186,11 @@ class ApplyPartition:
             pa.concat_tables(outs) if outs else _ENTRY_SCHEMA.empty_table()
         )
 
-    def _apply_one(self, part: int, t: pa.Table) -> pa.Table:
+    def _apply_one(self, part: int, t: pa.Table, want_delta: bool = False):
+        """Apply one partition's epoch rows; with ``want_delta`` also
+        return the written delta table (tombstones kept) so a fused
+        final-epoch snapshot can merge it in memory instead of
+        re-reading the file it just wrote."""
         from xgeo_ray.stages.collapse import (
             MERGE_POLICIES,
             collapse_with_metrics,
@@ -228,7 +232,10 @@ class ApplyPartition:
                 out, os.path.join(self.root, entry.path), durable=self.durable
             )
         else:
+            out = self.schema.empty_table()
             entry.path = ""
+        if want_delta:
+            return _entry_to_table(entry), out
         return _entry_to_table(entry)
 
 
@@ -298,6 +305,44 @@ def _radix_reduce(part: int, apply_partition, *subs: pa.Table):
         return None
     t = pa.concat_tables(subs, promote_options="permissive")
     return apply_partition._apply_one(part, t)
+
+
+@ray.remote(num_returns=2)
+def _radix_reduce_snap(
+    part: int, apply_partition, prior_paths: list[str], *subs: pa.Table
+):
+    """Final-epoch reduce fused with the closing merge-on-read snapshot:
+    same watermark dedup + collapse + delta write as _radix_reduce, then
+    the partition's PRIOR visible files merge with the fresh delta while
+    it is still in memory. Each partition's snapshot merge overlaps the
+    other partitions' reduces instead of serializing after the last
+    commit, and the last epoch's delta is never re-read from disk.
+    Returns (lineage entry | None, merged final state). Exactly-once is
+    untouched: the caller surfaces the merged refs only AFTER the
+    epoch's manifest commit succeeds — a crashed run discards them."""
+    from xgeo_ray.stages.collapse import merge_versions
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    subs = [s for s in subs if s.num_rows]
+    entry = None
+    tables = [pq.read_table(p, use_threads=False) for p in prior_paths]
+    if subs:
+        t = pa.concat_tables(subs, promote_options="permissive")
+        entry, delta = apply_partition._apply_one(part, t, want_delta=True)
+        if delta.num_rows:
+            tables.append(delta)
+    envelope = apply_partition.schema
+    merged = cast_to(
+        merge_versions(
+            tables, drop_tombstones=True, policy=apply_partition.policy_fn
+        ),
+        envelope,
+    )
+    merged = merged.drop_columns(
+        [c for c in LINEAGE_COLS if c in merged.column_names]
+    )
+    return entry, merged
 
 
 def _radix_exchange_apply(
@@ -518,7 +563,8 @@ def run_stream(
     batch_size: int = 65536,
     transform=None,
     bootstrap: str | None = None,
-) -> list[Manifest]:
+    final_snapshot: bool = False,
+) -> list[Manifest] | tuple[list[Manifest], ray.data.Dataset]:
     """Process a WAL in epoch-sized gulps, skipping already-committed
     segments — this IS the resume path: call it again after a crash and it
     continues exactly where the last committed manifest left off.
@@ -536,7 +582,16 @@ def run_stream(
     ``bootstrap``: optional base-table Parquet loaded as the FIRST epoch
     of the same pipelined run (seq=-1 implicit inserts, watermark-exempt
     like bootstrap_base) — its reduces overlap the first WAL epoch's
-    maps instead of serializing before them."""
+    maps instead of serializing before them.
+
+    ``final_snapshot``: also return the post-stream merged table state
+    as a Dataset, computed by FUSING the closing snapshot into the last
+    epoch's reduces (_radix_reduce_snap): each partition merges its
+    prior files with the last delta while it is still in memory,
+    overlapping the other partitions' reduces — instead of a separate
+    snapshot() pass re-reading every delta after the final commit. The
+    merged refs are surfaced only after that commit succeeds. Returns
+    ``(manifests, dataset)``."""
     from xgeo_ray.sources.wal import (
         plan_read_chunks,
         segment_row_count,
@@ -556,16 +611,17 @@ def run_stream(
     if boot_group:
         groups.insert(0, [os.path.abspath(bootstrap)])
     if not groups:
-        return []
+        return ([], snapshot(table)) if final_snapshot else []
     if os.environ.get("XGEO_SEQUENTIAL_EPOCHS"):  # A/B escape hatch
         out = []
         if boot_group:
             out.append(bootstrap_base(table, groups[0][0], batch_size=batch_size))
             groups = groups[1:]
-        return out + [
+        out += [
             ingest_segments(table, segs, batch_size=batch_size, transform=transform)
             for segs in groups
         ]
+        return (out, snapshot(table)) if final_snapshot else out
     P = table.num_partitions
     durable = table.durability == "full"
     # cumulative schema-evolution plan, all from metadata (fail fast)
@@ -621,10 +677,27 @@ def run_stream(
                 token=new_commit_token(),
             )
         )
-        reduces = [
-            _radix_reduce.remote(part, apply_ref, *[m[part] for m in maps_i])
-            for part in range(P)
-        ]
+        snap_refs = None
+        if final_snapshot and i == len(groups) - 1:
+            # at this point every earlier epoch is committed, so the
+            # table's visible file set IS the prior state to merge with
+            prior_plan = table.partition_files()
+            pairs = [
+                _radix_reduce_snap.remote(
+                    part,
+                    apply_ref,
+                    prior_plan.get(part, []),
+                    *[m[part] for m in maps_i],
+                )
+                for part in range(P)
+            ]
+            reduces = [p[0] for p in pairs]
+            snap_refs = [p[1] for p in pairs]
+        else:
+            reduces = [
+                _radix_reduce.remote(part, apply_ref, *[m[part] for m in maps_i])
+                for part in range(P)
+            ]
         invalid_refs = [m[P] for m in maps_i]
         # the overlap: next epoch's maps start while this epoch reduces
         maps_i = launch_maps(i + 1) if i + 1 < len(groups) else None
@@ -667,6 +740,9 @@ def run_stream(
         )
         for e in entries:  # epoch i+1 sees exactly the sequential watermarks
             wm[e.part_key] = max(wm[e.part_key], e.max_seq)
+    if final_snapshot:
+        # commit fence passed — the fused merged state is now authoritative
+        return out, ray.data.from_arrow_refs(snap_refs)
     return out
 
 
