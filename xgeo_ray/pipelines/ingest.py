@@ -150,6 +150,7 @@ class ApplyPartition:
         durable: bool = True,
         policy: str = "lww",
         token: str = "",
+        ts_watermarks: np.ndarray | None = None,
     ):
         # NOTE: no limit_worker_threads() here — instance-passed stages are
         # constructed on the DRIVER (pickled to workers, __init__ never
@@ -158,6 +159,9 @@ class ApplyPartition:
         self.epoch = epoch
         self.schema = envelope_schema
         self.wm = watermarks
+        # per-partition max committed event ts (µs): applied rows below
+        # it count as late arrivals (event-time lineage); None disables
+        self.ts_wm = ts_watermarks
         self.durable = durable
         self.policy = policy
         # attempt-unique commit token, minted ONCE on the driver per epoch
@@ -203,6 +207,19 @@ class ApplyPartition:
             keep = pc.greater(t.column("seq"), pa.scalar(wm, pa.int64()))
             t = t.filter(keep)
         below_wm = rows_in - t.num_rows
+        late = 0
+        if self.ts_wm is not None and t.num_rows:
+            tw = int(self.ts_wm[part])
+            if tw >= 0:
+                late = int(
+                    pc.sum(
+                        pc.less(
+                            t.column("ts").cast(pa.int64()),
+                            pa.scalar(tw, pa.int64()),
+                        )
+                    ).as_py()
+                    or 0
+                )
         if self.policy == "lww":
             collapsed, n_keys, n_trips = collapse_with_metrics(
                 t, drop_tombstones=False
@@ -225,6 +242,7 @@ class ApplyPartition:
             max_ts=int(pc.max(collapsed.column("ts")).cast(pa.int64()).as_py())
             if collapsed.num_rows
             else -1,
+            late=late,
         )
         if collapsed.num_rows:
             out = cast_to(collapsed, self.schema)
@@ -252,6 +270,7 @@ _ENTRY_SCHEMA = pa.schema(
         ("max_seq", pa.int64()),
         ("max_ts", pa.int64()),
         ("bytes", pa.int64()),
+        ("late", pa.int64()),
     ]
 )
 
@@ -379,6 +398,7 @@ def _radix_exchange_apply(
             durable=table.durability == "full",
             policy=table.merge_policy,
             token=new_commit_token() if token is None else token,
+            ts_watermarks=table.ts_watermarks(),
         )
     )
     maps = [
@@ -426,6 +446,7 @@ def _apply_shuffled(
             durable=table.durability == "full",
             policy=table.merge_policy,
             token=new_commit_token(),
+            ts_watermarks=table.ts_watermarks(),
         ),
         batch_format="pyarrow",
     )
@@ -636,6 +657,7 @@ def run_stream(
         envs.append(env)
         chunk_lists.append(plan_read_chunks(segs))
     wm = table.watermarks()
+    tswm = table.ts_watermarks()
     epoch_base = table.latest_epoch()
     out: list[Manifest] = []
 
@@ -675,6 +697,8 @@ def run_stream(
                 durable=durable,
                 policy=table.merge_policy,
                 token=new_commit_token(),
+                # bootstrap rows predate the stream: not late by definition
+                ts_watermarks=None if is_boot else tswm,
             )
         )
         snap_refs = None
@@ -740,6 +764,7 @@ def run_stream(
         )
         for e in entries:  # epoch i+1 sees exactly the sequential watermarks
             wm[e.part_key] = max(wm[e.part_key], e.max_seq)
+            tswm[e.part_key] = max(tswm[e.part_key], e.max_ts)
     if final_snapshot:
         # commit fence passed — the fused merged state is now authoritative
         return out, ray.data.from_arrow_refs(snap_refs)
@@ -1156,6 +1181,8 @@ def tail(
     stable_for_s: float = 0.2,
     compact_every_epochs: int | None = None,
     vacuum_after_compact: bool = False,
+    allowed_lateness_us: int = 0,
+    on_watermark_advance=None,
 ) -> list[Manifest]:
     """Follow a WAL directory and apply new segments as they land — the
     'binlog tailer' entry point. Micro-batch streaming: each poll that
@@ -1172,7 +1199,17 @@ def tail(
     every N committed delta epochs the tailer folds each partition's
     delta chain (compact) and, with ``vacuum_after_compact``, reclaims
     the superseded files — keeping merge-on-read cost bounded on an
-    endless stream without an external scheduler."""
+    endless stream without an external scheduler.
+
+    ``on_watermark_advance(watermark_us, table)`` is the EVENT-TIME
+    trigger: after each committed batch it fires iff the global
+    event-time watermark (min over partitions of max applied ts, minus
+    ``allowed_lateness_us`` — see DeltaTable.event_time_watermark)
+    advanced, so a downstream consumer can close time windows / refresh
+    views up to ``watermark_us`` exactly once per advance. Events older
+    than the watermark still apply correctly (LWW by ts) and surface in
+    the per-epoch ``late`` lineage total — monitor it to size
+    ``allowed_lateness_us``."""
     import time as _time
 
     from xgeo_ray.sources.wal import is_supported_segment
@@ -1180,6 +1217,7 @@ def tail(
     committed: list[Manifest] = []
     idle = 0
     epochs_since_compact = 0
+    last_wm = table.event_time_watermark(allowed_lateness_us)
     while True:
         now = _time.time()
         try:
@@ -1205,6 +1243,11 @@ def tail(
             ms = run_stream(table, fresh, segments_per_epoch=segments_per_epoch)
             committed.extend(ms)
             epochs_since_compact += len(ms)
+            if on_watermark_advance is not None and ms:
+                w = table.event_time_watermark(allowed_lateness_us)
+                if w > last_wm:
+                    last_wm = w
+                    on_watermark_advance(w, table)
             if (
                 compact_every_epochs is not None
                 and epochs_since_compact >= compact_every_epochs

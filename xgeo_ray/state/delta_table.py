@@ -193,6 +193,42 @@ class DeltaTable:
                 wm[int(k)] = max(wm[int(k)], e.max_seq)
         return wm
 
+    def ts_watermarks(self) -> np.ndarray:
+        """Per-partition max applied event ts in µs (int64, -1 = none) —
+        the EVENT-TIME analogue of watermarks(): later epochs count rows
+        below this as late arrivals (lineage ``late``), and the global
+        event-time watermark derives from it. Bootstrap epochs are
+        excluded: base-table rows predate the stream, and counting WAL
+        updates to old turns as "late" would conflate snapshot age with
+        stream disorder."""
+        wm = np.full(self.num_partitions, -1, dtype=np.int64)
+        for m in self.manifests():
+            # compactions merge bootstrap rows back in; delta manifests
+            # alone carry the stream's event-time history (never deleted)
+            if m.kind == "compact" or any(
+                s.startswith("bootstrap:") for s in m.segments
+            ):
+                continue
+            for k, e in m.partitions.items():
+                wm[int(k)] = max(wm[int(k)], e.max_ts)
+        return wm
+
+    def event_time_watermark(self, allowed_lateness_us: int = 0) -> int:
+        """Low event-time watermark in µs: min over touched partitions of
+        max applied ts, minus the allowed lateness — "every partition has
+        applied events at least this recent". Hash partitioning spreads
+        the stream across all partitions, so the min-of-max is a sound
+        completeness bound once each partition has data; -1 until at
+        least one partition has any. Events older than the watermark can
+        still arrive — they are APPLIED (LWW ordering handles them) and
+        counted in the ``late`` lineage metric, which is what
+        ``allowed_lateness_us`` should be sized against."""
+        tw = self.ts_watermarks()
+        touched = tw[tw >= 0]
+        if len(touched) == 0:
+            return -1
+        return int(touched.min()) - int(allowed_lateness_us)
+
     def current_schema(self) -> pa.Schema:
         """Envelope schema of the latest committed epoch (data + lineage
         columns); the base envelope if no epoch has committed yet."""
@@ -250,6 +286,7 @@ class DeltaTable:
             "applied": sum(e.applied for e in entries),
             "tombstones": sum(e.tombstones for e in entries),
             "bytes": sum(e.bytes for e in entries),
+            "late": sum(e.late for e in entries),
         }
         if extra_totals:
             totals.update(extra_totals)

@@ -90,6 +90,10 @@ class PartitionEntry:
     max_seq: int = -1
     max_ts: int = -1
     bytes: int = 0
+    # event-time lateness: applied (post-dedup) events whose ts is below
+    # the partition's committed max_ts — out-of-order arrivals across
+    # epochs. Absent in pre-round-3 manifests (default 0 on load).
+    late: int = 0
 
 
 @dataclass
