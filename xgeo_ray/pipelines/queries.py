@@ -231,6 +231,68 @@ def cdc_additive_state(sf_dir: str):
     return ds.groupby(PART_COL).map_groups(collapse_group, batch_format="pyarrow")
 
 
+def cdc_late_events(sf_dir: str):
+    """Event-time lateness lineage as a pure query (mirrors the engine's
+    per-epoch ``late`` metric + ``ts_watermarks``, ingest.py ApplyPartition
+    / delta_table.ts_watermarks): the change stream is epoch-batched in
+    seq order (epoch = seq // 1000), hash-partitioned (user_id % 16 —
+    SQL-reproducible stand-in for the engine's salted siphash), and each
+    epoch counts rows whose ts is below the partition's watermark
+    committed by STRICTLY EARLIER epochs. wm_ts is the per-partition
+    event-time watermark after the epoch (running max of epoch max ts).
+    The raw events table is ts-ordered by event_id, so a deterministic
+    per-event jitter (event_id % 97 hours, reproduced in the oracle)
+    disorders arrival vs event time the way real CDC streams do.
+    One shuffle on the partition key; per-group work is reduceat/cummax
+    over epoch slots — no per-epoch Python."""
+    ds = _read(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+
+    def part(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy()
+        jitter = (eid % 97) * 3_600_000_000
+        return pa.table(
+            {
+                "part_key": pa.array(
+                    b.column("user_id").to_numpy() % 16, pa.int64()
+                ),
+                "epoch": pa.array(eid // 500, pa.int64()),
+                "ts_us": pa.array(
+                    b.column("ts").cast(pa.int64()).to_numpy() - jitter
+                ),
+            }
+        )
+
+    ds = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def late_group(g: pa.Table) -> pa.Table:
+        ep = g.column("epoch").to_numpy()
+        ts = g.column("ts_us").to_numpy()
+        order = np.argsort(ep, kind="stable")
+        ep, ts = ep[order], ts[order]
+        uniq, first = np.unique(ep, return_index=True)
+        mx = np.maximum.reduceat(ts, first)
+        wm = np.maximum.accumulate(mx)
+        # watermark visible to each epoch = committed by earlier epochs
+        prior = np.concatenate(([np.iinfo(np.int64).min], wm[:-1]))
+        slot = np.searchsorted(uniq, ep)
+        late = np.bincount(
+            slot, weights=(ts < prior[slot]), minlength=len(uniq)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "part_key": pa.array(
+                    np.full(len(uniq), g.column("part_key")[0].as_py()),
+                    pa.int64(),
+                ),
+                "epoch": pa.array(uniq, pa.int64()),
+                "late": pa.array(late, pa.int64()),
+                "wm_ts": pa.array(wm, pa.int64()),
+            }
+        )
+
+    return ds.groupby("part_key").map_groups(late_group, batch_format="pyarrow")
+
+
 def text_normalized(sf_dir: str):
     """Unicode NFC normalization + casefold over the corpus (Arrow
     utf8_normalize — SURVEY §2.8 scalar family)."""
@@ -952,6 +1014,7 @@ def build_queries() -> dict:
         "cdc_partition_watermarks": cdc_partition_watermarks,
         "cdc_dedup_replay": cdc_dedup_replay,
         "cdc_additive_state": cdc_additive_state,
+        "cdc_late_events": cdc_late_events,
         "text_normalized": text_normalized,
         "pii_redacted": pii_redacted,
         "doc_chunks": doc_chunks,
@@ -1088,6 +1151,36 @@ def build_oracle_sql() -> dict[str, str]:
             FROM ev e JOIN last l USING (conv_id, turn_idx)
             WHERE l.op <> 'D'
             GROUP BY e.conv_id, e.turn_idx
+        """,
+        "cdc_late_events": """
+            WITH ev AS (
+              SELECT CAST(user_id % 16 AS BIGINT) AS part_key,
+                     CAST(event_id // 500 AS BIGINT) AS epoch,
+                     epoch_us(ts) - (event_id % 97) * 3600000000 AS ts_us
+              FROM events
+            ),
+            pe AS (
+              SELECT part_key, epoch, max(ts_us) AS mx
+              FROM ev GROUP BY 1, 2
+            ),
+            wm AS (
+              SELECT part_key, epoch,
+                     max(mx) OVER (PARTITION BY part_key ORDER BY epoch
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS wm_ts,
+                     max(mx) OVER (PARTITION BY part_key ORDER BY epoch
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prior_wm
+              FROM pe
+            )
+            SELECT w.part_key, w.epoch,
+                   CAST(count(*) FILTER (
+                       WHERE w.prior_wm IS NOT NULL AND e.ts_us < w.prior_wm
+                   ) AS BIGINT) AS late,
+                   w.wm_ts
+            FROM ev e
+            JOIN wm w ON e.part_key = w.part_key AND e.epoch = w.epoch
+            GROUP BY w.part_key, w.epoch, w.wm_ts
         """,
         "text_normalized": """
             SELECT doc_id, lower(nfc_normalize(text)) AS text_norm
