@@ -153,6 +153,66 @@ def test_tail_watermark_trigger(tmp_path):
     assert seen[-1] == table.event_time_watermark(allowed_lateness_us=250)
 
 
+def test_trigger_drives_incremental_view_refresh(tmp_path):
+    """The intended consumer wiring: tail's watermark trigger refreshes a
+    materialized view exactly once per advance; the final view matches a
+    full recompute and each refresh only touched changed partitions."""
+    import pyarrow as pa
+
+    from xgeo_ray.functions.relational import partial_group_agg
+    from xgeo_ray.pipelines import views as vw
+
+    def agg(t: pa.Table) -> pa.Table:
+        return t.group_by("role").aggregate([("turn_idx", "count")])
+
+    ev = fx.make_change_events(600, n_convs=8, turns_per_conv=5, dup_fraction=0.0)
+    n = ev.num_rows
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+
+    def writer():
+        for k in range(2):
+            seg = ev.slice(k * n // 2, n // 2)
+            tmp = f"{wal}/.tmp-{k}"
+            pq.write_table(seg, tmp)
+            os.replace(tmp, f"{wal}/segment-{k:05d}.parquet")
+            time.sleep(0.5)
+
+    table = DeltaTable.create(str(tmp_path / "t"), num_partitions=4, num_salts=1)
+    view_dir = str(tmp_path / "view")
+    stats = []
+    w = threading.Thread(target=writer)
+    w.start()
+    ing.tail(
+        table,
+        wal,
+        poll_interval_s=0.1,
+        idle_polls_to_stop=15,
+        stable_for_s=0.05,
+        on_watermark_advance=lambda wm, t: stats.append(
+            vw.refresh_view(t, view_dir, agg)
+        ),
+    )
+    w.join()
+    assert len(stats) >= 2 and all(s["refreshed"] > 0 for s in stats)
+    got = (
+        partial_group_agg(vw.read_view(view_dir), ["role"],
+                          [("turn_idx_count", "sum", "n")])
+        .to_pandas().sort_values("role").reset_index(drop=True)
+    )
+    # full recompute from scratch as the oracle
+    fresh_dir = str(tmp_path / "view_full")
+    vw.refresh_view(table, fresh_dir, agg)
+    want = (
+        partial_group_agg(vw.read_view(fresh_dir), ["role"],
+                          [("turn_idx_count", "sum", "n")])
+        .to_pandas().sort_values("role").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_old_manifests_without_late_field(tmp_path):
     """Pre-round-3 manifests have no ``late`` key: loading must default
     it to 0 (totals and watermark math unaffected)."""
