@@ -119,6 +119,34 @@ def run_bench() -> dict:
     # co-tenant noise swings up to 2x on single shots (same methodology
     # as the scaling bench; all samples reported so outliers are visible)
     reps = int(os.environ.get("XGEO_BENCH_REPS", "1" if _SKIP_QUERIES else "3"))
+
+    if os.environ.get("XGEO_BENCH_WARMUP"):
+        # untimed warm-up over a small throwaway table: spins up the
+        # worker pool and exports the pipeline's functions so the timed
+        # run measures steady-state streaming, not process bring-up.
+        # A long-lived stream never re-pays the ~3 s spin-up, but a
+        # single-shot subprocess (the scaling children) otherwise folds
+        # it into its one sample — ~9% of the 8-CPU time vs ~3% of the
+        # 2-CPU time, an asymmetry that skews the ratio, not a cost the
+        # engine has at either cluster size. The headline path reaches
+        # the same steady state via best-of-N instead.
+        from xgeo_ray import fixtures as fx
+
+        wroot = f"/tmp/xgeo_bench_warm_{os.getpid()}"
+        shutil.rmtree(wroot, ignore_errors=True)
+        wev = fx.make_change_events(200_000, n_convs=2000, turns_per_conv=20)
+        wsegs = fx.write_segments(wev, f"{wroot}/wal", n_segments=2)
+        wt = DeltaTable.create(
+            f"{wroot}/t",
+            num_partitions=_NUM_PARTITIONS,
+            num_salts=_NUM_SALTS,
+            durability=os.environ.get("XGEO_BENCH_DURABILITY", "full"),
+        )
+        _, wsnap = ing.run_stream(
+            wt, wsegs, segments_per_epoch=1, final_snapshot=True
+        )
+        wsnap.count()
+        shutil.rmtree(wroot, ignore_errors=True)
     samples = []
     n_final = 0
     table = None
@@ -169,6 +197,7 @@ def run_bench() -> dict:
     queries = {}
     for name in [] if _SKIP_QUERIES else [
         "cdc_lww_state",
+        "cdc_changes_feed",
         "q1_pricing_summary",
         "orders_by_segment",
         "order_revenue_by_priority",
@@ -217,6 +246,10 @@ def run_scaling() -> dict:
             XGEO_BENCH_SEGMENTS="16",
             XGEO_BENCH_SPE="8",
             XGEO_BENCH_SKIP_QUERIES="1",
+            # single-shot child: warm the worker pool untimed so the
+            # sample measures steady-state streaming, not spin-up (see
+            # run_bench's warm-up block for the asymmetry rationale)
+            XGEO_BENCH_WARMUP="1",
             # THROUGHPUT-scaling evidence runs with manifest-only fsync:
             # delta-file fsync is a per-NODE disk cost a real N->4N
             # cluster scales with node count, but this one-box sandbox
@@ -392,6 +425,7 @@ def run_curve(levels: list[int]) -> dict:
             XGEO_BENCH_SEGMENTS="16",
             XGEO_BENCH_SPE="4",
             XGEO_BENCH_SKIP_QUERIES="1",
+            XGEO_BENCH_WARMUP="1",
             XGEO_BENCH_DURABILITY=os.environ.get("XGEO_BENCH_DURABILITY", "commit"),
         )
         out = subprocess.run(

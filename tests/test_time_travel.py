@@ -1,0 +1,133 @@
+"""Time-travel snapshots + the CDC-out changes feed.
+
+``snapshot(as_of_epoch=E)`` reads the state as of any committed epoch
+(manifests are the version history; delta files are immutable until
+vacuum). ``changes(since_epoch, upto_epoch)`` exposes the applied
+per-epoch deltas as a Dataset — the feed a downstream consumer tails,
+with the epoch number as its exactly-once cursor."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pandas as pd
+import pytest
+
+from xgeo_ray import fixtures as fx
+from xgeo_ray.pipelines import ingest as ing
+from xgeo_ray.state.delta_table import DeltaTable
+
+
+@pytest.fixture(scope="module")
+def tt_table(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tt"))
+    base = fx.make_transcripts(10, 6)
+    pq.write_table(base, f"{root}/base.parquet")
+    events = fx.make_change_events(
+        900, n_convs=10, turns_per_conv=6, dup_fraction=0.0
+    )
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=3)
+    table = DeltaTable.create(f"{root}/table", num_partitions=4, num_salts=2)
+    ing.bootstrap_base(table, f"{root}/base.parquet")  # epoch 1
+    ing.run_stream(table, segs, segments_per_epoch=1)  # epochs 2..4
+    return table, base, events
+
+
+def _df(ds):
+    return (
+        ds.to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def _want_prefix(base, events, frac_thirds):
+    n = events.num_rows
+    prefix = events.slice(0, round(frac_thirds * n / 3))
+    return fx.naive_final_state(base, prefix).to_pandas()
+
+
+def test_snapshot_as_of_each_epoch(tt_table):
+    table, base, events = tt_table
+    # epoch 1 = bootstrap only
+    got = _df(ing.snapshot(table, as_of_epoch=1))
+    want = fx.naive_final_state(base, events.slice(0, 0)).to_pandas()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # epochs 2..4 = prefix replays (dup_fraction=0 → table order == seq)
+    for k in (1, 2, 3):
+        got = _df(ing.snapshot(table, as_of_epoch=1 + k))
+        want = _want_prefix(base, events, k)
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_time_travel_survives_compaction(tt_table):
+    table, base, events = tt_table
+    latest = table.latest_epoch()
+    before = _df(ing.snapshot(table, as_of_epoch=2))
+    m = ing.compact(table)
+    # pre-compaction epochs still reproduce (delta files not vacuumed)
+    pd.testing.assert_frame_equal(_df(ing.snapshot(table, as_of_epoch=2)), before)
+    # as-of the compaction epoch == current state
+    pd.testing.assert_frame_equal(
+        _df(ing.snapshot(table, as_of_epoch=m.epoch)), _df(ing.snapshot(table))
+    )
+    assert m.epoch == latest + 1
+
+
+def test_changes_feed_matches_lineage(tt_table):
+    table, base, events = tt_table
+    feed = ing.changes(table).to_arrow_refs()
+    import ray
+
+    t = pa.concat_tables(ray.get(feed))
+    deltas = [m for m in table.manifests() if m.kind == "delta"]
+    assert t.num_rows == sum(m.totals["applied"] for m in deltas)
+    assert sorted(set(t.column("_epoch").to_pylist())) == [
+        m.epoch for m in deltas if m.totals["applied"]
+    ]
+    # the cursor partitions the feed exactly
+    n_upto = ing.changes(table, upto_epoch=2).count()
+    n_after = ing.changes(table, since_epoch=2).count()
+    assert n_upto + n_after == t.num_rows
+
+
+def test_changes_replay_reproduces_state(tt_table, tmp_path):
+    """Exactly-once consumer contract: replaying the feed (post-bootstrap
+    epochs) into a fresh bootstrapped table reproduces the source state —
+    per-epoch deltas carry everything (ops, tombstones, seq, ts)."""
+    table, base, events = tt_table
+    import ray
+
+    feed = pa.concat_tables(
+        ray.get(ing.changes(table, since_epoch=1).to_arrow_refs())
+    )
+    feed = feed.drop_columns(["_epoch"]).sort_by([("seq", "ascending")])
+    seg = str(tmp_path / "replay.parquet")
+    pq.write_table(feed, seg)
+    fresh = DeltaTable.create(
+        str(tmp_path / "t2"), num_partitions=8, num_salts=1
+    )
+    pq.write_table(base, str(tmp_path / "base.parquet"))
+    ing.bootstrap_base(fresh, str(tmp_path / "base.parquet"))
+    ing.ingest_segments(fresh, [seg])
+    pd.testing.assert_frame_equal(
+        _df(ing.snapshot(fresh)), _df(ing.snapshot(table))
+    )
+
+
+def test_time_travel_schema_as_of(tmp_path):
+    """Schema evolution is part of the version history: a snapshot as of
+    a pre-evolution epoch carries the OLD envelope (no meta column,
+    int32 turn_idx)."""
+    ev = fx.make_change_events(400, n_convs=8, turns_per_conv=5)
+    n = ev.num_rows
+    s1 = fx.write_segments(ev.slice(0, n // 2), str(tmp_path / "w1"), 1)[0]
+    s2 = fx.write_segments(
+        fx.evolve_events(ev.slice(n // 2)), str(tmp_path / "w2"), 1
+    )[0]
+    table = DeltaTable.create(str(tmp_path / "t"), num_partitions=4, num_salts=1)
+    ing.run_stream(table, [s1, s2], segments_per_epoch=1)
+    old = ing.snapshot(table, as_of_epoch=1).schema()
+    new = ing.snapshot(table).schema()
+    assert "meta" not in old.names and "meta" in new.names
+    assert old.types[old.names.index("turn_idx")] == pa.int32()
+    assert new.types[new.names.index("turn_idx")] == pa.int64()

@@ -116,6 +116,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--tombstone-ts-horizon", type=int, default=None)
 
     p = sub.add_parser(
+        "changes",
+        help="export the CDC-out feed (applied per-epoch deltas) as "
+        "parquet; --since/--upto select the epoch range",
+    )
+    p.add_argument("table")
+    p.add_argument("out_dir")
+    p.add_argument("--since", type=int, default=0)
+    p.add_argument("--upto", type=int, default=None)
+
+    p = sub.add_parser(
         "get", help="point lookup: merged rows of one conversation"
     )
     p.add_argument("table")
@@ -206,6 +216,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             m = ing.compact(table, tombstone_ts_horizon=args.tombstone_ts_horizon)
             print(json.dumps({"epoch": m.epoch, "kind": m.kind}))
+        elif args.cmd == "changes":
+            ds = ing.changes(table, since_epoch=args.since, upto_epoch=args.upto)
+            n = ds.count()
+            ds.write_parquet(args.out_dir)
+            print(json.dumps({"out": args.out_dir, "rows": n}))
         elif args.cmd == "vacuum":
             print(json.dumps(ing.vacuum(table)))
         elif args.cmd == "get":

@@ -891,6 +891,7 @@ def snapshot(
     table: DeltaTable,
     keep_lineage: bool = False,
     columns: list[str] | None = None,
+    as_of_epoch: int | None = None,
 ) -> ray.data.Dataset:
     """Merge-on-read view of the committed table state: one raw-Ray merge
     task per partition (launched immediately), surfaced as a Dataset via
@@ -901,9 +902,14 @@ def snapshot(
     ``columns`` prunes at the PARQUET READ: merge tasks load only the
     primary-key/order/op columns plus the requested ones, so a narrow
     projection of a wide table never pulls the wide payload off disk —
-    the scan-side discipline required at 100 TB."""
-    plan = table.partition_files()
-    envelope = table.current_schema()
+    the scan-side discipline required at 100 TB.
+
+    ``as_of_epoch`` time-travels: the state as of that committed epoch,
+    under that epoch's envelope schema (manifests are the version
+    history; delta files are immutable until vacuum() reclaims them, so
+    the vacuum cadence IS the time-travel retention window)."""
+    plan = table.partition_files(as_of_epoch)
+    envelope = table.current_schema(as_of_epoch)
     if not plan:
         fields = [
             f
@@ -919,6 +925,61 @@ def snapshot(
         _merge_part_task.remote(paths, envelope, keep_lineage, policy_fn, columns)
         for _, paths in sorted(plan.items())
     ]
+    return ray.data.from_arrow_refs(refs)
+
+
+@ray.remote
+def _read_delta_task(path: str, envelope: pa.Schema, epoch: int) -> pa.Table:
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    t = cast_to(pq.read_table(path, use_threads=False), envelope)
+    return t.append_column(
+        "_epoch", pa.array(np.full(t.num_rows, epoch, dtype=np.int64))
+    )
+
+
+def changes(
+    table: DeltaTable,
+    since_epoch: int = 0,
+    upto_epoch: int | None = None,
+) -> ray.data.Dataset:
+    """CDC-out feed: every applied change row committed in delta epochs
+    ``(since_epoch, upto_epoch]``, as a Dataset with the envelope
+    columns (op/seq/ts included — each row IS a change event) plus an
+    ``_epoch`` int64 column, one block per committed delta file. A
+    downstream consumer subscribes by remembering the last ``_epoch`` it
+    processed and polling ``changes(table, since_epoch=last)`` — epochs
+    are the feed's exactly-once cursor, the same fence that makes ingest
+    idempotent. Rows within an epoch are partition-collapsed (one row
+    per key per epoch, the post-LWW version) — consumers see the same
+    per-epoch deltas the table itself applied.
+
+    Compaction manifests are skipped (they rewrite state, not history);
+    bootstrap epochs surface as their implicit inserts (seq=-1), so a
+    consumer of only live changes starts from the bootstrap epoch.
+    Retention: delta files live until ``vacuum()`` reclaims those a
+    compaction superseded — size the vacuum cadence to the slowest
+    consumer's lag."""
+    envelope = table.current_schema(upto_epoch)
+    refs = []
+    for m in table.manifests():
+        if m.kind != "delta" or m.epoch <= since_epoch:
+            continue
+        if upto_epoch is not None and m.epoch > upto_epoch:
+            break
+        for _, e in sorted(m.partitions.items(), key=lambda kv: int(kv[0])):
+            if e.path:
+                refs.append(
+                    _read_delta_task.remote(
+                        os.path.join(table.root, e.path), envelope, m.epoch
+                    )
+                )
+    if not refs:
+        empty = envelope.empty_table().append_column(
+            "_epoch", pa.array([], pa.int64())
+        )
+        return ray.data.from_arrow(empty)
     return ray.data.from_arrow_refs(refs)
 
 

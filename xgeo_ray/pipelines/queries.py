@@ -231,6 +231,47 @@ def cdc_additive_state(sf_dir: str):
     return ds.groupby(PART_COL).map_groups(collapse_group, batch_format="pyarrow")
 
 
+def cdc_changes_feed(sf_dir: str):
+    """The CDC-out changes feed's per-epoch delta semantics as a pure
+    query (mirrors ingest.changes / ApplyPartition's per-epoch collapse):
+    epoch-batch the derived stream by seq (epoch = seq // 1000), keep the
+    per-(epoch, key) LWW winner — exactly the rows the engine's delta
+    files carry for downstream consumers, tombstones included. One
+    shuffle on a composite (partition, epoch) key; collapse is the same
+    vectorized LWW kernel ingest uses."""
+    ds = derive_change_events(sf_dir)
+
+    def with_key(b: pa.Table) -> pa.Table:
+        b = add_part_key(b, 16, 2)
+        seq = b.column("seq").to_numpy()
+        part = b.column(PART_COL).to_numpy().astype(np.int64)
+        # composite group key: epochs are small, partitions 0..15
+        gk = (part << 32) | (seq // 1000)
+        return b.append_column("_gk", pa.array(gk, pa.int64()))
+
+    ds = ds.map_batches(with_key, batch_format="pyarrow")
+
+    def collapse_group(g: pa.Table) -> pa.Table:
+        ep = int(g.column("_gk")[0].as_py()) & 0xFFFFFFFF
+        out = lww_collapse(
+            g.drop_columns([PART_COL, "_gk"]), drop_tombstones=False
+        )
+        return pa.table(
+            {
+                "epoch": pa.array(
+                    np.full(out.num_rows, ep, dtype=np.int64)
+                ),
+                "conv_id": out.column("conv_id"),
+                "turn_idx": out.column("turn_idx"),
+                "op": out.column("op"),
+                "seq": out.column("seq"),
+                "ts": out.column("ts"),
+            }
+        )
+
+    return ds.groupby("_gk").map_groups(collapse_group, batch_format="pyarrow")
+
+
 def cdc_late_events(sf_dir: str):
     """Event-time lateness lineage as a pure query (mirrors the engine's
     per-epoch ``late`` metric + ``ts_watermarks``, ingest.py ApplyPartition
@@ -1015,6 +1056,7 @@ def build_queries() -> dict:
         "cdc_dedup_replay": cdc_dedup_replay,
         "cdc_additive_state": cdc_additive_state,
         "cdc_late_events": cdc_late_events,
+        "cdc_changes_feed": cdc_changes_feed,
         "text_normalized": text_normalized,
         "pii_redacted": pii_redacted,
         "doc_chunks": doc_chunks,
@@ -1151,6 +1193,15 @@ def build_oracle_sql() -> dict[str, str]:
             FROM ev e JOIN last l USING (conv_id, turn_idx)
             WHERE l.op <> 'D'
             GROUP BY e.conv_id, e.turn_idx
+        """,
+        "cdc_changes_feed": f"""
+            WITH ev AS ({derive})
+            SELECT CAST(seq // 1000 AS BIGINT) AS epoch,
+                   conv_id, turn_idx, op, seq, ts
+            FROM ev
+            QUALIFY row_number() OVER (
+                PARTITION BY seq // 1000, conv_id, turn_idx
+                ORDER BY ts DESC, seq DESC) = 1
         """,
         "cdc_late_events": """
             WITH ev AS (

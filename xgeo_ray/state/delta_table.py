@@ -229,10 +229,15 @@ class DeltaTable:
             return -1
         return int(touched.min()) - int(allowed_lateness_us)
 
-    def current_schema(self) -> pa.Schema:
+    def current_schema(self, as_of_epoch: int | None = None) -> pa.Schema:
         """Envelope schema of the latest committed epoch (data + lineage
-        columns); the base envelope if no epoch has committed yet."""
+        columns); the base envelope if no epoch has committed yet.
+        ``as_of_epoch`` gives the envelope as of that epoch (schema
+        evolution is forward-only, so this is the schema a time-travel
+        reader should cast to)."""
         ms = self.manifests()
+        if as_of_epoch is not None:
+            ms = [m for m in ms if m.epoch <= as_of_epoch]
         if ms:
             return ms[-1].schema()
         return unify(CHANGE_EVENTS_SCHEMA, self.base_schema())
@@ -246,11 +251,22 @@ class DeltaTable:
         return ms[-1].schema_version if ms else 0
 
     # ------------------------------------------------------------- file plan
-    def partition_files(self) -> dict[int, list[str]]:
+    def partition_files(
+        self, as_of_epoch: int | None = None
+    ) -> dict[int, list[str]]:
         """Visible files per partition, merge order: last compaction (if
-        any) then subsequent deltas, ascending epoch. Absolute paths."""
+        any) then subsequent deltas, ascending epoch. Absolute paths.
+
+        ``as_of_epoch`` time-travels: the visible set as of that
+        committed epoch (later manifests are ignored). Committed delta
+        files are immutable and compaction never deletes (only
+        ``vacuum()`` does), so every pre-vacuum epoch stays readable —
+        the retention contract is the vacuum cadence, exactly as in
+        other LSM/lakehouse stores."""
         plan: dict[int, list[str]] = {k: [] for k in range(self.num_partitions)}
         for m in self.manifests():
+            if as_of_epoch is not None and m.epoch > as_of_epoch:
+                break  # manifests are ascending by epoch
             for k, e in m.partitions.items():
                 kk = int(k)
                 if m.kind == "compact":
