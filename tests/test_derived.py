@@ -1,0 +1,126 @@
+"""Derived tables: exactly-once downstream sync from the change feed.
+
+``sync_derived(source, sink)`` re-ingests each committed source delta
+epoch into a sink DeltaTable (optionally through a transform stage), the
+sink's committed-segments set acting as the consumer cursor. Covers:
+identity parity, transform parity, incremental follow + no-op re-sync,
+partial sync == time-travel state, whole-epoch grouping, and tombstone
+propagation across different sink partitioning.
+"""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pandas as pd
+import pytest
+
+from xgeo_ray import fixtures as fx
+from xgeo_ray.pipelines import ingest as ing
+from xgeo_ray.state.delta_table import DeltaTable
+
+
+def _df(ds):
+    return (
+        ds.to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def src_table(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("derived_src"))
+    base = fx.make_transcripts(12, 6)
+    pq.write_table(base, f"{root}/base.parquet")
+    events = fx.make_change_events(1200, n_convs=12, turns_per_conv=6)
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=4)
+    src = DeltaTable.create(f"{root}/src", num_partitions=8, num_salts=2)
+    ing.run_stream(
+        src, segs, segments_per_epoch=2, bootstrap=f"{root}/base.parquet"
+    )  # epochs: 1 bootstrap + 2 deltas
+    return src, root, events
+
+
+def test_identity_sync_matches_source(src_table):
+    src, root, _ = src_table
+    sink = DeltaTable.create(f"{root}/sink_id", num_partitions=4, num_salts=1)
+    ms = ing.sync_derived(src, sink)
+    assert [m.epoch for m in ms] == [1, 2, 3]
+    pd.testing.assert_frame_equal(_df(ing.snapshot(sink)), _df(ing.snapshot(src)))
+    # second sync is a no-op: the cursor (committed segments) is caught up
+    assert ing.sync_derived(src, sink) == []
+
+
+def test_transform_sync(src_table):
+    """Every change row (bootstrap inserts included) passes through the
+    transform before landing, so the sink state == transformed source
+    state — the LWW winner commutes with a per-row map."""
+    src, root, _ = src_table
+
+    # nested def: cloudpickle serializes it by VALUE (a module-level test
+    # helper would pickle by reference to a module workers can't import)
+    def upper_text(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("text")
+        return t.set_column(i, "text", pc.utf8_upper(t.column("text")))
+
+    sink = DeltaTable.create(f"{root}/sink_tf", num_partitions=4, num_salts=1)
+    ing.sync_derived(src, sink, transform=upper_text)
+    want = _df(ing.snapshot(src))
+    want["text"] = want["text"].str.upper()
+    pd.testing.assert_frame_equal(_df(ing.snapshot(sink)), want)
+
+
+def test_partial_sync_is_time_travel_state(src_table):
+    """upto_epoch=E must reproduce snapshot(source, as_of_epoch=E); the
+    follow-up full sync continues from the cursor to full parity."""
+    src, root, _ = src_table
+    sink = DeltaTable.create(f"{root}/sink_part", num_partitions=4, num_salts=1)
+    ms = ing.sync_derived(src, sink, upto_epoch=2)
+    assert [m.epoch for m in ms] == [1, 2]
+    pd.testing.assert_frame_equal(
+        _df(ing.snapshot(sink)), _df(ing.snapshot(src, as_of_epoch=2))
+    )
+    ms = ing.sync_derived(src, sink)  # resume from cursor
+    assert [m.epoch for m in ms] == [3]
+    pd.testing.assert_frame_equal(_df(ing.snapshot(sink)), _df(ing.snapshot(src)))
+
+
+def test_grouped_sync_and_incremental_follow(src_table, tmp_path):
+    """epochs_per_sync groups WHOLE source epochs per sink epoch (one
+    source epoch's files must never split — overlapping seq ranges);
+    later source epochs flow through a follow-up sync."""
+    src, root, events = src_table
+    sink = DeltaTable.create(
+        str(tmp_path / "sink_grp"), num_partitions=4, num_salts=1
+    )
+    ms = ing.sync_derived(src, sink, epochs_per_sync=2)
+    assert len(ms) == 2  # 3 source epochs -> groups of 2 + 1
+    # extend the source (seqs continue past its watermark), then follow
+    start = int(src.watermarks().max()) + 1
+    ev2 = fx.make_change_events(400, n_convs=12, turns_per_conv=6)
+    ev2 = ev2.set_column(
+        ev2.schema.get_field_index("seq"),
+        "seq",
+        pc.add(ev2.column("seq"), pa.scalar(start, pa.int64())),
+    )
+    segs2 = fx.write_segments(ev2, str(tmp_path / "wal2"), n_segments=1)
+    ing.run_stream(src, segs2, segments_per_epoch=1)
+    ms = ing.sync_derived(src, sink, epochs_per_sync=2)
+    assert len(ms) == 1
+    pd.testing.assert_frame_equal(_df(ing.snapshot(sink)), _df(ing.snapshot(src)))
+
+
+def test_tombstones_propagate(tmp_path):
+    """A key deleted in the source disappears from the sink: the feed
+    carries the tombstone row and the sink's LWW collapse applies it."""
+    ev = fx.make_change_events(600, n_convs=10, turns_per_conv=5)
+    segs = fx.write_segments(ev, str(tmp_path / "wal"), n_segments=2)
+    src = DeltaTable.create(str(tmp_path / "src"), num_partitions=4, num_salts=1)
+    ing.run_stream(src, segs, segments_per_epoch=1)
+    src_df = _df(ing.snapshot(src))
+    sink = DeltaTable.create(str(tmp_path / "sink"), num_partitions=8, num_salts=2)
+    ing.sync_derived(src, sink)
+    sink_df = _df(ing.snapshot(sink))
+    pd.testing.assert_frame_equal(sink_df, src_df)
+    # sanity: the stream really contained deletes
+    assert pc.sum(pc.equal(ev.column("op"), "D")).as_py() > 0

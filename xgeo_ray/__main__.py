@@ -36,6 +36,19 @@ def _init_ray() -> None:
     DataContext.get_current().enable_progress_bars = False
 
 
+def _load_stages(args):
+    """Resolve --stages/--stages-module into a StageChain (or None)."""
+    if not getattr(args, "stages", None):
+        return None
+    import importlib
+
+    if args.stages_module:
+        importlib.import_module(args.stages_module)
+    from xgeo_ray.extension import StageChain
+
+    return StageChain(args.stages.split(","))
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="xgeo_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -126,6 +139,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--upto", type=int, default=None)
 
     p = sub.add_parser(
+        "sync",
+        help="maintain a derived table from a source table's committed "
+        "change feed, exactly-once (re-run to follow; --stages applies "
+        "a transform to every change row before it lands)",
+    )
+    p.add_argument("source")
+    p.add_argument("table")
+    p.add_argument("--upto", type=int, default=None)
+    p.add_argument("--epochs-per-sync", type=int, default=1)
+    p.add_argument("--stages", default=None)
+    p.add_argument("--stages-module", default=None)
+
+    p = sub.add_parser(
         "get", help="point lookup: merged rows of one conversation"
     )
     p.add_argument("table")
@@ -165,20 +191,11 @@ def main(argv: list[str] | None = None) -> int:
             m = ing.bootstrap_base(table, args.base)
             print(json.dumps({"epoch": m.epoch, "totals": m.totals}))
         elif args.cmd == "ingest":
-            transform = None
-            if args.stages:
-                import importlib
-
-                if args.stages_module:
-                    importlib.import_module(args.stages_module)
-                from xgeo_ray.extension import StageChain
-
-                transform = StageChain(args.stages.split(","))
             ms = ing.run_stream(
                 table,
                 args.segments,
                 segments_per_epoch=args.segments_per_epoch,
-                transform=transform,
+                transform=_load_stages(args),
             )
             print(
                 json.dumps(
@@ -216,6 +233,22 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             m = ing.compact(table, tombstone_ts_horizon=args.tombstone_ts_horizon)
             print(json.dumps({"epoch": m.epoch, "kind": m.kind}))
+        elif args.cmd == "sync":
+            ms = ing.sync_derived(
+                DeltaTable.open(args.source),
+                table,
+                transform=_load_stages(args),
+                upto_epoch=args.upto,
+                epochs_per_sync=args.epochs_per_sync,
+            )
+            print(
+                json.dumps(
+                    {
+                        "epochs": [m.epoch for m in ms],
+                        "applied": sum(m.totals.get("applied", 0) for m in ms),
+                    }
+                )
+            )
         elif args.cmd == "changes":
             ds = ing.changes(table, since_epoch=args.since, upto_epoch=args.upto)
             n = ds.count()

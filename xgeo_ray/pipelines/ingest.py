@@ -585,10 +585,19 @@ def run_stream(
     transform=None,
     bootstrap: str | None = None,
     final_snapshot: bool = False,
+    segment_groups: list[list[str]] | None = None,
 ) -> list[Manifest] | tuple[list[Manifest], ray.data.Dataset]:
     """Process a WAL in epoch-sized gulps, skipping already-committed
     segments — this IS the resume path: call it again after a crash and it
     continues exactly where the last committed manifest left off.
+
+    ``segment_groups`` overrides the count-based grouping with explicit
+    epoch boundaries (one inner list = one epoch); committed files are
+    still skipped per-file and emptied groups dropped. Callers whose
+    segments partition the KEY space rather than the seq space (the
+    derived-table sync: one source epoch's delta files have overlapping
+    seq ranges) need this — splitting such a set across epochs would let
+    the per-partition seq watermark drop rows of the later half.
 
     Epochs are PIPELINED depth-2: epoch i+1's map tasks (read + normalize
     + pre-collapse + partition split — CPU-bound) launch before epoch i's
@@ -623,11 +632,23 @@ def run_stream(
     done = table.committed_segments()
     if bootstrap is not None and f"bootstrap:{os.path.abspath(bootstrap)}" in done:
         bootstrap = None  # already committed (resume)
-    pending = [p for p in (os.path.abspath(s) for s in segment_paths) if p not in done]
-    groups: list[list[str]] = [
-        pending[i : i + segments_per_epoch]
-        for i in range(0, len(pending), segments_per_epoch)
-    ]
+    if segment_groups is not None:
+        groups: list[list[str]] = [
+            g
+            for g in (
+                [p for p in (os.path.abspath(s) for s in grp) if p not in done]
+                for grp in segment_groups
+            )
+            if g
+        ]
+    else:
+        pending = [
+            p for p in (os.path.abspath(s) for s in segment_paths) if p not in done
+        ]
+        groups = [
+            pending[i : i + segments_per_epoch]
+            for i in range(0, len(pending), segments_per_epoch)
+        ]
     boot_group = bootstrap is not None
     if boot_group:
         groups.insert(0, [os.path.abspath(bootstrap)])
@@ -981,6 +1002,71 @@ def changes(
         )
         return ray.data.from_arrow(empty)
     return ray.data.from_arrow_refs(refs)
+
+
+def sync_derived(
+    source: DeltaTable,
+    sink: DeltaTable,
+    transform=None,
+    upto_epoch: int | None = None,
+    epochs_per_sync: int = 1,
+    final_snapshot: bool = False,
+) -> list[Manifest] | tuple[list[Manifest], ray.data.Dataset]:
+    """Maintain a derived table EXACTLY-ONCE from a source table's
+    committed change feed — the materialized form of ``changes()``: each
+    committed source delta epoch's files are re-ingested into the sink
+    through the normal epoch machinery (optionally through a
+    ``transform`` stage / StageChain, applied to every change row before
+    it lands), so the sink inherits the same fence / manifest / resume
+    guarantees as any WAL ingest. The sink's committed-segments set is
+    the consumer cursor: a crashed or repeated sync skips everything
+    already applied — call it on a schedule and the sink follows the
+    source, transformed, with no duplicates. Chains compose (a sink can
+    itself be a source), and the sink may use different partitioning.
+
+    Source epochs are never split across sink epochs: one source
+    epoch's delta files partition the KEY space (their seq ranges
+    overlap), so splitting would let the sink's per-partition seq
+    watermark drop rows of the later half (``run_stream``'s
+    ``segment_groups`` preserves the boundaries). Grouping whole epochs
+    ``epochs_per_sync`` at a time is safe — collapse across grouped
+    epochs is associative for every merge policy. Source bootstrap
+    epochs flow through as their implicit inserts (seq=-1; a fresh
+    sink's watermark is -1, and the ``wm >= 0`` guard means they are
+    never dropped as replays).
+
+    Retention contract: sync before ``vacuum()`` reclaims a superseded
+    source delta — the same rule as any ``changes()`` consumer. A
+    source COMPACTION is state-rewrite, not history, and is skipped."""
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    n_in_cur = 0
+    for m in source.manifests():
+        if m.kind != "delta":
+            continue
+        if upto_epoch is not None and m.epoch > upto_epoch:
+            break
+        files = [
+            os.path.join(source.root, e.path)
+            for _, e in sorted(m.partitions.items(), key=lambda kv: int(kv[0]))
+            if e.path
+        ]
+        if not files:
+            continue
+        cur.extend(files)
+        n_in_cur += 1
+        if n_in_cur >= epochs_per_sync:
+            groups.append(cur)
+            cur, n_in_cur = [], 0
+    if cur:
+        groups.append(cur)
+    return run_stream(
+        sink,
+        [],
+        transform=transform,
+        final_snapshot=final_snapshot,
+        segment_groups=groups,
+    )
 
 
 def lookup(

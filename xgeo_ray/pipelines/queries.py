@@ -272,6 +272,80 @@ def cdc_changes_feed(sf_dir: str):
     return ds.groupby("_gk").map_groups(collapse_group, batch_format="pyarrow")
 
 
+def _derived_upper_stage(t: pa.Table) -> pa.Table:
+    """Transform stage for cdc_derived_state (module-level so workers
+    resolve it by import, not by-value pickle)."""
+    i = t.schema.get_field_index("text")
+    return t.set_column(i, "text", pc.utf8_upper(t.column("text")))
+
+
+def cdc_derived_state(sf_dir: str):
+    """END-TO-END engine query — the one queries() entry that runs the
+    REAL table machinery (manifests, commit fence, watermarks, derived
+    sync) rather than a kernel mirror: the derived change stream is
+    written to seq-ranged WAL epochs, ingested into a source DeltaTable,
+    and a derived sink table is maintained from the source's committed
+    change feed (``sync_derived``) through an uppercase transform. The
+    sink's merged snapshot is returned; the oracle replays LWW winner
+    per key + upper(text) in SQL, so a hash match certifies the whole
+    ingest→feed→transform→sink path, not just a collapse kernel."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    work = f"/tmp/xgeo_derived_q_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(work, ignore_errors=True)
+    events_path = f"{sf_dir}/events.parquet"
+    # seq bounds from parquet row-group stats (metadata-only; epoch
+    # boundaries must be seq RANGES for the cross-epoch watermarks)
+    pf = pq.ParquetFile(events_path)
+    ci = pf.schema_arrow.names.index("event_id")
+    stats = [pf.metadata.row_group(g).column(ci).statistics for g in range(pf.metadata.num_row_groups)]
+    if all(s is not None and s.has_min_max for s in stats):
+        lo = min(s.min for s in stats)
+        hi = max(s.max for s in stats)
+    else:  # stats absent: one-column scan
+        col = pq.read_table(events_path, columns=["event_id"]).column("event_id")
+        mm = pc.min_max(col).as_py()
+        lo, hi = mm["min"], mm["max"]
+    cuts = [lo - 1, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi]
+    groups = []
+    for k in range(3):
+        a, b = cuts[k], cuts[k + 1]
+        part = derive_change_events(sf_dir).map_batches(
+            lambda t, a=a, b=b: t.filter(
+                pc.and_(
+                    pc.greater(t.column("seq"), pa.scalar(a, pa.int64())),
+                    pc.less_equal(t.column("seq"), pa.scalar(b, pa.int64())),
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        d = f"{work}/wal{k}"
+        part.write_parquet(d)
+        groups.append(
+            sorted(
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+        )
+    src = DeltaTable.create(f"{work}/src", num_partitions=16, num_salts=2)
+    ing.run_stream(src, [], segment_groups=groups)
+    sink = DeltaTable.create(f"{work}/sink", num_partitions=8, num_salts=1)
+    ing.sync_derived(src, sink, transform=_derived_upper_stage)
+    # the base envelope carries `tool` (all-null here: the derived stream
+    # has no tool column) — project it out at the snapshot read
+    return ing.snapshot(
+        sink, columns=["conv_id", "turn_idx", "role", "text", "ts"]
+    )
+
+
 def cdc_late_events(sf_dir: str):
     """Event-time lateness lineage as a pure query (mirrors the engine's
     per-epoch ``late`` metric + ``ts_watermarks``, ingest.py ApplyPartition
@@ -1057,6 +1131,7 @@ def build_queries() -> dict:
         "cdc_additive_state": cdc_additive_state,
         "cdc_late_events": cdc_late_events,
         "cdc_changes_feed": cdc_changes_feed,
+        "cdc_derived_state": cdc_derived_state,
         "text_normalized": text_normalized,
         "pii_redacted": pii_redacted,
         "doc_chunks": doc_chunks,
@@ -1202,6 +1277,13 @@ def build_oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY seq // 1000, conv_id, turn_idx
                 ORDER BY ts DESC, seq DESC) = 1
+        """,
+        "cdc_derived_state": f"""
+            WITH ev AS ({derive})
+            SELECT conv_id, turn_idx, role, upper(text) AS text, ts FROM ev
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) = 1
+              AND op <> 'D'
         """,
         "cdc_late_events": """
             WITH ev AS (
