@@ -236,33 +236,40 @@ def cdc_changes_feed(sf_dir: str):
     query (mirrors ingest.changes / ApplyPartition's per-epoch collapse):
     epoch-batch the derived stream by seq (epoch = seq // 1000), keep the
     per-(epoch, key) LWW winner — exactly the rows the engine's delta
-    files carry for downstream consumers, tombstones included. One
-    shuffle on a composite (partition, epoch) key; collapse is the same
-    vectorized LWW kernel ingest uses."""
+    files carry for downstream consumers, tombstones included. ONE
+    shuffle into 64 hash buckets; the epoch folds into the collapse KEY
+    (turn_idx + epoch<<20 — turns are tiny) so each bucket collapses in
+    one vectorized lww_collapse call instead of one Python group per
+    (partition, epoch) — the same composite-encoding trick as the
+    sliding-window/range-join kernels."""
     ds = derive_change_events(sf_dir)
+    SHIFT = np.int64(1) << 20  # turn_idx < 2^20 always holds here
 
     def with_key(b: pa.Table) -> pa.Table:
         b = add_part_key(b, 16, 2)
-        seq = b.column("seq").to_numpy()
+        ep = b.column("seq").to_numpy() // 1000
         part = b.column(PART_COL).to_numpy().astype(np.int64)
-        # composite group key: epochs are small, partitions 0..15
-        gk = (part << 32) | (seq // 1000)
+        gk = (part * 1315423911 + ep) % 64
+        ti = b.column("turn_idx").to_numpy()
+        b = b.set_column(
+            b.schema.get_field_index("turn_idx"),
+            "turn_idx",
+            pa.array(ti + ep * SHIFT, pa.int64()),
+        )
         return b.append_column("_gk", pa.array(gk, pa.int64()))
 
     ds = ds.map_batches(with_key, batch_format="pyarrow")
 
     def collapse_group(g: pa.Table) -> pa.Table:
-        ep = int(g.column("_gk")[0].as_py()) & 0xFFFFFFFF
         out = lww_collapse(
             g.drop_columns([PART_COL, "_gk"]), drop_tombstones=False
         )
+        enc = out.column("turn_idx").to_numpy()
         return pa.table(
             {
-                "epoch": pa.array(
-                    np.full(out.num_rows, ep, dtype=np.int64)
-                ),
+                "epoch": pa.array(enc // SHIFT, pa.int64()),
                 "conv_id": out.column("conv_id"),
-                "turn_idx": out.column("turn_idx"),
+                "turn_idx": pa.array(enc % SHIFT, pa.int64()),
                 "op": out.column("op"),
                 "seq": out.column("seq"),
                 "ts": out.column("ts"),
