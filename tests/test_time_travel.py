@@ -6,6 +6,7 @@ vacuum). ``changes(since_epoch, upto_epoch)`` exposes the applied
 per-epoch deltas as a Dataset — the feed a downstream consumer tails,
 with the epoch number as its exactly-once cursor."""
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -112,6 +113,62 @@ def test_changes_replay_reproduces_state(tt_table, tmp_path):
     pd.testing.assert_frame_equal(
         _df(ing.snapshot(fresh)), _df(ing.snapshot(table))
     )
+
+
+def test_event_time_snapshot(tt_table):
+    """as_of_ts_us reproduces the latest COMMITTED version of each key
+    at-or-before T. Granularity is the epoch: delta files carry each
+    epoch's per-key winner, so the oracle collapses each epoch first
+    (the three segments ingested at segments_per_epoch=1 are contiguous
+    thirds of the stream), then filters ts <= T, then replays — base
+    rows predate every change event in the fixtures, so only events
+    are cut."""
+    from xgeo_ray.stages.collapse import lww_collapse
+
+    table, base, events = tt_table
+    ts = events.column("ts").cast(pa.int64()).to_numpy()
+    T = int(np.quantile(ts, 0.5))
+    # as_of_epoch=4 = the last delta epoch: composes with event-time
+    # travel AND stays valid after the shared table's compaction test
+    # (the guard correctly refuses plain as_of_ts across a compaction)
+    got = _df(ing.snapshot(table, as_of_epoch=4, as_of_ts_us=T))
+    n = events.num_rows
+    bounds = [round(i * n / 3) for i in range(4)]
+    committed = pa.concat_tables(
+        lww_collapse(
+            events.slice(bounds[k], bounds[k + 1] - bounds[k]),
+            drop_tombstones=False,
+        )
+        for k in range(3)
+    )
+    kept = committed.filter(
+        pc.less_equal(
+            committed.column("ts").cast(pa.int64()), pa.scalar(T, pa.int64())
+        )
+    )
+    want = (
+        fx.naive_final_state(base, kept)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_event_time_snapshot_compaction_guard(tmp_path):
+    """Event-time travel across a compaction whose folded winners
+    postdate T fails fast (the superseded pre-T versions are gone) —
+    but a T at-or-after the compaction's max_ts still works."""
+    ev = fx.make_change_events(600, n_convs=8, turns_per_conv=5)
+    segs = fx.write_segments(ev, str(tmp_path / "wal"), n_segments=2)
+    t = DeltaTable.create(str(tmp_path / "t"), num_partitions=4, num_salts=1)
+    ing.run_stream(t, segs, segments_per_epoch=1)
+    ing.compact(t)
+    ts = ev.column("ts").cast(pa.int64()).to_numpy()
+    with pytest.raises(ValueError, match="compaction"):
+        ing.snapshot(t, as_of_ts_us=int(np.quantile(ts, 0.5)))
+    ok = ing.snapshot(t, as_of_ts_us=int(ts.max()))
+    assert ok.count() == ing.snapshot(t).count()
 
 
 def test_time_travel_schema_as_of(tmp_path):

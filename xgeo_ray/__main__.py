@@ -162,6 +162,12 @@ def main(argv: list[str] | None = None) -> int:
         "vacuum", help="delete delta files superseded by a committed compaction"
     )
     p.add_argument("table")
+    p.add_argument(
+        "--respect-consumers",
+        action="store_true",
+        help="keep superseded deltas still ahead of the slowest "
+        "consumer group's acked cursor",
+    )
 
     p = sub.add_parser("status", help="print manifests + lineage totals as JSON")
     p.add_argument("table")
@@ -255,7 +261,11 @@ def main(argv: list[str] | None = None) -> int:
             ds.write_parquet(args.out_dir)
             print(json.dumps({"out": args.out_dir, "rows": n}))
         elif args.cmd == "vacuum":
-            print(json.dumps(ing.vacuum(table)))
+            print(
+                json.dumps(
+                    ing.vacuum(table, respect_consumers=args.respect_consumers)
+                )
+            )
         elif args.cmd == "get":
             t = ing.lookup(table, args.conv_id, turn_idx=args.turn)
             print(json.dumps(t.to_pylist(), default=str))

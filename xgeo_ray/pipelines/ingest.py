@@ -882,6 +882,7 @@ def _merge_part_task(
     keep_lineage: bool,
     policy: str = "lww",
     columns: list[str] | None = None,
+    as_of_ts_us: int | None = None,
 ) -> pa.Table:
     from xgeo_ray.tuning import limit_worker_threads
 
@@ -892,10 +893,20 @@ def _merge_part_task(
     tables = []
     for p in paths:
         if read_cols is None:
-            tables.append(pq.read_table(p, use_threads=False))
+            t = pq.read_table(p, use_threads=False)
         else:
             have = [c for c in read_cols if c in pq.read_schema(p).names]
-            tables.append(pq.read_table(p, columns=have, use_threads=False))
+            t = pq.read_table(p, columns=have, use_threads=False)
+        if as_of_ts_us is not None:
+            # event-time travel: merge as if no event with ts > T ever
+            # arrived (filter BEFORE the LWW merge, per file)
+            t = t.filter(
+                pc.less_equal(
+                    t.column("ts").cast(pa.int64()),
+                    pa.scalar(as_of_ts_us, pa.int64()),
+                )
+            )
+        tables.append(t)
     if read_cols is not None:
         envelope = pa.schema([f for f in envelope if f.name in read_cols])
     t = cast_to(
@@ -913,6 +924,7 @@ def snapshot(
     keep_lineage: bool = False,
     columns: list[str] | None = None,
     as_of_epoch: int | None = None,
+    as_of_ts_us: int | None = None,
 ) -> ray.data.Dataset:
     """Merge-on-read view of the committed table state: one raw-Ray merge
     task per partition (launched immediately), surfaced as a Dataset via
@@ -928,9 +940,41 @@ def snapshot(
     ``as_of_epoch`` time-travels: the state as of that committed epoch,
     under that epoch's envelope schema (manifests are the version
     history; delta files are immutable until vacuum() reclaims them, so
-    the vacuum cadence IS the time-travel retention window)."""
+    the vacuum cadence IS the time-travel retention window).
+
+    ``as_of_ts_us`` is EVENT-time travel at EPOCH granularity: the
+    latest COMMITTED version of each key at-or-before T (rows are
+    filtered before the LWW merge; a key whose committed versions are
+    all later than T is absent). Epoch granularity because delta files
+    hold each epoch's per-key winner — a version superseded within its
+    own commit epoch was never part of any committed state and cannot
+    be recovered (the same contract as any lakehouse store's version
+    history). Against a COMPACTED partition whose folded winners
+    postdate T even the per-epoch history is gone, so the call fails
+    fast — pass ``as_of_epoch`` pointing before that compaction
+    (deltas readable until vacuum) or retain deltas longer. Composable
+    with ``as_of_epoch``/``columns``."""
     plan = table.partition_files(as_of_epoch)
     envelope = table.current_schema(as_of_epoch)
+    if as_of_ts_us is not None:
+        ms = [
+            m
+            for m in table.manifests()
+            if m.kind == "compact"
+            and (as_of_epoch is None or m.epoch <= as_of_epoch)
+        ]
+        if ms:
+            over = max(
+                (e.max_ts for e in ms[-1].partitions.values()), default=-1
+            )
+            if over > as_of_ts_us:
+                raise ValueError(
+                    f"event-time travel to ts={as_of_ts_us} crosses compaction "
+                    f"epoch {ms[-1].epoch} (folded winners up to ts={over}): "
+                    "superseded pre-T versions are gone. Pass as_of_epoch "
+                    "before that compaction (deltas remain readable until "
+                    "vacuum) or compact less aggressively."
+                )
     if not plan:
         fields = [
             f
@@ -943,7 +987,9 @@ def snapshot(
 
     policy_fn = MERGE_POLICIES[table.merge_policy]["fn"]
     refs = [
-        _merge_part_task.remote(paths, envelope, keep_lineage, policy_fn, columns)
+        _merge_part_task.remote(
+            paths, envelope, keep_lineage, policy_fn, columns, as_of_ts_us
+        )
         for _, paths in sorted(plan.items())
     ]
     return ray.data.from_arrow_refs(refs)
@@ -1194,7 +1240,7 @@ def compact(table: DeltaTable, tombstone_ts_horizon: int | None = None) -> Manif
     )
 
 
-def vacuum(table: DeltaTable) -> dict:
+def vacuum(table: DeltaTable, respect_consumers: bool = False) -> dict:
     """Delete partition files superseded by a committed compaction —
     the storage-reclaim half of compact() (which rewrites but never
     deletes, so a long-running table otherwise accumulates every epoch's
@@ -1214,14 +1260,39 @@ def vacuum(table: DeltaTable) -> dict:
     committed manifest (no live writer can still be racing them).
     Readers that planned a snapshot before a compact committed should
     finish before vacuuming (same reader-grace contract as any LSM
-    store)."""
+    store).
+
+    ``respect_consumers``: also keep superseded delta files of epochs
+    still AHEAD of the slowest registered consumer group's cursor
+    (state/consumers.py) — the changes feed reads delta files, so this
+    turns the documented "size the vacuum cadence to the slowest
+    consumer's lag" contract into an enforced one. A group that never
+    acks then blocks reclaim indefinitely (by design: drop the group or
+    vacuum without the flag to override)."""
     import re as _re
 
+    keep_after = None
+    if respect_consumers:
+        from xgeo_ray.state import consumers as _cons
+
+        keep_after = _cons.min_cursor(table)
     visible = {
         os.path.abspath(p)
         for paths in table.partition_files().values()
         for p in paths
     }
+    if keep_after is not None:
+        # protect the committed (manifest-referenced) delta files of
+        # epochs an unacked consumer still needs — losing-attempt token
+        # files of the same epochs stay reclaimable (no manifest lists
+        # them, so no feed reader will ever open them)
+        for m in table.manifests():
+            if m.kind == "delta" and m.epoch > keep_after:
+                for e in m.partitions.values():
+                    if e.path:
+                        visible.add(
+                            os.path.abspath(os.path.join(table.root, e.path))
+                        )
     latest = table.latest_epoch()
     pat = _re.compile(r"^(?:compact-)?epoch=(\d{6})(?:-[0-9a-f]{8})?\.parquet$")
     tmp_pat = _re.compile(r"\.tmp-\d+$")
