@@ -152,6 +152,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--stages-module", default=None)
 
     p = sub.add_parser(
+        "apply",
+        help="apply a correction/backfill batch from a parquet file of "
+        "rows (out-of-band: wins by ts, never advances seq watermarks); "
+        "--batch-id is the producer-side exactly-once key",
+    )
+    p.add_argument("table")
+    p.add_argument("rows_parquet")
+    p.add_argument("--batch-id", required=True)
+    p.add_argument("--op", default="U", choices=["I", "U", "D"])
+    p.add_argument("--ts-us", type=int, default=None)
+
+    p = sub.add_parser(
         "get", help="point lookup: merged rows of one conversation"
     )
     p.add_argument("table")
@@ -253,6 +265,22 @@ def main(argv: list[str] | None = None) -> int:
                         "epochs": [m.epoch for m in ms],
                         "applied": sum(m.totals.get("applied", 0) for m in ms),
                     }
+                )
+            )
+        elif args.cmd == "apply":
+            import pyarrow.parquet as _pq
+
+            m = ing.apply_changes(
+                table,
+                _pq.read_table(args.rows_parquet),
+                batch_id=args.batch_id,
+                default_op=args.op,
+                ts_us=args.ts_us,
+            )
+            print(
+                json.dumps(
+                    {"applied": m.totals["applied"] if m else 0,
+                     "noop": m is None}
                 )
             )
         elif args.cmd == "changes":

@@ -536,14 +536,25 @@ def ingest_segments(
     epoch: int | None = None,
     batch_size: int = 65536,
     transform=None,
+    watermark_exempt: bool = False,
 ) -> Manifest:
     """Apply one epoch of WAL segments to the table; returns the committed
-    manifest. Crash-safe: nothing is visible until the final commit."""
+    manifest. Crash-safe: nothing is visible until the final commit.
+
+    ``watermark_exempt``: out-of-band rows (correction batches with
+    seq=-1, the bootstrap convention) are neither filtered by the
+    per-partition seq watermark nor allowed to advance it (their
+    max_seq is -1), so the live stream's replay protection is
+    untouched — see ``apply_changes``."""
     segment_paths = [os.path.abspath(p) for p in segment_paths]
     if epoch is None:
         epoch = table.latest_epoch() + 1
     envelope = plan_envelope_schema(table, segment_paths)
-    wm = table.watermarks()
+    wm = (
+        np.full(table.num_partitions, -1, dtype=np.int64)
+        if watermark_exempt
+        else table.watermarks()
+    )
 
     from xgeo_ray.sources.wal import plan_read_chunks
 
@@ -1113,6 +1124,88 @@ def sync_derived(
         final_snapshot=final_snapshot,
         segment_groups=groups,
     )
+
+
+def apply_changes(
+    table: DeltaTable,
+    rows: pa.Table,
+    batch_id: str,
+    default_op: str = "U",
+    ts_us: int | None = None,
+    transform=None,
+) -> Manifest | None:
+    """Programmatic upsert/delete batch — backfills and corrections
+    without a WAL producer. ``rows`` carries envelope columns: conv_id
+    and turn_idx are required and must be UNIQUE within the batch; op
+    defaults to ``default_op`` ('D' rows need only the keys — the rest
+    null-fill); ts defaults to ``ts_us`` or now. The batch lands as WAL
+    segment ``backfill/<batch_id>.parquet`` through the normal epoch
+    machinery, and ``batch_id`` is the producer-side exactly-once key:
+    an id already committed is a no-op (returns None) — retry after any
+    crash with the same id.
+
+    Corrections are OUT-OF-BAND rows: they take seq=-1 (the bootstrap
+    convention) and apply watermark-exempt WITHOUT advancing the seq
+    watermarks — minting seqs above the stream's high watermark would
+    make the table silently drop every later genuine WAL event as a
+    replay. They win against stream rows by LWW ts (ties break toward
+    the stream: seq -1 sorts below any real seq), so a correction
+    stamped now supersedes everything seen so far, and a later stream
+    update with a later ts supersedes the correction — exactly upsert
+    semantics.
+
+    Bounded by driver memory (takes a pa.Table): lake-scale backfills
+    should write real WAL segments and run ``ingest_segments``; this is
+    the correction-batch path."""
+    import re as _re
+    import time as _time
+
+    if not _re.fullmatch(r"[A-Za-z0-9_.-]+", batch_id):
+        raise ValueError(f"batch_id {batch_id!r} must be filesystem-safe")
+    path = os.path.abspath(
+        os.path.join(table.root, "backfill", f"{batch_id}.parquet")
+    )
+    if path in table.committed_segments():
+        return None
+    for k in ("conv_id", "turn_idx"):
+        if k not in rows.column_names:
+            raise ValueError(f"apply_changes rows need a {k!r} column")
+    if "seq" in rows.column_names:
+        raise ValueError(
+            "apply_changes mints seq itself (out-of-band -1); a caller "
+            "that owns the seq space should write a WAL segment and use "
+            "ingest_segments"
+        )
+    n_keys = rows.group_by(["conv_id", "turn_idx"]).aggregate(
+        [("conv_id", "count")]
+    ).num_rows
+    if n_keys != rows.num_rows:
+        raise ValueError(
+            "apply_changes batch has duplicate (conv_id, turn_idx) keys: "
+            "out-of-band rows share seq=-1, so in-batch order could not "
+            "break the tie — collapse the batch to one row per key first"
+        )
+    n = rows.num_rows
+    if "op" not in rows.column_names:
+        rows = rows.append_column(
+            "op", pa.array(np.full(n, default_op, dtype="U1"), pa.string())
+        )
+    if "ts" not in rows.column_names:
+        now = int(_time.time() * 1_000_000) if ts_us is None else ts_us
+        rows = rows.append_column(
+            "ts",
+            pa.array(np.full(n, now, dtype=np.int64), pa.timestamp("us")),
+        )
+    rows = rows.append_column(
+        "seq", pa.array(np.full(n, -1, dtype=np.int64), pa.int64())
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(rows, tmp)
+    from xgeo_ray.state.storage import DEFAULT_STORAGE
+
+    DEFAULT_STORAGE.publish_file(tmp, path, durable=table.durability == "full")
+    return ingest_segments(table, [path], transform=transform, watermark_exempt=True)
 
 
 def lookup(
