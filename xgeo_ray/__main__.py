@@ -184,6 +184,13 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("status", help="print manifests + lineage totals as JSON")
     p.add_argument("table")
 
+    p = sub.add_parser(
+        "fsck",
+        help="offline integrity check: referenced files exist with "
+        "recorded sizes, watermarks monotone, cursors behind the fence",
+    )
+    p.add_argument("table")
+
     args = ap.parse_args(argv)
 
     from xgeo_ray.state.delta_table import DeltaTable
@@ -202,8 +209,8 @@ def main(argv: list[str] | None = None) -> int:
     table = DeltaTable.open(args.table)
     from xgeo_ray.pipelines import ingest as ing
 
-    if args.cmd not in ("get", "status", "vacuum"):
-        _init_ray()  # these three are inline metadata/file ops — no cluster
+    if args.cmd not in ("get", "status", "vacuum", "fsck"):
+        _init_ray()  # these are inline metadata/file ops — no cluster
     try:
         if args.cmd == "bootstrap":
             m = ing.bootstrap_base(table, args.base)
@@ -297,6 +304,10 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "get":
             t = ing.lookup(table, args.conv_id, turn_idx=args.turn)
             print(json.dumps(t.to_pylist(), default=str))
+        elif args.cmd == "fsck":
+            out = ing.fsck(table)
+            print(json.dumps(out))
+            return 0 if out["ok"] else 1
         elif args.cmd == "status":
             out = []
             for m in table.manifests():

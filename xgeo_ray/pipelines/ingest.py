@@ -1208,6 +1208,86 @@ def apply_changes(
     return ingest_segments(table, [path], transform=transform, watermark_exempt=True)
 
 
+def fsck(table: DeltaTable) -> dict:
+    """Offline integrity check — metadata + file stats only, no Ray, no
+    data reads: cheap enough to run before every resume on a 100 TB
+    table. Verifies that every committed manifest's referenced delta
+    file exists with the recorded byte size, that manifest epochs are
+    consecutive from 1, that per-partition seq watermarks never regress
+    across delta epochs (out-of-band -1 entries exempt), that the
+    schema version is monotone, and that no consumer cursor is ahead of
+    the committed fence. Also counts (but does not judge) unreferenced
+    files under parts/ — pre-commit in-flight work and vacuum backlog
+    both land there. Returns ``{"ok": bool, "issues": [...], ...}``."""
+    issues: list[str] = []
+    ms = table.manifests()
+    seen_epochs = [m.epoch for m in ms]
+    if seen_epochs != list(range(1, len(seen_epochs) + 1)):
+        issues.append(f"manifest epochs not consecutive from 1: {seen_epochs}")
+    referenced: set[str] = set()
+    wm = {}
+    prev_version = 0
+    for m in ms:
+        if m.schema_version < prev_version:
+            issues.append(
+                f"epoch {m.epoch}: schema_version regressed "
+                f"{prev_version} -> {m.schema_version}"
+            )
+        prev_version = m.schema_version
+        for k, e in m.partitions.items():
+            if not e.path:
+                continue
+            full = os.path.join(table.root, e.path)
+            referenced.add(os.path.abspath(full))
+            try:
+                size = os.path.getsize(full)
+            except FileNotFoundError:
+                issues.append(
+                    f"epoch {m.epoch} part {k}: missing file {e.path} "
+                    "(vacuumed too early, or external deletion)"
+                )
+                continue
+            if e.bytes and size != e.bytes:
+                issues.append(
+                    f"epoch {m.epoch} part {k}: {e.path} is {size} bytes, "
+                    f"manifest recorded {e.bytes}"
+                )
+            if m.kind == "delta" and e.max_seq >= 0:
+                if e.max_seq < wm.get(int(k), -1):
+                    issues.append(
+                        f"epoch {m.epoch} part {k}: max_seq {e.max_seq} "
+                        f"regressed below watermark {wm[int(k)]}"
+                    )
+                wm[int(k)] = max(wm.get(int(k), -1), e.max_seq)
+    latest = table.latest_epoch()
+    from xgeo_ray.state import consumers as _cons
+
+    for g in _cons.groups(table):
+        pos = _cons.position(table, g)
+        if pos > latest:
+            issues.append(
+                f"consumer group {g!r} cursor {pos} is ahead of the "
+                f"committed fence {latest}"
+            )
+    unreferenced = 0
+    parts_root = os.path.join(table.root, PARTS_DIR)
+    if os.path.isdir(parts_root):
+        for part in os.listdir(parts_root):
+            d = os.path.join(parts_root, part)
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                if os.path.abspath(os.path.join(d, name)) not in referenced:
+                    unreferenced += 1
+    return {
+        "ok": not issues,
+        "issues": issues,
+        "epochs": len(ms),
+        "files_referenced": len(referenced),
+        "files_unreferenced": unreferenced,
+    }
+
+
 def lookup(
     table: DeltaTable,
     conv_id: str,
