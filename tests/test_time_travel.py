@@ -171,6 +171,45 @@ def test_event_time_snapshot_compaction_guard(tmp_path):
     assert ok.count() == ing.snapshot(t).count()
 
 
+def test_changes_ts_band_zone_map_pruning(tmp_path):
+    """Band-limited feed reads prune whole delta files from the manifest
+    zone maps ([min_ts, max_ts] per entry) before any read launches, and
+    surviving files row-filter to the band. Fixture ts increases with
+    seq and segments are contiguous, so the three epochs' ts ranges are
+    disjoint — a band inside epoch 2 must plan ONLY epoch-2 files."""
+    ev = fx.make_change_events(900, n_convs=10, turns_per_conv=6)
+    segs = fx.write_segments(ev, str(tmp_path / "wal"), n_segments=3)
+    t = DeltaTable.create(str(tmp_path / "t"), num_partitions=4, num_salts=1)
+    ing.run_stream(t, segs, segments_per_epoch=1)
+    deltas = [m for m in t.manifests() if m.kind == "delta"]
+    assert all(
+        e.min_ts >= 0 and e.min_ts <= e.max_ts
+        for m in deltas
+        for e in m.partitions.values()
+        if e.path
+    )
+    e2 = deltas[1]
+    lo = min(e.min_ts for e in e2.partitions.values() if e.path)
+    hi = max(e.max_ts for e in e2.partitions.values() if e.path)
+    plan = ing._changes_plan(t, 0, None, lo, hi)
+    assert plan and all(epoch == e2.epoch for _, epoch in plan)
+    # correctness: the banded feed == the full feed row-filtered to the band
+    banded = ing.changes(t, ts_min_us=lo, ts_max_us=hi)
+    import ray
+
+    full = pa.concat_tables(ray.get(ing.changes(t).to_arrow_refs()))
+    ts = full.column("ts").cast(pa.int64())
+    want = full.filter(
+        pc.and_(
+            pc.greater_equal(ts, pa.scalar(lo, pa.int64())),
+            pc.less_equal(ts, pa.scalar(hi, pa.int64())),
+        )
+    )
+    assert banded.count() == want.num_rows
+    # an empty band plans zero files
+    assert ing._changes_plan(t, 0, None, hi + 10**9, None) == []
+
+
 def test_time_travel_schema_as_of(tmp_path):
     """Schema evolution is part of the version history: a snapshot as of
     a pre-evolution epoch carries the OLD envelope (no meta column,

@@ -137,6 +137,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("out_dir")
     p.add_argument("--since", type=int, default=0)
     p.add_argument("--upto", type=int, default=None)
+    p.add_argument(
+        "--ts-min", type=int, default=None, help="event-time band (µs, zone-map pruned)"
+    )
+    p.add_argument("--ts-max", type=int, default=None)
 
     p = sub.add_parser(
         "sync",
@@ -291,7 +295,13 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         elif args.cmd == "changes":
-            ds = ing.changes(table, since_epoch=args.since, upto_epoch=args.upto)
+            ds = ing.changes(
+                table,
+                since_epoch=args.since,
+                upto_epoch=args.upto,
+                ts_min_us=args.ts_min,
+                ts_max_us=args.ts_max,
+            )
             n = ds.count()
             ds.write_parquet(args.out_dir)
             print(json.dumps({"out": args.out_dir, "rows": n}))

@@ -242,6 +242,9 @@ class ApplyPartition:
             max_ts=int(pc.max(collapsed.column("ts")).cast(pa.int64()).as_py())
             if collapsed.num_rows
             else -1,
+            min_ts=int(pc.min(collapsed.column("ts")).cast(pa.int64()).as_py())
+            if collapsed.num_rows
+            else -1,
             late=late,
         )
         if collapsed.num_rows:
@@ -269,6 +272,7 @@ _ENTRY_SCHEMA = pa.schema(
         ("tombstones", pa.int64()),
         ("max_seq", pa.int64()),
         ("max_ts", pa.int64()),
+        ("min_ts", pa.int64()),
         ("bytes", pa.int64()),
         ("late", pa.int64()),
     ]
@@ -1007,20 +1011,67 @@ def snapshot(
 
 
 @ray.remote
-def _read_delta_task(path: str, envelope: pa.Schema, epoch: int) -> pa.Table:
+def _read_delta_task(
+    path: str,
+    envelope: pa.Schema,
+    epoch: int,
+    ts_min_us: int | None = None,
+    ts_max_us: int | None = None,
+) -> pa.Table:
     from xgeo_ray.tuning import limit_worker_threads
 
     limit_worker_threads()
     t = cast_to(pq.read_table(path, use_threads=False), envelope)
+    if ts_min_us is not None or ts_max_us is not None:
+        ts = t.column("ts").cast(pa.int64())
+        mask = None
+        if ts_min_us is not None:
+            mask = pc.greater_equal(ts, pa.scalar(ts_min_us, pa.int64()))
+        if ts_max_us is not None:
+            hi = pc.less_equal(ts, pa.scalar(ts_max_us, pa.int64()))
+            mask = hi if mask is None else pc.and_(mask, hi)
+        t = t.filter(mask)
     return t.append_column(
         "_epoch", pa.array(np.full(t.num_rows, epoch, dtype=np.int64))
     )
+
+
+def _changes_plan(
+    table: DeltaTable,
+    since_epoch: int,
+    upto_epoch: int | None,
+    ts_min_us: int | None,
+    ts_max_us: int | None,
+) -> list[tuple[str, int]]:
+    """(path, epoch) read plan for ``changes``: committed delta files in
+    the epoch range, minus files whose manifest zone map ([min_ts,
+    max_ts] per entry) falls entirely outside the requested ts band.
+    Pure metadata — separable so pruning is testable without reads."""
+    plan: list[tuple[str, int]] = []
+    band = ts_min_us is not None or ts_max_us is not None
+    for m in table.manifests():
+        if m.kind != "delta" or m.epoch <= since_epoch:
+            continue
+        if upto_epoch is not None and m.epoch > upto_epoch:
+            break
+        for _, e in sorted(m.partitions.items(), key=lambda kv: int(kv[0])):
+            if not e.path:
+                continue
+            if band and e.min_ts >= 0:
+                if (ts_max_us is not None and e.min_ts > ts_max_us) or (
+                    ts_min_us is not None and e.max_ts < ts_min_us
+                ):
+                    continue  # zone map: file entirely outside the band
+            plan.append((os.path.join(table.root, e.path), m.epoch))
+    return plan
 
 
 def changes(
     table: DeltaTable,
     since_epoch: int = 0,
     upto_epoch: int | None = None,
+    ts_min_us: int | None = None,
+    ts_max_us: int | None = None,
 ) -> ray.data.Dataset:
     """CDC-out feed: every applied change row committed in delta epochs
     ``(since_epoch, upto_epoch]``, as a Dataset with the envelope
@@ -1038,21 +1089,28 @@ def changes(
     consumer of only live changes starts from the bootstrap epoch.
     Retention: delta files live until ``vacuum()`` reclaims those a
     compaction superseded — size the vacuum cadence to the slowest
-    consumer's lag."""
+    consumer's lag.
+
+    ``ts_min_us``/``ts_max_us`` band-limit the feed by EVENT time: whole
+    delta files are pruned from the manifest zone maps (each entry's
+    [min_ts, max_ts]) before any read task launches — a feed consumer
+    interested in one hour of a year-long table opens only that hour's
+    files — and surviving files row-filter to the band. Entries from
+    pre-zone-map manifests (min_ts == -1) are conservatively read."""
     envelope = table.current_schema(upto_epoch)
-    refs = []
-    for m in table.manifests():
-        if m.kind != "delta" or m.epoch <= since_epoch:
-            continue
-        if upto_epoch is not None and m.epoch > upto_epoch:
-            break
-        for _, e in sorted(m.partitions.items(), key=lambda kv: int(kv[0])):
-            if e.path:
-                refs.append(
-                    _read_delta_task.remote(
-                        os.path.join(table.root, e.path), envelope, m.epoch
-                    )
-                )
+    band = ts_min_us is not None or ts_max_us is not None
+    refs = [
+        _read_delta_task.remote(
+            path,
+            envelope,
+            epoch,
+            ts_min_us if band else None,
+            ts_max_us if band else None,
+        )
+        for path, epoch in _changes_plan(
+            table, since_epoch, upto_epoch, ts_min_us, ts_max_us
+        )
+    ]
     if not refs:
         empty = envelope.empty_table().append_column(
             "_epoch", pa.array([], pa.int64())
@@ -1385,6 +1443,9 @@ def compact(table: DeltaTable, tombstone_ts_horizon: int | None = None) -> Manif
             tombstones=int(pc.sum(pc.equal(t.column("op"), "D")).as_py() or 0),
             max_seq=int(pc.max(t.column("seq")).as_py()) if t.num_rows else -1,
             max_ts=int(pc.max(t.column("ts")).cast(pa.int64()).as_py())
+            if t.num_rows
+            else -1,
+            min_ts=int(pc.min(t.column("ts")).cast(pa.int64()).as_py())
             if t.num_rows
             else -1,
         )

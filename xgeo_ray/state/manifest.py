@@ -89,6 +89,10 @@ class PartitionEntry:
     tombstones: int = 0
     max_seq: int = -1
     max_ts: int = -1
+    # min applied event ts (µs) — with max_ts this is the delta file's
+    # zone map: ts-band feed reads prune whole files from the manifest.
+    # Absent in pre-round-3 manifests (default -1 = unknown, no pruning).
+    min_ts: int = -1
     bytes: int = 0
     # event-time lateness: applied (post-dedup) events whose ts is below
     # the partition's committed max_ts — out-of-order arrivals across
