@@ -110,6 +110,44 @@ def test_grouped_sync_and_incremental_follow(src_table, tmp_path):
     pd.testing.assert_frame_equal(_df(ing.snapshot(sink)), _df(ing.snapshot(src)))
 
 
+def test_tail_derived_follows_live_source(tmp_path):
+    """Epochs committed to the source WHILE the derived tailer polls are
+    synced in order; final sink state matches the source; a restarted
+    tail is a no-op (shared committed-segments cursor)."""
+    import threading
+    import time
+
+    ev = fx.make_change_events(800, n_convs=10, turns_per_conv=6)
+    segs = fx.write_segments(ev, str(tmp_path / "wal"), n_segments=4)
+    src = DeltaTable.create(str(tmp_path / "src"), num_partitions=4, num_salts=1)
+    sink = DeltaTable.create(str(tmp_path / "sink"), num_partitions=8, num_salts=2)
+
+    def producer():
+        for s in segs:
+            ing.run_stream(src, [s], segments_per_epoch=1)
+            time.sleep(0.25)
+
+    th = threading.Thread(target=producer)
+    th.start()
+    ms = ing.tail_derived(src, sink, poll_interval_s=0.1, idle_polls_to_stop=12)
+    th.join()
+    # a final catch-up sync in case the tailer went idle first
+    ms += ing.sync_derived(src, sink)
+    assert len(ms) == 4
+    pd.testing.assert_frame_equal(_df(ing.snapshot(sink)), _df(ing.snapshot(src)))
+    assert ing.tail_derived(src, sink, poll_interval_s=0.01, idle_polls_to_stop=2) == []
+
+
+def test_changes_feed_projection(src_table):
+    """columns= pushes the projection to the parquet read; the band
+    interplay keeps ts available for filtering then drops it."""
+    src, root, _ = src_table
+    ds = ing.changes(src, columns=["conv_id", "turn_idx", "op"])
+    t = ds.schema()
+    assert set(t.names) == {"conv_id", "turn_idx", "op", "_epoch"}
+    assert ds.count() == ing.changes(src).count()
+
+
 def test_tombstones_propagate(tmp_path):
     """A key deleted in the source disappears from the sink: the feed
     carries the tombstone row and the sink's LWW collapse applies it."""

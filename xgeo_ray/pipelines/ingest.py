@@ -1017,11 +1017,20 @@ def _read_delta_task(
     epoch: int,
     ts_min_us: int | None = None,
     ts_max_us: int | None = None,
+    columns: list[str] | None = None,
 ) -> pa.Table:
     from xgeo_ray.tuning import limit_worker_threads
 
     limit_worker_threads()
-    t = cast_to(pq.read_table(path, use_threads=False), envelope)
+    if columns is not None:
+        # projection pushed to the PARQUET READ (+ ts when band-filtering)
+        need = list(dict.fromkeys(list(columns) + (["ts"] if ts_min_us is not None or ts_max_us is not None else [])))
+        have = [c for c in need if c in pq.read_schema(path).names]
+        t = pq.read_table(path, columns=have, use_threads=False)
+        envelope = pa.schema([f for f in envelope if f.name in need])
+    else:
+        t = pq.read_table(path, use_threads=False)
+    t = cast_to(t, envelope)
     if ts_min_us is not None or ts_max_us is not None:
         ts = t.column("ts").cast(pa.int64())
         mask = None
@@ -1031,6 +1040,8 @@ def _read_delta_task(
             hi = pc.less_equal(ts, pa.scalar(ts_max_us, pa.int64()))
             mask = hi if mask is None else pc.and_(mask, hi)
         t = t.filter(mask)
+    if columns is not None:
+        t = t.select([c for c in columns if c in t.column_names])
     return t.append_column(
         "_epoch", pa.array(np.full(t.num_rows, epoch, dtype=np.int64))
     )
@@ -1072,6 +1083,7 @@ def changes(
     upto_epoch: int | None = None,
     ts_min_us: int | None = None,
     ts_max_us: int | None = None,
+    columns: list[str] | None = None,
 ) -> ray.data.Dataset:
     """CDC-out feed: every applied change row committed in delta epochs
     ``(since_epoch, upto_epoch]``, as a Dataset with the envelope
@@ -1096,7 +1108,9 @@ def changes(
     [min_ts, max_ts]) before any read task launches — a feed consumer
     interested in one hour of a year-long table opens only that hour's
     files — and surviving files row-filter to the band. Entries from
-    pre-zone-map manifests (min_ts == -1) are conservatively read."""
+    pre-zone-map manifests (min_ts == -1) are conservatively read.
+    ``columns`` pushes the projection to the parquet read — a narrow
+    consumer never pulls the text payload off disk."""
     envelope = table.current_schema(upto_epoch)
     band = ts_min_us is not None or ts_max_us is not None
     refs = [
@@ -1106,13 +1120,17 @@ def changes(
             epoch,
             ts_min_us if band else None,
             ts_max_us if band else None,
+            columns,
         )
         for path, epoch in _changes_plan(
             table, since_epoch, upto_epoch, ts_min_us, ts_max_us
         )
     ]
     if not refs:
-        empty = envelope.empty_table().append_column(
+        fields = [
+            f for f in envelope if columns is None or f.name in columns
+        ]
+        empty = pa.schema(fields).empty_table().append_column(
             "_epoch", pa.array([], pa.int64())
         )
         return ray.data.from_arrow(empty)
@@ -1708,6 +1726,42 @@ def tail(
                 if vacuum_after_compact:
                     vacuum(table)
                 epochs_since_compact = 0
+        else:
+            idle += 1
+            if idle_polls_to_stop is not None and idle >= idle_polls_to_stop:
+                return committed
+            _time.sleep(poll_interval_s)
+
+
+def tail_derived(
+    source: DeltaTable,
+    sink: DeltaTable,
+    poll_interval_s: float = 0.5,
+    idle_polls_to_stop: int | None = None,
+    transform=None,
+    epochs_per_sync: int = 1,
+) -> list[Manifest]:
+    """Follow a SOURCE TABLE the way ``tail`` follows a WAL directory:
+    poll its committed manifests and ``sync_derived`` every new delta
+    epoch into the sink as it lands — the live half of the derived-table
+    story (sync_derived is the one-shot/resume half; both share the
+    committed-segments cursor, so a restarted tailer continues
+    exactly-once). ``idle_polls_to_stop`` bounds the loop for tests /
+    batch drains (None = run forever)."""
+    import time as _time
+
+    committed: list[Manifest] = []
+    idle = 0
+    while True:
+        ms = sync_derived(
+            source,
+            sink,
+            transform=transform,
+            epochs_per_sync=epochs_per_sync,
+        )
+        if ms:
+            committed.extend(ms)
+            idle = 0
         else:
             idle += 1
             if idle_polls_to_stop is not None and idle >= idle_polls_to_stop:
