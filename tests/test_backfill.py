@@ -118,6 +118,65 @@ def test_stream_survives_correction(stream_table):
     assert row.text == "stream-wins"
 
 
+def test_corrections_flow_to_derived(stream_table):
+    """A derived sink syncing the change feed must apply the source's
+    correction deltas (seq=-1) even after the sink's own seq watermark
+    has advanced — the regression dropped them as below-watermark
+    replays, leaving the sink stale forever."""
+    t, ev, tmp_path = stream_table
+    sink = DeltaTable.create(
+        str(tmp_path / "sink"), num_partitions=2, num_salts=1
+    )
+    ing.sync_derived(t, sink)  # sink watermarks now >= 0
+    before = _state(t)
+    key = before.iloc[0]
+    ts_fix = int(ev.column("ts").cast(pa.int64()).to_numpy().max()) + 1_000
+    batch = pa.table(
+        {
+            "conv_id": pa.array([key.conv_id]),
+            "turn_idx": pa.array([int(key.turn_idx)], pa.int32()),
+            "text": pa.array(["derived-corrected"]),
+        }
+    )
+    ing.apply_changes(t, batch, batch_id="fix-derived", ts_us=ts_fix)
+    ms = ing.sync_derived(t, sink)
+    assert ms and ms[-1].totals["below_wm_dropped"] == 0
+    after = _state(sink)
+    row = after[
+        (after.conv_id == key.conv_id) & (after.turn_idx == key.turn_idx)
+    ].iloc[0]
+    assert row.text == "derived-corrected"
+    pd_src = _state(t)
+    assert after.equals(pd_src)
+
+
+def test_additive_correction_batches_accumulate(tmp_path):
+    """Two correction batches on one key are DISTINCT increments: both
+    carry seq=-1, but the (key, seq) redelivery dedup must not collapse
+    them (redelivery protection for out-of-band rows is segment-level).
+    The regression kept only the first batch's value."""
+    t = DeltaTable.create(
+        str(tmp_path / "t"),
+        num_partitions=2,
+        num_salts=1,
+        merge_policy="additive",
+    )
+
+    def _batch(n):
+        return pa.table(
+            {
+                "conv_id": pa.array(["c0"]),
+                "turn_idx": pa.array([0], pa.int32()),
+                "n_tokens": pa.array([n], pa.int64()),
+            }
+        )
+
+    ing.apply_changes(t, _batch(5), batch_id="inc-1", ts_us=1_000)
+    ing.apply_changes(t, _batch(7), batch_id="inc-2", ts_us=2_000)
+    got = ing.snapshot(t).to_pandas()
+    assert len(got) == 1 and int(got.iloc[0].n_tokens) == 12
+
+
 def test_batch_validation(stream_table):
     t, _, _ = stream_table
     dup = pa.table(

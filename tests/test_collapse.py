@@ -48,7 +48,7 @@ def test_lww_exact_duplicates_collapse():
     t = _ev([(5, "I", "a", 0, 100, "x"), (5, "I", "a", 0, 100, "x")])
     out = lww_collapse(t, drop_tombstones=False)
     assert out.num_rows == 1
-    keys, trips = count_unique_keys_and_seqs(t)
+    keys, trips, _ = count_unique_keys_and_seqs(t)
     assert (keys, trips) == (1, 1)
 
 
@@ -61,7 +61,7 @@ def test_count_unique():
             (3, "I", "b", 1, 100, "z"),
         ]
     )
-    keys, trips = count_unique_keys_and_seqs(t)
+    keys, trips, _ = count_unique_keys_and_seqs(t)
     assert keys == 2 and trips == 3
 
 

@@ -12,6 +12,7 @@ import os
 import threading
 import time
 
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
@@ -61,6 +62,36 @@ def test_late_lineage_and_ts_watermarks(tmp_path):
     m3 = ing.ingest_segments(table, [segs[2]])
     assert m3.totals["late"] == 0
     assert (table.ts_watermarks() > tw).all()
+
+
+def test_late_counted_post_dedup(tmp_path):
+    """Redelivered copies of a late event must NOT inflate `late`: the
+    count is distinct (key, seq) triples below the watermark, matching
+    the manifest's post-dedup 'applied events' semantics."""
+    ev = fx.make_change_events(600, n_convs=8, turns_per_conv=5, dup_fraction=0.0)
+    n = ev.num_rows
+    e1 = ev.slice(0, n // 2)
+    span = int(pc.max(ev.column("ts")).cast("int64").as_py()) - int(
+        pc.min(ev.column("ts")).cast("int64").as_py()
+    )
+    e2 = _shift_ts(ev.slice(n // 2), -(span + 1_000_000))
+    segs = fx.write_segments(e1, str(tmp_path / "w1"), n_segments=1)
+    # redeliver epoch 2 three times as SEPARATE segments (separate map
+    # chunks — the pre-shuffle collapse can't see across them, so the
+    # duplicate copies reach the reduce's (key, seq) dedup)
+    dup_segs = []
+    for k in range(3):
+        dup_segs += fx.write_segments(e2, str(tmp_path / f"w2_{k}"), n_segments=1)
+    table = DeltaTable.create(str(tmp_path / "t"), num_partitions=4, num_salts=1)
+    ing.ingest_segments(table, [segs[0]])
+    m2 = ing.ingest_segments(table, dup_segs)
+    assert m2.totals["dup_dropped"] > 0  # copies really reached the reduce
+    # every DISTINCT event is late, counted once — not once per copy
+    assert (
+        m2.totals["late"]
+        == m2.totals["rows_in"] - m2.totals["dup_dropped"]
+    )
+    assert m2.totals["late"] < m2.totals["rows_in"]
 
 
 def test_event_time_watermark_derivation(tmp_path):

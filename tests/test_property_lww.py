@@ -76,7 +76,7 @@ def test_collapse_matches_oracle(events, n_chunks):
 def test_collapse_with_metrics_counts(events):
     """The single-sort metrics equal independent recomputation."""
     t = _build(events)
-    collapsed, n_keys, n_trips = collapse_with_metrics(t, drop_tombstones=False)
+    collapsed, n_keys, n_trips, _ = collapse_with_metrics(t, drop_tombstones=False)
     df = t.to_pandas()
     assert n_keys == df.groupby(["conv_id", "turn_idx"]).ngroups
     assert n_trips == df.groupby(["conv_id", "turn_idx", "seq"]).ngroups

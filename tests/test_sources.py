@@ -337,3 +337,25 @@ def test_sniff_compact_single_line_nested_json(tmp_path):
     rec = dict(rows[0])
     p2.write_text(json.dumps(rec))
     assert read_segment(str(p2)).count() == 1
+
+
+def test_sniff_jsonl_records_with_list_of_struct_fields(tmp_path):
+    """Multi-line JSONL whose records carry a list-of-structs field (a
+    transcript row with a `messages` array) must classify as JSONL —
+    the wrapper heuristic applies only to single-document files."""
+    import json
+
+    from xgeo_ray.sources.wal import read_segment, segment_row_count
+
+    recs = [
+        {
+            "conv_id": f"c{i}",
+            "turn_idx": 0,
+            "messages": [{"role": "user", "text": "hi"}],
+        }
+        for i in range(5)
+    ]
+    p = tmp_path / "convs.json"
+    p.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+    assert segment_row_count(str(p)) == 5
+    assert read_segment(str(p)).count() == 5

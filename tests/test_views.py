@@ -299,3 +299,38 @@ def test_view_drops_vanished_partitions(tmp_path, monkeypatch):
     assert not any(n.startswith(f"part-{dropped_part:05d}-") for n in files)
     after = read_view(view).to_pandas()
     assert len(after) < len(before)
+
+
+def test_legacy_unversioned_view_dir_migrates(tmp_path):
+    """A view dir written before epoch-versioned partial names (files
+    named part-NNNNN.parquet) must stay readable, keep its fresh
+    partitions' files through a refresh sweep, and migrate to versioned
+    names as partitions go stale."""
+    import glob
+    import re
+
+    events = fx.make_change_events(800, n_convs=16, turns_per_conv=6)
+    segs = fx.write_segments(events, str(tmp_path / "wal"), n_segments=4)
+    table = DeltaTable.create(str(tmp_path / "t"), num_partitions=8, num_salts=2)
+    view = str(tmp_path / "view")
+    ing.run_stream(table, segs[:2], segments_per_epoch=1)
+    refresh_view(table, view, _make_agg())
+    want = _combined(view)
+
+    # simulate the pre-upgrade layout: strip the -eEEEEEE suffix
+    for p in glob.glob(os.path.join(view, "part-*.parquet")):
+        os.rename(p, re.sub(r"-e\d{6}\.parquet$", ".parquet", p))
+
+    pd.testing.assert_frame_equal(_combined(view), want)  # read_view works
+
+    # all partitions fresh: the sweep must NOT delete the legacy files
+    s = refresh_view(table, view, _make_agg())
+    assert s["refreshed"] == 0
+    pd.testing.assert_frame_equal(_combined(view), want)
+
+    # new epochs stale some partitions -> they rewrite versioned, rest
+    # stay legacy, combined result tracks the table
+    ing.run_stream(table, segs, segments_per_epoch=1)
+    s2 = refresh_view(table, view, _make_agg())
+    assert s2["refreshed"] > 0
+    pd.testing.assert_frame_equal(_combined(view), _expected(table))

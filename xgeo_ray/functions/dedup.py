@@ -187,19 +187,8 @@ def _mh_band_map(block: pa.Table, mh, num_bands: int, num_buckets: int):
         empty = _BAND_SCHEMA.empty_table()
         return tuple([empty] * num_buckets) if num_buckets > 1 else empty
     t = explode_bands(mh(block), num_bands)
-    bk = (
-        t.column("band_hash").to_numpy().view(np.uint64)
-        * _P1
-        % np.uint64(num_buckets)
-    ).astype(np.int64)
-    order = np.argsort(bk, kind="stable")
-    t = t.take(order)
-    bk = bk[order]
-    bounds = np.searchsorted(bk, np.arange(num_buckets + 1))
-    out = tuple(
-        t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_buckets)
-    )
-    return out if num_buckets > 1 else out[0]
+    bk = _cc_bucket_of(t.column("band_hash").to_numpy(), num_buckets)
+    return _cc_split(t, bk, num_buckets)
 
 
 _MH_IDPAIR_SCHEMA = pa.schema([("doc_id_a", pa.int64()), ("doc_id_b", pa.int64())])
@@ -232,13 +221,8 @@ def _mh_pair_reduce(num_buckets: int, *subs: pa.Table):
     if m is None or not len(m):
         return tuple([empty] * nb) if nb > 1 else empty
     t = pa.Table.from_pandas(m, preserve_index=False).cast(_MH_IDPAIR_SCHEMA)
-    a = t.column("doc_id_a").to_numpy()
-    bk = (a.astype(np.uint64) * _P1 % np.uint64(nb)).astype(np.int64)
-    order = np.argsort(bk, kind="stable")
-    t = t.take(order)
-    bounds = np.searchsorted(bk[order], np.arange(nb + 1))
-    out = tuple(t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nb))
-    return out if nb > 1 else out[0]
+    bk = _cc_bucket_of(t.column("doc_id_a").to_numpy(), nb)
+    return _cc_split(t, bk, nb)
 
 
 @ray.remote(num_returns=2)

@@ -204,29 +204,37 @@ class ApplyPartition:
         rows_in = t.num_rows
         wm = int(self.wm[part])
         if wm >= 0:
-            keep = pc.greater(t.column("seq"), pa.scalar(wm, pa.int64()))
+            # seq=-1 rows (bootstrap/correction convention) are ALWAYS
+            # watermark-exempt, not only when the whole epoch is: a derived
+            # table syncing a source's change feed re-ingests the source's
+            # correction deltas (seq=-1) through this filter after its own
+            # watermark is already >= 0 — dropping them would silently lose
+            # every apply_changes correction downstream. Their exactly-once
+            # story is segment-level (committed-segments set), not seq.
+            seq_col = t.column("seq")
+            keep = pc.or_(
+                pc.greater(seq_col, pa.scalar(wm, pa.int64())),
+                pc.equal(seq_col, pa.scalar(-1, pa.int64())),
+            )
             t = t.filter(keep)
         below_wm = rows_in - t.num_rows
-        late = 0
-        if self.ts_wm is not None and t.num_rows:
-            tw = int(self.ts_wm[part])
-            if tw >= 0:
-                late = int(
-                    pc.sum(
-                        pc.less(
-                            t.column("ts").cast(pa.int64()),
-                            pa.scalar(tw, pa.int64()),
-                        )
-                    ).as_py()
-                    or 0
-                )
+        # late is counted POST-dedup (distinct (key, seq) triples below
+        # the event-time watermark) inside the collapse kernels' existing
+        # sort — redelivered copies must not inflate the lateness signal
+        tw = None
+        if self.ts_wm is not None:
+            tw_part = int(self.ts_wm[part])
+            if tw_part >= 0:
+                tw = tw_part
         if self.policy == "lww":
-            collapsed, n_keys, n_trips = collapse_with_metrics(
-                t, drop_tombstones=False
+            collapsed, n_keys, n_trips, late = collapse_with_metrics(
+                t, drop_tombstones=False, ts_watermark_us=tw
             )
         else:
             collapsed = self.policy_fn(t, False)
-            n_keys, n_trips = count_unique_keys_and_seqs(t)
+            n_keys, n_trips, late = count_unique_keys_and_seqs(
+                t, ts_watermark_us=tw
+            )
         entry = PartitionEntry(
             part_key=part,
             path=delta_relpath(part, self.epoch, token=self.token),
@@ -978,14 +986,16 @@ def snapshot(
             if m.kind == "compact"
             and (as_of_epoch is None or m.epoch <= as_of_epoch)
         ]
-        if ms:
-            over = max(
-                (e.max_ts for e in ms[-1].partitions.values()), default=-1
-            )
+        # EVERY compaction at or before the travel point folded history;
+        # checking only the last one would let an earlier fold's horizon
+        # be crossed silently when a later (e.g. tombstone-horizon)
+        # compaction happens to carry a lower max_ts.
+        for m in ms:
+            over = max((e.max_ts for e in m.partitions.values()), default=-1)
             if over > as_of_ts_us:
                 raise ValueError(
                     f"event-time travel to ts={as_of_ts_us} crosses compaction "
-                    f"epoch {ms[-1].epoch} (folded winners up to ts={over}): "
+                    f"epoch {m.epoch} (folded winners up to ts={over}): "
                     "superseded pre-T versions are gone. Pass as_of_epoch "
                     "before that compaction (deltas remain readable until "
                     "vacuum) or compact less aggressively."
@@ -1651,6 +1661,7 @@ def tail(
     stable_for_s: float = 0.2,
     compact_every_epochs: int | None = None,
     vacuum_after_compact: bool = False,
+    vacuum_respect_consumers: bool = True,
     allowed_lateness_us: int = 0,
     on_watermark_advance=None,
 ) -> list[Manifest]:
@@ -1669,7 +1680,11 @@ def tail(
     every N committed delta epochs the tailer folds each partition's
     delta chain (compact) and, with ``vacuum_after_compact``, reclaims
     the superseded files — keeping merge-on-read cost bounded on an
-    endless stream without an external scheduler.
+    endless stream without an external scheduler. The embedded vacuum
+    respects registered consumer-group cursors by DEFAULT (an unattended
+    tailer must not reclaim deltas a lagging changes()-feed consumer
+    still needs); pass ``vacuum_respect_consumers=False`` to reclaim
+    regardless.
 
     ``on_watermark_advance(watermark_us, table)`` is the EVENT-TIME
     trigger: after each committed batch it fires iff the global
@@ -1724,7 +1739,7 @@ def tail(
             ):
                 committed.append(compact(table))
                 if vacuum_after_compact:
-                    vacuum(table)
+                    vacuum(table, respect_consumers=vacuum_respect_consumers)
                 epochs_since_compact = 0
         else:
             idle += 1

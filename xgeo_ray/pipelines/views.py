@@ -179,6 +179,25 @@ def _part_file(part: int, epoch: int) -> str:
     return f"part-{part:05d}-e{epoch:06d}.parquet"
 
 
+def _legacy_part_file(part: int) -> str:
+    # pre-epoch-versioning layout (no -eEEEEEE suffix); still readable
+    return f"part-{part:05d}.parquet"
+
+
+def _resolve_part_file(view_dir: str, part: int, epoch: int) -> str:
+    """Committed partial for (part, epoch): the epoch-versioned name, or
+    the legacy unversioned name a pre-upgrade refresh wrote — the state
+    manifest records the same epoch either way, so the legacy file is
+    that refresh's exact output, not stale data."""
+    p = os.path.join(view_dir, _part_file(part, epoch))
+    if os.path.isfile(p):
+        return p
+    legacy = os.path.join(view_dir, _legacy_part_file(part))
+    if os.path.isfile(legacy):
+        return legacy
+    return p
+
+
 def refresh_view(
     table: DeltaTable,
     view_dir: str,
@@ -230,7 +249,7 @@ def refresh_view(
             and table.merge_policy == "additive"
             and cached_epoch is not None
         ):
-            cached_path = os.path.join(view_dir, _part_file(part, cached_epoch))
+            cached_path = _resolve_part_file(view_dir, part, cached_epoch)
             new_paths = _delta_files_since(table, part, cached_epoch)
             if not new_paths or not os.path.isfile(cached_path):
                 new_paths = None  # ineligible → full recompute
@@ -259,9 +278,12 @@ def refresh_view(
         state["partitions"][str(part)] = ver[part]
     _write_view_state(view_dir, state)
     # Commit point passed: reclaim superseded / orphaned epoch files.
-    keep = {
-        _part_file(int(k), e) for k, e in state["partitions"].items()
-    }
+    # Fresh partitions from a pre-upgrade refresh may still live under
+    # the legacy unversioned name — keep it until they are re-refreshed.
+    keep = set()
+    for k, e in state["partitions"].items():
+        kept = _resolve_part_file(view_dir, int(k), e)
+        keep.add(os.path.basename(kept))
     for n in os.listdir(view_dir):
         if n.startswith("part-") and n.endswith(".parquet") and n not in keep:
             os.unlink(os.path.join(view_dir, n))
@@ -281,7 +303,7 @@ def read_view(view_dir: str) -> ray.data.Dataset:
     or crashed refresh are invisible."""
     state = _view_state(view_dir)
     files = [
-        os.path.join(view_dir, _part_file(int(k), e))
+        _resolve_part_file(view_dir, int(k), e)
         for k, e in sorted(state["partitions"].items())
     ]
     if not files:

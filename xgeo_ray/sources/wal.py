@@ -254,29 +254,32 @@ def _sniff_nested_json(path: str, codec: str | None) -> bool:
     A COMPACT single-line nested document ('{"records": [...]}' with no
     internal newlines — the common json.dump output) also has a first
     line that parses as complete JSON, so a parse success alone does not
-    mean JSONL: the parsed object is additionally inspected, and a
-    single dict wrapping a list-of-dicts value is classified nested."""
+    mean JSONL. But the wrapper-object inspection applies ONLY to
+    single-document files: an ordinary JSONL record may itself hold a
+    list-of-structs field (a transcript row with a `messages` array),
+    so any content after a complete first line means JSON-lines."""
     with pa.input_stream(path, compression=codec) as f:
-        head = f.read(4096).decode("utf-8", errors="replace").lstrip()
-    if not head.startswith("{"):
+        head = f.read(1 << 20).decode("utf-8", errors="replace")
+    stripped = head.lstrip()
+    if not stripped.startswith("{"):
         return False
-    first_line = head.split("\n", 1)[0].rstrip()
-    if first_line.endswith("}"):
-        import json
+    first_line, _, rest = stripped.partition("\n")
+    first_line = first_line.rstrip()
+    if not first_line.endswith("}"):
+        return True  # first 'line' is a fragment of one big object
+    import json
 
-        try:
-            obj = json.loads(first_line)
-        except json.JSONDecodeError:
-            return True  # first 'line' is a fragment of one big object
-        # complete JSON on line 1: JSONL record, UNLESS it is itself a
-        # wrapper object holding the record array
-        if isinstance(obj, dict) and any(
-            isinstance(v, list) and v and all(isinstance(x, dict) for x in v)
-            for v in obj.values()
-        ):
-            return True
-        return False
-    return True
+    try:
+        obj = json.loads(first_line)
+    except json.JSONDecodeError:
+        return True  # truncated/fragment: one big single-line object
+    if rest.strip():
+        return False  # complete record on line 1 + more lines = JSONL
+    # single-document file: nested iff it wraps a record array
+    return isinstance(obj, dict) and any(
+        isinstance(v, list) and v and all(isinstance(x, dict) for x in v)
+        for v in obj.values()
+    )
 
 
 def segment_schema(path: str) -> pa.Schema:

@@ -62,16 +62,22 @@ def lww_collapse(t: pa.Table, drop_tombstones: bool) -> pa.Table:
 
 
 def collapse_with_metrics(
-    t: pa.Table, drop_tombstones: bool = False
-) -> tuple[pa.Table, int, int]:
+    t: pa.Table, drop_tombstones: bool = False, ts_watermark_us: int | None = None
+) -> tuple[pa.Table, int, int, int]:
     """LWW collapse + lineage counts off ONE sort.
 
-    Returns (collapsed, n_distinct_keys, n_distinct_(key,seq)_triples).
-    Replaces the separate count_unique_keys_and_seqs (numpy lexsort) +
-    lww_collapse (arrow sort) pair in the apply hot path — the sort is
-    ~half the per-partition cost, so doing it once matters."""
+    Returns (collapsed, n_distinct_keys, n_distinct_(key,seq)_triples,
+    n_late). Replaces the separate count_unique_keys_and_seqs (numpy
+    lexsort) + lww_collapse (arrow sort) pair in the apply hot path —
+    the sort is ~half the per-partition cost, so doing it once matters.
+
+    ``n_late`` (0 when ``ts_watermark_us`` is None) counts DISTINCT
+    (key, seq) events with ts below the watermark — post-dedup, matching
+    the manifest's 'applied events' semantics: redelivered copies of one
+    late event must not inflate the lateness signal operators size
+    allowed_lateness_us against."""
     if t.num_rows == 0:
-        return t, 0, 0
+        return t, 0, 0, 0
     t = t.sort_by(
         [
             ("conv_id", "ascending"),
@@ -85,14 +91,21 @@ def collapse_with_metrics(
     key_change = (codes[1:] != codes[:-1]) | (turn[1:] != turn[:-1])
     n_keys = int(key_change.sum()) + 1
     # re-delivered duplicates carry identical (ts, seq) → sorted adjacent
-    n_trips = int((key_change | (seq[1:] != seq[:-1])).sum()) + 1
+    trip_start = np.empty(len(codes), dtype=bool)
+    trip_start[0] = True
+    trip_start[1:] = key_change | (seq[1:] != seq[:-1])
+    n_trips = int(trip_start.sum())
+    late = 0
+    if ts_watermark_us is not None:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        late = int(np.count_nonzero(trip_start & (ts < ts_watermark_us)))
     last = np.empty(len(codes), dtype=bool)
     last[-1] = True
     last[:-1] = key_change
     if drop_tombstones:
         not_d = pc.fill_null(pc.not_equal(t.column("op"), "D"), True)
         last &= not_d.to_numpy(zero_copy_only=False)
-    return t.filter(pa.array(last)), n_keys, n_trips
+    return t.filter(pa.array(last)), n_keys, n_trips, late
 
 
 def maybe_precollapse(t: pa.Table, threshold: float = 0.9) -> pa.Table:
@@ -114,11 +127,16 @@ def maybe_precollapse(t: pa.Table, threshold: float = 0.9) -> pa.Table:
     return lww_collapse(t, drop_tombstones=False)
 
 
-def count_unique_keys_and_seqs(t: pa.Table) -> tuple[int, int]:
-    """(distinct primary keys, distinct (key, seq) triples) of a SORTED-or-not
-    event table — used for lineage metrics (dup-dropped counting)."""
+def count_unique_keys_and_seqs(
+    t: pa.Table, ts_watermark_us: int | None = None
+) -> tuple[int, int, int]:
+    """(distinct primary keys, distinct (key, seq) triples, late count)
+    of a SORTED-or-not event table — used for lineage metrics
+    (dup-dropped counting). ``late`` counts distinct triples with ts
+    below the event-time watermark (0 when None) — post-dedup, same
+    semantics as collapse_with_metrics."""
     if t.num_rows == 0:
-        return 0, 0
+        return 0, 0, 0
     codes, turn = _key_codes(t)
     seq = t.column("seq").to_numpy(zero_copy_only=False)
     order = np.lexsort((seq, turn, codes))
@@ -127,7 +145,11 @@ def count_unique_keys_and_seqs(t: pa.Table) -> tuple[int, int]:
     new_key[1:] = (c[1:] != c[:-1]) | (tu[1:] != tu[:-1])
     new_trip = new_key.copy()
     new_trip[1:] |= s[1:] != s[:-1]
-    return int(new_key.sum()), int(new_trip.sum())
+    late = 0
+    if ts_watermark_us is not None:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        late = int(np.count_nonzero(new_trip & (ts[order] < ts_watermark_us)))
+    return int(new_key.sum()), int(new_trip.sum()), late
 
 
 def additive_collapse(t: pa.Table, drop_tombstones: bool) -> pa.Table:
@@ -151,13 +173,19 @@ def additive_collapse(t: pa.Table, drop_tombstones: bool) -> pa.Table:
     """
     if t.num_rows == 0:
         return t
-    # pass 1 — dedup on (key, seq) regardless of ts
+    # pass 1 — dedup on (key, seq) regardless of ts. seq=-1 rows
+    # (bootstrap/correction out-of-band convention) are exempt: two
+    # correction batches to one key both carry seq=-1 but are DISTINCT
+    # increments (apply_changes enforces key-uniqueness within a batch
+    # and batch_id/segment dedup handles redelivery), so (key,-1)
+    # adjacency must not collapse them to one.
     codes, turn = _key_codes(t)
     seq = t.column("seq").to_numpy(zero_copy_only=False)
     order = np.lexsort((seq, turn, codes))
     c, tu, s = codes[order], turn[order], seq[order]
     fresh_sorted = np.ones(len(c), dtype=bool)
     fresh_sorted[1:] = (c[1:] != c[:-1]) | (tu[1:] != tu[:-1]) | (s[1:] != s[:-1])
+    fresh_sorted |= s == -1
     if not fresh_sorted.all():
         keep = np.zeros(len(c), dtype=bool)
         keep[order] = fresh_sorted
