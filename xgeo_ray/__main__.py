@@ -127,6 +127,12 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("compact", help="fold each partition into one file")
     p.add_argument("table")
     p.add_argument("--tombstone-ts-horizon", type=int, default=None)
+    p.add_argument(
+        "--minor",
+        action="store_true",
+        help="fold only the delta chain since the last full compaction "
+        "(O(changes) maintenance; base untouched)",
+    )
 
     p = sub.add_parser(
         "changes",
@@ -260,8 +266,15 @@ def main(argv: list[str] | None = None) -> int:
             stats = ing.export_snapshot(table, args.out_dir)
             print(json.dumps({"out": args.out_dir, **stats}))
         elif args.cmd == "compact":
-            m = ing.compact(table, tombstone_ts_horizon=args.tombstone_ts_horizon)
-            print(json.dumps({"epoch": m.epoch, "kind": m.kind}))
+            m = ing.compact(
+                table,
+                tombstone_ts_horizon=args.tombstone_ts_horizon,
+                minor=args.minor,
+            )
+            if m is None:
+                print(json.dumps({"epoch": None, "kind": "noop"}))
+            else:
+                print(json.dumps({"epoch": m.epoch, "kind": m.kind}))
         elif args.cmd == "sync":
             ms = ing.sync_derived(
                 DeltaTable.open(args.source),

@@ -983,7 +983,7 @@ def snapshot(
         ms = [
             m
             for m in table.manifests()
-            if m.kind == "compact"
+            if m.kind.startswith("compact")  # minor folds history too
             and (as_of_epoch is None or m.epoch <= as_of_epoch)
         ]
         # EVERY compaction at or before the travel point folded history;
@@ -1297,20 +1297,33 @@ def apply_changes(
 def fsck(table: DeltaTable) -> dict:
     """Offline integrity check — metadata + file stats only, no Ray, no
     data reads: cheap enough to run before every resume on a 100 TB
-    table. Verifies that every committed manifest's referenced delta
-    file exists with the recorded byte size, that manifest epochs are
-    consecutive from 1, that per-partition seq watermarks never regress
-    across delta epochs (out-of-band -1 entries exempt), that the
-    schema version is monotone, and that no consumer cursor is ahead of
-    the committed fence. Also counts (but does not judge) unreferenced
-    files under parts/ — pre-commit in-flight work and vacuum backlog
-    both land there. Returns ``{"ok": bool, "issues": [...], ...}``."""
+    table. Verifies that every still-NEEDED manifest-referenced file
+    exists with the recorded byte size — needed = in the current
+    visible set, or a delta epoch a registered consumer group has not
+    acked yet (the same retention rule vacuum --respect-consumers
+    enforces); files a compaction superseded and vacuum reclaimed are
+    counted (``files_reclaimed``), not flagged. Also checks manifest
+    epochs are consecutive from 1, per-partition seq watermarks never
+    regress across delta epochs (out-of-band -1 entries exempt), the
+    schema version is monotone, and no consumer cursor is ahead of the
+    committed fence. Counts (but does not judge) unreferenced files
+    under parts/ — pre-commit in-flight work and vacuum backlog both
+    land there. Returns ``{"ok": bool, "issues": [...], ...}``."""
+    from xgeo_ray.state import consumers as _cons
+
     issues: list[str] = []
     ms = table.manifests()
     seen_epochs = [m.epoch for m in ms]
     if seen_epochs != list(range(1, len(seen_epochs) + 1)):
         issues.append(f"manifest epochs not consecutive from 1: {seen_epochs}")
+    visible = {
+        os.path.abspath(p)
+        for paths in table.partition_files().values()
+        for p in paths
+    }
+    keep_after = _cons.min_cursor(table)
     referenced: set[str] = set()
+    reclaimed = 0
     wm = {}
     prev_version = 0
     for m in ms:
@@ -1328,10 +1341,18 @@ def fsck(table: DeltaTable) -> dict:
             try:
                 size = os.path.getsize(full)
             except FileNotFoundError:
-                issues.append(
-                    f"epoch {m.epoch} part {k}: missing file {e.path} "
-                    "(vacuumed too early, or external deletion)"
+                needed = os.path.abspath(full) in visible or (
+                    keep_after is not None
+                    and m.kind == "delta"
+                    and m.epoch > keep_after
                 )
+                if needed:
+                    issues.append(
+                        f"epoch {m.epoch} part {k}: missing file {e.path} "
+                        "(vacuumed too early, or external deletion)"
+                    )
+                else:
+                    reclaimed += 1  # superseded history, legally vacuumed
                 continue
             if e.bytes and size != e.bytes:
                 issues.append(
@@ -1346,8 +1367,6 @@ def fsck(table: DeltaTable) -> dict:
                     )
                 wm[int(k)] = max(wm.get(int(k), -1), e.max_seq)
     latest = table.latest_epoch()
-    from xgeo_ray.state import consumers as _cons
-
     for g in _cons.groups(table):
         pos = _cons.position(table, g)
         if pos > latest:
@@ -1371,6 +1390,7 @@ def fsck(table: DeltaTable) -> dict:
         "epochs": len(ms),
         "files_referenced": len(referenced),
         "files_unreferenced": unreferenced,
+        "files_reclaimed": reclaimed,
     }
 
 
@@ -1430,13 +1450,41 @@ def lookup(
     return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
 
 
-def compact(table: DeltaTable, tombstone_ts_horizon: int | None = None) -> Manifest:
+def compact(
+    table: DeltaTable,
+    tombstone_ts_horizon: int | None = None,
+    minor: bool = False,
+) -> Manifest | None:
     """Fold each partition's visible files into one compacted file.
 
     Tombstones are RETAINED unless older than ``tombstone_ts_horizon``
     (µs): dropping one earlier could let a late event with a lower (ts,
-    seq) resurrect a deleted row."""
-    plan = table.partition_files()
+    seq) resurrect a deleted row.
+
+    ``minor`` folds ONLY the delta chain since the last FULL compaction
+    (prior minor folds collapse into the new one), leaving the base
+    file untouched — tiered compaction's L1: each maintenance cycle
+    reads O(changes since the last full compact), not O(table), which
+    is what an endless tailer on a 100 TB table must run. Merge-policy
+    associativity across epochs makes the fold exact for lww, additive
+    and custom policies alike; tombstones are always retained (the base
+    below may still hold the deleted key). Partitions whose chain has
+    fewer than two files are skipped; returns None when nothing needed
+    folding. Run a FULL compact occasionally to absorb the chain into
+    the base (and optionally age out tombstones)."""
+    if minor and tombstone_ts_horizon is not None:
+        raise ValueError(
+            "tombstone aging needs the full history in view: a minor "
+            "fold cannot prove the base holds no older version of a "
+            "deleted key — run a full compact to age tombstones"
+        )
+    plan = (
+        {k: v for k, v in table.partition_chain_files().items() if len(v) >= 2}
+        if minor
+        else table.partition_files()
+    )
+    if minor and not plan:
+        return None
     envelope = table.current_schema()
     upto = table.latest_epoch()
     epoch = upto + 1
@@ -1498,7 +1546,12 @@ def compact(table: DeltaTable, tombstone_ts_horizon: int | None = None) -> Manif
     if os.environ.get("XGEO_CRASH_BEFORE_COMPACT_COMMIT"):
         os._exit(137)  # crash-injection hook: compacted files are orphans
     return table.commit_epoch(
-        epoch, [], entries, envelope, kind="compact", replaces_up_to=upto
+        epoch,
+        [],
+        entries,
+        envelope,
+        kind="compact_minor" if minor else "compact",
+        replaces_up_to=upto,
     )
 
 
@@ -1660,6 +1713,7 @@ def tail(
     idle_polls_to_stop: int | None = None,
     stable_for_s: float = 0.2,
     compact_every_epochs: int | None = None,
+    compact_minor: bool = False,
     vacuum_after_compact: bool = False,
     vacuum_respect_consumers: bool = True,
     allowed_lateness_us: int = 0,
@@ -1680,7 +1734,11 @@ def tail(
     every N committed delta epochs the tailer folds each partition's
     delta chain (compact) and, with ``vacuum_after_compact``, reclaims
     the superseded files — keeping merge-on-read cost bounded on an
-    endless stream without an external scheduler. The embedded vacuum
+    endless stream without an external scheduler. ``compact_minor``
+    makes each maintenance cycle a MINOR fold (delta chain only —
+    O(changes) per cycle, the right mode for an endless stream; run a
+    full compact out-of-band to absorb the chain into the base).
+    The embedded vacuum
     respects registered consumer-group cursors by DEFAULT (an unattended
     tailer must not reclaim deltas a lagging changes()-feed consumer
     still needs); pass ``vacuum_respect_consumers=False`` to reclaim
@@ -1737,7 +1795,9 @@ def tail(
                 compact_every_epochs is not None
                 and epochs_since_compact >= compact_every_epochs
             ):
-                committed.append(compact(table))
+                cm = compact(table, minor=compact_minor)
+                if cm is not None:
+                    committed.append(cm)
                 if vacuum_after_compact:
                     vacuum(table, respect_consumers=vacuum_respect_consumers)
                 epochs_since_compact = 0

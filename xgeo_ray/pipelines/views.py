@@ -84,7 +84,7 @@ def _delta_files_since(
         e = m.partitions.get(str(part))
         if e is None:
             continue
-        if m.kind == "compact" or e.tombstones:
+        if m.kind.startswith("compact") or e.tombstones:
             return None
         if e.path:
             out.append(os.path.join(table.root, e.path))

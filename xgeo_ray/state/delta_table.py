@@ -203,9 +203,9 @@ class DeltaTable:
         stream disorder."""
         wm = np.full(self.num_partitions, -1, dtype=np.int64)
         for m in self.manifests():
-            # compactions merge bootstrap rows back in; delta manifests
-            # alone carry the stream's event-time history (never deleted)
-            if m.kind == "compact" or any(
+            # compactions (full AND minor) merge bootstrap rows back in;
+            # delta manifests alone carry the stream's event-time history
+            if m.kind.startswith("compact") or any(
                 s.startswith("bootstrap:") for s in m.segments
             ):
                 continue
@@ -254,8 +254,12 @@ class DeltaTable:
     def partition_files(
         self, as_of_epoch: int | None = None
     ) -> dict[int, list[str]]:
-        """Visible files per partition, merge order: last compaction (if
-        any) then subsequent deltas, ascending epoch. Absolute paths.
+        """Visible files per partition, merge order: base (last FULL
+        compaction, if any), then the delta chain ascending by epoch —
+        where a MINOR compaction (kind="compact_minor") replaces the
+        chain accumulated so far with its single folded file, leaving
+        the base untouched (the tiered-compaction L1: maintenance cost
+        tracks the change rate, not the table size). Absolute paths.
 
         ``as_of_epoch`` time-travels: the visible set as of that
         committed epoch (later manifests are ignored). Committed delta
@@ -263,18 +267,46 @@ class DeltaTable:
         ``vacuum()`` does), so every pre-vacuum epoch stays readable —
         the retention contract is the vacuum cadence, exactly as in
         other LSM/lakehouse stores."""
-        plan: dict[int, list[str]] = {k: [] for k in range(self.num_partitions)}
+        base: dict[int, str | None] = {k: None for k in range(self.num_partitions)}
+        chain: dict[int, list[str]] = {k: [] for k in range(self.num_partitions)}
         for m in self.manifests():
             if as_of_epoch is not None and m.epoch > as_of_epoch:
                 break  # manifests are ascending by epoch
             for k, e in m.partitions.items():
                 kk = int(k)
                 if m.kind == "compact":
-                    plan[kk] = [e.path] if e.path else []
+                    base[kk] = e.path or None
+                    chain[kk] = []
+                elif m.kind == "compact_minor":
+                    chain[kk] = [e.path] if e.path else []
                 elif e.path:  # "" = zero-row epoch entry (lineage only)
-                    plan[kk].append(e.path)
+                    chain[kk].append(e.path)
+        out: dict[int, list[str]] = {}
+        for k in range(self.num_partitions):
+            v = ([base[k]] if base[k] else []) + chain[k]
+            if v:
+                out[k] = [os.path.join(self.root, p) for p in v]
+        return out
+
+    def partition_chain_files(self) -> dict[int, list[str]]:
+        """The DELTA-CHAIN half of the visible set (everything after the
+        last full compaction, with prior minor folds collapsed in) —
+        what a minor compaction folds. Absolute paths; partitions whose
+        chain is empty are omitted."""
+        chain: dict[int, list[str]] = {k: [] for k in range(self.num_partitions)}
+        for m in self.manifests():
+            for k, e in m.partitions.items():
+                kk = int(k)
+                if m.kind == "compact":
+                    chain[kk] = []
+                elif m.kind == "compact_minor":
+                    chain[kk] = [e.path] if e.path else []
+                elif e.path:
+                    chain[kk].append(e.path)
         return {
-            k: [os.path.join(self.root, p) for p in v] for k, v in plan.items() if v
+            k: [os.path.join(self.root, p) for p in v]
+            for k, v in chain.items()
+            if v
         }
 
     # ------------------------------------------------------------- commit

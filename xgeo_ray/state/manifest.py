@@ -103,7 +103,7 @@ class PartitionEntry:
 @dataclass
 class Manifest:
     epoch: int
-    kind: str  # "delta" | "compact"
+    kind: str  # "delta" | "compact" | "compact_minor"
     segments: list[str] = field(default_factory=list)
     schema_version: int = 0
     schema_fingerprint: str = ""
