@@ -69,6 +69,14 @@ def main(argv: list[str] | None = None) -> int:
         default="lww",
         help="registered merge policy name (lww | additive | custom)",
     )
+    p.add_argument(
+        "--history",
+        choices=["collapsed", "full"],
+        default="collapsed",
+        help="collapsed = per-key winners per epoch (event-time travel "
+        "is epoch-granular); full = retain every version (exact "
+        "as-of-ts travel, storage tracks update volume)",
+    )
 
     p = sub.add_parser("bootstrap", help="load a base parquet as epoch-1 inserts")
     p.add_argument("table")
@@ -212,6 +220,7 @@ def main(argv: list[str] | None = None) -> int:
             num_salts=args.num_salts,
             durability=args.durability,
             merge_policy=args.merge_policy,
+            history=args.history,
         )
         print(json.dumps({"created": args.table}))
         return 0

@@ -151,6 +151,7 @@ class ApplyPartition:
         policy: str = "lww",
         token: str = "",
         ts_watermarks: np.ndarray | None = None,
+        history: str = "collapsed",
     ):
         # NOTE: no limit_worker_threads() here — instance-passed stages are
         # constructed on the DRIVER (pickled to workers, __init__ never
@@ -169,6 +170,7 @@ class ApplyPartition:
         # (idempotent overwrite), concurrent drivers never share it (their
         # data files stay disjoint; only the fence winner's are visible)
         self.token = token
+        self.history = history
         # resolve the callable HERE (driver): runtime-registered policies
         # are not in the worker's registry; the pickled instance carries it
         from xgeo_ray.stages.collapse import MERGE_POLICIES
@@ -226,7 +228,15 @@ class ApplyPartition:
             tw_part = int(self.ts_wm[part])
             if tw_part >= 0:
                 tw = tw_part
-        if self.policy == "lww":
+        if self.history == "full":
+            # keep every distinct version (exact event-time travel);
+            # only redelivered exact duplicates drop
+            from xgeo_ray.stages.collapse import history_dedup
+
+            collapsed, n_keys, n_trips, late = history_dedup(
+                t, ts_watermark_us=tw
+            )
+        elif self.policy == "lww":
             collapsed, n_keys, n_trips, late = collapse_with_metrics(
                 t, drop_tombstones=False, ts_watermark_us=tw
             )
@@ -411,6 +421,7 @@ def _radix_exchange_apply(
             policy=table.merge_policy,
             token=new_commit_token() if token is None else token,
             ts_watermarks=table.ts_watermarks(),
+            history=table.history,
         )
     )
     maps = [
@@ -459,6 +470,7 @@ def _apply_shuffled(
             policy=table.merge_policy,
             token=new_commit_token(),
             ts_watermarks=table.ts_watermarks(),
+            history=table.history,
         ),
         batch_format="pyarrow",
     )
@@ -577,7 +589,10 @@ def ingest_segments(
         table.num_partitions,
         table.num_salts,
         transform=transform,
-        precombine=MERGE_POLICIES[table.merge_policy]["precombinable"],
+        # full-history tables keep superseded versions: the pre-shuffle
+        # collapse would drop them
+        precombine=MERGE_POLICIES[table.merge_policy]["precombinable"]
+        and table.history != "full",
     )
     chunks = plan_read_chunks(segment_paths)
     entries, invalid = _radix_exchange_apply(
@@ -716,7 +731,10 @@ def run_stream(
                 P,
                 table.num_salts,
                 transform=transform,
-                precombine=MERGE_POLICIES[table.merge_policy]["precombinable"],
+                # full-history tables keep superseded versions: the
+                # pre-shuffle collapse would drop them
+                precombine=MERGE_POLICIES[table.merge_policy]["precombinable"]
+                and table.history != "full",
             )
         prep_ref = ray.put(prep)
         return [
@@ -743,6 +761,7 @@ def run_stream(
                 token=new_commit_token(),
                 # bootstrap rows predate the stream: not late by definition
                 ts_watermarks=None if is_boot else tswm,
+                history=table.history,
             )
         )
         snap_refs = None
@@ -965,14 +984,15 @@ def snapshot(
     history; delta files are immutable until vacuum() reclaims them, so
     the vacuum cadence IS the time-travel retention window).
 
-    ``as_of_ts_us`` is EVENT-time travel at EPOCH granularity: the
-    latest COMMITTED version of each key at-or-before T (rows are
-    filtered before the LWW merge; a key whose committed versions are
-    all later than T is absent). Epoch granularity because delta files
-    hold each epoch's per-key winner — a version superseded within its
-    own commit epoch was never part of any committed state and cannot
-    be recovered (the same contract as any lakehouse store's version
-    history). Against a COMPACTED partition whose folded winners
+    ``as_of_ts_us`` is EVENT-time travel: the latest version of each
+    key at-or-before T (rows are filtered before the LWW merge; a key
+    whose versions are all later than T is absent). On the default
+    ``history="collapsed"`` table this is EPOCH-granular — delta files
+    hold each epoch's per-key winner, so a version superseded within
+    its own commit epoch was never part of any committed state (the
+    same contract as any lakehouse store's version history). On a
+    ``history="full"`` table it is EXACT to the event: deltas retain
+    every distinct (key, seq) version. Against a COMPACTED partition whose folded winners
     postdate T even the per-epoch history is gone, so the call fails
     fast — pass ``as_of_epoch`` pointing before that compaction
     (deltas readable until vacuum) or retain deltas longer. Composable
@@ -983,7 +1003,10 @@ def snapshot(
         ms = [
             m
             for m in table.manifests()
-            if m.kind.startswith("compact")  # minor folds history too
+            # minor folds collapse history too — EXCEPT on full-history
+            # tables, where they are version-preserving by construction
+            if m.kind.startswith("compact")
+            and not (m.kind == "compact_minor" and table.history == "full")
             and (as_of_epoch is None or m.epoch <= as_of_epoch)
         ]
         # EVERY compaction at or before the travel point folded history;
@@ -1494,6 +1517,11 @@ def compact(
     from xgeo_ray.stages.collapse import MERGE_POLICIES
 
     policy = MERGE_POLICIES[table.merge_policy]["fn"]
+    # minor folds of a full-history table preserve every version (dedup
+    # + sort only) so endless maintenance never costs the table its
+    # exact event-time travel; a FULL compact folds to state even there
+    # (that is its job — and the travel guard then applies).
+    preserve_history = minor and table.history == "full"
 
     @ray.remote
     def compact_part(part: int, paths: list[str]) -> pa.Table:
@@ -1502,7 +1530,16 @@ def compact(
         limit_worker_threads()
         tables = [pq.read_table(p, use_threads=False) for p in paths]
         rows_in = sum(t.num_rows for t in tables)
-        t = merge_versions(tables, drop_tombstones=False, policy=policy)
+        if preserve_history:
+            from xgeo_ray.schemas import unify as _unify, cast_to as _cast
+            from xgeo_ray.stages.collapse import history_dedup
+
+            tgt = _unify(*[x.schema for x in tables])
+            t = history_dedup(
+                pa.concat_tables([_cast(x, tgt) for x in tables])
+            )[0]
+        else:
+            t = merge_versions(tables, drop_tombstones=False, policy=policy)
         if tombstone_ts_horizon is not None:
             is_d = pc.equal(t.column("op"), "D")
             old = pc.less(

@@ -108,6 +108,45 @@ def collapse_with_metrics(
     return t.filter(pa.array(last)), n_keys, n_trips, late
 
 
+def history_dedup(
+    t: pa.Table, ts_watermark_us: int | None = None
+) -> tuple[pa.Table, int, int, int]:
+    """Full-history delta form (``history="full"`` tables): drop ONLY
+    redelivered exact duplicates (same (key, seq); seq=-1 out-of-band
+    rows exempt, as in additive_collapse) and keep EVERY distinct
+    version, sorted by (key, ts, seq). Returns (deduped, n_keys,
+    n_trips, late) with the same metric semantics as
+    collapse_with_metrics — ``deduped.num_rows == n_trips``.
+
+    This is what makes event-time travel exact to the EVENT instead of
+    the epoch: the delta retains each key's intermediate versions, so
+    ``snapshot(as_of_ts_us=T)``'s pre-merge ts filter sees them."""
+    if t.num_rows == 0:
+        return t, 0, 0, 0
+    t = t.sort_by(
+        [
+            ("conv_id", "ascending"),
+            ("turn_idx", "ascending"),
+            ("ts", "ascending"),
+            ("seq", "ascending"),
+        ]
+    )
+    codes, turn = _key_codes(t)
+    seq = t.column("seq").to_numpy(zero_copy_only=False)
+    key_change = (codes[1:] != codes[:-1]) | (turn[1:] != turn[:-1])
+    n_keys = int(key_change.sum()) + 1
+    trip_start = np.empty(len(codes), dtype=bool)
+    trip_start[0] = True
+    trip_start[1:] = key_change | (seq[1:] != seq[:-1])
+    trip_start |= seq == -1
+    n_trips = int(trip_start.sum())
+    late = 0
+    if ts_watermark_us is not None:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        late = int(np.count_nonzero(trip_start & (ts < ts_watermark_us)))
+    return t.filter(pa.array(trip_start)), n_keys, n_trips, late
+
+
 def maybe_precollapse(t: pa.Table, threshold: float = 0.9) -> pa.Table:
     """Pre-shuffle collapse, only when it pays: an Arrow hash-aggregate
     counts distinct keys in O(n) (no sort); if nearly every row is a

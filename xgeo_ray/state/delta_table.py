@@ -91,12 +91,14 @@ class DeltaTable:
         num_salts: int,
         durability: str = "full",
         merge_policy: str = "lww",
+        history: str = "collapsed",
     ):
         self.root = root
         self.num_partitions = num_partitions
         self.num_salts = num_salts
         self.durability = durability
         self.merge_policy = merge_policy
+        self.history = history
         # immutable-manifest parse cache: repeated manifests() calls
         # (every commit / watermark / resume check) re-parse only NEW
         # files — O(new epochs), not O(total epochs), per call
@@ -112,6 +114,7 @@ class DeltaTable:
         base_schema: pa.Schema = TRANSCRIPTS_SCHEMA,
         durability: str = "full",
         merge_policy: str = "lww",
+        history: str = "collapsed",
     ) -> "DeltaTable":
         """``durability``:
         * ``"full"`` (default) — every delta Parquet is fsync'd (file and
@@ -124,9 +127,24 @@ class DeltaTable:
           manifest references. Use where the filesystem itself is
           durable-on-close (object stores) or throughput matters more
           than power-loss safety.
+
+        ``history``:
+        * ``"collapsed"`` (default) — each epoch delta holds the
+          per-key winner under the merge policy; event-time travel is
+          epoch-granular (a version superseded within its own epoch was
+          never committed).
+        * ``"full"`` — deltas retain EVERY distinct (key, seq) version
+          (only redelivered exact duplicates drop), so
+          ``snapshot(as_of_ts_us=T)`` is exact to the event and the
+          changes feed carries intermediate versions. Storage tracks
+          update volume, not key count; minor compaction stays
+          history-preserving, a FULL compact folds to state (and the
+          time-travel guard then applies).
         """
         if durability not in ("full", "commit"):
             raise ValueError(f"unknown durability {durability!r}")
+        if history not in ("collapsed", "full"):
+            raise ValueError(f"unknown history {history!r}")
         from xgeo_ray.stages.collapse import MERGE_POLICIES
 
         if merge_policy not in MERGE_POLICIES:
@@ -142,13 +160,16 @@ class DeltaTable:
             "format_version": 1,
             "durability": durability,
             "merge_policy": merge_policy,
+            "history": history,
         }
         p = os.path.join(root, TABLE_META)
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
         os.replace(tmp, p)
-        return cls(root, num_partitions, num_salts, durability, merge_policy)
+        return cls(
+            root, num_partitions, num_salts, durability, merge_policy, history
+        )
 
     @classmethod
     def open(cls, root: str) -> "DeltaTable":
@@ -160,6 +181,7 @@ class DeltaTable:
             meta["num_salts"],
             meta.get("durability", "full"),
             meta.get("merge_policy", "lww"),
+            meta.get("history", "collapsed"),
         )
 
     @classmethod
