@@ -286,32 +286,24 @@ def _derived_upper_stage(t: pa.Table) -> pa.Table:
     return t.set_column(i, "text", pc.utf8_upper(t.column("text")))
 
 
-def cdc_derived_state(sf_dir: str):
-    """END-TO-END engine query — the one queries() entry that runs the
-    REAL table machinery (manifests, commit fence, watermarks, derived
-    sync) rather than a kernel mirror: the derived change stream is
-    written to seq-ranged WAL epochs, ingested into a source DeltaTable,
-    and a derived sink table is maintained from the source's committed
-    change feed (``sync_derived``) through an uppercase transform. The
-    sink's merged snapshot is returned; the oracle replays LWW winner
-    per key + upper(text) in SQL, so a hash match certifies the whole
-    ingest→feed→transform→sink path, not just a collapse kernel."""
+def _seq_ranged_wal(sf_dir: str, work: str, n_epochs: int = 3) -> list[list[str]]:
+    """Write the derived change stream as ``n_epochs`` seq-RANGED WAL
+    epoch groups under ``work`` (fresh dir). Epoch boundaries must be
+    seq ranges so the cross-epoch seq watermarks hold; the bounds come
+    from parquet row-group stats (metadata-only)."""
     import os
     import shutil
 
     import pyarrow.parquet as pq
 
-    from xgeo_ray.pipelines import ingest as ing
-    from xgeo_ray.state.delta_table import DeltaTable
-
-    work = f"/tmp/xgeo_derived_q_{os.path.basename(os.path.normpath(sf_dir))}"
     shutil.rmtree(work, ignore_errors=True)
     events_path = f"{sf_dir}/events.parquet"
-    # seq bounds from parquet row-group stats (metadata-only; epoch
-    # boundaries must be seq RANGES for the cross-epoch watermarks)
     pf = pq.ParquetFile(events_path)
     ci = pf.schema_arrow.names.index("event_id")
-    stats = [pf.metadata.row_group(g).column(ci).statistics for g in range(pf.metadata.num_row_groups)]
+    stats = [
+        pf.metadata.row_group(g).column(ci).statistics
+        for g in range(pf.metadata.num_row_groups)
+    ]
     if all(s is not None and s.has_min_max for s in stats):
         lo = min(s.min for s in stats)
         hi = max(s.max for s in stats)
@@ -319,9 +311,11 @@ def cdc_derived_state(sf_dir: str):
         col = pq.read_table(events_path, columns=["event_id"]).column("event_id")
         mm = pc.min_max(col).as_py()
         lo, hi = mm["min"], mm["max"]
-    cuts = [lo - 1, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi]
+    cuts = [lo - 1] + [
+        lo + k * (hi - lo) // n_epochs for k in range(1, n_epochs)
+    ] + [hi]
     groups = []
-    for k in range(3):
+    for k in range(n_epochs):
         a, b = cuts[k], cuts[k + 1]
         part = derive_change_events(sf_dir).map_batches(
             lambda t, a=a, b=b: t.filter(
@@ -342,6 +336,29 @@ def cdc_derived_state(sf_dir: str):
                 if f.endswith(".parquet")
             )
         )
+    return groups
+
+
+def cdc_derived_state(sf_dir: str):
+    """END-TO-END engine query — the one queries() entry that runs the
+    REAL table machinery (manifests, commit fence, watermarks, derived
+    sync) rather than a kernel mirror: the derived change stream is
+    written to seq-ranged WAL epochs, ingested into a source DeltaTable,
+    and a derived sink table is maintained from the source's committed
+    change feed (``sync_derived``) through an uppercase transform. The
+    sink's merged snapshot is returned; the oracle replays LWW winner
+    per key + upper(text) in SQL, so a hash match certifies the whole
+    ingest→feed→transform→sink path, not just a collapse kernel."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    work = f"/tmp/xgeo_derived_q_{os.path.basename(os.path.normpath(sf_dir))}"
+    groups = _seq_ranged_wal(sf_dir, work)
     src = DeltaTable.create(f"{work}/src", num_partitions=16, num_salts=2)
     ing.run_stream(src, [], segment_groups=groups)
     sink = DeltaTable.create(f"{work}/sink", num_partitions=8, num_salts=1)
@@ -350,6 +367,38 @@ def cdc_derived_state(sf_dir: str):
     # has no tool column) — project it out at the snapshot read
     return ing.snapshot(
         sink, columns=["conv_id", "turn_idx", "role", "text", "ts"]
+    )
+
+
+# 2024-01-16T00:00:00Z in µs — mid-stream at every sf (events span
+# 2024-01-01..2024-01-30); a fixed constant so engine and oracle agree
+_ASOF_T_US = 1_705_363_200_000_000
+
+
+def cdc_state_asof(sf_dir: str):
+    """Exact event-time travel on the REAL engine: the derived change
+    stream is ingested into a ``history="full"`` DeltaTable (3
+    seq-ranged epochs via the normal fence machinery), then
+    ``snapshot(as_of_ts_us=T)`` reconstructs the state as of mid-stream
+    T. The oracle replays latest-version-per-key-at-T in SQL, so a hash
+    match certifies that version-retaining deltas reproduce the exact
+    historical state — including within-epoch superseded versions a
+    collapsed table cannot recover."""
+    import os
+
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    work = f"/tmp/xgeo_asof_q_{os.path.basename(os.path.normpath(sf_dir))}"
+    groups = _seq_ranged_wal(sf_dir, work)
+    t = DeltaTable.create(
+        f"{work}/t", num_partitions=16, num_salts=2, history="full"
+    )
+    ing.run_stream(t, [], segment_groups=groups)
+    return ing.snapshot(
+        t,
+        as_of_ts_us=_ASOF_T_US,
+        columns=["conv_id", "turn_idx", "role", "text", "ts"],
     )
 
 
@@ -1139,6 +1188,7 @@ def build_queries() -> dict:
         "cdc_late_events": cdc_late_events,
         "cdc_changes_feed": cdc_changes_feed,
         "cdc_derived_state": cdc_derived_state,
+        "cdc_state_asof": cdc_state_asof,
         "text_normalized": text_normalized,
         "pii_redacted": pii_redacted,
         "doc_chunks": doc_chunks,
@@ -1288,6 +1338,14 @@ def build_oracle_sql() -> dict[str, str]:
         "cdc_derived_state": f"""
             WITH ev AS ({derive})
             SELECT conv_id, turn_idx, role, upper(text) AS text, ts FROM ev
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) = 1
+              AND op <> 'D'
+        """,
+        "cdc_state_asof": f"""
+            WITH ev AS ({derive})
+            SELECT conv_id, turn_idx, role, text, ts FROM ev
+            WHERE ts <= make_timestamp({_ASOF_T_US})
             QUALIFY row_number() OVER (
                 PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) = 1
               AND op <> 'D'
