@@ -50,3 +50,27 @@ def test_detects_runaway_consumer_cursor(table):
     cons.ack(table, "greedy", table.latest_epoch() + 5)
     out = ing.fsck(table)
     assert not out["ok"] and any("ahead of the committed" in i for i in out["issues"])
+
+
+def test_vacuum_respects_consumers_by_default_and_warns_on_override(table):
+    """Default vacuum keeps deltas a lagging consumer still needs; a
+    deliberate override is a fsck WARNING (alarm clears when the group
+    catches up), never an ok=False corruption verdict."""
+    cons.ack(table, "lagger", 1)  # acked epoch 1 of 2
+    ing.compact(table)
+    stats = ing.vacuum(table)  # default: respect consumers
+    out = ing.fsck(table)
+    assert out["ok"] and out["warnings"] == []
+    # epoch-2 deltas must have survived (the lagger's feed reads them)
+    assert any("epoch=000002" in p for ps in [
+        [e.path for m in table.manifests() if m.kind == "delta"
+         for e in m.partitions.values() if e.path]
+    ] for p in ps)
+    stats2 = ing.vacuum(table, respect_consumers=False)
+    assert stats2["deleted"] > 0
+    out = ing.fsck(table)
+    assert out["ok"], out["issues"]  # not corruption...
+    assert out["warnings"]  # ...but the consumer gap is surfaced
+    cons.ack(table, "lagger", table.latest_epoch())
+    out = ing.fsck(table)
+    assert out["ok"] and out["warnings"] == []  # alarm clears

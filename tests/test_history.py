@@ -190,3 +190,26 @@ def test_history_policy_persisted_and_validated(tmp_path):
     assert DeltaTable.open(t.root).history == "full"
     with pytest.raises(ValueError, match="history"):
         DeltaTable.create(str(tmp_path / "bad"), history="everything")
+
+
+def test_history_dedup_catches_ts_altered_redelivery(tmp_path):
+    """A redelivered (key, seq) copy whose ts was altered in flight
+    must still drop — dedup runs under its own (key, seq) sort, not
+    the (key, ts, seq) output order."""
+    ev = _ev(
+        [
+            (0, "I", "c0", 0, "v1", 100),
+            (1, "U", "c0", 0, "v2", 200),
+        ]
+    )
+    dup = _ev([(0, "I", "c0", 0, "v1", 300)])  # same seq, altered ts
+    segs = fx.write_segments(ev, str(tmp_path / "w1"), n_segments=1)
+    segs += fx.write_segments(dup, str(tmp_path / "w2"), n_segments=1)
+    th = DeltaTable.create(
+        str(tmp_path / "h"), num_partitions=2, num_salts=1, history="full"
+    )
+    m = ing.ingest_segments(th, segs)  # one epoch, both segments
+    assert m.totals["applied"] == 2  # v1, v2 — not the phantom copy
+    feed = ing.changes(th).to_pandas()
+    assert len(feed) == 2
+    assert _state(th).iloc[0].text == "v2"

@@ -121,6 +121,12 @@ def main(argv: list[str] | None = None) -> int:
         help="fold delta chains after every N committed epochs",
     )
     p.add_argument(
+        "--compact-minor",
+        action="store_true",
+        help="make each maintenance fold MINOR (delta chain only — "
+        "O(changes) per cycle; run a full compact out-of-band)",
+    )
+    p.add_argument(
         "--vacuum",
         action="store_true",
         help="reclaim superseded delta files after each inline compaction",
@@ -193,10 +199,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("table")
     p.add_argument(
-        "--respect-consumers",
+        "--no-respect-consumers",
         action="store_true",
-        help="keep superseded deltas still ahead of the slowest "
-        "consumer group's acked cursor",
+        help="reclaim superseded deltas even when a registered consumer "
+        "group has not acked them (default keeps them; fsck then "
+        "reports the gap as a warning)",
     )
 
     p = sub.add_parser("status", help="print manifests + lineage totals as JSON")
@@ -259,6 +266,7 @@ def main(argv: list[str] | None = None) -> int:
                 segments_per_epoch=args.segments_per_epoch,
                 idle_polls_to_stop=args.idle_polls_to_stop,
                 compact_every_epochs=args.compact_every,
+                compact_minor=args.compact_minor,
                 vacuum_after_compact=args.vacuum,
             )
             print(
@@ -330,7 +338,10 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "vacuum":
             print(
                 json.dumps(
-                    ing.vacuum(table, respect_consumers=args.respect_consumers)
+                    ing.vacuum(
+                        table,
+                        respect_consumers=not args.no_respect_consumers,
+                    )
                 )
             )
         elif args.cmd == "get":

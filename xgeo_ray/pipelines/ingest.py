@@ -1322,10 +1322,13 @@ def fsck(table: DeltaTable) -> dict:
     data reads: cheap enough to run before every resume on a 100 TB
     table. Verifies that every still-NEEDED manifest-referenced file
     exists with the recorded byte size — needed = in the current
-    visible set, or a delta epoch a registered consumer group has not
-    acked yet (the same retention rule vacuum --respect-consumers
-    enforces); files a compaction superseded and vacuum reclaimed are
-    counted (``files_reclaimed``), not flagged. Also checks manifest
+    visible set (missing → ISSUE: real corruption or premature
+    vacuum). A missing delta file a registered consumer group has not
+    acked yet is a WARNING, not corruption: an operator may have
+    overridden vacuum's consumer retention deliberately
+    (``respect_consumers=False``), and the alarm must clear once the
+    group catches up or is dropped. Files a compaction superseded and
+    vacuum reclaimed are counted (``files_reclaimed``), not flagged. Also checks manifest
     epochs are consecutive from 1, per-partition seq watermarks never
     regress across delta epochs (out-of-band -1 entries exempt), the
     schema version is monotone, and no consumer cursor is ahead of the
@@ -1347,6 +1350,7 @@ def fsck(table: DeltaTable) -> dict:
     keep_after = _cons.min_cursor(table)
     referenced: set[str] = set()
     reclaimed = 0
+    warnings: list[str] = []
     wm = {}
     prev_version = 0
     for m in ms:
@@ -1364,15 +1368,21 @@ def fsck(table: DeltaTable) -> dict:
             try:
                 size = os.path.getsize(full)
             except FileNotFoundError:
-                needed = os.path.abspath(full) in visible or (
-                    keep_after is not None
-                    and m.kind == "delta"
-                    and m.epoch > keep_after
-                )
-                if needed:
+                if os.path.abspath(full) in visible:
                     issues.append(
                         f"epoch {m.epoch} part {k}: missing file {e.path} "
                         "(vacuumed too early, or external deletion)"
+                    )
+                elif (
+                    keep_after is not None
+                    and m.kind == "delta"
+                    and m.epoch > keep_after
+                ):
+                    warnings.append(
+                        f"epoch {m.epoch} part {k}: delta {e.path} gone "
+                        "but a consumer group has not acked past epoch "
+                        f"{keep_after} (vacuum consumer-retention was "
+                        "overridden; feed reads of that range will fail)"
                     )
                 else:
                     reclaimed += 1  # superseded history, legally vacuumed
@@ -1414,6 +1424,7 @@ def fsck(table: DeltaTable) -> dict:
         "files_referenced": len(referenced),
         "files_unreferenced": unreferenced,
         "files_reclaimed": reclaimed,
+        "warnings": warnings,
     }
 
 
@@ -1592,7 +1603,7 @@ def compact(
     )
 
 
-def vacuum(table: DeltaTable, respect_consumers: bool = False) -> dict:
+def vacuum(table: DeltaTable, respect_consumers: bool = True) -> dict:
     """Delete partition files superseded by a committed compaction —
     the storage-reclaim half of compact() (which rewrites but never
     deletes, so a long-running table otherwise accumulates every epoch's
@@ -1614,13 +1625,15 @@ def vacuum(table: DeltaTable, respect_consumers: bool = False) -> dict:
     finish before vacuuming (same reader-grace contract as any LSM
     store).
 
-    ``respect_consumers``: also keep superseded delta files of epochs
-    still AHEAD of the slowest registered consumer group's cursor
-    (state/consumers.py) — the changes feed reads delta files, so this
-    turns the documented "size the vacuum cadence to the slowest
-    consumer's lag" contract into an enforced one. A group that never
-    acks then blocks reclaim indefinitely (by design: drop the group or
-    vacuum without the flag to override)."""
+    ``respect_consumers`` (DEFAULT): also keep superseded delta files
+    of epochs still AHEAD of the slowest registered consumer group's
+    cursor (state/consumers.py) — the changes feed reads delta files,
+    so this turns the documented "size the vacuum cadence to the
+    slowest consumer's lag" contract into an enforced one. A group that
+    never acks then blocks reclaim indefinitely; drop the group or pass
+    ``respect_consumers=False`` to override — fsck will then surface
+    the consumer gap as a WARNING (not corruption) until the group
+    catches up or is dropped."""
     import re as _re
 
     keep_after = None

@@ -340,19 +340,17 @@ def _seq_ranged_wal(sf_dir: str, work: str, n_epochs: int = 3) -> list[list[str]
 
 
 def cdc_derived_state(sf_dir: str):
-    """END-TO-END engine query — the one queries() entry that runs the
-    REAL table machinery (manifests, commit fence, watermarks, derived
-    sync) rather than a kernel mirror: the derived change stream is
-    written to seq-ranged WAL epochs, ingested into a source DeltaTable,
-    and a derived sink table is maintained from the source's committed
-    change feed (``sync_derived``) through an uppercase transform. The
-    sink's merged snapshot is returned; the oracle replays LWW winner
-    per key + upper(text) in SQL, so a hash match certifies the whole
-    ingest→feed→transform→sink path, not just a collapse kernel."""
+    """END-TO-END engine query — runs the REAL table machinery
+    (manifests, commit fence, watermarks, derived sync) rather than a
+    kernel mirror (as does ``cdc_state_asof``): the derived change
+    stream is written to seq-ranged WAL epochs, ingested into a source
+    DeltaTable, and a derived sink table is maintained from the
+    source's committed change feed (``sync_derived``) through an
+    uppercase transform. The sink's merged snapshot is returned; the
+    oracle replays LWW winner per key + upper(text) in SQL, so a hash
+    match certifies the whole ingest→feed→transform→sink path, not
+    just a collapse kernel."""
     import os
-    import shutil
-
-    import pyarrow.parquet as pq
 
     from xgeo_ray.pipelines import ingest as ing
     from xgeo_ray.state.delta_table import DeltaTable

@@ -120,9 +120,27 @@ def history_dedup(
 
     This is what makes event-time travel exact to the EVENT instead of
     the epoch: the delta retains each key's intermediate versions, so
-    ``snapshot(as_of_ts_us=T)``'s pre-merge ts filter sees them."""
+    ``snapshot(as_of_ts_us=T)``'s pre-merge ts filter sees them.
+
+    The dedup runs under its OWN (key, seq) lexsort, not the (key, ts,
+    seq) output order: a redelivered event whose ts was altered in
+    flight would not be adjacent there and would survive as a phantom
+    version (the same hardening additive_collapse got in round 2)."""
     if t.num_rows == 0:
         return t, 0, 0, 0
+    # pass 1 — dedup on (key, seq) regardless of ts
+    codes, turn = _key_codes(t)
+    seq = t.column("seq").to_numpy(zero_copy_only=False)
+    order = np.lexsort((seq, turn, codes))
+    c, tu, s = codes[order], turn[order], seq[order]
+    fresh_sorted = np.ones(len(c), dtype=bool)
+    fresh_sorted[1:] = (c[1:] != c[:-1]) | (tu[1:] != tu[:-1]) | (s[1:] != s[:-1])
+    fresh_sorted |= s == -1
+    if not fresh_sorted.all():
+        keep = np.zeros(len(c), dtype=bool)
+        keep[order] = fresh_sorted
+        t = t.filter(pa.array(keep))
+    # pass 2 — (key, ts, seq) output order + metrics over distinct rows
     t = t.sort_by(
         [
             ("conv_id", "ascending"),
@@ -132,19 +150,14 @@ def history_dedup(
         ]
     )
     codes, turn = _key_codes(t)
-    seq = t.column("seq").to_numpy(zero_copy_only=False)
     key_change = (codes[1:] != codes[:-1]) | (turn[1:] != turn[:-1])
-    n_keys = int(key_change.sum()) + 1
-    trip_start = np.empty(len(codes), dtype=bool)
-    trip_start[0] = True
-    trip_start[1:] = key_change | (seq[1:] != seq[:-1])
-    trip_start |= seq == -1
-    n_trips = int(trip_start.sum())
+    n_keys = (int(key_change.sum()) + 1) if len(codes) else 0
+    n_trips = t.num_rows
     late = 0
     if ts_watermark_us is not None:
         ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        late = int(np.count_nonzero(trip_start & (ts < ts_watermark_us)))
-    return t.filter(pa.array(trip_start)), n_keys, n_trips, late
+        late = int(np.count_nonzero(ts < ts_watermark_us))
+    return t, n_keys, n_trips, late
 
 
 def maybe_precollapse(t: pa.Table, threshold: float = 0.9) -> pa.Table:

@@ -289,6 +289,33 @@ class DeltaTable:
         ``vacuum()`` does), so every pre-vacuum epoch stays readable —
         the retention contract is the vacuum cadence, exactly as in
         other LSM/lakehouse stores."""
+        base, chain = self._walk_visible(as_of_epoch)
+        out: dict[int, list[str]] = {}
+        for k in range(self.num_partitions):
+            v = ([base[k]] if base[k] else []) + chain[k]
+            if v:
+                out[k] = [os.path.join(self.root, p) for p in v]
+        return out
+
+    def partition_chain_files(self) -> dict[int, list[str]]:
+        """The DELTA-CHAIN half of the visible set (everything after the
+        last full compaction, with prior minor folds collapsed in) —
+        what a minor compaction folds. Absolute paths; partitions whose
+        chain is empty are omitted."""
+        _, chain = self._walk_visible(None)
+        return {
+            k: [os.path.join(self.root, p) for p in v]
+            for k, v in chain.items()
+            if v
+        }
+
+    def _walk_visible(
+        self, as_of_epoch: int | None
+    ) -> tuple[dict[int, str | None], dict[int, list[str]]]:
+        """ONE manifest walk shared by partition_files and
+        partition_chain_files: per partition, the base (last full
+        compact's file) and the delta chain after it (a minor fold
+        replaces the chain accumulated so far). Relative paths."""
         base: dict[int, str | None] = {k: None for k in range(self.num_partitions)}
         chain: dict[int, list[str]] = {k: [] for k in range(self.num_partitions)}
         for m in self.manifests():
@@ -303,33 +330,7 @@ class DeltaTable:
                     chain[kk] = [e.path] if e.path else []
                 elif e.path:  # "" = zero-row epoch entry (lineage only)
                     chain[kk].append(e.path)
-        out: dict[int, list[str]] = {}
-        for k in range(self.num_partitions):
-            v = ([base[k]] if base[k] else []) + chain[k]
-            if v:
-                out[k] = [os.path.join(self.root, p) for p in v]
-        return out
-
-    def partition_chain_files(self) -> dict[int, list[str]]:
-        """The DELTA-CHAIN half of the visible set (everything after the
-        last full compaction, with prior minor folds collapsed in) —
-        what a minor compaction folds. Absolute paths; partitions whose
-        chain is empty are omitted."""
-        chain: dict[int, list[str]] = {k: [] for k in range(self.num_partitions)}
-        for m in self.manifests():
-            for k, e in m.partitions.items():
-                kk = int(k)
-                if m.kind == "compact":
-                    chain[kk] = []
-                elif m.kind == "compact_minor":
-                    chain[kk] = [e.path] if e.path else []
-                elif e.path:
-                    chain[kk].append(e.path)
-        return {
-            k: [os.path.join(self.root, p) for p in v]
-            for k, v in chain.items()
-            if v
-        }
+        return base, chain
 
     # ------------------------------------------------------------- commit
     def commit_epoch(
