@@ -78,6 +78,15 @@ def main(argv: list[str] | None = None) -> int:
         "as-of-ts travel, storage tracks update volume)",
     )
 
+    p = sub.add_parser(
+        "produce",
+        help="crash-safe WAL producer: JSONL rows on stdin -> published "
+        "segments (seq minted, atomic rename; restart resumes the seq "
+        "space from the directory)",
+    )
+    p.add_argument("wal_dir")
+    p.add_argument("--segment-rows", type=int, default=262_144)
+
     p = sub.add_parser("bootstrap", help="load a base parquet as epoch-1 inserts")
     p.add_argument("table")
     p.add_argument("base")
@@ -219,6 +228,37 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     from xgeo_ray.state.delta_table import DeltaTable
+
+    if args.cmd == "produce":  # no table, no Ray: stdin -> WAL segments
+        import io
+
+        from pyarrow import json as pa_json
+
+        from xgeo_ray.sources.wal_writer import WalWriter
+
+        w = WalWriter(args.wal_dir, segment_rows=args.segment_rows)
+        buf = b""
+        n = 0
+        stdin = sys.stdin.buffer
+        while True:
+            chunk = stdin.read(1 << 20)
+            if not chunk:
+                break
+            buf += chunk
+            cut = buf.rfind(b"\n")
+            if cut < 0:
+                continue
+            part, buf = buf[: cut + 1], buf[cut + 1 :]
+            t = pa_json.read_json(io.BytesIO(part))
+            w.append(t)
+            n += t.num_rows
+        if buf.strip():
+            t = pa_json.read_json(io.BytesIO(buf))
+            w.append(t)
+            n += t.num_rows
+        w.close()
+        print(json.dumps({"rows": n, "next_segment": w._next_idx}))
+        return 0
 
     if args.cmd == "create":
         DeltaTable.create(

@@ -1,0 +1,180 @@
+"""Crash-safe WAL segment producer — the PRODUCE side of the engine's
+changelog contract (the consume side is ``ingest.run_stream`` /
+``ingest.tail``). The reference has no producer (it is a transform CLI,
+/root/reference/cmd/xgeo/main.go:20-62); a CDC engine needs one, and
+its guarantees must mirror the consumer's:
+
+* **Atomic publish**: a segment is written to ``.tmp-<pid>`` and
+  renamed into place (optionally fsync'd first), so the tailer's
+  mtime-stability window never reads a half-written file and a
+  producer crash leaves at most an invisible tmp (reclaimed by the
+  next writer's roll with the same index).
+* **Monotonic seq minting**: ``append`` stamps each row the next
+  global WAL offset. On restart the writer resumes BOTH the segment
+  numbering and the seq space from the directory itself — parquet
+  footer statistics of the last published segment, metadata-only —
+  so a crashed producer continues exactly where its last PUBLISHED
+  segment ended; rows buffered but not rolled at the crash are gone
+  (the standard producer contract: nothing is durable before roll).
+* **At-least-once friendliness**: a producer that re-appends rows it
+  is unsure about after a crash re-stamps them with NEW seqs; the
+  consumer's per-key LWW by (ts, seq) makes the replay harmless for
+  upserts (same ts → later seq wins with equal content), which is the
+  same tolerance the engine extends to any at-least-once WAL.
+
+Rows may arrive without ``seq`` (always minted here — a caller that
+owns the seq space should write segments itself), and ``op``/``ts``
+default like ``apply_changes`` (op="U"/now). Extra columns beyond the
+envelope flow through — schema evolution is the CONSUMER's job
+(plan_envelope_schema unions segment schemas).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_SEG_RE = re.compile(r"^segment-(\d{5})\.parquet$")
+
+
+def _scan_dir(wal_dir: str) -> tuple[int, int]:
+    """(next segment index, next seq) from the published segments —
+    parquet footer statistics only, no data reads."""
+    try:
+        names = sorted(n for n in os.listdir(wal_dir) if _SEG_RE.match(n))
+    except FileNotFoundError:
+        return 0, 0
+    if not names:
+        return 0, 0
+    next_idx = int(_SEG_RE.match(names[-1]).group(1)) + 1
+    max_seq = -1
+    for n in names:
+        pf = pq.ParquetFile(os.path.join(wal_dir, n))
+        sch = pf.schema_arrow
+        if "seq" not in sch.names:
+            continue
+        ci = sch.names.index("seq")
+        stats = [
+            pf.metadata.row_group(g).column(ci).statistics
+            for g in range(pf.metadata.num_row_groups)
+        ]
+        if stats and all(s is not None and s.has_min_max for s in stats):
+            max_seq = max(max_seq, max(s.max for s in stats))
+        else:  # stats absent: one-column read of this segment
+            col = pq.read_table(
+                os.path.join(wal_dir, n), columns=["seq"]
+            ).column("seq")
+            if len(col):
+                max_seq = max(max_seq, pa.compute.max(col).as_py())
+    return next_idx, max_seq + 1
+
+
+class WalWriter:
+    """Buffering producer for a WAL directory (see module docstring).
+
+    >>> with WalWriter(wal_dir, segment_rows=250_000) as w:
+    ...     w.append(rows)        # seq/op/ts minted; auto-rolls
+    ...     w.flush()             # force out a partial segment
+    """
+
+    def __init__(
+        self,
+        wal_dir: str,
+        segment_rows: int = 262_144,
+        durable: bool = True,
+        row_group_size: int = 262_144,
+    ):
+        self.wal_dir = wal_dir
+        self.segment_rows = segment_rows
+        self.durable = durable
+        self.row_group_size = row_group_size
+        os.makedirs(wal_dir, exist_ok=True)
+        self._next_idx, self._next_seq = _scan_dir(wal_dir)
+        self._buf: list[pa.Table] = []
+        self._buffered = 0
+
+    # ------------------------------------------------------------- produce
+    def append(self, rows: pa.Table) -> tuple[int, int]:
+        """Stamp ``rows`` with the next seq range (plus op/ts defaults)
+        and buffer them; rolls a segment whenever the buffer reaches
+        ``segment_rows``. Returns the (first, last) seq minted —
+        durable only once the covering segment publishes."""
+        if "seq" in rows.column_names:
+            raise ValueError(
+                "WalWriter mints seq itself; a producer that owns the "
+                "seq space should write segment files directly"
+            )
+        n = rows.num_rows
+        if n == 0:
+            return self._next_seq, self._next_seq - 1
+        if "op" not in rows.column_names:
+            rows = rows.append_column(
+                "op", pa.array(np.full(n, "U", dtype="U1"), pa.string())
+            )
+        if "ts" not in rows.column_names:
+            now = int(time.time() * 1_000_000)
+            rows = rows.append_column(
+                "ts",
+                pa.array(np.full(n, now, dtype=np.int64), pa.timestamp("us")),
+            )
+        first = self._next_seq
+        seqs = np.arange(first, first + n, dtype=np.int64)
+        rows = pa.table(
+            {"seq": pa.array(seqs), **{c: rows.column(c) for c in rows.column_names}}
+        )
+        self._next_seq = first + n
+        self._buf.append(rows)
+        self._buffered += n
+        while self._buffered >= self.segment_rows:
+            self._roll(self.segment_rows)
+        return first, first + n - 1
+
+    def flush(self) -> str | None:
+        """Publish whatever is buffered as one segment (None if empty)."""
+        if self._buffered == 0:
+            return None
+        return self._roll(self._buffered)
+
+    def close(self) -> None:
+        self.flush()
+
+    def __enter__(self) -> "WalWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if exc[0] is None:
+            self.flush()  # crash path leaves only invisible tmp files
+
+    # ------------------------------------------------------------- internal
+    def _roll(self, take: int) -> str:
+        t = pa.concat_tables(self._buf, promote_options="permissive")
+        out, rest = t.slice(0, take), t.slice(take)
+        self._buf = [rest] if rest.num_rows else []
+        self._buffered = rest.num_rows
+        path = os.path.join(
+            self.wal_dir, f"segment-{self._next_idx:05d}.parquet"
+        )
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(out, tmp, row_group_size=self.row_group_size)
+        if self.durable:
+            with open(tmp, "rb+") as f:
+                os.fsync(f.fileno())
+        from xgeo_ray.state.storage import DEFAULT_STORAGE
+
+        DEFAULT_STORAGE.publish_file(tmp, path, durable=self.durable)
+        # reclaim stale tmps a crashed producer left for this index —
+        # its buffered rows were never durable, so they are dead bytes
+        prefix = os.path.basename(path) + ".tmp-"
+        for n in os.listdir(self.wal_dir):
+            if n.startswith(prefix):
+                try:
+                    os.remove(os.path.join(self.wal_dir, n))
+                except FileNotFoundError:
+                    pass
+        self._next_idx += 1
+        return path
