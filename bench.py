@@ -206,6 +206,7 @@ def run_bench() -> dict:
         "token_totals_by_lang",
         "ann_top10",
         "minhash_dup_pairs",
+        "dup_clusters",
     ]:
         fn = Q.build_queries()[name]
         best = None
