@@ -90,6 +90,58 @@ class PosixStorage:
             self.sync_dir(os.path.dirname(final_path))
 
 
+class ObjectStoreStorage:
+    """Object-store-CONTRACT implementation, emulated over a local
+    directory for contract tests: the engine-facing semantics are
+    exactly the documented restricted primitive set — a conditional PUT
+    (create-if-absent, FileExistsError on conflict), a plain atomic PUT,
+    and no-op durability barriers (a 200 response IS the barrier). No
+    interface call relies on hard links, rename-as-API, or directory
+    fsync, which is what a real S3/GCS/Azure backend cannot provide.
+
+    Emulation internals may use local renames to reproduce the PUT
+    atomicity a real service guarantees natively (readers never see a
+    partial object). One emulation-only artifact: the exclusivity claim
+    (``.claim`` sidecar, O_EXCL) and the object's visibility are two
+    steps, so a crash between them leaves a claimed-but-invisible
+    control file — a window a real conditional PUT does not have."""
+
+    def sync_dir(self, path: str) -> None:
+        pass  # object stores have no directories; the PUT ack is durable
+
+    def commit_bytes_exclusive(self, path: str, data: bytes) -> None:
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = path + f".objtmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            # the conditional PUT: If-None-Match:* — exactly one creator
+            fd = os.open(path + ".claim", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise
+        os.replace(tmp, path)  # atomic visibility (native in a real store)
+
+    def publish_file(self, tmp_path: str, final_path: str, durable: bool) -> None:
+        # a plain object PUT: atomic visibility, last-writer-wins;
+        # `durable` is a no-op (the ack is the durability barrier)
+        os.replace(tmp_path, final_path)
+
+
+def _resolve_default():
+    """Backend selection at import time — read in the DRIVER and in
+    every Ray worker (local-mode workers inherit the env), so one
+    env var switches the whole engine onto the restricted contract:
+    ``XGEO_STORAGE=objectstore`` runs ingest/fence/consumers without
+    links, renames-as-API, or dir fsync anywhere in the interface."""
+    if os.environ.get("XGEO_STORAGE", "posix") == "objectstore":
+        return ObjectStoreStorage()
+    return PosixStorage()
+
+
 # Process-wide default. A multi-node object-store deployment swaps this
-# for an implementation of the documented conditional-put contract.
-DEFAULT_STORAGE = PosixStorage()
+# for an implementation of the documented conditional-put contract
+# (or selects the emulation via XGEO_STORAGE=objectstore for tests).
+DEFAULT_STORAGE = _resolve_default()
