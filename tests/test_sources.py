@@ -114,7 +114,9 @@ def test_cli_lifecycle(tmp_path):
     out2 = json.loads(run("snapshot", f"{root}/t", f"{root}/snap"))
     assert out2["written"] == 0 and out2["skipped"] == out["partitions"]
     status = json.loads(run("status", f"{root}/t"))
-    assert len(status) == 2  # bootstrap + one ingest epoch
+    assert len(status["epochs"]) == 2  # bootstrap + one ingest epoch
+    assert status["policies"]["merge_policy"] == "lww"
+    assert status["max_chain_files"] >= 1
     out = json.loads(run("compact", f"{root}/t"))
     assert out["kind"] == "compact"
     out = json.loads(run("vacuum", f"{root}/t"))

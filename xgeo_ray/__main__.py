@@ -392,9 +392,9 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(out))
             return 0 if out["ok"] else 1
         elif args.cmd == "status":
-            out = []
+            epochs = []
             for m in table.manifests():
-                out.append(
+                epochs.append(
                     {
                         "epoch": m.epoch,
                         "kind": m.kind,
@@ -404,7 +404,33 @@ def main(argv: list[str] | None = None) -> int:
                         "partitions": len(m.partitions),
                     }
                 )
-            print(json.dumps(out))
+            chain = table.partition_chain_files()
+            from xgeo_ray.state import consumers as _cons
+
+            print(
+                json.dumps(
+                    {
+                        "table": table.root,
+                        "policies": {
+                            "merge_policy": table.merge_policy,
+                            "durability": table.durability,
+                            "history": table.history,
+                            "num_partitions": table.num_partitions,
+                            "num_salts": table.num_salts,
+                        },
+                        "latest_epoch": table.latest_epoch(),
+                        # merge-on-read pressure: fold when this grows
+                        "max_chain_files": max(
+                            (len(v) for v in chain.values()), default=0
+                        ),
+                        "consumers": {
+                            g: _cons.position(table, g)
+                            for g in _cons.groups(table)
+                        },
+                        "epochs": epochs,
+                    }
+                )
+            )
     finally:
         import ray
 
