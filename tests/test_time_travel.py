@@ -227,3 +227,48 @@ def test_time_travel_schema_as_of(tmp_path):
     assert "meta" not in old.names and "meta" in new.names
     assert old.types[old.names.index("turn_idx")] == pa.int32()
     assert new.types[new.names.index("turn_idx")] == pa.int64()
+
+
+def test_asof_ts_snapshot_prunes_newer_files(tmp_path):
+    """snapshot(as_of_ts_us=T) must not READ delta files whose
+    manifest min_ts is entirely above T (zone-map prune), and still
+    return the exact T-state."""
+    import numpy as np
+
+    def ev(seq0, n, ts0):
+        return pa.table(
+            {
+                "seq": pa.array(np.arange(seq0, seq0 + n, dtype=np.int64)),
+                "op": pa.array(["U"] * n),
+                "conv_id": pa.array([f"c{i % 5}" for i in range(n)]),
+                "turn_idx": pa.array((np.arange(n) % 3).astype("int32")),
+                "text": pa.array([f"s{seq0 + i}" for i in range(n)]),
+                "ts": pa.array(
+                    ts0 + np.arange(n, dtype=np.int64), pa.timestamp("us")
+                ),
+            }
+        )
+
+    t = DeltaTable.create(str(tmp_path / "t"), num_partitions=4, num_salts=1)
+    s1 = fx.write_segments(ev(0, 60, 1_000), str(tmp_path / "w1"), n_segments=1)
+    s2 = fx.write_segments(ev(60, 60, 1_000_000), str(tmp_path / "w2"), n_segments=1)
+    ing.ingest_segments(t, s1)
+    ing.ingest_segments(t, s2)
+    T = 500_000  # between the two epochs
+    pruned = t.partition_files_ts_pruned(None, T)
+    full = t.partition_files()
+    assert sum(len(v) for v in pruned.values()) < sum(len(v) for v in full.values())
+    assert all("epoch=000002" not in p for v in pruned.values() for p in v)
+    got = (
+        ing.snapshot(t, as_of_ts_us=T)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        fx.naive_final_state(None, ev(0, 60, 1_000))
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)

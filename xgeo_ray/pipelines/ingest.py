@@ -997,9 +997,13 @@ def snapshot(
     fast — pass ``as_of_epoch`` pointing before that compaction
     (deltas readable until vacuum) or retain deltas longer. Composable
     with ``as_of_epoch``/``columns``."""
-    plan = table.partition_files(as_of_epoch)
     envelope = table.current_schema(as_of_epoch)
-    if as_of_ts_us is not None:
+    if as_of_ts_us is None:
+        plan = table.partition_files(as_of_epoch)
+    else:
+        # zone-map prune: manifest [min_ts] drops files entirely newer
+        # than T before any read task — travel further back, read less
+        plan = table.partition_files_ts_pruned(as_of_epoch, as_of_ts_us)
         ms = [
             m
             for m in table.manifests()

@@ -297,6 +297,29 @@ class DeltaTable:
                 out[k] = [os.path.join(self.root, p) for p in v]
         return out
 
+    def partition_files_ts_pruned(
+        self, as_of_epoch: int | None, as_of_ts_us: int
+    ) -> dict[int, list[str]]:
+        """The visible set for an ``as_of_ts_us`` read: files whose
+        manifest-recorded ``min_ts`` is entirely ABOVE T are dropped
+        before any read task — every row in them would be filtered out
+        pre-merge anyway, so time-travel reads get CHEAPER the further
+        back they go (the zone-map trick changes() uses, applied to
+        snapshots; most valuable on history="full" tables whose chain
+        keeps growing). Files with unknown min_ts (-1) are kept."""
+        base, chain = self._walk_visible(as_of_epoch, with_ts=True)
+        out: dict[int, list[str]] = {}
+        for k in range(self.num_partitions):
+            v = ([base[k]] if base[k] else []) + chain[k]
+            keep = [
+                p
+                for p, min_ts in v
+                if min_ts < 0 or min_ts <= as_of_ts_us
+            ]
+            if keep:
+                out[k] = [os.path.join(self.root, p) for p in keep]
+        return out
+
     def partition_chain_files(self) -> dict[int, list[str]]:
         """The DELTA-CHAIN half of the visible set (everything after the
         last full compaction, with prior minor folds collapsed in) —
@@ -309,27 +332,27 @@ class DeltaTable:
             if v
         }
 
-    def _walk_visible(
-        self, as_of_epoch: int | None
-    ) -> tuple[dict[int, str | None], dict[int, list[str]]]:
-        """ONE manifest walk shared by partition_files and
-        partition_chain_files: per partition, the base (last full
-        compact's file) and the delta chain after it (a minor fold
-        replaces the chain accumulated so far). Relative paths."""
-        base: dict[int, str | None] = {k: None for k in range(self.num_partitions)}
-        chain: dict[int, list[str]] = {k: [] for k in range(self.num_partitions)}
+    def _walk_visible(self, as_of_epoch: int | None, with_ts: bool = False):
+        """ONE manifest walk shared by the file-plan methods: per
+        partition, the base (last full compact's file) and the delta
+        chain after it (a minor fold replaces the chain accumulated so
+        far). Relative paths; with ``with_ts`` each element is
+        ``(path, min_ts)`` (base becomes such a tuple too)."""
+        wrap = (lambda e: (e.path, e.min_ts)) if with_ts else (lambda e: e.path)
+        base: dict[int, object] = {k: None for k in range(self.num_partitions)}
+        chain: dict[int, list] = {k: [] for k in range(self.num_partitions)}
         for m in self.manifests():
             if as_of_epoch is not None and m.epoch > as_of_epoch:
                 break  # manifests are ascending by epoch
             for k, e in m.partitions.items():
                 kk = int(k)
                 if m.kind == "compact":
-                    base[kk] = e.path or None
+                    base[kk] = wrap(e) if e.path else None
                     chain[kk] = []
                 elif m.kind == "compact_minor":
-                    chain[kk] = [e.path] if e.path else []
+                    chain[kk] = [wrap(e)] if e.path else []
                 elif e.path:  # "" = zero-row epoch entry (lineage only)
-                    chain[kk].append(e.path)
+                    chain[kk].append(wrap(e))
         return base, chain
 
     # ------------------------------------------------------------- commit
