@@ -1772,6 +1772,8 @@ def tail(
     vacuum_respect_consumers: bool = True,
     allowed_lateness_us: int = 0,
     on_watermark_advance=None,
+    lease_holder: str | None = None,
+    lease_ttl_s: float = 30.0,
 ) -> list[Manifest]:
     """Follow a WAL directory and apply new segments as they land — the
     'binlog tailer' entry point. Micro-batch streaming: each poll that
@@ -1806,16 +1808,68 @@ def tail(
     views up to ``watermark_us`` exactly once per advance. Events older
     than the watermark still apply correctly (LWW by ts) and surface in
     the per-epoch ``late`` lineage total — monitor it to size
-    ``allowed_lateness_us``."""
+    ``allowed_lateness_us``.
+
+    ``lease_holder`` takes the ADVISORY writer lease before tailing and
+    renews it every poll: a second tailer on the same table fails fast
+    at startup (state/lease.py) instead of losing every fence race
+    after doing the work. Correctness never depends on it — the fence
+    still serializes commits."""
     import time as _time
 
     from xgeo_ray.sources.wal import is_supported_segment
+    from xgeo_ray.state import lease as _lease
+
+    if lease_holder is not None:
+        _lease.acquire(table, lease_holder, ttl_s=lease_ttl_s)
+    try:
+        return _tail_loop(
+            table,
+            wal_dir,
+            poll_interval_s,
+            segments_per_epoch,
+            idle_polls_to_stop,
+            stable_for_s,
+            compact_every_epochs,
+            compact_minor,
+            vacuum_after_compact,
+            vacuum_respect_consumers,
+            allowed_lateness_us,
+            on_watermark_advance,
+            lease_holder,
+        )
+    finally:
+        if lease_holder is not None:
+            _lease.release(table, lease_holder)
+
+
+def _tail_loop(
+    table,
+    wal_dir,
+    poll_interval_s,
+    segments_per_epoch,
+    idle_polls_to_stop,
+    stable_for_s,
+    compact_every_epochs,
+    compact_minor,
+    vacuum_after_compact,
+    vacuum_respect_consumers,
+    allowed_lateness_us,
+    on_watermark_advance,
+    lease_holder,
+):
+    import time as _time
+
+    from xgeo_ray.sources.wal import is_supported_segment
+    from xgeo_ray.state import lease as _lease
 
     committed: list[Manifest] = []
     idle = 0
     epochs_since_compact = 0
     last_wm = table.event_time_watermark(allowed_lateness_us)
     while True:
+        if lease_holder is not None:
+            _lease.renew(table, lease_holder)
         now = _time.time()
         try:
             names = sorted(os.listdir(wal_dir))

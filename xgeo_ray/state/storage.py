@@ -89,6 +89,15 @@ class PosixStorage:
         if durable:
             self.sync_dir(os.path.dirname(final_path))
 
+    def delete_control(self, path: str) -> None:
+        """Remove a control file published via commit_bytes_exclusive so
+        the name can be claimed again (lease steal/release). Object
+        store: DELETE of the key."""
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
 
 class ObjectStoreStorage:
     """Object-store-CONTRACT implementation, emulated over a local
@@ -128,6 +137,14 @@ class ObjectStoreStorage:
         # a plain object PUT: atomic visibility, last-writer-wins;
         # `durable` is a no-op (the ack is the durability barrier)
         os.replace(tmp_path, final_path)
+
+    def delete_control(self, path: str) -> None:
+        # DELETE of the key (+ the emulation's claim sidecar)
+        for p in (path, path + ".claim"):
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
 
 
 def _resolve_default():
