@@ -154,3 +154,47 @@ def test_additive_collapse_matches_pandas_oracle(events):
     )
     want["turn_idx"] = want["turn_idx"].astype(got["turn_idx"].dtype)
     pd.testing.assert_frame_equal(got, want)
+
+
+# ------------------------------------------------------ full-history kernel
+
+from xgeo_ray.stages.collapse import history_dedup  # noqa: E402
+
+
+@given(events_strategy, st.integers(0, 3))
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+def test_history_dedup_invariants(events, n_dups):
+    """For ANY stream (ts collisions, ts-altered redeliveries):
+    1. output rows == distinct (key, seq) triples of the input,
+    2. LWW over the retained history == LWW over the raw input
+       (keeping versions must never change the final state),
+    3. output is sorted by (key, ts, seq)."""
+    t = _build(events)
+    # redeliver the first n_dups events with ALTERED ts (worst case)
+    if n_dups and t.num_rows:
+        k = min(n_dups, t.num_rows)
+        dup = t.slice(0, k)
+        i = dup.schema.get_field_index("ts")
+        shifted = pa.compute.add(
+            dup.column("ts").cast(pa.int64()), 999_000
+        ).cast(pa.timestamp("us"))
+        dup = dup.set_column(i, dup.schema.field("ts"), shifted)
+        t = pa.concat_tables([t, dup])
+    kept, n_keys, n_trips, _ = history_dedup(t)
+    df = t.to_pandas()
+    assert n_trips == df.groupby(["conv_id", "turn_idx", "seq"]).ngroups
+    assert kept.num_rows == n_trips
+    assert n_keys == df.groupby(["conv_id", "turn_idx"]).ngroups
+    # final state unchanged by retaining history
+    got = lww_collapse(kept, drop_tombstones=True).to_pandas()
+    want = fx.naive_final_state(None, t).to_pandas()
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "text"]],
+        want[["conv_id", "turn_idx", "text"]],
+    )
+    # sortedness of the retained history
+    kd = kept.to_pandas()
+    key = list(zip(kd.conv_id, kd.turn_idx, kd.ts, kd.seq))
+    assert key == sorted(key)
