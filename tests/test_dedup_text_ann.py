@@ -475,3 +475,59 @@ def test_chunk_documents_semantics():
     c0 = df[(df.doc_id == 0) & (df.chunk_idx == 0)].iloc[0]["chunk_text"]
     c1 = df[(df.doc_id == 0) & (df.chunk_idx == 1)].iloc[0]["chunk_text"]
     assert c0.endswith("t3") and c1.startswith("t3")
+
+
+def test_ivf_append_incremental_index(tmp_path):
+    """ivf_append maintains the persisted index incrementally: cost is
+    the append batch (new generation files only; base files untouched),
+    and probe results equal a full rebuild with the same centroids."""
+    import os
+
+    from xgeo_ray.functions.ann import (
+        build_ivf_index,
+        ivf_append,
+        ivf_topk_indexed,
+        plan_probe_files,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((400, 16)).astype(np.float32)
+
+    def ds_of(sl):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(sl.start, sl.stop), pa.int64()),
+                    "embedding": pa.array(
+                        [v.tolist() for v in vecs[sl]], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        )
+
+    cents = train_ivf_centroids(ds_of(slice(0, 400)), num_centroids=8)
+    idx = str(tmp_path / "inc")
+    build_ivf_index(ds_of(slice(0, 200)), cents, idx)
+    before = {
+        f: os.path.getmtime(os.path.join(idx, f))
+        for f in os.listdir(idx)
+        if f.startswith("part-")
+    }
+    m = ivf_append(idx, ds_of(slice(200, 400)))
+    assert sum(int(v) for v in m["parts"].values()) == 400
+    # base files untouched; appended generations are NEW files
+    for f, mt in before.items():
+        assert os.path.getmtime(os.path.join(idx, f)) == mt
+    gens = [f for f in os.listdir(idx) if "-g" in f]
+    assert gens
+    # probe reads all generations of probed lists, still list-pruned
+    q = vecs[[3, 250]]
+    _, files = plan_probe_files(idx, q, nprobe=2)
+    n_all = len([f for f in os.listdir(idx) if f.startswith("part-")])
+    assert 0 < len(files) < n_all
+    # results identical to a full one-shot build with the same centroids
+    full = str(tmp_path / "full")
+    build_ivf_index(ds_of(slice(0, 400)), cents, full)
+    got = ivf_topk_indexed(idx, q, k=10, nprobe=3).to_pandas()
+    want = ivf_topk_indexed(full, q, k=10, nprobe=3).to_pandas()
+    assert got.equals(want)

@@ -203,12 +203,81 @@ def build_ivf_index(
     return manifest
 
 
+def ivf_append(
+    index_dir: str,
+    emb: ray.data.Dataset,
+    vec_col: str | None = None,
+) -> dict:
+    """INCREMENTAL index maintenance: assign new vectors to the
+    EXISTING centroids and append one generation file per touched
+    inverted list (``part-NNNNN-gTOKEN.parquet``) — cost scales with
+    the append batch, not the corpus, so the index can follow a growing
+    table the way derived tables follow the change feed. Probes read
+    every generation of the probed lists (still nprobe lists).
+
+    Results are IDENTICAL to a full rebuild with the same centroids
+    (assignment is deterministic); what an append cannot do is move the
+    centroids, so recall drifts if the data distribution does — rebuild
+    with retrained centroids when list-size skew grows (the manifest's
+    per-part row counts are the signal)."""
+    import json
+    import os
+
+    from xgeo_ray.pipelines.ingest import _atomic_write_parquet
+    from xgeo_ray.state.delta_table import new_commit_token
+
+    with open(os.path.join(index_dir, "_ivf.json")) as f:
+        manifest = json.load(f)
+    cents = np.asarray(manifest["centroids"], dtype=np.float64)
+    vec_col = vec_col or manifest["vec_col"]
+    token = new_commit_token()
+    assigned = ivf_assign(emb, cents, vec_col)
+
+    def write_gen(g: pa.Table) -> pa.Table:
+        from xgeo_ray.tuning import limit_worker_threads
+
+        limit_worker_threads()
+        p = int(g.column("ivf_part")[0].as_py())
+        path = os.path.join(index_dir, f"part-{p:05d}-g{token}.parquet")
+        _atomic_write_parquet(g.drop_columns(["ivf_part"]), path)
+        return pa.table(
+            {
+                "ivf_part": pa.array([p], pa.int32()),
+                "rows": pa.array([g.num_rows], pa.int64()),
+            }
+        )
+
+    write_gen.__name__ = "append_ivf_gen"
+    stats = (
+        assigned.groupby("ivf_part")
+        .map_groups(write_gen, batch_format="pyarrow")
+        .to_pandas()
+    )
+    files = manifest.setdefault("files", {})
+    parts = manifest["parts"]
+    for r in stats.itertuples():
+        p = str(int(r.ivf_part))
+        base = (
+            [f"part-{int(r.ivf_part):05d}.parquet"] if p in parts else []
+        )
+        files.setdefault(p, base).append(
+            f"part-{int(r.ivf_part):05d}-g{token}.parquet"
+        )
+        parts[p] = parts.get(p, 0) + int(r.rows)
+    tmp = os.path.join(index_dir, f"_ivf.json.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, "_ivf.json"))
+    return manifest
+
+
 def plan_probe_files(
     index_dir: str, query_vecs: np.ndarray, nprobe: int
 ) -> tuple[np.ndarray, list[str]]:
     """(centroids, index files to read) for a query batch — the
     probe-pruned read plan; files for partitions no query probes are
-    never opened."""
+    never opened. Appended lists (ivf_append) may span several
+    generation files; all generations of a probed list are read."""
     import json
     import os
 
@@ -221,12 +290,14 @@ def plan_probe_files(
     q = q / qn[:, None]
     probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
     wanted = sorted({int(p) for row in probe for p in row})
+    gen_files = manifest.get("files", {})
     avail = {int(p) for p in manifest["parts"]}
-    files = [
-        os.path.join(index_dir, f"part-{p:05d}.parquet")
-        for p in wanted
-        if p in avail  # empty inverted lists have no file
-    ]
+    files = []
+    for p in wanted:
+        if p not in avail:
+            continue  # empty inverted lists have no file
+        for name in gen_files.get(str(p), [f"part-{p:05d}.parquet"]):
+            files.append(os.path.join(index_dir, name))
     return cents, files
 
 
