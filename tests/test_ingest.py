@@ -252,6 +252,29 @@ def test_point_lookup_single_conversation(built_table):
     assert ing.lookup(table, "no-such-conv").num_rows == 0
 
 
+def test_batch_lookup_many(built_table):
+    """lookup_many(N convs) == snapshot filtered to them, with one
+    merge task per TOUCHED partition (missing keys just yield nothing)."""
+    table, base, events, _ = built_table
+    snap = ing.snapshot(table).to_pandas()
+    convs = sorted(snap["conv_id"].unique()[:3].tolist())
+    want = (
+        snap[snap["conv_id"].isin(convs)]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    got = (
+        ing.lookup_many(table, convs + ["no-such-conv"])
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # duplicates in the request are deduped; empty request -> typed empty
+    got2 = ing.lookup_many(table, convs + convs).to_pandas()
+    assert len(got2) == len(want)
+    assert ing.lookup_many(table, []).num_rows == 0
+
+
 def test_final_snapshot_fused_matches_snapshot(tmp_path):
     """run_stream(final_snapshot=True) returns the same merged state as
     a separate snapshot() pass, commits identically, and the returned

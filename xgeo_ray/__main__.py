@@ -197,10 +197,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ts-us", type=int, default=None)
 
     p = sub.add_parser(
-        "get", help="point lookup: merged rows of one conversation"
+        "get",
+        help="point lookup: merged rows of one or more conversations "
+        "(N ids fan out one merge task per touched partition)",
     )
     p.add_argument("table")
-    p.add_argument("conv_id")
+    p.add_argument("conv_id", nargs="+")
     p.add_argument("--turn", type=int, default=None)
 
     p = sub.add_parser(
@@ -385,7 +387,13 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         elif args.cmd == "get":
-            t = ing.lookup(table, args.conv_id, turn_idx=args.turn)
+            if len(args.conv_id) == 1:
+                t = ing.lookup(table, args.conv_id[0], turn_idx=args.turn)
+            else:
+                if args.turn is not None:
+                    raise SystemExit("--turn applies to a single conv_id")
+                _init_ray()  # batch path fans out merge tasks
+                t = ing.lookup_many(table, args.conv_id)
             print(json.dumps(t.to_pylist(), default=str))
         elif args.cmd == "fsck":
             out = ing.fsck(table)

@@ -1488,6 +1488,81 @@ def lookup(
     return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
 
 
+@ray.remote
+def _lookup_part_task(
+    paths: list[str],
+    conv_ids: list[str],
+    envelope: pa.Schema,
+    policy_fn,
+) -> pa.Table:
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    tables = []
+    for p in paths:
+        t = pq.read_table(
+            p, use_threads=False, filters=[("conv_id", "in", conv_ids)]
+        )
+        if t.num_rows:
+            tables.append(t)
+    t = merge_versions(tables, drop_tombstones=True, policy=policy_fn)
+    return cast_to(t, envelope) if t.num_rows else envelope.empty_table()
+
+
+def lookup_many(
+    table: DeltaTable,
+    conv_ids: list[str],
+    keep_lineage: bool = False,
+) -> pa.Table:
+    """BATCH point lookup: the merged state of N conversations with one
+    merge task per TOUCHED partition — each conversation's keys hash to
+    at most ``num_salts`` partitions, the ``conv_id IN (...)`` predicate
+    is pushed to the Parquet row-group filter, and untouched partitions
+    are never opened. I/O scales with the keys requested, wall time
+    with touched partitions / CPUs — not with N sequential round-trips
+    (``lookup``) and not with table size (``snapshot``)."""
+    from xgeo_ray.partition import compute_part_key
+    from xgeo_ray.stages.collapse import MERGE_POLICIES
+
+    ids = sorted(set(conv_ids))
+    envelope = table.current_schema()
+    if not ids:
+        base = pa.schema(
+            [f for f in envelope if keep_lineage or f.name not in LINEAGE_COLS]
+        )
+        return base.empty_table()
+    salts = np.arange(max(1, table.num_salts), dtype=np.int64)
+    part_ids: dict[int, set[str]] = {}
+    for cid in ids:
+        parts = compute_part_key(
+            pa.array([cid] * len(salts)),
+            pa.array(salts, pa.int64()),
+            table.num_partitions,
+            table.num_salts,
+        )
+        for p in parts:
+            part_ids.setdefault(int(p), set()).add(cid)
+    plan = table.partition_files()
+    policy_fn = MERGE_POLICIES[table.merge_policy]["fn"]
+    refs = [
+        _lookup_part_task.remote(
+            plan[part], sorted(want), envelope, policy_fn
+        )
+        for part, want in sorted(part_ids.items())
+        if part in plan
+    ]
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    if not tables:
+        base = pa.schema(
+            [f for f in envelope if keep_lineage or f.name not in LINEAGE_COLS]
+        )
+        return base.empty_table()
+    t = pa.concat_tables(tables)  # each key merged fully in its partition
+    if not keep_lineage:
+        t = t.drop_columns([c for c in LINEAGE_COLS if c in t.column_names])
+    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
 def compact(
     table: DeltaTable,
     tombstone_ts_horizon: int | None = None,
