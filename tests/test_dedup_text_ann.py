@@ -531,3 +531,55 @@ def test_ivf_append_incremental_index(tmp_path):
     got = ivf_topk_indexed(idx, q, k=10, nprobe=3).to_pandas()
     want = ivf_topk_indexed(full, q, k=10, nprobe=3).to_pandas()
     assert got.equals(want)
+
+
+def test_hash_sample_rate_deterministic_and_stratified():
+    from xgeo_ray.functions.relational import hash_sample
+
+    n = 20000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "grp": pa.array((np.arange(n) % 3).astype(np.int64)),
+        }
+    )
+    got = hash_sample(ray.data.from_arrow(t), "doc_id", 100, salt=7).to_pandas()
+    again = hash_sample(ray.data.from_arrow(t), "doc_id", 100, salt=7).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(again["doc_id"])  # reproducible
+    # rate ~10% globally and within every stratum (no shuffle needed)
+    assert 0.08 < len(got) / n < 0.12
+    for g, sub in got.groupby("grp"):
+        assert 0.07 < len(sub) / (n / 3) < 0.13, (g, len(sub))
+    # a different salt draws a (near-)independent replica
+    other = hash_sample(ray.data.from_arrow(t), "doc_id", 100, salt=8).to_pandas()
+    overlap = len(set(got["doc_id"]) & set(other["doc_id"]))
+    assert overlap < 0.03 * n  # ~1% expected under independence
+    # rim cases: 0 keeps nothing, 1000 keeps everything
+    assert hash_sample(ray.data.from_arrow(t), "doc_id", 0).count() == 0
+    assert hash_sample(ray.data.from_arrow(t), "doc_id", 1000).count() == n
+
+
+def test_contaminated_ids_flags_only_overlapping_docs():
+    bench = pa.table(
+        {
+            "doc_id": pa.array([1000], pa.int64()),
+            "text": pa.array(["the quick brown fox jumps over lazy dogs"]),
+        }
+    )
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "we saw the quick brown fox yesterday",  # shares a 3-gram
+                    "completely unrelated sentence about parquet files",
+                    "quick brown elsewhere but never three in a row",
+                    "fox jumps over the fence",  # "fox jumps over" overlaps
+                ]
+            ),
+        }
+    )
+    got = dd.contaminated_ids(
+        ray.data.from_arrow(corpus), ray.data.from_arrow(bench)
+    ).to_pandas()
+    assert sorted(got["doc_id"].tolist()) == [1, 4]

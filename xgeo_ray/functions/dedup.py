@@ -933,3 +933,92 @@ def simhash_dup_pairs(
     return partial_group_agg(
         cands, ["doc_id_a", "doc_id_b"], [("hamming", "min", "hamming")]
     )
+
+
+# ----------------------------------------------------------- decontamination
+
+
+class _FlagContaminated:
+    """Streaming corpus-side membership test against the broadcast
+    benchmark shingle set: explode each doc's distinct shingle hashes
+    (the ShingleExploder kernel inline, so per-doc boundaries survive),
+    binary-search the sorted benchmark array, per-doc any via reduceat.
+    Instance-passed (task stage); the broadcast resolves lazily once per
+    worker process via ray.get of the shared ref."""
+
+    def __init__(self, bench_ref, k_shingle: int):
+        self.ref = bench_ref
+        self.k = k_shingle
+        self._bench: np.ndarray | None = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        if self._bench is None:
+            self._bench = _ray.get(self.ref)
+        bench = self._bench
+        texts = batch.column("text").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = [t.split() for t in texts]
+        lens = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        th_all = hash_tokens(flat)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        sh_list = [
+            _shingles_from_token_hashes(th_all[offs[i] : offs[i + 1]], self.k)
+            for i in range(len(texts))
+        ]
+        counts = np.array([len(s) for s in sh_list], dtype=np.int64)
+        sh = (
+            np.concatenate(sh_list).view(np.int64)
+            if sh_list
+            else np.empty(0, dtype=np.int64)
+        )
+        idx = np.searchsorted(bench, sh)
+        hit = (idx < len(bench)) & (bench[np.minimum(idx, len(bench) - 1)] == sh)
+        if not len(ids):
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        # every doc contributes >= 1 shingle (the kernels emit a sentinel
+        # for empty docs), so reduceat segment starts are strictly valid
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        doc_hits = np.add.reduceat(hit, starts)
+        return pa.table({"doc_id": pa.array(ids[doc_hits > 0], pa.int64())})
+
+
+def contaminated_ids(
+    docs: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    k_shingle: int = 3,
+) -> ray.data.Dataset:
+    """Benchmark decontamination (the eval-overlap filter every training
+    corpus needs): doc_ids of corpus documents sharing >= 1 word
+    k-shingle with ANY benchmark document.
+
+    Scale shape — broadcast, never shuffle: the benchmark side is tiny
+    by construction (eval suites are MBs against a 100 TB corpus), so
+    its DISTINCT shingle-hash set is computed distributed (the same
+    ShingleExploder kernel the similarity joins use), reduced to unique
+    hashes per block before anything reaches the driver, ray.put once,
+    and the corpus side is a pure streaming filter (binary search per
+    batch). Nothing is O(corpus) anywhere but the stream itself, and
+    corpus text never leaves its read task.
+
+    Same hashed-shingle equivalence as ngram_jaccard_dup_pairs: joining
+    on 64-bit shingle hashes == joining on the shingle strings
+    (collisions vanishingly unlikely; the SQL oracle joins strings).
+    """
+    import ray as _ray
+
+    ex = benchmark.select_columns(["doc_id", "text"]).map_batches(
+        ShingleExploder(k_shingle), batch_format="pyarrow"
+    )
+    per_block = ex.map_batches(
+        lambda b: pa.table({"sh": pc.unique(b.column("sh"))}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    bench = np.unique(per_block.to_pandas()["sh"].to_numpy())
+    ref = _ray.put(bench)
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _FlagContaminated(ref, k_shingle), batch_format="pyarrow"
+    )

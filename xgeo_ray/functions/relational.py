@@ -477,6 +477,51 @@ def top_k(
     return pruned.sort(sort_cols, descending=descending).limit(k)
 
 
+def hash_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    rate_permille: int,
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic hash sampling: keep a row iff the Fibonacci
+    multiplicative hash of its integer key lands in the acceptance band.
+
+    ``rate_permille`` / 1000 is the expected sampling rate; the same
+    (key, salt) always makes the same keep/drop decision, so samples are
+    reproducible across runs, machines and engines (the predicate is
+    pure mod-2^64 arithmetic — DuckDB replays it with HUGEINT, see the
+    ``sampled_docs`` oracle). Stratified sampling falls out for free:
+    the decision is per-row, so every subgroup is sampled at ~the same
+    rate without a shuffle, and disjoint ``salt`` values yield
+    independent replicas. Scale shape: a pure streaming filter — no
+    shuffle, no state, no driver participation.
+
+    The selector uses the HIGH bits of ``key * 2^64/phi`` (Fibonacci
+    hashing): low bits of a multiplicative hash are weak (the lowest
+    bit is just the key's parity), high bits are well mixed even for
+    sequential keys. Keys must be non-negative int64 (the SQL replay
+    has no two's-complement view).
+    """
+    if not 0 <= rate_permille <= 1000:
+        raise ValueError(f"rate_permille must be in [0, 1000], got {rate_permille}")
+    mult = _MIX  # 0x9E3779B97F4A7C15 = round(2^64 / golden ratio), odd
+    rate = np.uint64(rate_permille)
+    shift = np.uint64(40)
+    salt_u = np.uint64(salt)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = (
+            pc.fill_null(batch.column(key_col).cast(pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        with np.errstate(over="ignore"):  # mod-2^64 wraparound IS the hash
+            h = (keys + salt_u) * mult
+        return batch.filter(pa.array(((h >> shift) % np.uint64(1000)) < rate))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def add_time_bucket(
     ds: ray.data.Dataset, ts_col: str, unit: str = "hour", alias: str = "bucket"
 ) -> ray.data.Dataset:

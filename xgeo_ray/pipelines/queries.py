@@ -1083,6 +1083,42 @@ def doc_fingerprints(sf_dir: str):
     )
 
 
+def sampled_docs(sf_dir: str):
+    """Deterministic ~10% hash sample of documents — reproducible
+    cross-engine (the oracle replays the exact Fibonacci-hash acceptance
+    predicate in HUGEINT mod-2^64 arithmetic). Pure streaming filter;
+    stratification falls out because the decision is per-row."""
+    from xgeo_ray.functions.relational import hash_sample
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return hash_sample(ds, "doc_id", rate_permille=100, salt=7)
+
+
+def _bench_split(b: pa.Table, keep_benchmark: bool) -> pa.Table:
+    """documents -> the synthetic 'benchmark' slice (doc_id % 50 == 0)
+    or its complement (the corpus)."""
+    ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+    m = ids % 50 == 0
+    return b.filter(pa.array(m if keep_benchmark else ~m))
+
+
+def decontaminated_docs(sf_dir: str):
+    """Benchmark decontamination: corpus doc_ids sharing >= 1 word
+    3-shingle with the benchmark slice. Benchmark shingle hashes are
+    broadcast once (small side); the corpus pass is a streaming
+    membership filter — no shuffle (functions/dedup.py:contaminated_ids)."""
+    from xgeo_ray.functions.dedup import contaminated_ids
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus = docs.map_batches(
+        lambda b: _bench_split(b, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    bench = docs.map_batches(
+        lambda b: _bench_split(b, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return contaminated_ids(corpus, bench, k_shingle=3)
+
+
 # --------------------------------------------------------------- ANN
 
 
@@ -1219,6 +1255,8 @@ def build_queries() -> dict:
         "embedding_dup_pairs": embedding_dup_pairs_q,
         "lang_id_pred": lang_id_pred,
         "doc_fingerprints": doc_fingerprints,
+        "sampled_docs": sampled_docs,
+        "decontaminated_docs": decontaminated_docs,
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
         "multimodal_decode": multimodal_decode,
@@ -1719,6 +1757,37 @@ def build_oracle_sql() -> dict[str, str]:
                    CAST(FLOOR((least(4, n_frames) - 1) * n_frames
                               / CAST(least(4, n_frames) AS DOUBLE)) AS INT) AS max_frame_idx
             FROM m
+        """,
+        # the exact Fibonacci-hash acceptance predicate hash_sample
+        # applies: h = (key + salt) * floor(2^64/phi) mod 2^64; keep iff
+        # (h >> 40) % 1000 < rate. 2^40 = 1099511627776.
+        "sampled_docs": """
+            SELECT doc_id, lang FROM documents
+            WHERE (((CAST(doc_id AS HUGEINT) + 7)
+                     * CAST('11400714819323198485' AS HUGEINT))
+                    % CAST('18446744073709551616' AS HUGEINT)
+                    // 1099511627776) % 1000 < 100
+        """,
+        # word-3-gram overlap vs the doc_id%50==0 'benchmark' slice —
+        # string shingles == the engine's 64-bit shingle hashes (same
+        # equivalence the ngram_jaccard oracle relies on)
+        "decontaminated_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              FROM toks, unnest(generate_series(1, len(w) - 2)) t(i)
+              WHERE len(w) >= 3
+              UNION ALL
+              SELECT doc_id, array_to_string(w, ' ') AS s FROM toks WHERE len(w) < 3
+            ),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+            SELECT DISTINCT CAST(c.doc_id AS BIGINT) AS doc_id
+            FROM sh c JOIN bench USING (s)
+            WHERE c.doc_id % 50 <> 0
         """,
         # exact rolling Karp-Rabin min-hash fingerprint over the UTF-8
         # bytes (ASCII corpus): 8-byte windows, base 1000003, wrap mod
