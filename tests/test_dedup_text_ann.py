@@ -1,4 +1,5 @@
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray
@@ -583,3 +584,40 @@ def test_contaminated_ids_flags_only_overlapping_docs():
         ray.data.from_arrow(corpus), ray.data.from_arrow(bench)
     ).to_pandas()
     assert sorted(got["doc_id"].tolist()) == [1, 4]
+
+
+def test_pack_sequences_spans_and_offsets():
+    from xgeo_ray.functions.text import pack_sequences
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 3, 9, 7], pa.int64()),
+            "text": pa.array(
+                [
+                    " ".join(["w"] * 10),  # id 5: tokens 3..13
+                    " ".join(["w"] * 3),  # id 1: tokens 0..3
+                    "",  # id 3: zero tokens -> no rows
+                    " ".join(["w"] * 20),  # id 9: tokens 23..43
+                    " ".join(["w"] * 10),  # id 7: tokens 13..23
+                ]
+            ),
+        }
+    )
+    got = (
+        pack_sequences(ray.data.from_arrow(t).repartition(3), seq_len=16)
+        .to_pandas()
+        .sort_values(["doc_id", "seq_id"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "doc_id": [1, 5, 7, 7, 9, 9],
+            "seq_id": [0, 0, 0, 1, 1, 2],
+            "off_in_seq": [0, 3, 13, 0, 7, 0],
+            "n_tok": [3, 10, 3, 7, 9, 11],
+        }
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    # every full sequence carries exactly seq_len tokens
+    per_seq = got.groupby("seq_id")["n_tok"].sum()
+    assert (per_seq.iloc[:-1] == 16).all() and per_seq.iloc[-1] <= 16

@@ -279,3 +279,127 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_numpy(zero_copy_only=False)
     fp = fingerprint64(np.asarray(texts, dtype=object))
     return batch.append_column("fingerprint", pa.array(fp.view(np.int64), pa.int64()))
+
+
+# ------------------------------------------------------- sequence packing
+
+
+def pack_sequences(
+    ds,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+):
+    """Fixed-length training-sequence packing (the concatenate-and-chunk
+    layout LLM pretraining uses): conceptually, concatenate all document
+    tokens in ``id_col`` order and cut the stream into sequences of
+    exactly ``seq_len`` tokens; emit the doc->sequence span map — one
+    row per (doc, sequence) overlap with the offset inside the sequence
+    and the token count it contributes. Zero-token docs contribute no
+    rows; a long doc spans several sequences.
+
+    Scale shape — hierarchical distributed prefix sum, no global sort
+    of the data: (1) token counts per doc are computed in the stream
+    (the vectorized ``token_count_table`` kernel) and ONLY the
+    (id, n_tokens) pairs survive — text never leaves its read task;
+    (2) docs are range-bucketed on id (monotone ``id * K // (max+1)``),
+    per-bucket token totals are reduced distributed and only K scalars
+    reach the driver, whose exclusive prefix over them is broadcast
+    back; (3) each bucket independently sorts its own (small) id set,
+    adds its base offset, and emits span rows fully vectorized
+    (repeat + segment-local arange). Driver state is O(num_buckets),
+    worker state is O(docs-per-bucket) ids+counts — never text.
+
+    Counterpart of the reference's stream-order-preserving record
+    pipeline (/root/reference/cmd/xgeo/main.go:36-55) for the training-
+    export case where a GLOBAL deterministic token order is the output
+    contract.
+    """
+    import ray as _ray  # noqa: F401  (Dataset type only)
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+
+    counts = ds.map_batches(
+        lambda b: token_count_table(b.select([id_col, text_col]), text_col)
+        .select([id_col, "n_tokens"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    mx = counts.max(id_col)
+    if mx is None:  # empty input
+        return counts.map_batches(
+            lambda b: pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "seq_id": pa.array([], pa.int64()),
+                    "off_in_seq": pa.array([], pa.int64()),
+                    "n_tok": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    span = (int(mx) + num_buckets) // num_buckets  # ceil((mx+1)/K), monotone
+
+    _B = "__pack_bucket"
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(_B, pa.array(ids // span, pa.int64()))
+
+    bucketed = counts.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # per-bucket token totals: distributed partial sums, K rows per block,
+    # O(num_buckets) final reduce on the driver
+    per_block = bucketed.map_batches(
+        lambda b: b.select([_B, "n_tokens"])
+        .group_by(_B)
+        .aggregate([("n_tokens", "sum")]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    totals = np.zeros(num_buckets + 1, dtype=np.int64)
+    agg = per_block.groupby(_B)["n_tokens_sum"].sum()
+    totals[np.asarray(agg.index, dtype=np.int64)] = agg.to_numpy(np.int64)
+    base = np.concatenate([[0], np.cumsum(totals)])[: num_buckets + 1]
+
+    L = np.int64(seq_len)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bkt = int(g[_B].iloc[0])
+        g = g.sort_values(id_col, kind="stable")
+        ids = g[id_col].to_numpy(np.int64)
+        n = g["n_tokens"].to_numpy(np.int64)
+        st = base[bkt] + np.cumsum(n) - n
+        keep = n > 0
+        ids, n, st = ids[keep], n[keep], st[keep]
+        if not len(ids):
+            return pd.DataFrame(
+                {
+                    id_col: np.empty(0, np.int64),
+                    "seq_id": np.empty(0, np.int64),
+                    "off_in_seq": np.empty(0, np.int64),
+                    "n_tok": np.empty(0, np.int64),
+                }
+            )
+        first = st // L
+        reps = (st + n - 1) // L - first + 1
+        d = np.repeat(np.arange(len(ids)), reps)
+        within = np.arange(reps.sum()) - np.repeat(np.cumsum(reps) - reps, reps)
+        seq = first[d] + within
+        seq_start = seq * L
+        lo = np.maximum(seq_start, st[d])
+        hi = np.minimum(seq_start + L, (st + n)[d])
+        return pd.DataFrame(
+            {
+                id_col: ids[d],
+                "seq_id": seq,
+                "off_in_seq": lo - seq_start,
+                "n_tok": hi - lo,
+            }
+        )
+
+    return bucketed.groupby(_B).map_groups(per_bucket, batch_format="pandas")

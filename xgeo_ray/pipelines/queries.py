@@ -1119,6 +1119,18 @@ def decontaminated_docs(sf_dir: str):
     return contaminated_ids(corpus, bench, k_shingle=3)
 
 
+def packed_sequences(sf_dir: str):
+    """Fixed-length training-sequence packing: concatenate all document
+    tokens in doc_id order, cut into 256-token sequences, emit the
+    doc->sequence span map. Hierarchical distributed prefix sum — only
+    per-bucket token totals reach the driver
+    (functions/text.py:pack_sequences)."""
+    from xgeo_ray.functions.text import pack_sequences
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_sequences(ds, seq_len=256)
+
+
 # --------------------------------------------------------------- ANN
 
 
@@ -1257,6 +1269,7 @@ def build_queries() -> dict:
         "doc_fingerprints": doc_fingerprints,
         "sampled_docs": sampled_docs,
         "decontaminated_docs": decontaminated_docs,
+        "packed_sequences": packed_sequences,
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
         "multimodal_decode": multimodal_decode,
@@ -1767,6 +1780,32 @@ def build_oracle_sql() -> dict[str, str]:
                      * CAST('11400714819323198485' AS HUGEINT))
                     % CAST('18446744073709551616' AS HUGEINT)
                     // 1099511627776) % 1000 < 100
+        """,
+        # concatenate-and-chunk packing replay: window cumsum gives each
+        # doc's global token start, generate_series (inclusive) expands
+        # the sequences it overlaps. Same \s+ tokenization as
+        # token_totals_by_lang.
+        "packed_sequences": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '')) AS n
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, n,
+                     CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS st
+              FROM c
+            )
+            SELECT doc_id,
+                   CAST(seq_id AS BIGINT) AS seq_id,
+                   CAST(greatest(st - seq_id * 256, 0) AS BIGINT) AS off_in_seq,
+                   CAST(least((seq_id + 1) * 256, st + n)
+                        - greatest(seq_id * 256, st) AS BIGINT) AS n_tok
+            FROM s, unnest(generate_series(st // 256, (st + n - 1) // 256)) t(seq_id)
+            WHERE n > 0
         """,
         # word-3-gram overlap vs the doc_id%50==0 'benchmark' slice —
         # string shingles == the engine's 64-bit shingle hashes (same
