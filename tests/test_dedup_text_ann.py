@@ -621,3 +621,40 @@ def test_pack_sequences_spans_and_offsets():
     # every full sequence carries exactly seq_len tokens
     per_seq = got.groupby("seq_id")["n_tok"].sum()
     assert (per_seq.iloc[:-1] == 16).all() and per_seq.iloc[-1] <= 16
+
+
+def test_term_frequencies_and_top_k_exact():
+    from xgeo_ray.functions.relational import top_k
+    from xgeo_ray.functions.text import term_frequencies
+
+    texts = ["a b a", "b c", "", "  a  ", "c c c"]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(5), pa.int64()), "text": pa.array(texts)}
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    tf = term_frequencies(ds).to_pandas().set_index("token")["n"].to_dict()
+    assert tf == {"a": 3, "b": 2, "c": 4}
+    head = top_k(term_frequencies(ds), ["n", "token"], [True, False], 2).to_pandas()
+    assert head["token"].tolist() == ["c", "a"]
+
+
+def test_repetition_stats_counts_duplicate_2grams():
+    from xgeo_ray.functions.text import repetition_stats
+
+    texts = [
+        "x y x y x",  # 2-grams: xy yx xy yx -> 4 total, 2 distinct
+        "a b c",  # 2 total, 2 distinct
+        "solo",  # < 2 tokens -> (0, 0)
+        "",  # empty -> (0, 0)
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(4), pa.int64()), "text": pa.array(texts)}
+    )
+    got = (
+        repetition_stats(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_2grams"].tolist() == [4, 2, 0, 0]
+    assert got["n_distinct_2grams"].tolist() == [2, 2, 0, 0]

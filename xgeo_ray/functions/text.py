@@ -403,3 +403,96 @@ def pack_sequences(
         )
 
     return bucketed.groupby(_B).map_groups(per_bucket, batch_format="pandas")
+
+
+# --------------------------------------------- corpus vocabulary / quality
+
+
+def term_frequencies(ds, text_col: str = "text", num_buckets: int = 64):
+    """Exact corpus-wide term frequencies (vocabulary building): one
+    (token, n) row per distinct whitespace token.
+
+    Scale shape: tokens are counted WITHIN each batch first
+    (``value_counts`` — the classic combiner), so the shuffle moves one
+    row per distinct token per block, not one per occurrence; the
+    merge is the bucketed vectorized ``partial_group_agg`` finalize.
+    Compose with ``relational.top_k`` for a bounded head (the
+    ``top_terms`` query)."""
+    from xgeo_ray.functions.relational import partial_group_agg
+
+    def explode_count(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(b.column(text_col))
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        vals = la.values
+        vals = vals.filter(pc.not_equal(vals, ""))
+        vc = vals.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(
+        explode_count, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partial_group_agg(exploded, ["token"], [("n", "sum", "n")], num_buckets)
+
+
+def repetition_stats(
+    ds, text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Gopher-style repetition counters per document: total and DISTINCT
+    word-2-gram counts (their ratio is the duplicate-2-gram fraction
+    quality filters threshold on). Exact integers, oracle-friendly.
+
+    Vectorized across the whole batch: token hashes once over the
+    flattened token array, adjacent-pair mixing for 2-gram hashes with
+    cross-document boundaries masked out, and per-doc distinct counts
+    from ONE lexsort over (doc, hash) — no per-document Python. Distinct
+    HASHES stand in for distinct 2-gram strings (same vanishing-
+    collision equivalence the similarity-join oracles rely on).
+    Documents with < 2 tokens report (0, 0)."""
+    from xgeo_ray.functions.dedup import hash_tokens
+
+    _MIXC = np.uint64(0x9E3779B97F4A7C15)
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.utf8_split_whitespace(b.column(text_col))
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = la.values.to_numpy(zero_copy_only=False)
+        nonempty = np.asarray(vals, dtype=object) != ""
+        th_all = hash_tokens(np.asarray(vals, dtype=object)[nonempty])
+        # per-row token counts after dropping edge-empties
+        cum = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
+        row_tok = cum[offs[1:]] - cum[offs[:-1]]
+        n2 = np.maximum(row_tok - 1, 0)
+        if th_all.size >= 2:
+            with np.errstate(over="ignore"):
+                pair = (th_all[:-1] * _MIXC) ^ th_all[1:]
+        else:
+            pair = np.empty(0, dtype=np.uint64)
+        # mask out pairs that straddle a document boundary
+        doc_of = np.repeat(np.arange(len(ids)), row_tok)
+        valid = doc_of[:-1] == doc_of[1:] if th_all.size >= 2 else np.empty(0, bool)
+        pair = pair[valid]
+        pdoc = doc_of[:-1][valid] if th_all.size >= 2 else np.empty(0, np.int64)
+        # distinct per doc: one lexsort, boundary diff
+        nd = np.zeros(len(ids), dtype=np.int64)
+        if pair.size:
+            order = np.lexsort((pair, pdoc))
+            sp, sd = pair[order], pdoc[order]
+            new = np.ones(len(sp), dtype=bool)
+            new[1:] = (sd[1:] != sd[:-1]) | (sp[1:] != sp[:-1])
+            np.add.at(nd, sd[new], 1)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_2grams": pa.array(n2, pa.int64()),
+                "n_distinct_2grams": pa.array(nd, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

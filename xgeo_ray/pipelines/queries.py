@@ -1119,6 +1119,30 @@ def decontaminated_docs(sf_dir: str):
     return contaminated_ids(corpus, bench, k_shingle=3)
 
 
+def top_terms(sf_dir: str):
+    """Corpus vocabulary head: exact top-100 whitespace tokens by total
+    count (tiebreak: token ascending, so the selected SET is
+    deterministic). In-batch value_counts combiner -> bucketed partial
+    aggregate -> prune-then-sort top-k; occurrences never cross the
+    shuffle (functions/text.py:term_frequencies)."""
+    from xgeo_ray.functions.relational import top_k
+    from xgeo_ray.functions.text import term_frequencies
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_k(term_frequencies(ds), ["n", "token"], [True, False], 100)
+
+
+def doc_repetition_stats(sf_dir: str):
+    """Gopher-style repetition counters per document: total vs distinct
+    word-2-gram counts (the duplicate-2-gram fraction quality filters
+    threshold on). Pure streaming map, one lexsort per batch
+    (functions/text.py:repetition_stats)."""
+    from xgeo_ray.functions.text import repetition_stats
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_stats(ds)
+
+
 def packed_sequences(sf_dir: str):
     """Fixed-length training-sequence packing: concatenate all document
     tokens in doc_id order, cut into 256-token sequences, emit the
@@ -1270,6 +1294,8 @@ def build_queries() -> dict:
         "sampled_docs": sampled_docs,
         "decontaminated_docs": decontaminated_docs,
         "packed_sequences": packed_sequences,
+        "top_terms": top_terms,
+        "doc_repetition_stats": doc_repetition_stats,
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
         "multimodal_decode": multimodal_decode,
@@ -1780,6 +1806,40 @@ def build_oracle_sql() -> dict[str, str]:
                      * CAST('11400714819323198485' AS HUGEINT))
                     % CAST('18446744073709551616' AS HUGEINT)
                     // 1099511627776) % 1000 < 100
+        """,
+        # exact vocabulary head; tie at the cut broken by token ASC so
+        # the selected set matches the engine's top_k deterministically
+        "top_terms": r"""
+            SELECT x AS token, CAST(count(*) AS BIGINT) AS n
+            FROM documents,
+                 unnest(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) t(x)
+            GROUP BY x
+            ORDER BY n DESC, token ASC
+            LIMIT 100
+        """,
+        # distinct 2-gram STRINGS == the engine's distinct 2-gram hashes
+        # (vanishing-collision equivalence); docs with < 2 tokens report
+        # (0, 0) via the left join
+        "doc_repetition_stats": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, w[i] || ' ' || w[i+1] AS g2
+              FROM toks, unnest(generate_series(1, len(w) - 1)) t(i)
+              WHERE len(w) >= 2
+            ),
+            cnt AS (
+              SELECT doc_id, count(*) AS n, count(DISTINCT g2) AS nd
+              FROM g GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_2grams,
+                   CAST(COALESCE(cnt.nd, 0) AS BIGINT) AS n_distinct_2grams
+            FROM toks t LEFT JOIN cnt USING (doc_id)
         """,
         # concatenate-and-chunk packing replay: window cumsum gives each
         # doc's global token start, generate_series (inclusive) expands
