@@ -207,6 +207,7 @@ def run_bench() -> dict:
         "ann_top10",
         "minhash_dup_pairs",
         "dup_clusters",
+        "packed_sequences",
     ]:
         fn = Q.build_queries()[name]
         best = None
