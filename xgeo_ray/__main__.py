@@ -217,6 +217,19 @@ def main(argv: list[str] | None = None) -> int:
         "reports the gap as a warning)",
     )
 
+    p = sub.add_parser(
+        "restore",
+        help="roll the table back to the state as of a committed epoch "
+        "(metadata-only; rolled-back WAL segments become re-ingestable)",
+    )
+    p.add_argument("table")
+    p.add_argument("to_epoch", type=int)
+    p.add_argument(
+        "--force",
+        action="store_true",
+        help="restore even when a consumer group has acked past the target",
+    )
+
     p = sub.add_parser("status", help="print manifests + lineage totals as JSON")
     p.add_argument("table")
 
@@ -395,6 +408,13 @@ def main(argv: list[str] | None = None) -> int:
                 _init_ray()  # batch path fans out merge tasks
                 t = ing.lookup_many(table, args.conv_id)
             print(json.dumps(t.to_pylist(), default=str))
+        elif args.cmd == "restore":
+            m = ing.restore(table, args.to_epoch, force=args.force)
+            print(
+                json.dumps(
+                    {"restored_to": args.to_epoch, "restore_epoch": m.epoch}
+                )
+            )
         elif args.cmd == "fsck":
             out = ing.fsck(table)
             print(json.dumps(out))

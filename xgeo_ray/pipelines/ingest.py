@@ -1006,12 +1006,13 @@ def snapshot(
         plan = table.partition_files_ts_pruned(as_of_epoch, as_of_ts_us)
         ms = [
             m
-            for m in table.manifests()
+            for m in table.effective_manifests(as_of_epoch)
             # minor folds collapse history too — EXCEPT on full-history
             # tables, where they are version-preserving by construction
+            # (rolled-back compactions no longer guard anything: restore
+            # put the pre-compaction deltas back in the visible set)
             if m.kind.startswith("compact")
             and not (m.kind == "compact_minor" and table.history == "full")
-            and (as_of_epoch is None or m.epoch <= as_of_epoch)
         ]
         # EVERY compaction at or before the travel point folded history;
         # checking only the last one would let an earlier fold's horizon
@@ -1097,7 +1098,7 @@ def _changes_plan(
     Pure metadata — separable so pruning is testable without reads."""
     plan: list[tuple[str, int]] = []
     band = ts_min_us is not None or ts_max_us is not None
-    for m in table.manifests():
+    for m in table.effective_manifests():
         if m.kind != "delta" or m.epoch <= since_epoch:
             continue
         if upto_epoch is not None and m.epoch > upto_epoch:
@@ -1211,7 +1212,7 @@ def sync_derived(
     groups: list[list[str]] = []
     cur: list[str] = []
     n_in_cur = 0
-    for m in source.manifests():
+    for m in source.effective_manifests():
         if m.kind != "delta":
             continue
         if upto_epoch is not None and m.epoch > upto_epoch:
@@ -1321,6 +1322,75 @@ def apply_changes(
     return ingest_segments(table, [path], transform=transform, watermark_exempt=True)
 
 
+def restore(table: DeltaTable, to_epoch: int, force: bool = False) -> Manifest:
+    """Roll the table back to the state as of committed epoch
+    ``to_epoch`` — the lakehouse RESTORE: a pure-metadata commit (kind
+    ``"restore"``, ``replaces_up_to`` = target) after which every reader
+    sees exactly ``snapshot(as_of_epoch=to_epoch)``'s state, schema and
+    watermarks, while the rolled-back epochs' manifests and files remain
+    on disk for time-travel (``as_of_epoch`` inside the rolled-back
+    range still reads; vacuum reclaims the files on its normal cadence).
+
+    Semantics that follow from the watermark/segment rewind:
+    * WAL segments committed only by rolled-back epochs become
+      re-ingestable — ``run_stream``/``tail`` on the same WAL replays
+      them, which is the repair story (restore past a bad batch, fix
+      the producer or transform, replay).
+    * The changes feed and consumer polls stop serving rolled-back
+      epochs. A consumer group whose durable cursor is AHEAD of the
+      target has already applied changes the table no longer holds, so
+      restore fails fast unless ``force=True`` (then rebuild or rewind
+      that consumer out-of-band). Derived tables synced from this
+      source have the same exposure: restore the sink to its epoch
+      preceding the rolled-back source epochs, or rebuild it.
+    * Restore-of-restore composes; restoring to an epoch whose visible
+      files vacuum already reclaimed fails fast (retention = vacuum
+      cadence, same contract as time-travel reads).
+
+    No counterpart in the reference (its CLI is stateless,
+    /root/reference/cmd/xgeo/main.go); this is table-format machinery
+    the north rule's lake-upsert engine needs."""
+    ms = table.manifests()
+    epochs = {m.epoch for m in ms}
+    if to_epoch not in epochs:
+        raise ValueError(f"epoch {to_epoch} was never committed: {sorted(epochs)[-5:]}")
+    latest = table.latest_epoch()
+    if to_epoch == latest:
+        raise ValueError(f"epoch {to_epoch} is already the latest — nothing to restore")
+    if not force:
+        from xgeo_ray.state import consumers as _cons
+
+        for g in _cons.groups(table):
+            pos = _cons.position(table, g)
+            if pos > to_epoch:
+                raise ValueError(
+                    f"consumer group {g!r} has acked epoch {pos} > restore "
+                    f"target {to_epoch}: it already applied changes the "
+                    "rollback removes. Rewind/drop the group (or pass "
+                    "force=True and repair it out-of-band)."
+                )
+    missing = [
+        p
+        for paths in table.partition_files(as_of_epoch=to_epoch).values()
+        for p in paths
+        if not os.path.isfile(p)
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore to epoch {to_epoch}: {len(missing)} visible "
+            f"file(s) already vacuumed (first: {missing[0]}). The vacuum "
+            "cadence is the restore retention window."
+        )
+    return table.commit_epoch(
+        latest + 1,
+        [f"restore:{to_epoch}"],
+        [],
+        table.current_schema(to_epoch),
+        kind="restore",
+        replaces_up_to=to_epoch,
+    )
+
+
 def fsck(table: DeltaTable) -> dict:
     """Offline integrity check — metadata + file stats only, no Ray, no
     data reads: cheap enough to run before every resume on a 100 TB
@@ -1355,6 +1425,10 @@ def fsck(table: DeltaTable) -> dict:
     referenced: set[str] = set()
     reclaimed = 0
     warnings: list[str] = []
+    # epochs surviving restores: a rolled-back delta file is no longer
+    # feed-readable, so its absence is reclaimed history, not a consumer
+    # gap; restore markers also legally REWIND the seq watermarks.
+    eff_epochs = {m.epoch for m in table.effective_manifests()}
     wm = {}
     prev_version = 0
     for m in ms:
@@ -1364,6 +1438,15 @@ def fsck(table: DeltaTable) -> dict:
                 f"{prev_version} -> {m.schema_version}"
             )
         prev_version = m.schema_version
+        if m.kind == "restore":
+            wm = {}
+            for mm in table.effective_manifests(m.epoch):
+                if mm.kind != "delta":
+                    continue
+                for k2, e2 in mm.partitions.items():
+                    if e2.max_seq >= 0:
+                        wm[int(k2)] = max(wm.get(int(k2), -1), e2.max_seq)
+            continue
         for k, e in m.partitions.items():
             if not e.path:
                 continue
@@ -1381,6 +1464,7 @@ def fsck(table: DeltaTable) -> dict:
                     keep_after is not None
                     and m.kind == "delta"
                     and m.epoch > keep_after
+                    and m.epoch in eff_epochs
                 ):
                     warnings.append(
                         f"epoch {m.epoch} part {k}: delta {e.path} gone "

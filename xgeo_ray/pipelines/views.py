@@ -62,7 +62,7 @@ def _partition_version(table: DeltaTable) -> dict[int, int]:
     """Latest committed epoch that touched each partition (compactions
     count: they change the visible file set)."""
     ver: dict[int, int] = {}
-    for m in table.manifests():
+    for m in table.effective_manifests():
         for k in m.partitions:
             ver[int(k)] = m.epoch
     return ver
@@ -77,8 +77,13 @@ def _delta_files_since(
     partial's base files are gone), or a new delta carries tombstones
     (a sum-combine cannot retract). Decided entirely from manifest
     metadata; no data file is opened."""
+    eff = table.effective_manifests()
+    if since_epoch > 0 and since_epoch not in {m.epoch for m in eff}:
+        # the epoch the cached partial was built at was rolled back by a
+        # restore — its contributions must be retracted: full recompute
+        return None
     out: list[str] = []
-    for m in table.manifests():
+    for m in eff:
         if m.epoch <= since_epoch:
             continue
         e = m.partitions.get(str(part))
@@ -236,7 +241,9 @@ def refresh_view(
     stale = {
         part: paths
         for part, paths in sorted(plan.items())
-        if state["partitions"].get(str(part), -1) < ver.get(part, -1)
+        # != not <: a restore REWINDS partition versions, and a cached
+        # partial built at a rolled-back epoch must recompute too
+        if state["partitions"].get(str(part), -1) != ver.get(part, -1)
     }
     refs: dict[int, object] = {}
     n_delta = 0

@@ -113,7 +113,7 @@ class Consumer:
         since = self.position()
         deltas = [
             m.epoch
-            for m in self.table.manifests()
+            for m in self.table.effective_manifests()
             if m.kind == "delta" and m.epoch > since
             and (upto_epoch is None or m.epoch <= upto_epoch)
         ]

@@ -196,13 +196,39 @@ class DeltaTable:
     def manifests(self) -> list[Manifest]:
         return read_manifests(self.root, cache=self._manifest_cache)
 
+    def effective_manifests(self, as_of_epoch: int | None = None) -> list[Manifest]:
+        """Manifest history with rollbacks applied: a ``kind="restore"``
+        manifest (``replaces_up_to`` = the restore target epoch) truncates
+        everything committed after its target — the rolled-back epochs
+        stop contributing state, watermarks, committed segments, schema
+        and feed rows, while their manifests/files stay on disk so
+        time-travel INTO the rolled-back range (``as_of_epoch`` before
+        the restore) still works until vacuum reclaims them. Restores
+        compose (a later restore can roll back an earlier one: reading
+        as-of an epoch between the two sees the first restore applied).
+        The restore marker itself carries no data and is filtered from
+        the result; output stays ascending by epoch."""
+        out: list[Manifest] = []
+        for m in self.manifests():
+            if as_of_epoch is not None and m.epoch > as_of_epoch:
+                break
+            if m.kind == "restore":
+                out = [x for x in out if x.epoch <= m.replaces_up_to]
+            else:
+                out.append(m)
+        return out
+
     def latest_epoch(self) -> int:
         ms = self.manifests()
         return ms[-1].epoch if ms else 0
 
     def committed_segments(self) -> set[str]:
+        """Segments applied in the CURRENT (post-restore) history — a WAL
+        segment whose epoch was rolled back is re-ingestable, which is
+        the restore-then-replay repair story: fix the producer, call
+        ``run_stream`` (or let ``tail`` poll) again."""
         out: set[str] = set()
-        for m in self.manifests():
+        for m in self.effective_manifests():
             out.update(m.segments)
         return out
 
@@ -210,7 +236,7 @@ class DeltaTable:
         """Per-partition max applied seq (int64, -1 = none). Replayed events
         with seq <= watermark[part] are dropped — idempotent apply."""
         wm = np.full(self.num_partitions, -1, dtype=np.int64)
-        for m in self.manifests():
+        for m in self.effective_manifests():
             for k, e in m.partitions.items():
                 wm[int(k)] = max(wm[int(k)], e.max_seq)
         return wm
@@ -224,7 +250,7 @@ class DeltaTable:
         updates to old turns as "late" would conflate snapshot age with
         stream disorder."""
         wm = np.full(self.num_partitions, -1, dtype=np.int64)
-        for m in self.manifests():
+        for m in self.effective_manifests():
             # compactions (full AND minor) merge bootstrap rows back in;
             # delta manifests alone carry the stream's event-time history
             if m.kind.startswith("compact") or any(
@@ -256,10 +282,10 @@ class DeltaTable:
         columns); the base envelope if no epoch has committed yet.
         ``as_of_epoch`` gives the envelope as of that epoch (schema
         evolution is forward-only, so this is the schema a time-travel
-        reader should cast to)."""
-        ms = self.manifests()
-        if as_of_epoch is not None:
-            ms = [m for m in ms if m.epoch <= as_of_epoch]
+        reader should cast to). A restore rolls the schema back with the
+        state (the marker is filtered; the last surviving manifest's
+        schema wins)."""
+        ms = self.effective_manifests(as_of_epoch)
         if ms:
             return ms[-1].schema()
         return unify(CHANGE_EVENTS_SCHEMA, self.base_schema())
@@ -341,9 +367,7 @@ class DeltaTable:
         wrap = (lambda e: (e.path, e.min_ts)) if with_ts else (lambda e: e.path)
         base: dict[int, object] = {k: None for k in range(self.num_partitions)}
         chain: dict[int, list] = {k: [] for k in range(self.num_partitions)}
-        for m in self.manifests():
-            if as_of_epoch is not None and m.epoch > as_of_epoch:
-                break  # manifests are ascending by epoch
+        for m in self.effective_manifests(as_of_epoch):
             for k, e in m.partitions.items():
                 kk = int(k)
                 if m.kind == "compact":
