@@ -1,0 +1,138 @@
+"""Distributed predicate deletes (``ingest.delete_where``): tombstone
+every key whose current merged row matches, exactly-once by batch_id,
+with physical erasure via the existing compact+vacuum retention path."""
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from xgeo_ray import fixtures as fx
+from xgeo_ray.pipelines import ingest as ing
+from xgeo_ray.state.delta_table import DeltaTable
+
+
+def _df(ds):
+    return (
+        ds.to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def _mk(root):
+    base = fx.make_transcripts(10, 6)
+    pq.write_table(base, f"{root}/base.parquet")
+    events = fx.make_change_events(
+        800, n_convs=10, turns_per_conv=6, dup_fraction=0.0
+    )
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=2)
+    table = DeltaTable.create(f"{root}/table", num_partitions=4, num_salts=2)
+    ing.bootstrap_base(table, f"{root}/base.parquet")
+    ing.run_stream(table, segs, segments_per_epoch=1)
+    return table, base, events
+
+
+def test_delete_where_matches_filtered_state(tmp_path):
+    table, base, events = _mk(str(tmp_path))
+    before = _df(ing.snapshot(table))
+    assert (before["role"] == "tool").any()
+
+    m = ing.delete_where(
+        table,
+        lambda t: pc.equal(t.column("role"), "tool"),
+        batch_id="takedown-1",
+        columns=["role"],
+    )
+    assert m is not None
+    got = _df(ing.snapshot(table))
+    want = before[before["role"] != "tool"].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert m.totals["tombstones"] == (before["role"] == "tool").sum()
+
+    # exactly-once: the same batch_id is a committed no-op
+    assert (
+        ing.delete_where(
+            table,
+            lambda t: pc.equal(t.column("role"), "tool"),
+            batch_id="takedown-1",
+            columns=["role"],
+        )
+        is None
+    )
+    # stream replay protection untouched (out-of-band seq=-1)
+    before_epoch = table.latest_epoch()
+    segs = sorted(glob.glob(f"{tmp_path}/wal/*.parquet"))
+    ing.run_stream(table, segs, segments_per_epoch=1)
+    assert table.latest_epoch() == before_epoch
+    assert ing.fsck(table)["ok"]
+
+
+def test_delete_where_empty_match_still_exactly_once(tmp_path):
+    table, base, events = _mk(str(tmp_path))
+    before = _df(ing.snapshot(table))
+    m = ing.delete_where(
+        table,
+        lambda t: pc.equal(t.column("role"), "no-such-role"),
+        batch_id="noop-1",
+        columns=["role"],
+    )
+    assert m is not None and m.totals["tombstones"] == 0
+    pd.testing.assert_frame_equal(_df(ing.snapshot(table)), before)
+    assert (
+        ing.delete_where(
+            table,
+            lambda t: pc.equal(t.column("role"), "no-such-role"),
+            batch_id="noop-1",
+            columns=["role"],
+        )
+        is None
+    )
+
+
+def test_delete_then_compact_vacuum_erases_bytes(tmp_path):
+    table, base, events = _mk(str(tmp_path))
+    victim = _df(ing.snapshot(table))["conv_id"].iloc[0]
+    ing.delete_where(
+        table,
+        lambda t: pc.equal(t.column("conv_id"), victim),
+        batch_id="gdpr-1",
+    )
+    assert victim not in set(_df(ing.snapshot(table))["conv_id"])
+    # physical erasure: age out the tombstones, reclaim old bytes
+    horizon = int(pd.Timestamp.utcnow().timestamp() * 1e6) + 10_000_000
+    ing.compact(table, tombstone_ts_horizon=horizon)
+    ing.vacuum(table)
+    for p in glob.glob(f"{tmp_path}/table/parts/part=*/*.parquet"):
+        t = pq.read_table(p, columns=["conv_id"])
+        assert victim not in set(t.column("conv_id").to_pylist()), p
+    assert ing.fsck(table)["ok"]
+
+
+def test_later_upsert_reinserts_deleted_key(tmp_path):
+    table, base, events = _mk(str(tmp_path))
+    snap = _df(ing.snapshot(table))
+    victim_conv = snap["conv_id"].iloc[0]
+    victim_turn = int(snap["turn_idx"].iloc[0])
+    ing.delete_where(
+        table,
+        lambda t: pc.equal(t.column("conv_id"), victim_conv),
+        batch_id="d1",
+    )
+    assert victim_conv not in set(_df(ing.snapshot(table))["conv_id"])
+    # a correction stamped LATER re-inserts the key (upsert semantics)
+    rows = pa.table(
+        {
+            "conv_id": [victim_conv],
+            "turn_idx": pa.array([victim_turn], pa.int64()),
+            "role": ["user"],
+            "text": ["restored"],
+        }
+    )
+    ing.apply_changes(table, rows, batch_id="fix-1")
+    got = _df(ing.snapshot(table))
+    row = got[(got.conv_id == victim_conv) & (got.turn_idx == victim_turn)]
+    assert len(row) == 1 and row["text"].iloc[0] == "restored"

@@ -218,6 +218,18 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p = sub.add_parser(
+        "delete",
+        help="tombstone every key whose current row matches a column "
+        "equality (distributed predicate delete; --batch-id is the "
+        "exactly-once key; physical erasure = compact + vacuum later)",
+    )
+    p.add_argument("table")
+    p.add_argument("column")
+    p.add_argument("value")
+    p.add_argument("--batch-id", required=True)
+    p.add_argument("--ts-us", type=int, default=None)
+
+    p = sub.add_parser(
         "restore",
         help="roll the table back to the state as of a committed epoch "
         "(metadata-only; rolled-back WAL segments become re-ingestable)",
@@ -408,6 +420,28 @@ def main(argv: list[str] | None = None) -> int:
                 _init_ray()  # batch path fans out merge tasks
                 t = ing.lookup_many(table, args.conv_id)
             print(json.dumps(t.to_pylist(), default=str))
+        elif args.cmd == "delete":
+            import pyarrow.compute as _pc
+
+            _init_ray()
+            col, val = args.column, args.value
+            m = ing.delete_where(
+                table,
+                lambda t: _pc.equal(t.column(col), val),
+                batch_id=args.batch_id,
+                columns=[col],
+                ts_us=args.ts_us,
+            )
+            print(
+                json.dumps(
+                    {"deleted": 0, "noop": True}
+                    if m is None
+                    else {
+                        "deleted": m.totals.get("tombstones", 0),
+                        "epoch": m.epoch,
+                    }
+                )
+            )
         elif args.cmd == "restore":
             m = ing.restore(table, args.to_epoch, force=args.force)
             print(

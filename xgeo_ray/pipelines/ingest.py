@@ -1322,6 +1322,114 @@ def apply_changes(
     return ingest_segments(table, [path], transform=transform, watermark_exempt=True)
 
 
+def delete_where(
+    table: DeltaTable,
+    predicate,
+    batch_id: str,
+    columns: list[str] | None = None,
+    ts_us: int | None = None,
+) -> Manifest | None:
+    """Predicate delete — the takedown/right-to-be-forgotten primitive:
+    tombstone every key whose CURRENT merged row satisfies ``predicate``
+    (a callable ``pa.Table -> boolean array``, evaluated per snapshot
+    batch inside workers; ``columns`` names the data columns it reads so
+    the scan is pruned to keys + those). Fully distributed: the snapshot
+    merge tasks stream, each batch filters to matching keys only (the
+    payload never returns to the driver), and the resulting tombstone
+    rows land as out-of-band WAL segments (op='D', seq=-1, ts =
+    ``ts_us`` or now) through the normal epoch machinery — so the
+    delete wins against all current versions by LWW ts, a later stream
+    update with a later ts can re-insert the key (upsert semantics),
+    and crash-resume is exactly-once: ``batch_id`` is the producer
+    key, an id already committed is a no-op (returns None).
+
+    Physical erasure is the existing two-step: a later full
+    ``compact(tombstone_ts_horizon=...)`` drops the tombstoned versions
+    from the visible files and ``vacuum()`` reclaims the old bytes —
+    the same retention pipeline every lakehouse uses for GDPR deletes.
+
+    Crash windows: a death before any publish recomputes from scratch;
+    after some publishes, the retry publishes a fresh attempt-token set
+    and commits only its own files (orphaned earlier-attempt files are
+    never referenced or read). Two RACING drivers on one batch_id can
+    both commit — benign (tombstoning a key twice is idempotent on
+    state); serialize writers with state/lease.py where that matters.
+
+    No counterpart in the reference (stateless CLI,
+    /root/reference/cmd/xgeo/main.go); required lake machinery for the
+    north rule's upsert engine."""
+    import re as _re
+    import time as _time
+
+    from xgeo_ray.state.delta_table import new_commit_token
+    from xgeo_ray.state.storage import DEFAULT_STORAGE
+
+    if not _re.fullmatch(r"[A-Za-z0-9_.-]+", batch_id):
+        raise ValueError(f"batch_id {batch_id!r} must be filesystem-safe")
+    final_dir = os.path.abspath(
+        os.path.join(table.root, "backfill", f"{batch_id}.d")
+    )
+    prefix = final_dir + os.sep
+    if any(s.startswith(prefix) for s in table.committed_segments()):
+        return None
+    now = int(_time.time() * 1_000_000) if ts_us is None else int(ts_us)
+    need = list(dict.fromkeys(["conv_id", "turn_idx"] + list(columns or [])))
+    key_schema = pa.schema(
+        [f for f in table.current_schema() if f.name in ("conv_id", "turn_idx")]
+    )
+
+    def _to_tombstones(batch: pa.Table) -> pa.Table:
+        mask = predicate(batch)
+        keys = batch.filter(mask).select(["conv_id", "turn_idx"])
+        n = keys.num_rows
+        return (
+            keys.append_column(
+                "op", pa.array(np.full(n, "D", dtype="U1"), pa.string())
+            )
+            .append_column(
+                "ts",
+                pa.array(np.full(n, now, dtype=np.int64), pa.timestamp("us")),
+            )
+            .append_column(
+                "seq", pa.array(np.full(n, -1, dtype=np.int64), pa.int64())
+            )
+        )
+
+    stage = final_dir + f".stage-{os.getpid()}"
+    import shutil as _shutil
+
+    _shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    snapshot(table, columns=need).map_batches(
+        _to_tombstones, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(stage)
+    staged = sorted(
+        os.path.join(stage, f)
+        for f in os.listdir(stage)
+        if f.endswith(".parquet")
+    )
+    if not staged:  # nothing matched: still commit an exactly-once marker
+        empty = (
+            key_schema.empty_table()
+            .append_column("op", pa.array([], pa.string()))
+            .append_column("ts", pa.array([], pa.timestamp("us")))
+            .append_column("seq", pa.array([], pa.int64()))
+        )
+        p = os.path.join(stage, "empty.parquet")
+        pq.write_table(empty, p)
+        staged = [p]
+    token = new_commit_token()
+    durable = table.durability == "full"
+    os.makedirs(final_dir, exist_ok=True)
+    segs = []
+    for i, src in enumerate(staged):
+        dst = os.path.join(final_dir, f"part-{token}-{i:05d}.parquet")
+        DEFAULT_STORAGE.publish_file(src, dst, durable=durable)
+        segs.append(dst)
+    _shutil.rmtree(stage, ignore_errors=True)
+    return ingest_segments(table, segs, watermark_exempt=True)
+
+
 def restore(table: DeltaTable, to_epoch: int, force: bool = False) -> Manifest:
     """Roll the table back to the state as of committed epoch
     ``to_epoch`` — the lakehouse RESTORE: a pure-metadata commit (kind
@@ -1335,7 +1443,12 @@ def restore(table: DeltaTable, to_epoch: int, force: bool = False) -> Manifest:
     * WAL segments committed only by rolled-back epochs become
       re-ingestable — ``run_stream``/``tail`` on the same WAL replays
       them, which is the repair story (restore past a bad batch, fix
-      the producer or transform, replay).
+      the producer or transform, replay). Replay IN SEQ ORDER: the
+      restore rewinds the seq watermarks, but ingesting a higher-seq
+      segment first seals the watermark above the gap and any
+      lower-seq segment replayed after it is (correctly) dropped as a
+      below-watermark replay — counted in ``below_wm_dropped``, never
+      applied.
     * The changes feed and consumer polls stop serving rolled-back
       epochs. A consumer group whose durable cursor is AHEAD of the
       target has already applied changes the table no longer holds, so

@@ -368,6 +368,47 @@ def cdc_derived_state(sf_dir: str):
     )
 
 
+# 2025-01-01T00:00:00Z in µs — ABOVE the stream's event-time range, so
+# a takedown batch stamped here wins LWW against every stream version
+_DELETE_TS_US = 1_735_689_600_000_000
+
+
+def _role_error_pred(t: pa.Table):
+    """Predicate for cdc_delete_where (module-level so workers unpickle
+    it by value without importing the test driver)."""
+    return pc.equal(t.column("role"), "error")
+
+
+def cdc_delete_where(sf_dir: str):
+    """END-TO-END engine query for the predicate-delete (takedown)
+    path: the derived change stream is ingested into a DeltaTable via
+    the real fence machinery (3 seq-ranged WAL epochs), then
+    ``ingest.delete_where(role == 'error')`` tombstones every matching
+    key as an out-of-band batch stamped above the stream's ts range,
+    and the merged snapshot is returned. The oracle replays LWW winner
+    per key minus the deleted rows in SQL, so a hash match certifies
+    the whole ingest→distributed-predicate-delete→merge path."""
+    import os
+
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    work = f"/tmp/xgeo_delete_q_{os.path.basename(os.path.normpath(sf_dir))}"
+    groups = _seq_ranged_wal(sf_dir, work)
+    t = DeltaTable.create(f"{work}/t", num_partitions=16, num_salts=2)
+    ing.run_stream(t, [], segment_groups=groups)
+    ing.delete_where(
+        t,
+        _role_error_pred,
+        batch_id="takedown-q",
+        columns=["role"],
+        ts_us=_DELETE_TS_US,
+    )
+    return ing.snapshot(
+        t, columns=["conv_id", "turn_idx", "role", "text", "ts"]
+    )
+
+
 # 2024-01-16T00:00:00Z in µs — mid-stream at every sf (events span
 # 2024-01-01..2024-01-30); a fixed constant so engine and oracle agree
 _ASOF_T_US = 1_705_363_200_000_000
@@ -1258,6 +1299,7 @@ def build_queries() -> dict:
         "cdc_late_events": cdc_late_events,
         "cdc_changes_feed": cdc_changes_feed,
         "cdc_derived_state": cdc_derived_state,
+        "cdc_delete_where": cdc_delete_where,
         "cdc_state_asof": cdc_state_asof,
         "text_normalized": text_normalized,
         "pii_redacted": pii_redacted,
@@ -1416,6 +1458,16 @@ def build_oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) = 1
               AND op <> 'D'
+        """,
+        "cdc_delete_where": f"""
+            WITH ev AS ({derive}),
+            state AS (
+              SELECT conv_id, turn_idx, role, text, ts, op FROM ev
+              QUALIFY row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) = 1
+            )
+            SELECT conv_id, turn_idx, role, text, ts FROM state
+            WHERE op <> 'D' AND role <> 'error'
         """,
         "cdc_state_asof": f"""
             WITH ev AS ({derive})

@@ -54,7 +54,9 @@ class NormalizeEvents:
                 pc.is_in(batch.column("op"), value_set=pa.array(_VALID_OPS)),
             ),
         )
-        n_bad = batch.num_rows - pc.sum(valid).as_py()
+        # pc.sum of an empty mask is null — zero-row batches are legal
+        # (e.g. a delete_where that matched nothing commits a marker)
+        n_bad = batch.num_rows - (pc.sum(valid).as_py() or 0)
         if n_bad:
             batch = batch.filter(valid)
         self.last_invalid = int(n_bad)
