@@ -522,6 +522,125 @@ def hash_sample(
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def mixture_sample(
+    ds: ray.data.Dataset,
+    source_col: str,
+    key_col: str,
+    rates_permille: dict[str, int],
+    default_permille: int = 0,
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic data MIXING: per-source sampling rates over one
+    corpus — the training-mixture primitive ("keep 80% of src3, 30% of
+    src7, drop the rest"). Each row's keep/drop decision is the same
+    Fibonacci-hash acceptance predicate as ``hash_sample`` but with the
+    acceptance band chosen by the row's ``source_col`` value, so the
+    mixture is reproducible across runs/engines (SQL replays it with a
+    CASE over the same HUGEINT arithmetic), and a document keeps or
+    loses membership independently of every other row.
+
+    Scale shape: a pure streaming filter — the rate table is a tiny
+    dict resolved to one vectorized ``index_in`` + numpy gather per
+    batch; no shuffle, no state, no driver participation. Unknown
+    sources take ``default_permille``."""
+    for s, r in rates_permille.items():
+        if not 0 <= r <= 1000:
+            raise ValueError(f"rate for {s!r} must be in [0, 1000], got {r}")
+    if not 0 <= default_permille <= 1000:
+        raise ValueError(f"default_permille must be in [0, 1000]")
+    sources = sorted(rates_permille)
+    rates = np.array(
+        [rates_permille[s] for s in sources] + [default_permille], np.uint64
+    )
+    value_set = pa.array(sources, pa.string())
+    mult = _MIX
+    shift = np.uint64(40)
+    salt_u = np.uint64(salt)
+    n_known = len(sources)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        idx = pc.fill_null(
+            pc.index_in(batch.column(source_col), value_set=value_set),
+            n_known,
+        ).to_numpy(zero_copy_only=False)
+        keys = (
+            pc.fill_null(batch.column(key_col).cast(pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        with np.errstate(over="ignore"):
+            h = (keys + salt_u) * mult
+        return batch.filter(
+            pa.array(((h >> shift) % np.uint64(1000)) < rates[idx])
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def shard_shuffle(
+    ds: ray.data.Dataset,
+    key_col: str,
+    num_shards: int,
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic GLOBAL SHUFFLE into training shards: every row gets
+    ``(shard, pos)`` — shard = well-mixed bits of the row key's
+    Fibonacci hash mod ``num_shards``, pos = the row's rank by hash
+    within its shard — i.e. a reproducible pseudorandom permutation of
+    the corpus, the order a training run reads. Multiplying an int64
+    key by the odd constant is a BIJECTION mod 2^64, so distinct keys
+    never tie: the permutation is total and engine-independent (the SQL
+    oracle replays shard and rank with HUGEINT arithmetic), unlike
+    ``random_shuffle`` which is seed-and-engine specific.
+
+    Scale shape: ONE shuffle keyed on shard (each group is one output
+    shard ≈ one training file — size ``num_shards`` so a shard fits a
+    worker), then one vectorized sort per shard. Different ``salt`` =
+    a fresh independent permutation (new data order per epoch)."""
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    mult = _MIX
+    salt_u = np.uint64(salt)
+    nshard = np.uint64(num_shards)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = (
+            pc.fill_null(batch.column(key_col).cast(pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        with np.errstate(over="ignore"):
+            h = (keys + salt_u) * mult
+        # high bits pick the shard (low bits of a multiplicative hash
+        # are weak: the lowest is just the key's parity)
+        shard = ((h >> np.uint64(24)) % nshard).astype(np.int64)
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "shard": pa.array(shard),
+                "_h": pa.array(h),
+            }
+        )
+
+    def rank(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g.column("_h"))
+        g = g.take(order)
+        return pa.table(
+            {
+                key_col: g.column(key_col),
+                "shard": g.column("shard"),
+                "pos": pa.array(np.arange(g.num_rows, dtype=np.int64)),
+            }
+        )
+
+    rank.__name__ = "rank"  # map_groups requires a named callable
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(rank, batch_format="pyarrow")
+    )
+
+
 def add_time_bucket(
     ds: ray.data.Dataset, ts_col: str, unit: str = "hour", alias: str = "bucket"
 ) -> ray.data.Dataset:

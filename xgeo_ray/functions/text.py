@@ -439,6 +439,64 @@ def term_frequencies(ds, text_col: str = "text", num_buckets: int = 64):
     return partial_group_agg(exploded, ["token"], [("n", "sum", "n")], num_buckets)
 
 
+def doc_term_stats(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Per-document term frequencies JOINED with corpus document
+    frequencies — the exact integer inputs of TF-IDF, left float-free
+    so rankings replay bit-for-bit in SQL: one row per (doc, distinct
+    token) carrying ``tf`` (occurrences in the doc) and ``df`` (number
+    of docs containing the token). Compose with
+    ``relational.grouped_top_k(keys=[doc], sort=[tf DESC, df ASC,
+    token ASC])`` for per-doc distinctive terms (the ``distinctive_
+    terms`` query) — the (tf, df, token) tiebreak is a total order, so
+    no float idf is ever needed for a deterministic ranking.
+
+    Scale shape: tf is counted INSIDE each batch (one Arrow hash-agg
+    over the exploded tokens — docs never span batches, so in-batch
+    counts are final; occurrences never cross a shuffle); df is one
+    ``partial_group_agg`` over the (doc, token) rows; the tf×df merge
+    is the bucketed cogroup ``hash_join`` keyed on token."""
+    from xgeo_ray.functions.relational import hash_join, partial_group_agg
+
+    def explode_tf(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(b.column(text_col))
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        doc_of_tok = np.repeat(ids, np.diff(offs))
+        vals = la.values
+        keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        pairs = pa.table(
+            {
+                id_col: pa.array(doc_of_tok[keep]),
+                "token": vals.filter(pa.array(keep)),
+            }
+        )
+        tf = pairs.group_by([id_col, "token"]).aggregate([([], "count_all")])
+        return tf.rename_columns([id_col, "token", "tf"]).set_column(
+            2, "tf", tf.column("count_all").cast(pa.int64())
+        )
+
+    dt = ds.map_batches(explode_tf, batch_format="pyarrow", zero_copy_batch=True)
+    df = partial_group_agg(
+        dt.select_columns(["token"]).map_batches(
+            lambda b: b.append_column(
+                "df", pa.array(np.ones(b.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["token"],
+        [("df", "sum", "df")],
+        num_buckets,
+    )
+    return hash_join(dt, df, on="token", num_partitions=num_buckets)
+
+
 def repetition_stats(
     ds, text_col: str = "text", id_col: str = "doc_id"
 ) -> "ray.data.Dataset":

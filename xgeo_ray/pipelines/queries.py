@@ -1135,6 +1135,89 @@ def sampled_docs(sf_dir: str):
     return hash_sample(ds, "doc_id", rate_permille=100, salt=7)
 
 
+def mixture_sampled_docs(sf_dir: str):
+    """Training-data MIXING: per-source sampling rates over one corpus
+    (keep 80% of src0, 50% of src1, 30% of src2, 5% of the rest),
+    reproducible cross-engine — the oracle replays the per-source
+    acceptance band as a CASE over the same HUGEINT hash. Pure
+    streaming filter, no shuffle."""
+    from xgeo_ray.functions.relational import mixture_sample
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return mixture_sample(
+        ds,
+        "source",
+        "doc_id",
+        {"src0": 800, "src1": 500, "src2": 300},
+        default_permille=50,
+        salt=3,
+    )
+
+
+def shuffled_shards(sf_dir: str):
+    """Deterministic global shuffle into 8 training shards: each doc_id
+    gets (shard, pos) — a reproducible pseudorandom read order (the
+    bijective multiplicative hash has no ties, so the permutation is
+    total and the oracle replays it exactly). One shuffle keyed on
+    shard; one vectorized sort per shard."""
+    from xgeo_ray.functions.relational import shard_shuffle
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return shard_shuffle(ds, "doc_id", num_shards=8)
+
+
+def length_bucket_stats(sf_dir: str):
+    """Curriculum/length-bucketing histogram: docs and total tokens per
+    token-length bucket (64-token steps, capped at bucket 16) — the
+    planning table a sequence-packing or curriculum stage reads.
+    Integer-only bucketing (no float log) so the oracle is exact."""
+    from xgeo_ray.functions.relational import partial_group_agg
+    from xgeo_ray.functions.text import token_count_table
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        b = token_count_table(b)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(np.minimum(n // 64, 16).astype(np.int64)),
+                "n_docs": pa.array(np.ones(len(n), dtype=np.int64)),
+                "total_tokens": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    g = partial_group_agg(
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True),
+        ["bucket"],
+        [("n_docs", "sum", "n_docs"), ("total_tokens", "sum", "total_tokens")],
+        num_buckets=8,
+    )
+    return g
+
+
+def distinctive_terms(sf_dir: str):
+    """Per-document distinctive terms — TF-IDF with the float dropped:
+    top-3 tokens per doc ranked by (tf DESC, df ASC, token ASC), a
+    total order over exact integers so the ranking replays bit-for-bit
+    in SQL (float idf would rank identically under this tiebreak for
+    fixed N). In-batch tf combiner, distributed df, bucketed-cogroup
+    tf×df join, per-group top-k — no all-pairs, no driver state."""
+    from xgeo_ray.functions.relational import grouped_top_k
+    from xgeo_ray.functions.text import doc_term_stats
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    stats = doc_term_stats(ds)
+    top = grouped_top_k(
+        stats,
+        keys=["doc_id"],
+        sort_cols=["tf", "df", "token"],
+        descending=[True, False, False],
+        k=3,
+    )
+    return top.select_columns(["doc_id", "token", "tf", "df"])
+
+
 def _bench_split(b: pa.Table, keep_benchmark: bool) -> pa.Table:
     """documents -> the synthetic 'benchmark' slice (doc_id % 50 == 0)
     or its complement (the corpus)."""
@@ -1334,6 +1417,10 @@ def build_queries() -> dict:
         "lang_id_pred": lang_id_pred,
         "doc_fingerprints": doc_fingerprints,
         "sampled_docs": sampled_docs,
+        "mixture_sampled_docs": mixture_sampled_docs,
+        "shuffled_shards": shuffled_shards,
+        "length_bucket_stats": length_bucket_stats,
+        "distinctive_terms": distinctive_terms,
         "decontaminated_docs": decontaminated_docs,
         "packed_sequences": packed_sequences,
         "top_terms": top_terms,
@@ -1858,6 +1945,66 @@ def build_oracle_sql() -> dict[str, str]:
                      * CAST('11400714819323198485' AS HUGEINT))
                     % CAST('18446744073709551616' AS HUGEINT)
                     // 1099511627776) % 1000 < 100
+        """,
+        # per-source acceptance bands over the same HUGEINT hash (salt 3)
+        "mixture_sampled_docs": """
+            SELECT doc_id, source FROM documents
+            WHERE (((CAST(doc_id AS HUGEINT) + 3)
+                     * CAST('11400714819323198485' AS HUGEINT))
+                    % CAST('18446744073709551616' AS HUGEINT)
+                    // 1099511627776) % 1000
+                  < CASE source WHEN 'src0' THEN 800
+                                WHEN 'src1' THEN 500
+                                WHEN 'src2' THEN 300
+                                ELSE 50 END
+        """,
+        # bijective multiplicative hash -> total order, no ties: shard =
+        # high bits mod 8 (2^24 = 16777216), pos = rank by hash in shard
+        "shuffled_shards": """
+            WITH h AS (
+              SELECT doc_id,
+                     (CAST(doc_id AS HUGEINT)
+                       * CAST('11400714819323198485' AS HUGEINT))
+                      % CAST('18446744073709551616' AS HUGEINT) AS hh
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST((hh // 16777216) % 8 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY (hh // 16777216) % 8 ORDER BY hh)
+                     - 1 AS BIGINT) AS pos
+            FROM h
+        """,
+        "length_bucket_stats": r"""
+            SELECT LEAST(n // 64, 16) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS total_tokens
+            FROM (
+              SELECT len(list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '')) AS n
+              FROM documents
+            )
+            GROUP BY 1
+        """,
+        # float-free TF-IDF ranking: (tf DESC, df ASC, token ASC) is a
+        # total order per doc (token unique within doc), so top-3 is exact
+        "distinctive_terms": r"""
+            WITH dt AS (
+              SELECT doc_id, x AS token, CAST(count(*) AS BIGINT) AS tf
+              FROM documents,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) t(x)
+              GROUP BY 1, 2
+            ),
+            dfreq AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM dt GROUP BY 1
+            )
+            SELECT dt.doc_id, dt.token, dt.tf, dfreq.df
+            FROM dt JOIN dfreq USING (token)
+            QUALIFY row_number() OVER (
+                PARTITION BY dt.doc_id
+                ORDER BY tf DESC, df ASC, token ASC) <= 3
         """,
         # exact vocabulary head; tie at the cut broken by token ASC so
         # the selected set matches the engine's top_k deterministically
