@@ -208,6 +208,8 @@ def run_bench() -> dict:
         "minhash_dup_pairs",
         "dup_clusters",
         "packed_sequences",
+        "shuffled_shards",
+        "distinctive_terms",
     ]:
         fn = Q.build_queries()[name]
         best = None

@@ -76,6 +76,30 @@ def ack(table: DeltaTable, group: str, upto_epoch: int) -> bool:
     return True
 
 
+def rewind(table: DeltaTable, group: str, to_epoch: int) -> int:
+    """Move ``group``'s durable cursor BACKWARD to ``to_epoch`` (0 =
+    replay everything) by deleting the ack records above it — the
+    deliberate-operator complement of ``ack()``'s never-backward rule.
+    Use it with table rollback: ``ingest.restore`` refuses targets a
+    group has acked past, so rewind the group first (or repair the
+    downstream after ``force=True``), or to re-feed a rebuilt consumer.
+    Idempotent; returns the new position."""
+    if to_epoch < 0:
+        raise ValueError(f"to_epoch must be >= 0, got {to_epoch}")
+    d = _group_dir(table, group)
+    if not os.path.isdir(d):
+        return 0
+    for name in sorted(os.listdir(d)):
+        m = _ACK_RE.match(name)
+        if m and int(m.group(1)) > to_epoch:
+            DEFAULT_STORAGE.delete_control(os.path.join(d, name))
+    # pin the cursor exactly at the target (the surviving acks may all
+    # have been above it, e.g. a single upto=N record)
+    if to_epoch > 0 and position(table, group) < to_epoch:
+        ack(table, group, to_epoch)
+    return position(table, group)
+
+
 def groups(table: DeltaTable) -> list[str]:
     d = os.path.join(table.root, CONSUMER_DIR)
     if not os.path.isdir(d):
@@ -122,3 +146,6 @@ class Consumer:
 
     def ack(self, upto_epoch: int) -> bool:
         return ack(self.table, self.group, upto_epoch)
+
+    def rewind(self, to_epoch: int) -> int:
+        return rewind(self.table, self.group, to_epoch)
