@@ -218,6 +218,16 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p = sub.add_parser(
+        "reshard",
+        help="migrate the table to a new partition/salt count at a fresh "
+        "root (atomic one-epoch cutover; old WAL continuity carried over)",
+    )
+    p.add_argument("table")
+    p.add_argument("new_root")
+    p.add_argument("--num-partitions", type=int, required=True)
+    p.add_argument("--num-salts", type=int, default=None)
+
+    p = sub.add_parser(
         "delete",
         help="tombstone every key whose current row matches a column "
         "equality (distributed predicate delete; --batch-id is the "
@@ -420,6 +430,23 @@ def main(argv: list[str] | None = None) -> int:
                 _init_ray()  # batch path fans out merge tasks
                 t = ing.lookup_many(table, args.conv_id)
             print(json.dumps(t.to_pylist(), default=str))
+        elif args.cmd == "reshard":
+            _init_ray()
+            new = ing.reshard(
+                table,
+                args.new_root,
+                num_partitions=args.num_partitions,
+                num_salts=args.num_salts,
+            )
+            print(
+                json.dumps(
+                    {
+                        "new_root": new.root,
+                        "num_partitions": new.num_partitions,
+                        "num_salts": new.num_salts,
+                    }
+                )
+            )
         elif args.cmd == "delete":
             import pyarrow.compute as _pc
 

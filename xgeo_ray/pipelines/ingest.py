@@ -1430,6 +1430,106 @@ def delete_where(
     return ingest_segments(table, segs, watermark_exempt=True)
 
 
+def reshard(
+    table: DeltaTable,
+    new_root: str,
+    num_partitions: int,
+    num_salts: int | None = None,
+    tmp_dir: str | None = None,
+) -> DeltaTable:
+    """Migrate a table to a NEW partition/salt count — the explicit
+    partitioning-evolution operation a growing lake needs (partition
+    count is fixed at create; a table sized for 10^8 events needs more
+    partitions at 10^10). Returns the new table handle at ``new_root``.
+
+    Mechanics: one merge task per OLD partition folds its visible files
+    to per-key state WITH tombstones retained (dropping one could let a
+    late lower-(ts, seq) event resurrect a deleted key in the new
+    table) and writes it as a WAL-shaped tmp segment; all segments then
+    ingest through the normal exchange/fence machinery as ONE epoch —
+    the reshard is a single atomic cutover, and per-NEW-partition seq
+    watermarks are recorded from the real seqs, so replay protection
+    carries over. A second commit records the old table's committed
+    segment list, so tailing the same WAL against the new table skips
+    everything already applied (resume continuity across the reshard).
+    ``history="full"`` tables migrate version-preserving (same kernel
+    as minor compaction).
+
+    One-shot, not resumable midway: ``new_root`` must not exist; after
+    a crash, delete it and rerun (the old table is never touched).
+    Scale note: a reshard is inherently a full-table shuffle — the one
+    epoch holds the whole table in flight (object store spills); run it
+    as a maintenance job, not inline with ingest.
+
+    No counterpart in the reference (stateless CLI); the north rule
+    mandates partitioning handled explicitly — this is the evolution
+    half."""
+    import shutil as _shutil
+
+    if DeltaTable.exists(new_root) or os.path.isdir(new_root):
+        raise ValueError(
+            f"reshard target {new_root!r} already exists — it must be "
+            "fresh (delete a half-finished reshard and rerun)"
+        )
+    if num_salts is None:
+        num_salts = table.num_salts
+    envelope = table.current_schema()
+    plan = table.partition_files()
+    if not plan:
+        raise ValueError("reshard of an empty table: nothing committed yet")
+    tmp = tmp_dir or (new_root.rstrip("/") + ".reshard-tmp")
+    _shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    from xgeo_ray.stages.collapse import MERGE_POLICIES
+
+    policy = MERGE_POLICIES[table.merge_policy]["fn"]
+    preserve_history = table.history == "full"
+
+    @ray.remote
+    def fold_part(part: int, paths: list[str]) -> str:
+        from xgeo_ray.tuning import limit_worker_threads
+
+        limit_worker_threads()
+        tables = [pq.read_table(p, use_threads=False) for p in paths]
+        if preserve_history:
+            from xgeo_ray.schemas import unify as _unify
+            from xgeo_ray.stages.collapse import history_dedup
+
+            tgt = _unify(*[x.schema for x in tables])
+            t = history_dedup(
+                pa.concat_tables([cast_to(x, tgt) for x in tables])
+            )[0]
+        else:
+            t = merge_versions(tables, drop_tombstones=False, policy=policy)
+        t = cast_to(t, envelope)
+        out = os.path.join(tmp, f"part-{part:05d}.parquet")
+        pq.write_table(t, out)
+        return out
+
+    segs = ray.get([fold_part.remote(k, v) for k, v in sorted(plan.items())])
+    new = DeltaTable.create(
+        new_root,
+        num_partitions=num_partitions,
+        num_salts=num_salts,
+        base_schema=table.base_schema(),
+        durability=table.durability,
+        merge_policy=table.merge_policy,
+        history=table.history,
+    )
+    # ONE epoch: segments partition the KEY space (one old partition
+    # each) with overlapping seq ranges — splitting them across epochs
+    # would trip the per-new-partition seq watermark on the later half
+    # (the same invariant sync_derived documents)
+    run_stream(new, [], segment_groups=[sorted(segs)])
+    # resume continuity: the old WAL's committed segments count as done
+    carried = sorted(table.committed_segments())
+    new.commit_epoch(
+        new.latest_epoch() + 1, carried, [], envelope, kind="delta"
+    )
+    _shutil.rmtree(tmp, ignore_errors=True)
+    return new
+
+
 def restore(table: DeltaTable, to_epoch: int, force: bool = False) -> Manifest:
     """Roll the table back to the state as of committed epoch
     ``to_epoch`` — the lakehouse RESTORE: a pure-metadata commit (kind
