@@ -1218,6 +1218,34 @@ def distinctive_terms(sf_dir: str):
     return top.select_columns(["doc_id", "token", "tf", "df"])
 
 
+def quality_filtered_docs(sf_dir: str):
+    """Percentile quality cut — the sketch→filter composition every
+    corpus pipeline runs ("drop the shortest quartile"): the threshold
+    comes from the distributed exact-quantile histogram (driver sees
+    one row per DISTINCT token count, quantile_disc semantics), then
+    one streaming filter keeps docs at or above it. Two passes over a
+    narrow projection; no sort, no full materialization."""
+    from xgeo_ray.functions.relational import exact_quantiles
+    from xgeo_ray.functions.text import token_count_table
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tok(b: pa.Table) -> pa.Table:
+        return token_count_table(b).select(["doc_id", "n_tokens"])
+
+    counts = ds.map_batches(tok, batch_format="pyarrow", zero_copy_batch=True)
+    thr = int(
+        exact_quantiles(counts, "n_tokens", [0.25]).column("value")[0].as_py()
+    )
+    return counts.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("n_tokens"), pa.scalar(thr, pa.int64()))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def _bench_split(b: pa.Table, keep_benchmark: bool) -> pa.Table:
     """documents -> the synthetic 'benchmark' slice (doc_id % 50 == 0)
     or its complement (the corpus)."""
@@ -1418,6 +1446,7 @@ def build_queries() -> dict:
         "doc_fingerprints": doc_fingerprints,
         "sampled_docs": sampled_docs,
         "mixture_sampled_docs": mixture_sampled_docs,
+        "quality_filtered_docs": quality_filtered_docs,
         "shuffled_shards": shuffled_shards,
         "length_bucket_stats": length_bucket_stats,
         "distinctive_terms": distinctive_terms,
@@ -1957,6 +1986,18 @@ def build_oracle_sql() -> dict[str, str]:
                                 WHEN 'src1' THEN 500
                                 WHEN 'src2' THEN 300
                                 ELSE 50 END
+        """,
+        # quantile_disc == the engine's histogram-walk semantics (same
+        # replay as order_price_quantiles); threshold then a plain filter
+        "quality_filtered_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                          x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            thr AS (SELECT quantile_disc(n_tokens, 0.25) AS v FROM t)
+            SELECT doc_id, n_tokens FROM t, thr WHERE n_tokens >= v
         """,
         # bijective multiplicative hash -> total order, no ties: shard =
         # high bits mod 8 (2^24 = 16777216), pos = rank by hash in shard
