@@ -112,6 +112,23 @@ def test_delete_then_compact_vacuum_erases_bytes(tmp_path):
     assert ing.fsck(table)["ok"]
 
 
+def test_vacuum_reclaims_orphaned_delete_stage_dirs(tmp_path):
+    import time
+
+    table, base, events = _mk(str(tmp_path))
+    # a crashed delete_where attempt: staged files, no publish, no commit
+    stage = f"{tmp_path}/table/backfill/dead-batch.d.stage-99999"
+    os.makedirs(stage)
+    with open(f"{stage}/part-00000.parquet", "wb") as f:
+        f.write(b"orphan")
+    old = time.time() - 3600
+    os.utime(stage, (old, old))
+    got = ing.vacuum(table)
+    assert not os.path.exists(stage)
+    assert got["deleted"] >= 1
+    assert ing.fsck(table)["ok"]
+
+
 def test_later_upsert_reinserts_deleted_key(tmp_path):
     table, base, events = _mk(str(tmp_path))
     snap = _df(ing.snapshot(table))

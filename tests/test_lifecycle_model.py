@@ -110,3 +110,125 @@ def test_random_lifecycle_against_model(tmp_path, seed, history):
             got = _engine_state(t)
             got["turn_idx"] = got["turn_idx"].astype(want["turn_idx"].dtype)
             pd.testing.assert_frame_equal(got, want), f"step {step} op {op}"
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_random_lifecycle_with_restore_and_delete(tmp_path, seed):
+    """The round-3 extension of the model test: RESTORE (rollback to a
+    random committed epoch — the model rewinds to its recorded prefix)
+    and DELETE_WHERE (predicate tombstones — the model appends D rows
+    for every currently-live matching key) interleaved with ingest,
+    corrections, folds and vacuum. Restore targets whose files vacuum
+    already reclaimed must fail fast and change nothing."""
+    rng = np.random.default_rng(seed)
+    t = DeltaTable.create(str(tmp_path / "t"), num_partitions=4, num_salts=1)
+    # the model is an append-only batch log plus an ACTIVE index list —
+    # restore may target an epoch inside an already-rolled-back range
+    # (the engine reproduces the ORIGINAL state there), so snapshots
+    # must be index SETS, not prefix lengths
+    all_batches: list[pd.DataFrame] = []
+    active: list[int] = []
+    hist: dict[int, list[int]] = {}  # committed epoch -> active indices
+    seq = 0
+    ts = 1_000_000
+    n_batches = 0
+
+    def model_rows():
+        return [all_batches[i] for i in active]
+
+    for step in range(14):
+        op = rng.choice(
+            [
+                "ingest", "ingest", "ingest",
+                "correct", "delete", "restore",
+                "minor", "full", "vacuum",
+            ]
+        )
+        if op == "ingest":
+            n = int(rng.integers(30, 90))
+            ev = _events(seq, n, rng, ts)
+            seq += n
+            ts += n * 10 + 1_000
+            segs = fx.write_segments(ev, str(tmp_path / f"wal{step}"), n_segments=2)
+            ing.ingest_segments(t, segs)
+            all_batches.append(ev.to_pandas())
+            active.append(len(all_batches) - 1)
+        elif op == "correct":
+            n_batches += 1
+            key_conv = f"c{rng.integers(0, 6)}"
+            key_turn = int(rng.integers(0, 4))
+            ts += 1_000
+            batch = pa.table(
+                {
+                    "conv_id": pa.array([key_conv]),
+                    "turn_idx": pa.array([key_turn], pa.int32()),
+                    "text": pa.array([f"fix{n_batches}"]),
+                }
+            )
+            ing.apply_changes(t, batch, batch_id=f"fix-{n_batches}", ts_us=ts)
+            all_batches.append(
+                pd.DataFrame(
+                    {
+                        "seq": [np.int64(-1)],
+                        "op": ["U"],
+                        "conv_id": [key_conv],
+                        "turn_idx": [key_turn],
+                        "text": [f"fix{n_batches}"],
+                        "ts": [pd.Timestamp(ts, unit="us")],
+                    }
+                )
+            )
+            active.append(len(all_batches) - 1)
+        elif op == "delete":
+            if not active:
+                continue
+            victim = f"c{rng.integers(0, 6)}"
+            ts += 1_000
+            n_batches += 1
+            import pyarrow.compute as pc
+
+            ing.delete_where(
+                t,
+                lambda b, v=victim: pc.equal(b.column("conv_id"), v),
+                batch_id=f"del-{n_batches}",
+                ts_us=ts,
+            )
+            cur = _model_state(pd.concat(model_rows(), ignore_index=True))
+            doomed = cur[cur.conv_id == victim]
+            if len(doomed):
+                all_batches.append(
+                    pd.DataFrame(
+                        {
+                            "seq": np.full(len(doomed), -1, np.int64),
+                            "op": ["D"] * len(doomed),
+                            "conv_id": doomed.conv_id.to_numpy(),
+                            "turn_idx": doomed.turn_idx.to_numpy(),
+                            "text": [None] * len(doomed),
+                            "ts": [pd.Timestamp(ts, unit="us")] * len(doomed),
+                        }
+                    )
+                )
+                active.append(len(all_batches) - 1)
+        elif op == "restore":
+            targets = [e for e in hist if e < t.latest_epoch()]
+            if not targets:
+                continue
+            target = int(rng.choice(targets))
+            try:
+                ing.restore(t, target)
+            except ValueError:
+                continue  # vacuumed history: engine refuses, model unchanged
+            active = list(hist[target])
+        elif op == "minor":
+            ing.compact(t, minor=True)
+        elif op == "full":
+            ing.compact(t)
+        elif op == "vacuum":
+            ing.vacuum(t)
+        hist[t.latest_epoch()] = list(active)
+        if active:
+            want = _model_state(pd.concat(model_rows(), ignore_index=True))
+            got = _engine_state(t)
+            got["turn_idx"] = got["turn_idx"].astype(want["turn_idx"].dtype)
+            pd.testing.assert_frame_equal(got, want), f"step {step} op {op}"
+    assert ing.fsck(t)["ok"], ing.fsck(t)["issues"]

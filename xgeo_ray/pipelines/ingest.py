@@ -2047,9 +2047,31 @@ def vacuum(table: DeltaTable, respect_consumers: bool = True) -> dict:
             pass
     deleted = 0
     bytes_freed = 0
+    # delete_where attempts stage under backfill/<id>.d.stage-<pid>/;
+    # a writer that died mid-stage leaves the dir orphaned — reclaim
+    # once it predates the latest committed manifest (no live attempt)
+    backfill_root = os.path.join(table.root, "backfill")
+    if os.path.isdir(backfill_root):
+        import shutil as _shutil
+
+        for name in sorted(os.listdir(backfill_root)):
+            if ".stage-" not in name:
+                continue
+            full = os.path.join(backfill_root, name)
+            try:
+                if os.path.getmtime(full) < tmp_horizon:
+                    bytes_freed += sum(
+                        os.path.getsize(os.path.join(r, f))
+                        for r, _, fs in os.walk(full)
+                        for f in fs
+                    )
+                    _shutil.rmtree(full, ignore_errors=True)
+                    deleted += 1
+            except FileNotFoundError:
+                pass
     parts_root = os.path.join(table.root, PARTS_DIR)
     if not os.path.isdir(parts_root):
-        return {"deleted": 0, "bytes_freed": 0}
+        return {"deleted": deleted, "bytes_freed": bytes_freed}
     for part in sorted(os.listdir(parts_root)):
         d = os.path.join(parts_root, part)
         if not os.path.isdir(d):
