@@ -124,3 +124,69 @@ ray.shutdown()
     r = run("resume")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "OBJSTORE-OK" in r.stdout
+
+
+def test_lifecycle_ops_on_objectstore_contract(tmp_path):
+    """restore / delete_where / consumer rewind / reshard — the
+    continuation lifecycle ops — in a fresh process under
+    XGEO_STORAGE=objectstore: every fence claim, tombstone publish, ack
+    write and ack delete goes through the restricted contract."""
+    work = str(tmp_path)
+    script = f"""
+import os, sys
+sys.path.insert(0, "/root/repo")
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from xgeo_ray.state.storage import DEFAULT_STORAGE
+assert type(DEFAULT_STORAGE).__name__ == "ObjectStoreStorage"
+import pandas as pd
+import pyarrow.compute as pc
+from xgeo_ray import fixtures as fx
+from xgeo_ray.pipelines import ingest as ing
+from xgeo_ray.state import consumers as cons
+from xgeo_ray.state.delta_table import DeltaTable
+
+work = {work!r}
+ev = fx.make_change_events(600, n_convs=8, turns_per_conv=5, dup_fraction=0.0)
+segs = fx.write_segments(ev, work + "/wal", n_segments=3)
+t = DeltaTable.create(work + "/t", num_partitions=4, num_salts=1)
+ing.run_stream(t, segs, segments_per_epoch=1)  # epochs 1..3
+
+def snap(tt):
+    return ing.snapshot(tt).to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+at2 = ing.snapshot(t, as_of_epoch=2).to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+cons.ack(t, "g1", 3)
+try:
+    ing.restore(t, 2)
+    raise SystemExit("guard missed")
+except ValueError:
+    pass
+cons.rewind(t, "g1", 2)
+ing.restore(t, 2)
+pd.testing.assert_frame_equal(snap(t), at2)
+ing.run_stream(t, segs, segments_per_epoch=1)  # replay rolled-back seg
+
+m = ing.delete_where(t, lambda b: pc.equal(b.column("role"), "user"), batch_id="d1")
+assert m is not None and m.totals["tombstones"] > 0
+assert ing.delete_where(t, lambda b: pc.equal(b.column("role"), "user"), batch_id="d1") is None
+got = snap(t)
+assert not (got["role"] == "user").any()
+
+new = ing.reshard(t, work + "/t8", num_partitions=8)
+pd.testing.assert_frame_equal(snap(new), got)
+assert ing.fsck(t)["ok"] and ing.fsck(new)["ok"]
+print("OBJSTORE-OPS-OK")
+ray.shutdown()
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script],
+        env={**os.environ, "XGEO_STORAGE": "objectstore"},
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "OBJSTORE-OPS-OK" in r.stdout

@@ -252,6 +252,15 @@ def main(argv: list[str] | None = None) -> int:
         help="restore even when a consumer group has acked past the target",
     )
 
+    p = sub.add_parser(
+        "rewind",
+        help="move a consumer group's durable cursor backward (replay; "
+        "required before restoring past the group's acked position)",
+    )
+    p.add_argument("table")
+    p.add_argument("group")
+    p.add_argument("to_epoch", type=int)
+
     p = sub.add_parser("status", help="print manifests + lineage totals as JSON")
     p.add_argument("table")
 
@@ -476,6 +485,11 @@ def main(argv: list[str] | None = None) -> int:
                     {"restored_to": args.to_epoch, "restore_epoch": m.epoch}
                 )
             )
+        elif args.cmd == "rewind":
+            from xgeo_ray.state import consumers as _cons
+
+            pos = _cons.rewind(table, args.group, args.to_epoch)
+            print(json.dumps({"group": args.group, "position": pos}))
         elif args.cmd == "fsck":
             out = ing.fsck(table)
             print(json.dumps(out))

@@ -1332,8 +1332,10 @@ def delete_where(
     """Predicate delete — the takedown/right-to-be-forgotten primitive:
     tombstone every key whose CURRENT merged row satisfies ``predicate``
     (a callable ``pa.Table -> boolean array``, evaluated per snapshot
-    batch inside workers; ``columns`` names the data columns it reads so
-    the scan is pruned to keys + those). Fully distributed: the snapshot
+    batch inside workers). Pass ``columns`` — the data columns the
+    predicate reads — to prune the scan to keys + those; without it the
+    scan reads every column (correct, just unpruned — always pass it on
+    a wide table). Fully distributed: the snapshot
     merge tasks stream, each batch filters to matching keys only (the
     payload never returns to the driver), and the resulting tombstone
     rows land as out-of-band WAL segments (op='D', seq=-1, ts =
@@ -1373,7 +1375,11 @@ def delete_where(
     if any(s.startswith(prefix) for s in table.committed_segments()):
         return None
     now = int(_time.time() * 1_000_000) if ts_us is None else int(ts_us)
-    need = list(dict.fromkeys(["conv_id", "turn_idx"] + list(columns or [])))
+    need = (
+        None  # unpruned scan: the predicate may read any column
+        if columns is None
+        else list(dict.fromkeys(["conv_id", "turn_idx"] + list(columns)))
+    )
     key_schema = pa.schema(
         [f for f in table.current_schema() if f.name in ("conv_id", "turn_idx")]
     )
