@@ -112,6 +112,29 @@ def test_delete_then_compact_vacuum_erases_bytes(tmp_path):
     assert ing.fsck(table)["ok"]
 
 
+def test_out_of_band_batches_do_not_poison_event_time_watermark(tmp_path):
+    """A takedown stamped at wall-clock "now" (2026) over a 2024-ts
+    stream must NOT advance the stream's event-time watermark — every
+    later genuine event would otherwise count as late and watermark
+    triggers would fire with a bogus completeness claim."""
+    table, base, events = _mk(str(tmp_path))
+    wm_before = table.event_time_watermark()
+    ing.delete_where(
+        table,
+        lambda t: pc.equal(t.column("role"), "tool"),
+        batch_id="takedown-now",
+        columns=["role"],
+    )  # default ts = wall-clock now
+    assert table.event_time_watermark() == wm_before
+    # same exemption for correction batches
+    rows = pa.table(
+        {"conv_id": ["conv-000000"], "turn_idx": pa.array([0], pa.int64()),
+         "text": ["fixed"]}
+    )
+    ing.apply_changes(table, rows, batch_id="fix-now")
+    assert table.event_time_watermark() == wm_before
+
+
 def test_vacuum_reclaims_orphaned_delete_stage_dirs(tmp_path):
     import time
 

@@ -95,8 +95,15 @@ def test_rewind_replays_feed_and_unblocks_restore(tmp_path):
     assert cons.rewind(table, "sink", 1) == 1
     feed3, upto3 = c.poll()
     assert upto3 == 3 and 0 < feed3.count() < n_all
-    # rewind is idempotent and never moves forward
+    # rewind is idempotent and never moves forward: a target ahead of
+    # the cursor (e.g. a typo'd epoch) raises instead of fast-forwarding
+    # the group past unconsumed epochs
     assert c.rewind(1) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="AHEAD"):
+        c.rewind(30)
+    assert c.position() == 1
 
     # restore guard composes: acked-past-target blocks, rewind unblocks
     c.ack(3)

@@ -111,6 +111,25 @@ def test_reshard_down_and_policies_carry(tmp_path):
         ing.reshard(table, f"{root}/t2", num_partitions=2)
 
 
+def test_reshard_guards_event_time_travel_on_collapsed_tables(tmp_path):
+    """A reshard of a collapsed-history table folds superseded versions
+    exactly like a compaction — event-time travel INTO the pre-reshard
+    range must fail fast on the new table, not silently return folded
+    state."""
+    root = str(tmp_path)
+    table, base, events, segs = _mk(root)
+    t_mid = int(
+        pq.read_table(f"{root}/wal/segment-00001.parquet", columns=["ts"])
+        .column("ts")
+        .cast(pa.int64())[0]
+        .as_py()
+    )
+    _ = ing.snapshot(table, as_of_ts_us=t_mid)  # old table: fine
+    new = ing.reshard(table, f"{root}/tg", num_partitions=8)
+    with pytest.raises(ValueError, match="folded"):
+        ing.snapshot(new, as_of_ts_us=t_mid)
+
+
 def test_reshard_full_history_table_preserves_versions(tmp_path):
     root = str(tmp_path)
     table, base, events, segs = _mk(root, history="full")

@@ -83,6 +83,24 @@ def test_restore_of_restore_and_errors(tmp_path):
     assert ing.fsck(table)["ok"]
 
 
+def test_restore_forward_past_an_earlier_restore(tmp_path):
+    """Restore to a target ABOVE an earlier restore's target must
+    RE-EXPAND the view to snapshot(as_of_epoch=target) — a filtering
+    implementation can only subtract and silently keeps the narrower
+    state (the confirmed review finding)."""
+    table, base, events, segs = _mk(str(tmp_path))
+    at1 = _df(ing.snapshot(table, as_of_epoch=1))
+    at2 = _df(ing.snapshot(table, as_of_epoch=2))
+    ing.restore(table, 1)  # epoch 5
+    pd.testing.assert_frame_equal(_df(ing.snapshot(table)), at1)
+    ing.restore(table, 2)  # epoch 6: partially UNDOES the first restore
+    pd.testing.assert_frame_equal(_df(ing.snapshot(table)), at2)
+    # committed segments re-expand too: segment 0 is applied again
+    assert segs[0] in table.committed_segments()
+    out = ing.fsck(table)
+    assert out["ok"], out["issues"]
+
+
 def test_restore_consumer_guard_and_feed_rewind(tmp_path):
     table, base, events, segs = _mk(str(tmp_path))
     c = cons.Consumer(table, "sink")

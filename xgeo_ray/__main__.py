@@ -457,10 +457,25 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         elif args.cmd == "delete":
+            import pyarrow as _pa
             import pyarrow.compute as _pc
 
+            col = args.column
+            env = table.current_schema()
+            if col not in env.names:  # fail fast, not in every worker
+                raise SystemExit(
+                    f"no column {col!r} in table schema {env.names}"
+                )
+            try:  # coerce the argv string to the column's type
+                val = _pa.scalar(args.value, _pa.string()).cast(
+                    env.field(col).type
+                )
+            except Exception as e:
+                raise SystemExit(
+                    f"value {args.value!r} does not cast to column "
+                    f"{col!r} type {env.field(col).type}: {e}"
+                )
             _init_ray()
-            col, val = args.column, args.value
             m = ing.delete_where(
                 table,
                 lambda t: _pc.equal(t.column(col), val),

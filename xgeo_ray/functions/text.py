@@ -481,7 +481,12 @@ def doc_term_stats(
             2, "tf", tf.column("count_all").cast(pa.int64())
         )
 
-    dt = ds.map_batches(explode_tf, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize: dt feeds BOTH the df aggregation and the join's left
+    # side — without pinning the blocks, the lazy tokenize+explode pass
+    # (the dominant cost) would execute twice
+    dt = ds.map_batches(
+        explode_tf, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     df = partial_group_agg(
         dt.select_columns(["token"]).map_batches(
             lambda b: b.append_column(

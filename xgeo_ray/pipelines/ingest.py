@@ -606,12 +606,21 @@ def ingest_segments(
     events_read = sum(segment_row_count(p) for p in segment_paths)
     if os.environ.get("XGEO_CRASH_BEFORE_COMMIT"):
         os._exit(137)  # crash-injection hook for exactly-once tests
+    extra: dict[str, int] = {"events_read": events_read, "invalid": invalid}
+    if watermark_exempt:
+        # out-of-band batch (correction/backfill/predicate-delete): its
+        # rows are stamped with operational wall-clock ts, not stream
+        # event time — flagged so ts_watermarks() excludes the epoch
+        # (the event-time analogue of the seq-watermark exemption;
+        # otherwise one takedown stamped "now" marks every later stream
+        # event late and fires bogus watermark triggers)
+        extra["oob"] = 1
     return table.commit_epoch(
         epoch,
         segment_paths,
         entries,
         envelope,
-        extra_totals={"events_read": events_read, "invalid": invalid},
+        extra_totals=extra,
     )
 
 
@@ -1010,9 +1019,15 @@ def snapshot(
             # minor folds collapse history too — EXCEPT on full-history
             # tables, where they are version-preserving by construction
             # (rolled-back compactions no longer guard anything: restore
-            # put the pre-compaction deltas back in the visible set)
-            if m.kind.startswith("compact")
-            and not (m.kind == "compact_minor" and table.history == "full")
+            # put the pre-compaction deltas back in the visible set).
+            # totals["folds_history"] marks non-compact manifests that
+            # still erased history (a reshard's fold on a collapsed
+            # table) — same guard applies.
+            if (
+                m.kind.startswith("compact")
+                and not (m.kind == "compact_minor" and table.history == "full")
+            )
+            or m.totals.get("folds_history")
         ]
         # EVERY compaction at or before the travel point folded history;
         # checking only the last one would let an earlier fold's horizon
@@ -1020,6 +1035,8 @@ def snapshot(
         # compaction happens to carry a lower max_ts.
         for m in ms:
             over = max((e.max_ts for e in m.partitions.values()), default=-1)
+            if over < 0:
+                over = m.totals.get("folded_max_ts", -1)
             if over > as_of_ts_us:
                 raise ValueError(
                     f"event-time travel to ts={as_of_ts_us} crosses compaction "
@@ -1527,10 +1544,31 @@ def reshard(
     # would trip the per-new-partition seq watermark on the later half
     # (the same invariant sync_derived documents)
     run_stream(new, [], segment_groups=[sorted(segs)])
-    # resume continuity: the old WAL's committed segments count as done
+    # resume continuity: the old WAL's committed segments count as done.
+    # On collapsed-history tables the fold above erased superseded
+    # versions exactly like a compaction — record the folded max_ts so
+    # event-time travel INTO the pre-reshard range fails fast on the
+    # new table (same guard snapshot applies to compact manifests)
+    # instead of silently returning folded state.
+    extra = None
+    if not preserve_history:
+        fold_max = max(
+            (
+                e.max_ts
+                for m in new.manifests()
+                for e in m.partitions.values()
+            ),
+            default=-1,
+        )
+        extra = {"folds_history": 1, "folded_max_ts": fold_max}
     carried = sorted(table.committed_segments())
     new.commit_epoch(
-        new.latest_epoch() + 1, carried, [], envelope, kind="delta"
+        new.latest_epoch() + 1,
+        carried,
+        [],
+        envelope,
+        kind="delta",
+        extra_totals=extra,
     )
     _shutil.rmtree(tmp, ignore_errors=True)
     return new

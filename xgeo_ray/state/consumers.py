@@ -83,9 +83,22 @@ def rewind(table: DeltaTable, group: str, to_epoch: int) -> int:
     Use it with table rollback: ``ingest.restore`` refuses targets a
     group has acked past, so rewind the group first (or repair the
     downstream after ``force=True``), or to re-feed a rebuilt consumer.
-    Idempotent; returns the new position."""
+    Idempotent; returns the new position. Rewind only moves BACKWARD:
+    a target ahead of the current cursor is a misuse (likely a typo'd
+    epoch) and raises rather than silently fast-forwarding the group
+    past unconsumed epochs — ``ack`` after a real poll is the only way
+    forward."""
     if to_epoch < 0:
         raise ValueError(f"to_epoch must be >= 0, got {to_epoch}")
+    cur = position(table, group)
+    if to_epoch > cur:
+        raise ValueError(
+            f"rewind target {to_epoch} is AHEAD of group {group!r}'s "
+            f"cursor {cur}: rewind only moves backward (ack after a "
+            "poll to advance)"
+        )
+    if to_epoch == cur:
+        return cur
     d = _group_dir(table, group)
     if not os.path.isdir(d):
         return 0
@@ -94,7 +107,9 @@ def rewind(table: DeltaTable, group: str, to_epoch: int) -> int:
         if m and int(m.group(1)) > to_epoch:
             DEFAULT_STORAGE.delete_control(os.path.join(d, name))
     # pin the cursor exactly at the target (the surviving acks may all
-    # have been above it, e.g. a single upto=N record)
+    # have been above it, e.g. a single upto=N record); to_epoch < the
+    # pre-rewind position here, so this can never move the cursor past
+    # anything unconsumed
     if to_epoch > 0 and position(table, group) < to_epoch:
         ack(table, group, to_epoch)
     return position(table, group)

@@ -207,16 +207,29 @@ class DeltaTable:
         compose (a later restore can roll back an earlier one: reading
         as-of an epoch between the two sees the first restore applied).
         The restore marker itself carries no data and is filtered from
-        the result; output stays ascending by epoch."""
-        out: list[Manifest] = []
-        for m in self.manifests():
-            if as_of_epoch is not None and m.epoch > as_of_epoch:
-                break
-            if m.kind == "restore":
-                out = [x for x in out if x.epoch <= m.replaces_up_to]
-            else:
-                out.append(m)
-        return out
+        the result; output stays ascending by epoch.
+
+        A restore marker REPLACES the accumulated view with the
+        effective view AS OF its target — resolved recursively, not by
+        filtering the current list: filtering could only ever subtract,
+        so a restore to an epoch ABOVE an earlier restore's target
+        (un-doing part of the first rollback) would silently keep the
+        narrower state. Recursion terminates because every marker's
+        target is strictly below its own epoch."""
+        ms = self.manifests()
+
+        def eff(upto: int | None) -> list[Manifest]:
+            out: list[Manifest] = []
+            for m in ms:
+                if upto is not None and m.epoch > upto:
+                    break
+                if m.kind == "restore":
+                    out = eff(m.replaces_up_to)
+                else:
+                    out.append(m)
+            return out
+
+        return eff(as_of_epoch)
 
     def latest_epoch(self) -> int:
         ms = self.manifests()
@@ -252,7 +265,12 @@ class DeltaTable:
         wm = np.full(self.num_partitions, -1, dtype=np.int64)
         for m in self.effective_manifests():
             # compactions (full AND minor) merge bootstrap rows back in;
-            # delta manifests alone carry the stream's event-time history
+            # delta manifests alone carry the stream's event-time history.
+            # Out-of-band epochs (totals["oob"]: corrections, backfills,
+            # predicate deletes) carry operational ts, not stream event
+            # time — they must not advance the stream's watermark
+            if m.totals.get("oob"):
+                continue
             if m.kind.startswith("compact") or any(
                 s.startswith("bootstrap:") for s in m.segments
             ):
