@@ -114,6 +114,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("table")
     p.add_argument("out_dir")
+    p.add_argument(
+        "--shuffled-shards",
+        type=int,
+        default=None,
+        help="instead of per-partition files, write N training shards "
+        "in a deterministic pseudorandom row order (resumable per "
+        "shard; --salt gives a fresh order per training epoch)",
+    )
+    p.add_argument("--salt", type=int, default=0)
 
     p = sub.add_parser(
         "tail",
@@ -366,7 +375,12 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         elif args.cmd == "snapshot":
-            stats = ing.export_snapshot(table, args.out_dir)
+            if args.shuffled_shards is not None:
+                stats = ing.export_shuffled(
+                    table, args.out_dir, args.shuffled_shards, salt=args.salt
+                )
+            else:
+                stats = ing.export_snapshot(table, args.out_dir)
             print(json.dumps({"out": args.out_dir, **stats}))
         elif args.cmd == "compact":
             m = ing.compact(

@@ -2197,6 +2197,102 @@ def export_snapshot(
     }
 
 
+def export_shuffled(
+    table: DeltaTable,
+    out_dir: str,
+    num_shards: int,
+    salt: int = 0,
+    columns: list[str] | None = None,
+) -> dict[str, int]:
+    """Write the merged table state as ``num_shards`` Parquet shard
+    files in a DETERMINISTIC pseudorandom row order — the
+    global-shuffle-before-training export. Each row's order key is the
+    Fibonacci mix of (siphash64(conv_id), turn_idx, salt): shard =
+    well-mixed high bits mod ``num_shards``, rows within a shard sorted
+    by the key — so the permutation is reproducible across runs and
+    machines, and a new ``salt`` yields a fresh independent order (one
+    per training epoch). Resumable like ``export_snapshot``: shards
+    whose file already exists are skipped BEFORE the shuffle (their
+    rows never leave the merge tasks); delete a file to rewrite just
+    that shard.
+
+    Scale shape: per-partition merge tasks → streaming shard
+    assignment → ONE shuffle keyed on shard → one vectorized sort +
+    atomic write per shard. Size ``num_shards`` so a shard fits a
+    worker (it is also your training-file size)."""
+    from xgeo_ray.partition import hash_conv_ids
+
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    os.makedirs(out_dir, exist_ok=True)
+    done = {
+        s
+        for s in range(num_shards)
+        if os.path.isfile(os.path.join(out_dir, f"shard-{s:05d}.parquet"))
+    }
+    if len(done) == num_shards:
+        return {"shards": num_shards, "written": 0, "skipped": num_shards,
+                "rows_written": 0}
+    need = columns
+    if columns is not None:
+        need = list(dict.fromkeys(["conv_id", "turn_idx"] + list(columns)))
+    snap = snapshot(table, columns=need)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    salt_u = np.uint64(salt)
+    nshard = np.uint64(num_shards)
+    done_arr = np.zeros(num_shards, dtype=bool)
+    for s in done:
+        done_arr[s] = True
+    durable = table.durability == "full"
+
+    def assign(batch: pa.Table) -> pa.Table:
+        conv = np.asarray(
+            batch.column("conv_id").to_numpy(zero_copy_only=False), dtype=object
+        )
+        turn = (
+            batch.column("turn_idx")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        with np.errstate(over="ignore"):
+            k = (hash_conv_ids(conv) + turn + salt_u) * mix
+        shard = ((k >> np.uint64(24)) % nshard).astype(np.int64)
+        batch = batch.append_column("shard", pa.array(shard)).append_column(
+            "_h", pa.array(k)
+        )
+        keep = ~done_arr[shard]  # finished shards never cross the shuffle
+        return batch if keep.all() else batch.filter(pa.array(keep))
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        from xgeo_ray.tuning import limit_worker_threads
+
+        limit_worker_threads()
+        s = int(g.column("shard")[0].as_py())
+        path = os.path.join(out_dir, f"shard-{s:05d}.parquet")
+        order = pc.sort_indices(g.column("_h"))
+        out = g.take(order).drop_columns(["shard", "_h"])
+        _atomic_write_parquet(out, path, durable=durable)
+        return pa.table(
+            {"shard": pa.array([s], pa.int64()),
+             "rows": pa.array([out.num_rows], pa.int64())}
+        )
+
+    write_shard.__name__ = "write_shard"
+    stats = (
+        snap.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return {
+        "shards": num_shards,
+        "written": int(len(stats)),
+        "skipped": int(len(done)),
+        "rows_written": int(stats["rows"].sum()) if len(stats) else 0,
+    }
+
+
 def tail(
     table: DeltaTable,
     wal_dir: str,
