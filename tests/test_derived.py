@@ -162,3 +162,35 @@ def test_tombstones_propagate(tmp_path):
     pd.testing.assert_frame_equal(sink_df, src_df)
     # sanity: the stream really contained deletes
     assert pc.sum(pc.equal(ev.column("op"), "D")).as_py() > 0
+
+
+def test_sync_derived_fails_fast_after_source_restore(tmp_path):
+    """A source restore past epochs the sink already applied must make
+    the next sync FAIL, not silently diverge (the sink would keep
+    rolled-back values forever: replayed source rows reuse the same
+    seqs and drop at the sink watermark)."""
+    root = str(tmp_path)
+    events = fx.make_change_events(600, n_convs=8, turns_per_conv=5, dup_fraction=0.0)
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=3)
+    src = DeltaTable.create(f"{root}/src", num_partitions=4, num_salts=1)
+    ing.run_stream(src, segs, segments_per_epoch=1)  # epochs 1..3
+    sink = DeltaTable.create(f"{root}/sink", num_partitions=2, num_salts=1)
+    ing.sync_derived(src, sink)
+    pd.testing.assert_frame_equal(_df(ing.snapshot(sink)), _df(ing.snapshot(src)))
+
+    ing.restore(src, 2)  # rolls back source epoch 3 (already synced)
+    with pytest.raises(ValueError, match="RESTORE"):
+        ing.sync_derived(src, sink)
+    # replaying the same WAL does NOT clear the guard: the sink's applied
+    # files are still gone from source history (content equality is
+    # unknowable from paths) — the repair is restoring the SINK too
+    ing.run_stream(src, segs, segments_per_epoch=1)
+    with pytest.raises(ValueError, match="RESTORE"):
+        ing.sync_derived(src, sink)
+    ing.restore(sink, 2)  # sink epoch that preceded the stale sync
+    ing.sync_derived(src, sink)
+    pd.testing.assert_frame_equal(_df(ing.snapshot(sink)), _df(ing.snapshot(src)))
+    # a REBUILT sink also converges to the current source state
+    sink2 = DeltaTable.create(f"{root}/sink2", num_partitions=2, num_salts=1)
+    ing.sync_derived(src, sink2)
+    pd.testing.assert_frame_equal(_df(ing.snapshot(sink2)), _df(ing.snapshot(src)))

@@ -1225,7 +1225,40 @@ def sync_derived(
 
     Retention contract: sync before ``vacuum()`` reclaims a superseded
     source delta — the same rule as any ``changes()`` consumer. A
-    source COMPACTION is state-rewrite, not history, and is skipped."""
+    source COMPACTION is state-rewrite, not history, and is skipped.
+
+    Source RESTORE guard: if the source was rolled back past epochs
+    this sink already applied, the sink holds changes the source no
+    longer has — continuing would silently diverge (replayed source
+    rows reuse the same seqs, so the sink's watermark would drop the
+    replacements while keeping the rolled-back values). Detected from
+    the sink's committed-segments cursor (source delta files it applied
+    that are no longer in the source's effective history) and raised;
+    restore/rebuild the sink first."""
+    src_delta_files = {
+        os.path.abspath(os.path.join(source.root, e.path))
+        for m in source.effective_manifests()
+        if m.kind == "delta"
+        for e in m.partitions.values()
+        if e.path
+    }
+    src_prefix = os.path.abspath(source.root) + os.sep
+    stale = sorted(
+        s
+        for s in sink.committed_segments()
+        if s.startswith(src_prefix)
+        and s.endswith(".parquet")
+        and s not in src_delta_files
+    )
+    if stale:
+        raise ValueError(
+            f"sink applied {len(stale)} source delta file(s) that a "
+            "source RESTORE has since rolled back (first: "
+            f"{os.path.relpath(stale[0], source.root)}): the sink holds "
+            "changes the source no longer has. Restore the sink to its "
+            "epoch preceding those syncs (or rebuild it) before "
+            "continuing."
+        )
     groups: list[list[str]] = []
     cur: list[str] = []
     n_in_cur = 0
