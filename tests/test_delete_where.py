@@ -133,6 +133,16 @@ def test_out_of_band_batches_do_not_poison_event_time_watermark(tmp_path):
     )
     ing.apply_changes(table, rows, batch_id="fix-now")
     assert table.event_time_watermark() == wm_before
+    # ...and for a DERIVED sink syncing that correction epoch (the oob
+    # flag doesn't travel; the all-seqs-negative structural test does)
+    sink = DeltaTable.create(
+        f"{tmp_path}/sink", num_partitions=2, num_salts=1
+    )
+    ing.sync_derived(table, sink)
+    swm = sink.event_time_watermark()
+    # coarser sink partitioning can raise the min-of-max a little; the
+    # poisoning failure mode would put it at wall-clock NOW (months out)
+    assert swm <= wm_before + 3_600_000_000, (swm, wm_before)
 
 
 def test_vacuum_reclaims_orphaned_delete_stage_dirs(tmp_path):

@@ -268,8 +268,16 @@ class DeltaTable:
             # delta manifests alone carry the stream's event-time history.
             # Out-of-band epochs (totals["oob"]: corrections, backfills,
             # predicate deletes) carry operational ts, not stream event
-            # time — they must not advance the stream's watermark
-            if m.totals.get("oob"):
+            # time — they must not advance the stream's watermark. The
+            # structural test (every entry max_seq < 0 ⇒ no stream row
+            # in the epoch) additionally covers oob epochs that arrived
+            # indirectly — e.g. a source correction epoch re-ingested
+            # into a derived sink by sync_derived — and pre-flag
+            # manifests.
+            if m.totals.get("oob") or (
+                m.partitions
+                and all(e.max_seq < 0 for e in m.partitions.values())
+            ):
                 continue
             if m.kind.startswith("compact") or any(
                 s.startswith("bootstrap:") for s in m.segments
