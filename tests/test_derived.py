@@ -194,3 +194,33 @@ def test_sync_derived_fails_fast_after_source_restore(tmp_path):
     sink2 = DeltaTable.create(f"{root}/sink2", num_partitions=2, num_salts=1)
     ing.sync_derived(src, sink2)
     pd.testing.assert_frame_equal(_df(ing.snapshot(sink2)), _df(ing.snapshot(src)))
+
+
+def test_grouped_sync_isolates_correction_epochs(tmp_path):
+    """epochs_per_sync > 1 must not fold a correction epoch (wall-clock
+    ts, all seq=-1) into a stream epoch's sink commit — the mixed
+    manifest would carry a real max_seq AND the correction's
+    operational max_ts, poisoning the sink's event-time watermark."""
+    root = str(tmp_path)
+    events = fx.make_change_events(400, n_convs=6, turns_per_conv=4, dup_fraction=0.0)
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=2)
+    src = DeltaTable.create(f"{root}/src", num_partitions=4, num_salts=1)
+    ing.run_stream(src, [segs[0]])  # epoch 1 (stream)
+    fix = pa.table(
+        {"conv_id": ["c-fix"], "turn_idx": pa.array([0], pa.int64()),
+         "text": ["fixed"]}
+    )
+    ing.apply_changes(src, fix, batch_id="fix-1")  # epoch 2 (oob, ts=now)
+    ing.run_stream(src, segs)  # epoch 3 (stream)
+    wm_src = src.event_time_watermark()
+
+    sink = DeltaTable.create(f"{root}/sink", num_partitions=4, num_salts=1)
+    ms = ing.sync_derived(src, sink, epochs_per_sync=3)
+    # the oob epoch landed isolated: one sink epoch is all-seq=-1
+    assert any(
+        all(e.max_seq < 0 for e in m.partitions.values()) and m.partitions
+        for m in ms
+    )
+    # sink watermark tracks the stream, not the correction's wall clock
+    assert sink.event_time_watermark() <= wm_src + 3_600_000_000
+    pd.testing.assert_frame_equal(_df(ing.snapshot(sink)), _df(ing.snapshot(src)))

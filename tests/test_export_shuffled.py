@@ -62,13 +62,43 @@ def test_export_shuffled_roundtrip_resume_and_salt(tmp_path):
         pq.read_table(victim).to_pandas(), shards["shard-00002.parquet"]
     )
 
-    # a different salt is a genuinely different permutation
+    # a different salt is a genuinely different permutation — not a
+    # TRANSLATED one: an additive salt preserves the cyclic sort order
+    # (same row neighborhoods every "epoch"), so check that consecutive
+    # pairs from the salt-0 order are almost never consecutive under
+    # salt 1 (a rotation would preserve nearly all of them)
     out3 = f"{tmp_path}/shards3"
     ing.export_shuffled(table, out3, num_shards=4, salt=1)
     other = _read_all(out3)
-    assert any(
-        not shards[n].equals(other.get(n, pd.DataFrame())) for n in shards
+
+    def successor_map(shard_dfs):
+        succ = {}
+        for df in shard_dfs.values():
+            ids = list(zip(df.conv_id, df.turn_idx))
+            succ.update(zip(ids, ids[1:]))
+        return succ
+
+    s0, s1 = successor_map(shards), successor_map(other)
+    preserved = sum(1 for k, v in s0.items() if s1.get(k) == v)
+    assert preserved / len(s0) < 0.10, f"salt barely reshuffles: {preserved}/{len(s0)}"
+
+
+def test_export_shuffled_writes_empty_shards(tmp_path):
+    """More shards than rows: every shard file must still exist (a
+    training job globs num_shards files; and without them the resume
+    fast-path can never engage — each rerun re-shuffles everything)."""
+    events = fx.make_change_events(
+        40, n_convs=3, turns_per_conv=2, dup_fraction=0.0
     )
+    segs = fx.write_segments(events, f"{tmp_path}/wal", n_segments=1)
+    table = DeltaTable.create(f"{tmp_path}/t", num_partitions=2, num_salts=1)
+    ing.run_stream(table, segs)
+    out = f"{tmp_path}/shards"
+    got = ing.export_shuffled(table, out, num_shards=64)
+    assert len(glob.glob(f"{out}/shard-*.parquet")) == 64
+    assert got["written"] == 64
+    again = ing.export_shuffled(table, out, num_shards=64)
+    assert again["skipped"] == 64 and again["written"] == 0
 
 
 def test_export_shuffled_column_pruning(tmp_path):

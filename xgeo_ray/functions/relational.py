@@ -507,7 +507,7 @@ def hash_sample(
     mult = _MIX  # 0x9E3779B97F4A7C15 = round(2^64 / golden ratio), odd
     rate = np.uint64(rate_permille)
     shift = np.uint64(40)
-    salt_u = np.uint64(salt)
+    salt_u = np.uint64(int(salt) & 0xFFFFFFFFFFFFFFFF)
 
     def keep(batch: pa.Table) -> pa.Table:
         keys = (
@@ -555,7 +555,7 @@ def mixture_sample(
     value_set = pa.array(sources, pa.string())
     mult = _MIX
     shift = np.uint64(40)
-    salt_u = np.uint64(salt)
+    salt_u = np.uint64(int(salt) & 0xFFFFFFFFFFFFFFFF)
     n_known = len(sources)
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -577,6 +577,24 @@ def mixture_sample(
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def salt_mix(salt: int) -> np.uint64:
+    """Avalanche a shuffle salt into a 64-bit XOR mask (splitmix64
+    finalizer; 0 stays 0 so the unsalted path — and its SQL oracle — is
+    unchanged). Shuffle salts must enter the hash NON-linearly: adding
+    ``salt`` before the multiply is a pure translation of the key space,
+    which PRESERVES the cyclic sort order — every "fresh epoch order"
+    would be the same permutation with a rotated cut point. XOR by an
+    avalanched constant permutes bit patterns non-monotonically, so
+    each salt is a genuinely different order."""
+    s = np.uint64(int(salt) & 0xFFFFFFFFFFFFFFFF)
+    if s == 0:
+        return s
+    with np.errstate(over="ignore"):
+        s = (s ^ (s >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        s = (s ^ (s >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return s ^ (s >> np.uint64(31))
+
+
 def shard_shuffle(
     ds: ray.data.Dataset,
     key_col: str,
@@ -596,11 +614,12 @@ def shard_shuffle(
     Scale shape: ONE shuffle keyed on shard (each group is one output
     shard ≈ one training file — size ``num_shards`` so a shard fits a
     worker), then one vectorized sort per shard. Different ``salt`` =
-    a fresh independent permutation (new data order per epoch)."""
+    a fresh independent permutation (new data order per epoch; the
+    salt enters as an avalanched XOR mask — see ``salt_mix``)."""
     if num_shards < 1:
         raise ValueError("num_shards must be >= 1")
     mult = _MIX
-    salt_u = np.uint64(salt)
+    mask = salt_mix(salt)
     nshard = np.uint64(num_shards)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -610,7 +629,7 @@ def shard_shuffle(
             .astype(np.uint64)
         )
         with np.errstate(over="ignore"):
-            h = (keys + salt_u) * mult
+            h = (keys ^ mask) * mult
         # high bits pick the shard (low bits of a multiplicative hash
         # are weak: the lowest is just the key's parity)
         shard = ((h >> np.uint64(24)) % nshard).astype(np.int64)

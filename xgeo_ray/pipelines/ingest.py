@@ -1243,11 +1243,20 @@ def sync_derived(
         if e.path
     }
     src_prefix = os.path.abspath(source.root) + os.sep
+    # match ONLY the source's delta-file layout (parts/part=N/epoch=…):
+    # a sink nested under source.root commits its own segments (its
+    # backfill batches, WAL dirs) with the same prefix, and flagging
+    # those would brick sync with a phantom restore
+    import re as _re
+
+    delta_pat = _re.compile(
+        r"^parts/part=\d{5}/(?:compact-)?epoch=\d{6}(?:-[0-9a-f]{8})?\.parquet$"
+    )
     stale = sorted(
         s
         for s in sink.committed_segments()
         if s.startswith(src_prefix)
-        and s.endswith(".parquet")
+        and delta_pat.match(os.path.relpath(s, source.root))
         and s not in src_delta_files
     )
     if stale:
@@ -1273,6 +1282,18 @@ def sync_derived(
             if e.path
         ]
         if not files:
+            continue
+        if m.totals.get("oob"):
+            # out-of-band source epochs (corrections/deletes, wall-clock
+            # ts) sync as their OWN sink epoch: grouped with a stream
+            # epoch, the sink manifest would carry a real max_seq AND
+            # the correction's operational max_ts — poisoning the
+            # sink's event-time watermark. Isolated, the sink epoch is
+            # all-seq=-1 and ts_watermarks() excludes it structurally.
+            if cur:
+                groups.append(cur)
+                cur, n_in_cur = [], 0
+            groups.append(files)
             continue
         cur.extend(files)
         n_in_cur += 1
@@ -2244,10 +2265,15 @@ def export_shuffled(
     well-mixed high bits mod ``num_shards``, rows within a shard sorted
     by the key — so the permutation is reproducible across runs and
     machines, and a new ``salt`` yields a fresh independent order (one
-    per training epoch). Resumable like ``export_snapshot``: shards
-    whose file already exists are skipped BEFORE the shuffle (their
-    rows never leave the merge tasks); delete a file to rewrite just
-    that shard.
+    per training epoch; the salt enters as an avalanched XOR mask —
+    ``relational.salt_mix`` — because an additive salt would merely
+    translate the key space and reproduce the same cyclic order).
+    Resumable like ``export_snapshot``: shards whose file already
+    exists are skipped BEFORE the shuffle (their rows never leave the
+    merge tasks); delete a file to rewrite just that shard. Shards
+    assigned zero rows still get an (empty) file, so all ``num_shards``
+    files exist afterwards and a resumed export converges instead of
+    re-shuffling forever.
 
     Scale shape: per-partition merge tasks → streaming shard
     assignment → ONE shuffle keyed on shard → one vectorized sort +
@@ -2270,8 +2296,10 @@ def export_shuffled(
     if columns is not None:
         need = list(dict.fromkeys(["conv_id", "turn_idx"] + list(columns)))
     snap = snapshot(table, columns=need)
+    from xgeo_ray.functions.relational import salt_mix
+
     mix = np.uint64(0x9E3779B97F4A7C15)
-    salt_u = np.uint64(salt)
+    mask = salt_mix(salt)
     nshard = np.uint64(num_shards)
     done_arr = np.zeros(num_shards, dtype=bool)
     for s in done:
@@ -2289,7 +2317,7 @@ def export_shuffled(
             .astype(np.uint64)
         )
         with np.errstate(over="ignore"):
-            k = (hash_conv_ids(conv) + turn + salt_u) * mix
+            k = ((hash_conv_ids(conv) + turn) ^ mask) * mix
         shard = ((k >> np.uint64(24)) % nshard).astype(np.int64)
         batch = batch.append_column("shard", pa.array(shard)).append_column(
             "_h", pa.array(k)
@@ -2318,9 +2346,29 @@ def export_shuffled(
         .map_groups(write_shard, batch_format="pyarrow")
         .to_pandas()
     )
+    # shards assigned no rows produce no group — write their (empty)
+    # files so the shard set is complete and the next run fast-paths
+    produced = set(stats["shard"].tolist()) if len(stats) else set()
+    env = table.current_schema()
+    out_fields = [
+        f
+        for f in env
+        if f.name not in LINEAGE_COLS
+        and (columns is None or f.name in need)
+    ]
+    n_empty = 0
+    for s in range(num_shards):
+        if s in done or s in produced:
+            continue
+        _atomic_write_parquet(
+            pa.schema(out_fields).empty_table(),
+            os.path.join(out_dir, f"shard-{s:05d}.parquet"),
+            durable=durable,
+        )
+        n_empty += 1
     return {
         "shards": num_shards,
-        "written": int(len(stats)),
+        "written": int(len(stats)) + n_empty,
         "skipped": int(len(done)),
         "rows_written": int(stats["rows"].sum()) if len(stats) else 0,
     }

@@ -219,14 +219,32 @@ class DeltaTable:
         ms = self.manifests()
 
         def eff(upto: int | None) -> list[Manifest]:
-            out: list[Manifest] = []
+            # only the LAST restore marker at or below ``upto`` matters:
+            # each marker REPLACES the accumulated view, discarding every
+            # earlier marker's effect — so resolve just that one (then
+            # append what follows it). Recursing per marker instead is
+            # exponential in chained restores; this is linear in markers.
+            last = None
             for m in ms:
                 if upto is not None and m.epoch > upto:
                     break
                 if m.kind == "restore":
-                    out = eff(m.replaces_up_to)
-                else:
-                    out.append(m)
+                    last = m
+            if last is None:
+                return [
+                    m
+                    for m in ms
+                    if (upto is None or m.epoch <= upto)
+                    and m.kind != "restore"
+                ]
+            out = eff(last.replaces_up_to)  # target < marker: strictly shrinking
+            out.extend(
+                m
+                for m in ms
+                if m.epoch > last.epoch
+                and (upto is None or m.epoch <= upto)
+                and m.kind != "restore"
+            )
             return out
 
         return eff(as_of_epoch)
