@@ -146,3 +146,45 @@ def test_reshard_full_history_table_preserves_versions(tmp_path):
         _df(ing.snapshot(new, as_of_ts_us=t_mid)), before_asof
     )
     pd.testing.assert_frame_equal(_df(ing.snapshot(new)), _df(ing.snapshot(table)))
+
+
+def test_crashed_reshard_leaves_old_table_intact(tmp_path):
+    """A reshard that dies before its cutover commit must leave the OLD
+    table fully usable and the half-finished target removable; a rerun
+    after cleanup succeeds."""
+    import os
+    import subprocess
+    import sys
+
+    root = str(tmp_path)
+    table, base, events, segs = _mk(root)
+    before = _df(ing.snapshot(table))
+    code = (
+        "import ray, os\n"
+        "ray.init(address='local', num_cpus=4, include_dashboard=False, logging_level='ERROR')\n"
+        "from ray.data import DataContext\n"
+        "DataContext.get_current().enable_progress_bars = False\n"
+        "from xgeo_ray.pipelines import ingest as ing\n"
+        "from xgeo_ray.state.delta_table import DeltaTable\n"
+        f"t = DeltaTable.open({root!r} + '/t')\n"
+        "os.environ['XGEO_CRASH_BEFORE_COMMIT'] = '1'\n"
+        f"ing.reshard(t, {root!r} + '/tn', num_partitions=8)\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], cwd="/root/repo",
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 137, (r.returncode, r.stderr[-1000:])
+    # old table untouched; target has no committed manifest
+    pd.testing.assert_frame_equal(_df(ing.snapshot(table)), before)
+    assert ing.fsck(table)["ok"]
+    assert not os.path.isdir(f"{root}/tn/manifests") or not os.listdir(
+        f"{root}/tn/manifests"
+    )
+    # documented recovery: remove the half-finished target, rerun
+    import shutil
+
+    shutil.rmtree(f"{root}/tn", ignore_errors=True)
+    shutil.rmtree(f"{root}/tn.reshard-tmp", ignore_errors=True)
+    new = ing.reshard(table, f"{root}/tn", num_partitions=8)
+    pd.testing.assert_frame_equal(_df(ing.snapshot(new)), before)
