@@ -101,6 +101,21 @@ def test_export_shuffled_writes_empty_shards(tmp_path):
     assert again["skipped"] == 64 and again["written"] == 0
 
 
+def test_export_shuffled_rejects_mismatched_resume(tmp_path):
+    """Resuming an export dir with a different salt / shard count would
+    silently corrupt shard membership (rows dropped into 'done' shards,
+    others duplicated) — the recorded shuffle spec must refuse."""
+    import pytest
+
+    table = _mk(str(tmp_path))
+    out = f"{tmp_path}/shards"
+    ing.export_shuffled(table, out, num_shards=4)
+    with pytest.raises(ValueError, match="different shuffle spec"):
+        ing.export_shuffled(table, out, num_shards=4, salt=1)
+    with pytest.raises(ValueError, match="different shuffle spec"):
+        ing.export_shuffled(table, out, num_shards=8)
+
+
 def test_export_shuffled_column_pruning(tmp_path):
     table = _mk(str(tmp_path))
     out = f"{tmp_path}/narrow"

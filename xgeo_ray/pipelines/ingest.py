@@ -1247,16 +1247,13 @@ def sync_derived(
     # a sink nested under source.root commits its own segments (its
     # backfill batches, WAL dirs) with the same prefix, and flagging
     # those would brick sync with a phantom restore
-    import re as _re
+    from xgeo_ray.state.delta_table import DELTA_RELPATH_RE
 
-    delta_pat = _re.compile(
-        r"^parts/part=\d{5}/(?:compact-)?epoch=\d{6}(?:-[0-9a-f]{8})?\.parquet$"
-    )
     stale = sorted(
         s
         for s in sink.committed_segments()
         if s.startswith(src_prefix)
-        and delta_pat.match(os.path.relpath(s, source.root))
+        and DELTA_RELPATH_RE.match(os.path.relpath(s, source.root))
         and s not in src_delta_files
     )
     if stale:
@@ -1283,13 +1280,21 @@ def sync_derived(
         ]
         if not files:
             continue
-        if m.totals.get("oob"):
+        if m.totals.get("oob") or (
+            m.partitions
+            and all(e.max_seq < 0 for e in m.partitions.values())
+        ):
             # out-of-band source epochs (corrections/deletes, wall-clock
             # ts) sync as their OWN sink epoch: grouped with a stream
             # epoch, the sink manifest would carry a real max_seq AND
             # the correction's operational max_ts — poisoning the
             # sink's event-time watermark. Isolated, the sink epoch is
             # all-seq=-1 and ts_watermarks() excludes it structurally.
+            # The structural all-seqs-negative test (same as
+            # ts_watermarks) matters for CHAINED sinks: a correction
+            # epoch synced into sink B lands WITHOUT the oob flag, and
+            # only its all-negative max_seq identifies it when B is
+            # itself the source of a further sync.
             if cur:
                 groups.append(cur)
                 cur, n_in_cur = [], 0
@@ -2133,7 +2138,8 @@ def vacuum(table: DeltaTable, respect_consumers: bool = True) -> dict:
                             os.path.abspath(os.path.join(table.root, e.path))
                         )
     latest = table.latest_epoch()
-    pat = _re.compile(r"^(?:compact-)?epoch=(\d{6})(?:-[0-9a-f]{8})?\.parquet$")
+    from xgeo_ray.state.delta_table import DELTA_FILENAME_RE as pat
+
     tmp_pat = _re.compile(r"\.tmp-\d+$")
     from xgeo_ray.state.manifest import manifest_path
 
@@ -2281,9 +2287,37 @@ def export_shuffled(
     worker (it is also your training-file size)."""
     from xgeo_ray.partition import hash_conv_ids
 
+    import json as _json
+
     if num_shards < 1:
         raise ValueError("num_shards must be >= 1")
     os.makedirs(out_dir, exist_ok=True)
+    # resume guard: existing shard files are only reusable if they were
+    # written with the SAME placement function — resuming across a
+    # different salt / shard count / hash version would silently drop
+    # rows into "done" shards and duplicate others
+    meta = {
+        "salt": int(salt) & 0xFFFFFFFFFFFFFFFF,
+        "num_shards": num_shards,
+        "columns": columns,
+        "hash": "sip64+turn^saltmix*fib-v2",
+    }
+    meta_path = os.path.join(out_dir, "_shuffle_meta.json")
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            prev = _json.load(f)
+        if prev != meta:
+            raise ValueError(
+                f"export dir {out_dir!r} was written with a different "
+                f"shuffle spec {prev} (requested {meta}): resuming would "
+                "corrupt shard membership — use a fresh directory (or "
+                "delete this one)."
+            )
+    else:
+        tmp_meta = meta_path + f".tmp-{os.getpid()}"
+        with open(tmp_meta, "w") as f:
+            _json.dump(meta, f)
+        os.replace(tmp_meta, meta_path)
     done = {
         s
         for s in range(num_shards)
@@ -2350,12 +2384,14 @@ def export_shuffled(
     # files so the shard set is complete and the next run fast-paths
     produced = set(stats["shard"].tolist()) if len(stats) else set()
     env = table.current_schema()
-    out_fields = [
-        f
-        for f in env
-        if f.name not in LINEAGE_COLS
-        and (columns is None or f.name in need)
-    ]
+    if columns is None:
+        out_fields = [f for f in env if f.name not in LINEAGE_COLS]
+    else:
+        # match the POPULATED shards' column order exactly (the merge
+        # tasks select in `need` order) — mixed orders in one directory
+        # break fixed-schema readers and concat
+        by_name = {f.name: f for f in env}
+        out_fields = [by_name[c] for c in need if c in by_name]
     n_empty = 0
     for s in range(num_shards):
         if s in done or s in produced:

@@ -79,6 +79,21 @@ def new_commit_token() -> str:
     return uuid.uuid4().hex[:8]
 
 
+# The ONE source of truth for matching files delta_relpath() writes —
+# used by vacuum (reclaim planning) and the sync_derived restore guard.
+# Widths are {N,}: the :05d/:06d format fields WIDEN past their minimum
+# (epoch 10^6 is ~6 days of sub-second tailing), and a fixed-width
+# pattern would silently stop matching — fail-open — right then.
+import re as _re
+
+DELTA_FILENAME_RE = _re.compile(
+    r"^(?:compact-)?epoch=(\d{6,})(?:-[0-9a-f]{8})?\.parquet$"
+)
+DELTA_RELPATH_RE = _re.compile(
+    r"^parts/part=\d{5,}/(?:compact-)?epoch=(\d{6,})(?:-[0-9a-f]{8})?\.parquet$"
+)
+
+
 class DeltaTable:
     """Handle to a table root. Cheap to construct; all state is on disk,
     so any worker/process sees the same committed view (the analogue of
