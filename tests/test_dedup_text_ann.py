@@ -534,6 +534,69 @@ def test_ivf_append_incremental_index(tmp_path):
     assert got.equals(want)
 
 
+def test_ivf_append_exactly_once_batch_id(tmp_path):
+    """A retried append with the same batch_id is a no-op (the manifest
+    records applied ids), and manifest updates publish as exclusively
+    committed versions — a crashed attempt's unreferenced generation
+    files are invisible to probes."""
+    import os
+
+    from xgeo_ray.functions.ann import (
+        _read_ivf_manifest,
+        build_ivf_index,
+        ivf_append,
+        ivf_topk_indexed,
+    )
+
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+
+    def ds_of(sl):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(sl.start, sl.stop), pa.int64()),
+                    "embedding": pa.array(
+                        [v.tolist() for v in vecs[sl]], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        )
+
+    cents = train_ivf_centroids(ds_of(slice(0, 300)), num_centroids=4)
+    idx = str(tmp_path / "eo")
+    build_ivf_index(ds_of(slice(0, 150)), cents, idx)
+    m1 = ivf_append(idx, ds_of(slice(150, 300)), batch_id="b-1")
+    assert sum(int(v) for v in m1["parts"].values()) == 300
+    assert "b-1" in m1["batches"]
+    # replay: no new rows, no new manifest version
+    _, v_before = _read_ivf_manifest(idx)
+    m2 = ivf_append(idx, ds_of(slice(150, 300)), batch_id="b-1")
+    _, v_after = _read_ivf_manifest(idx)
+    assert sum(int(v) for v in m2["parts"].values()) == 300
+    assert v_after == v_before
+    # a crashed attempt = orphan generation files not in any manifest:
+    # probes ignore them
+    orphan = os.path.join(idx, "part-00000-gdeadbeef.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([999_999], pa.int64()),
+                "embedding": pa.array([vecs[0].tolist()], pa.list_(pa.float32())),
+            }
+        ),
+        orphan,
+    )
+    got = ivf_topk_indexed(idx, vecs[[0]], k=5, nprobe=4).to_pandas()
+    assert 999_999 not in set(got["vec_id"])
+    # a rebuild supersedes the versioned append manifests
+    build_ivf_index(ds_of(slice(0, 300)), cents, idx)
+    m3, v3 = _read_ivf_manifest(idx)
+    assert v3 == 0 and "files" not in m3
+
+
 def test_hash_sample_rate_deterministic_and_stratified():
     from xgeo_ray.functions.relational import hash_sample
 

@@ -200,13 +200,46 @@ def build_ivf_index(
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(index_dir, "_ivf.json"))
+    # a REBUILD into an existing appended index must supersede the
+    # versioned append manifests, or _read_ivf_manifest keeps preferring
+    # the stale highest version over the fresh base
+    for name in os.listdir(index_dir):
+        if name.startswith("_ivf-v") and name.endswith(".json"):
+            os.remove(os.path.join(index_dir, name))
     return manifest
+
+
+_IVF_VERSION_RE = None  # compiled lazily (module keeps imports light)
+
+
+def _read_ivf_manifest(index_dir: str) -> tuple[dict, int]:
+    """(manifest, version). Appends publish versioned manifests
+    (``_ivf-vNNNNNN.json``, exclusively committed — the same
+    conditional-PUT discipline as epoch manifests); ``_ivf.json`` from
+    ``build_ivf_index`` is version 0. Width-tolerant numeric max, not
+    lexical last."""
+    import json
+    import os
+    import re
+
+    global _IVF_VERSION_RE
+    if _IVF_VERSION_RE is None:
+        _IVF_VERSION_RE = re.compile(r"^_ivf-v(\d{6,})\.json$")
+    best, best_path = 0, os.path.join(index_dir, "_ivf.json")
+    for name in os.listdir(index_dir):
+        m = _IVF_VERSION_RE.match(name)
+        if m and int(m.group(1)) > best:
+            best = int(m.group(1))
+            best_path = os.path.join(index_dir, name)
+    with open(best_path) as f:
+        return json.load(f), best
 
 
 def ivf_append(
     index_dir: str,
     emb: ray.data.Dataset,
     vec_col: str | None = None,
+    batch_id: str | None = None,
 ) -> dict:
     """INCREMENTAL index maintenance: assign new vectors to the
     EXISTING centroids and append one generation file per touched
@@ -219,15 +252,27 @@ def ivf_append(
     (assignment is deterministic); what an append cannot do is move the
     centroids, so recall drifts if the data distribution does — rebuild
     with retrained centroids when list-size skew grows (the manifest's
-    per-part row counts are the signal)."""
+    per-part row counts are the signal).
+
+    EXACTLY-ONCE: pass ``batch_id`` (a caller-stable key, like
+    apply_changes) and a retried crashed append is a no-op once the id
+    is recorded in the manifest. Manifest updates publish as NEW
+    versioned files through the exclusive commit fence with a
+    read-modify-retry loop, so two concurrent appends both land (the
+    loser re-reads and re-applies) instead of last-writer-wins dropping
+    one append's generation files. Generation files from a crashed
+    attempt are never referenced by any manifest — dead bytes, not
+    duplicates."""
     import json
     import os
 
     from xgeo_ray.pipelines.ingest import _atomic_write_parquet
     from xgeo_ray.state.delta_table import new_commit_token
+    from xgeo_ray.state.storage import DEFAULT_STORAGE
 
-    with open(os.path.join(index_dir, "_ivf.json")) as f:
-        manifest = json.load(f)
+    manifest, _ = _read_ivf_manifest(index_dir)
+    if batch_id is not None and batch_id in manifest.get("batches", []):
+        return manifest  # replayed append: already durable
     cents = np.asarray(manifest["centroids"], dtype=np.float64)
     vec_col = vec_col or manifest["vec_col"]
     token = new_commit_token()
@@ -253,22 +298,32 @@ def ivf_append(
         .map_groups(write_gen, batch_format="pyarrow")
         .to_pandas()
     )
-    files = manifest.setdefault("files", {})
-    parts = manifest["parts"]
-    for r in stats.itertuples():
-        p = str(int(r.ivf_part))
-        base = (
-            [f"part-{int(r.ivf_part):05d}.parquet"] if p in parts else []
-        )
-        files.setdefault(p, base).append(
-            f"part-{int(r.ivf_part):05d}-g{token}.parquet"
-        )
-        parts[p] = parts.get(p, 0) + int(r.rows)
-    tmp = os.path.join(index_dir, f"_ivf.json.tmp-{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(index_dir, "_ivf.json"))
-    return manifest
+    new_rows = {int(r.ivf_part): int(r.rows) for r in stats.itertuples()}
+    while True:
+        # read-modify-retry against the versioned manifest chain: apply
+        # THIS append's generation files to the freshest manifest, then
+        # publish version+1 exclusively; a lost race re-reads (which may
+        # reveal a concurrent retry of the SAME batch_id already won).
+        manifest, version = _read_ivf_manifest(index_dir)
+        if batch_id is not None and batch_id in manifest.get("batches", []):
+            return manifest
+        files = manifest.setdefault("files", {})
+        parts = manifest["parts"]
+        for part, rows in new_rows.items():
+            p = str(part)
+            base = [f"part-{part:05d}.parquet"] if p in parts else []
+            files.setdefault(p, base).append(f"part-{part:05d}-g{token}.parquet")
+            parts[p] = parts.get(p, 0) + rows
+        if batch_id is not None:
+            manifest.setdefault("batches", []).append(batch_id)
+        try:
+            DEFAULT_STORAGE.commit_bytes_exclusive(
+                os.path.join(index_dir, f"_ivf-v{version + 1:06d}.json"),
+                json.dumps(manifest).encode(),
+            )
+            return manifest
+        except FileExistsError:
+            continue
 
 
 def plan_probe_files(
@@ -278,11 +333,9 @@ def plan_probe_files(
     probe-pruned read plan; files for partitions no query probes are
     never opened. Appended lists (ivf_append) may span several
     generation files; all generations of a probed list are read."""
-    import json
     import os
 
-    with open(os.path.join(index_dir, "_ivf.json")) as f:
-        manifest = json.load(f)
+    manifest, _ = _read_ivf_manifest(index_dir)
     cents = np.asarray(manifest["centroids"], dtype=np.float64)
     q = query_vecs.astype(np.float64)
     qn = np.linalg.norm(q, axis=1)

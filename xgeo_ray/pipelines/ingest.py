@@ -834,9 +834,16 @@ def run_stream(
                 },
             )
         )
-        for e in entries:  # epoch i+1 sees exactly the sequential watermarks
-            wm[e.part_key] = max(wm[e.part_key], e.max_seq)
-            tswm[e.part_key] = max(tswm[e.part_key], e.max_ts)
+        if not out[-1].totals.get("oob"):
+            # oob epochs (all max_seq < 0, flagged by commit_epoch) carry
+            # operational wall-clock ts: advancing the in-memory tswm from
+            # one would inflate totals["late"] for every later stream
+            # epoch in this same call (ts_watermarks() would recompute
+            # correctly next call, but the lineage metric is the signal
+            # operators size allowed_lateness_us against).
+            for e in entries:  # epoch i+1 sees exactly the sequential watermarks
+                wm[e.part_key] = max(wm[e.part_key], e.max_seq)
+                tswm[e.part_key] = max(tswm[e.part_key], e.max_ts)
     if final_snapshot:
         # commit fence passed — the fused merged state is now authoritative
         return out, ray.data.from_arrow_refs(snap_refs)
@@ -1280,21 +1287,16 @@ def sync_derived(
         ]
         if not files:
             continue
-        if m.totals.get("oob") or (
-            m.partitions
-            and all(e.max_seq < 0 for e in m.partitions.values())
-        ):
+        if m.totals.get("oob"):
             # out-of-band source epochs (corrections/deletes, wall-clock
             # ts) sync as their OWN sink epoch: grouped with a stream
             # epoch, the sink manifest would carry a real max_seq AND
             # the correction's operational max_ts — poisoning the
             # sink's event-time watermark. Isolated, the sink epoch is
-            # all-seq=-1 and ts_watermarks() excludes it structurally.
-            # The structural all-seqs-negative test (same as
-            # ts_watermarks) matters for CHAINED sinks: a correction
-            # epoch synced into sink B lands WITHOUT the oob flag, and
-            # only its all-negative max_seq identifies it when B is
-            # itself the source of a further sync.
+            # all-seq=-1 and commit_epoch re-stamps its oob flag
+            # structurally — so the flag DOES travel through chained
+            # sinks (a correction epoch synced into sink B is all-
+            # negative, hence re-flagged when B commits it).
             if cur:
                 groups.append(cur)
                 cur, n_in_cur = [], 0

@@ -257,16 +257,39 @@ def _sniff_nested_json(path: str, codec: str | None) -> bool:
     mean JSONL. But the wrapper-object inspection applies ONLY to
     single-document files: an ordinary JSONL record may itself hold a
     list-of-structs field (a transcript row with a `messages` array),
-    so any content after a complete first line means JSON-lines."""
+    so any content after a complete first line means JSON-lines.
+
+    The head is read until the FIRST NEWLINE (not a fixed byte cap):
+    a JSONL record larger than any fixed cap — a transcript row with a
+    multi-MB `messages` array — would otherwise present a truncated
+    first 'line' and misclassify the whole file as one nested doc."""
+    chunks: list[bytes] = []
+    saw_newline = False
     with pa.input_stream(path, compression=codec) as f:
-        head = f.read(1 << 20).decode("utf-8", errors="replace")
+        while not saw_newline:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                break
+            chunks.append(chunk)
+            saw_newline = b"\n" in chunk
+        if saw_newline:
+            # probe past the newline so `rest` is non-empty whenever
+            # the file actually continues (the newline may have been
+            # the final byte of the last chunk read)
+            more = f.read(4096)
+            if more:
+                chunks.append(more)
+    head = b"".join(chunks).decode("utf-8", errors="replace")
     stripped = head.lstrip()
     if not stripped.startswith("{"):
         return False
     first_line, _, rest = stripped.partition("\n")
     first_line = first_line.rstrip()
     if not first_line.endswith("}"):
-        return True  # first 'line' is a fragment of one big object
+        # no newline found: at EOF this is genuinely one big (pretty-
+        # printed or fragmentary) object; otherwise unreachable since
+        # we read until a newline or EOF above
+        return True
     import json
 
     try:

@@ -39,7 +39,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_SEG_RE = re.compile(r"^segment-(\d{5})\.parquet$")
+# Width-TOLERANT (\d{5,}): _roll zero-pads to 5 digits but index
+# 100000 widens the filename; a fixed-width match would make a
+# restarted producer ignore the newest segments, re-mint colliding
+# indices (os.replace overwrites published data) and resume seqs
+# below the true max — silent data loss via replay-dedup downstream.
+_SEG_RE = re.compile(r"^segment-(\d{5,})\.parquet$")
 
 
 def _scan_dir(wal_dir: str) -> tuple[int, int]:
@@ -51,7 +56,9 @@ def _scan_dir(wal_dir: str) -> tuple[int, int]:
         return 0, 0
     if not names:
         return 0, 0
-    next_idx = int(_SEG_RE.match(names[-1]).group(1)) + 1
+    # numeric max, not sorted()[-1]: once widths mix (segment-100000
+    # vs segment-99999) the lexical order inverts
+    next_idx = max(int(_SEG_RE.match(n).group(1)) for n in names) + 1
     max_seq = -1
     for n in names:
         pf = pq.ParquetFile(os.path.join(wal_dir, n))

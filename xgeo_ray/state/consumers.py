@@ -33,7 +33,11 @@ from xgeo_ray.state.delta_table import DeltaTable
 from xgeo_ray.state.storage import DEFAULT_STORAGE
 
 CONSUMER_DIR = "consumers"
-_ACK_RE = re.compile(r"^upto=(\d{6})\.json$")
+# Width-TOLERANT (\d{6,}): ack() zero-pads to 6 digits but epochs past
+# 999999 widen the filename; a fixed-width match would silently stop
+# seeing newer acks (replayed epochs, fail-open vacuum retention) —
+# the same fail-open class DELTA_FILENAME_RE guards against.
+_ACK_RE = re.compile(r"^upto=(\d{6,})\.json$")
 
 
 def _group_dir(table: DeltaTable, group: str) -> str:

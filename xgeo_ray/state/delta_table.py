@@ -300,17 +300,12 @@ class DeltaTable:
             # compactions (full AND minor) merge bootstrap rows back in;
             # delta manifests alone carry the stream's event-time history.
             # Out-of-band epochs (totals["oob"]: corrections, backfills,
-            # predicate deletes) carry operational ts, not stream event
-            # time — they must not advance the stream's watermark. The
-            # structural test (every entry max_seq < 0 ⇒ no stream row
-            # in the epoch) additionally covers oob epochs that arrived
-            # indirectly — e.g. a source correction epoch re-ingested
-            # into a derived sink by sync_derived — and pre-flag
-            # manifests.
-            if m.totals.get("oob") or (
-                m.partitions
-                and all(e.max_seq < 0 for e in m.partitions.values())
-            ):
+            # predicate deletes, and synced copies of them) carry
+            # operational ts, not stream event time — they must not
+            # advance the stream's watermark. commit_epoch stamps the
+            # flag structurally (all entries max_seq < 0) at write time,
+            # so the flag alone is authoritative here.
+            if m.totals.get("oob"):
                 continue
             if m.kind.startswith("compact") or any(
                 s.startswith("bootstrap:") for s in m.segments
@@ -467,6 +462,17 @@ class DeltaTable:
         }
         if extra_totals:
             totals.update(extra_totals)
+        if entries and all(e.max_seq < 0 for e in entries):
+            # Structurally out-of-band: no stream row in the epoch (every
+            # partition max_seq < 0 — bootstraps, corrections, deletes,
+            # and synced copies of them). Stamp the flag ONCE here so
+            # every read site (ts_watermarks, sync_derived grouping,
+            # run_stream's in-loop watermark update) can trust
+            # totals["oob"] instead of re-deriving the all-seqs-negative
+            # test — including CHAINED sinks, where a correction epoch
+            # re-ingested by sync_derived lands all-negative but used to
+            # arrive without the caller-set flag.
+            totals["oob"] = 1
         m = Manifest(
             epoch=epoch,
             kind=kind,
