@@ -116,20 +116,23 @@ def run_bench() -> dict:
                 pass
 
     # best-of-N with published samples: this sandbox's host shows
-    # co-tenant noise swings up to 2x on single shots (same methodology
-    # as the scaling bench; all samples reported so outliers are visible)
-    reps = int(os.environ.get("XGEO_BENCH_REPS", "1" if _SKIP_QUERIES else "3"))
+    # co-tenant noise swings up to 4x on single shots (same methodology
+    # as the scaling bench; all samples reported so outliers are visible).
+    # Headline reps default 5: with the warm-up below every sample is
+    # steady-state, and more samples are the only defense against the
+    # host's multi-minute noise windows.
+    reps = int(os.environ.get("XGEO_BENCH_REPS", "1" if _SKIP_QUERIES else "5"))
+    query_reps = int(os.environ.get("XGEO_BENCH_QUERY_REPS", "3"))
 
-    if os.environ.get("XGEO_BENCH_WARMUP"):
-        # untimed warm-up over a small throwaway table: spins up the
-        # worker pool and exports the pipeline's functions so the timed
-        # run measures steady-state streaming, not process bring-up.
-        # A long-lived stream never re-pays the ~3 s spin-up, but a
-        # single-shot subprocess (the scaling children) otherwise folds
-        # it into its one sample — ~9% of the 8-CPU time vs ~3% of the
-        # 2-CPU time, an asymmetry that skews the ratio, not a cost the
-        # engine has at either cluster size. The headline path reaches
-        # the same steady state via best-of-N instead.
+    if os.environ.get("XGEO_BENCH_WARMUP", "1") not in ("", "0"):
+        # untimed warm-up over a small throwaway table (default ON,
+        # XGEO_BENCH_WARMUP=0 disables): spins up the worker pool and
+        # exports the pipeline's functions so every timed sample
+        # measures steady-state streaming, not process bring-up. A
+        # long-lived stream never re-pays the ~3 s spin-up; without
+        # this, rep 1 of the headline is always a throwaway and the
+        # scaling children fold spin-up into their single sample
+        # asymmetrically (~9% of the 8-CPU time vs ~3% at 2 CPUs).
         from xgeo_ray import fixtures as fx
 
         wroot = f"/tmp/xgeo_bench_warm_{os.getpid()}"
@@ -213,7 +216,7 @@ def run_bench() -> dict:
     ]:
         fn = Q.build_queries()[name]
         best = None
-        for _ in range(max(1, reps)):
+        for _ in range(max(1, query_reps)):
             tq = time.perf_counter()
             res = fn(SF_DIR)
             if hasattr(res, "count"):

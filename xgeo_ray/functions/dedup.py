@@ -296,10 +296,32 @@ def _mh_sets_map(block: pa.Table, k_shingle: int, num_buckets: int, *needed: pa.
     return out if nb > 1 else out[0]
 
 
+def _mh_gather_runs(
+    offs: np.ndarray, lens: np.ndarray, rows: np.ndarray
+) -> np.ndarray:
+    """Flat gather indices for variable-length runs: for each row r in
+    ``rows``, the index range [offs[r], offs[r]+lens[r]) — the standard
+    repeat+arange trick, no per-row loop."""
+    ln = lens[rows]
+    total = int(ln.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.repeat(offs[rows], ln)
+    run0 = np.repeat(np.cumsum(ln) - ln, ln)
+    return starts + (np.arange(total, dtype=np.int64) - run0)
+
+
 @ray.remote
 def _mh_verify_reduce(pairs: pa.Table, threshold: float, *set_slices: pa.Table):
     """Exact-Jaccard verify of one bucket's candidate pairs against the
-    co-shuffled shingle sets. Pairs arrive pre-deduplicated."""
+    co-shuffled shingle sets. Pairs arrive pre-deduplicated.
+
+    Fully vectorized (the exploded sort-and-count shape
+    ngram_jaccard_dup_pairs uses): both docs' shingle sets explode to
+    (pair_idx, sh) rows in one gather, and because each doc's set is
+    unique-valued, a lexsort makes every shared shingle an adjacent
+    duplicate — intersection sizes fall out of one bincount. No
+    per-pair Python on the dedup hot path."""
     from xgeo_ray.tuning import limit_worker_threads
 
     limit_worker_threads()
@@ -307,31 +329,47 @@ def _mh_verify_reduce(pairs: pa.Table, threshold: float, *set_slices: pa.Table):
     if pairs.num_rows == 0 or not set_slices:
         return _PAIR_SCHEMA.empty_table()
     sets = pa.concat_tables(set_slices)
-    lut = {
-        p: np.asarray(s, dtype=np.int64)
-        for p, s in zip(
-            sets.column("probe_id").to_pylist(), sets.column("sh").to_pylist()
-        )
-    }
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(
-        pairs.column("doc_id_a").to_pylist(), pairs.column("doc_id_b").to_pylist()
-    ):
-        sa, sb = lut.get(a), lut.get(b)
-        if sa is None or sb is None:
-            continue
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        j = inter / union if union else 1.0
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(j)
+    ids = sets.column("probe_id").to_numpy()
+    la = sets.column("sh").combine_chunks()
+    flat = la.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = offs[1:] - offs[:-1]
+    # doc_id -> packed row (each candidate doc packed exactly once)
+    sidx = np.argsort(ids, kind="stable")
+    sorted_ids = ids[sidx]
+
+    def rows_of(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        pos = np.searchsorted(sorted_ids, keys)
+        ok = (pos < len(sorted_ids)) & (sorted_ids[np.minimum(pos, len(sorted_ids) - 1)] == keys)
+        return sidx[np.minimum(pos, len(sorted_ids) - 1)], ok
+
+    a = pairs.column("doc_id_a").to_numpy()
+    b = pairs.column("doc_id_b").to_numpy()
+    ra, oka = rows_of(a)
+    rb, okb = rows_of(b)
+    keep = oka & okb  # pairs missing a set (doc outside this bucket's slices)
+    if not keep.any():
+        return _PAIR_SCHEMA.empty_table()
+    a, b, ra, rb = a[keep], b[keep], ra[keep], rb[keep]
+    npairs = len(a)
+    len_a, len_b = lens[ra], lens[rb]
+    pid = np.arange(npairs, dtype=np.int64)
+    vals = np.concatenate(
+        [flat[_mh_gather_runs(offs[:-1], lens, ra)], flat[_mh_gather_runs(offs[:-1], lens, rb)]]
+    )
+    prep = np.concatenate([np.repeat(pid, len_a), np.repeat(pid, len_b)])
+    order = np.lexsort((vals, prep))
+    pr, vv = prep[order], vals[order]
+    dup = (pr[1:] == pr[:-1]) & (vv[1:] == vv[:-1])
+    inter = np.bincount(pr[1:][dup], minlength=npairs)
+    union = len_a + len_b - inter
+    j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    hit = j >= threshold
     return pa.table(
         {
-            "doc_id_a": pa.array(out_a, pa.int64()),
-            "doc_id_b": pa.array(out_b, pa.int64()),
-            "jaccard": pa.array(out_j, pa.float64()),
+            "doc_id_a": pa.array(a[hit], pa.int64()),
+            "doc_id_b": pa.array(b[hit], pa.int64()),
+            "jaccard": pa.array(j[hit], pa.float64()),
         }
     )
 
@@ -342,7 +380,7 @@ def minhash_lsh_dup_pairs(
     num_hashes: int = 64,
     num_bands: int = 16,
     k_shingle: int = 3,
-    num_buckets: int = 8,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs via MinHash + LSH banding, true-Jaccard
     verified (Broder, "On the resemblance and containment of documents",
@@ -384,7 +422,7 @@ def minhash_lsh_dup_pairs(
 
     # instance-passed: MinHasher's setup is 128 rng draws — ship it once
     mh_ref = _ray.put(MinHasher(num_hashes, k_shingle))
-    nb = num_buckets
+    nb = num_buckets if num_buckets is not None else _auto_buckets(len(block_refs))
     maps = [
         _mh_band_map.options(num_returns=nb if nb > 1 else None).remote(
             r, mh_ref, num_bands, nb
@@ -421,6 +459,17 @@ def minhash_lsh_dup_pairs(
         for b in range(nb)
     ]
     return ray.data.from_arrow_refs(verified)
+
+
+def _auto_buckets(n_blocks: int, lo: int = 8, hi: int = 256) -> int:
+    """Radix fan-out derived from the input's block count, so the
+    dedup/cc/verify exchanges scale task parallelism with data size
+    (100x input -> ~100x buckets) without a code change. Clamped:
+    below ``lo`` even one node is under-used; above ``hi`` the
+    blocks x buckets ref-wiring dominates (at that scale blocks should
+    be resized toward ~0.5-2 s of work each instead — the repo's task
+    sizing rule — which keeps the block count, and hence nb, bounded)."""
+    return max(lo, min(hi, n_blocks))
 
 
 def _cc_bucket_of(ids: np.ndarray, nb: int) -> np.ndarray:
@@ -536,7 +585,7 @@ def _cc_update(labels: pa.Table, *msg_slices: pa.Table):
 
 
 def dup_clusters(
-    pairs: ray.data.Dataset, max_iters: int = 25, num_buckets: int = 8
+    pairs: ray.data.Dataset, max_iters: int = 25, num_buckets: int | None = None
 ) -> ray.data.Dataset:
     """Connected components over a duplicate-pair edge list — the
     cluster-assignment step of a dedup pipeline (every doc in a cluster
@@ -557,8 +606,8 @@ def dup_clusters(
     cluster_id) for every doc appearing in at least one pair."""
     import ray as _ray
 
-    nb = num_buckets
     block_refs = pairs.materialize().to_arrow_refs()
+    nb = num_buckets if num_buckets is not None else _auto_buckets(len(block_refs))
     if not block_refs:
         return ray.data.from_arrow(
             pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]).empty_table()

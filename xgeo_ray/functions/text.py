@@ -54,30 +54,32 @@ def token_count_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 class QualityScore:
     """Per-document quality counters (exact integers, oracle-friendly):
-    characters, tokens, punctuation, uppercase, digits. Regexes compiled
-    once per actor."""
+    characters, tokens, punctuation, uppercase, digits. Counting runs on
+    Arrow's vectorized RE2 kernel (``pc.count_substring_regex`` — the
+    same engine the PII redactor relies on for DuckDB oracle parity),
+    not pandas ``str.count``, whose per-element Python regex loop was
+    this stage's one non-vectorized kernel."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.punct = re.compile(r"[!-/:-@\[-`{-~]")
-        self.upper = re.compile(r"[A-Z]")
-        self.digit = re.compile(r"[0-9]")
+        self.punct = r"[!-/:-@\[-`{-~]"
+        self.upper = r"[A-Z]"
+        self.digit = r"[0-9]"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column(self.text_col)
         n_chars = pc.utf8_length(text).cast(pa.int64())
         batch = token_count_table(batch, self.text_col)
-        s = text.to_pandas()
         batch = batch.append_column("n_chars_calc", n_chars)
-        batch = batch.append_column(
-            "n_punct", pa.array(s.str.count(self.punct).astype(np.int64))
-        )
-        batch = batch.append_column(
-            "n_upper", pa.array(s.str.count(self.upper).astype(np.int64))
-        )
-        batch = batch.append_column(
-            "n_digit", pa.array(s.str.count(self.digit).astype(np.int64))
-        )
+        for col, pat in (
+            ("n_punct", self.punct),
+            ("n_upper", self.upper),
+            ("n_digit", self.digit),
+        ):
+            batch = batch.append_column(
+                col,
+                pc.count_substring_regex(text, pat).cast(pa.int64()),
+            )
         return batch
 
 
