@@ -206,7 +206,7 @@ def run_bench() -> dict:
         "order_revenue_by_priority",
         "events_hourly",
         "events_sliding_1h",
-        "token_totals_by_lang",
+        "doc_stats_by_lang",
         "ann_top10",
         "minhash_dup_pairs",
         "dup_clusters",

@@ -48,6 +48,79 @@ def test_broadcast_lookup_rejects_duplicate_keys():
         BroadcastLookup(dim, on="conv_id")
 
 
+def test_partitioned_lookup_parity_with_broadcast(tmp_path):
+    """PartitionedLookup (bucketed object-store dimension, per-batch
+    bucket fetch) enriches the ingest DAG identically to the broadcast
+    path, against a dimension WIDER than any sane broadcast threshold
+    relative to the stream (100k keys, many more than the stream
+    touches — only touched buckets are ever fetched)."""
+    import ray
+
+    from xgeo_ray.stages.enrich import PartitionedLookup
+
+    root = str(tmp_path)
+    events = fx.make_change_events(600, n_convs=8, turns_per_conv=5, dup_fraction=0.0)
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=2)
+    convs = sorted(set(events.column("conv_id").to_pylist()))
+    # large dimension: the stream's convs plus ~100k cold keys
+    big = pa.table(
+        {
+            "conv_id": convs + [f"cold{i}" for i in range(100_000)],
+            "tier": [("gold" if i % 2 == 0 else "free") for i in range(len(convs))]
+            + ["cold" for _ in range(100_000)],
+        }
+    )
+    schema = TRANSCRIPTS_SCHEMA.append(pa.field("tier", pa.string()))
+
+    outs = {}
+    for name, stage in (
+        ("bcast", BroadcastLookup(big, on="conv_id")),
+        (
+            "part",
+            PartitionedLookup(
+                ray.data.from_arrow(big).repartition(16), on="conv_id"
+            ),
+        ),
+    ):
+        t = DeltaTable.create(
+            f"{root}/{name}", num_partitions=4, num_salts=1, base_schema=schema
+        )
+        ing.run_stream(t, segs, segments_per_epoch=2, transform=stage)
+        outs[name] = (
+            ing.snapshot(t)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(outs["bcast"], outs["part"])
+    assert outs["part"]["tier"].notna().all()
+
+
+def test_partitioned_lookup_rejects_duplicate_keys():
+    import ray
+
+    from xgeo_ray.stages.enrich import PartitionedLookup
+
+    dim = pa.table({"conv_id": ["a", "a", "b"], "tier": ["x", "y", "z"]})
+    with pytest.raises(ValueError, match="duplicate"):
+        PartitionedLookup(ray.data.from_arrow(dim), on="conv_id")
+
+
+def test_partitioned_lookup_left_nulls_and_empty_batch():
+    import ray
+
+    from xgeo_ray.stages.enrich import PartitionedLookup
+
+    dim = pa.table({"conv_id": ["a"], "tier": ["gold"]})
+    stage = PartitionedLookup(ray.data.from_arrow(dim), on="conv_id")
+    got = stage(pa.table({"conv_id": ["a", "zz"], "v": [1, 2]}))
+    assert got.column("tier").to_pylist() == ["gold", None]
+    empty = stage(pa.table({"conv_id": pa.array([], pa.string())}))
+    assert empty.num_rows == 0 and "tier" in empty.column_names
+
+
 def test_broadcast_lookup_in_stage_chain(tmp_path):
     from xgeo_ray.extension import StageChain, register_stage
 

@@ -368,6 +368,50 @@ def cdc_derived_state(sf_dir: str):
     )
 
 
+def cdc_enriched_state(sf_dir: str):
+    """END-TO-END engine query for PARTITIONED stream-table enrichment
+    (stages.enrich.PartitionedLookup — the non-broadcast dimension
+    join): the derived change stream is ingested through the real fence
+    machinery with a transform stage that left-joins each event against
+    a customer dimension bucketed by key hash in the object store (each
+    ingest task fetches only the buckets its batch's keys touch). The
+    merged snapshot is returned with the enriched ``segment`` column;
+    the oracle replays LWW winner per key LEFT JOIN customer in SQL, so
+    a hash match certifies the ingest→partitioned-enrich→merge path."""
+    import os
+
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.schemas import TRANSCRIPTS_SCHEMA
+    from xgeo_ray.stages.enrich import PartitionedLookup
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    work = f"/tmp/xgeo_enrich_q_{os.path.basename(os.path.normpath(sf_dir))}"
+    groups = _seq_ranged_wal(sf_dir, work)
+    dim = _read(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "conv_id": pa.array(
+                    np.char.add("u", b.column("c_custkey").to_numpy().astype("U20")),
+                    pa.string(),
+                ),
+                "segment": b.column("c_mktsegment"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    stage = PartitionedLookup(dim, on="conv_id")
+    schema = TRANSCRIPTS_SCHEMA.append(pa.field("segment", pa.string()))
+    t = DeltaTable.create(
+        f"{work}/t", num_partitions=16, num_salts=2, base_schema=schema
+    )
+    ing.run_stream(t, [], segment_groups=groups, transform=stage)
+    return ing.snapshot(
+        t, columns=["conv_id", "turn_idx", "role", "text", "ts", "segment"]
+    )
+
+
 # 2025-01-01T00:00:00Z in µs — ABOVE the stream's event-time range, so
 # a takedown batch stamped here wins LWW against every stream version
 _DELETE_TS_US = 1_735_689_600_000_000
@@ -503,17 +547,23 @@ def cdc_late_events(sf_dir: str):
     return ds.groupby("part_key").map_groups(late_group, batch_format="pyarrow")
 
 
-def text_normalized(sf_dir: str):
-    """Unicode NFC normalization + casefold over the corpus (Arrow
-    utf8_normalize — SURVEY §2.8 scalar family)."""
-    from xgeo_ray.functions.text import normalize_text
+def text_clean(sf_dir: str):
+    """Unicode NFC normalization + casefold AND the PII redaction sweep
+    in one pipeline over the raw text (SURVEY §2.8 scalar family + the
+    redactor; replaces the former text_normalized / pii_redacted pair —
+    same kernels, one driver slot)."""
+    from xgeo_ray.functions.text import PiiRedactor, normalize_text
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(
-        lambda b: normalize_text(b, form="NFC", casefold=True),
-        batch_format="pyarrow",
+    red = PiiRedactor()
+
+    def both(b: pa.Table) -> pa.Table:
+        return red(normalize_text(b, form="NFC", casefold=True))
+
+    out = ds.map_batches(both, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "text_norm", "text_redacted", "n_redactions"]
     )
-    return out.select_columns(["doc_id", "text_norm"])
 
 
 def doc_chunks(sf_dir: str):
@@ -526,16 +576,6 @@ def doc_chunks(sf_dir: str):
         lambda b: chunk_documents(b, tokens_per_chunk=64, overlap=16),
         batch_format="pyarrow",
     )
-
-
-def pii_redacted(sf_dir: str):
-    """PII redaction sweep (emails/phones/SSNs/IPs -> typed tokens),
-    RE2 on both engine and oracle."""
-    from xgeo_ray.functions.text import PiiRedactor
-
-    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(PiiRedactor(), batch_format="pyarrow")
-    return out.select_columns(["doc_id", "text_redacted", "n_redactions"])
 
 
 # --------------------------------------------------------------- relational
@@ -587,22 +627,23 @@ def q1_pricing_summary(sf_dir: str):
     )
 
 
-def region_nation_count(sf_dir: str):
-    nation = _read(f"{sf_dir}/nation.parquet", columns=["n_regionkey"])
+def nation_customer_counts(sf_dir: str):
+    """Chained broadcast joins (customer -> nation -> region) + grouped
+    count: one query exercising the small-dimension join path twice
+    (replaces the former region_nation_count / customer_nation_count
+    pair — same operators, one driver slot)."""
     import pyarrow.parquet as pq
 
-    region = pq.read_table(f"{sf_dir}/region.parquet")
-    joined = broadcast_join(nation, region, keys="n_regionkey", right_keys="r_regionkey")
-    return partial_group_agg(joined, ["r_name"], [("n_regionkey", "count", "n_nations")])
-
-
-def customer_nation_count(sf_dir: str):
     cust = _read(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
-    import pyarrow.parquet as pq
-
-    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
     joined = broadcast_join(cust, nation, keys="c_nationkey", right_keys="n_nationkey")
-    return partial_group_agg(joined, ["n_name"], [("c_nationkey", "count", "n_customers")])
+    joined = broadcast_join(joined, region, keys="n_regionkey", right_keys="r_regionkey")
+    return partial_group_agg(
+        joined, ["n_name", "r_name"], [("c_nationkey", "count", "n_customers")]
+    )
 
 
 def orders_by_segment(sf_dir: str):
@@ -710,20 +751,21 @@ def events_hourly(sf_dir: str):
     )
 
 
-def distinct_event_types(sf_dir: str):
-    ds = _read(f"{sf_dir}/events.parquet", columns=["event_type"])
-    vals = sorted(ds.unique("event_type"))
-    return pa.table({"event_type": pa.array(vals, pa.string())})
-
-
-def approx_distinct_users(sf_dir: str):
-    """KMV distinct-count sketch over user_id — deterministic (sha256
-    value hashing) so the oracle replays the sketch itself, not just a
-    tolerance band."""
+def event_cardinalities(sf_dir: str):
+    """Exact distinct (Dataset.unique) and the KMV distinct-count
+    sketch in one row (the former distinct_event_types /
+    approx_distinct_users pair — both operators, one driver slot). The
+    sketch is deterministic (sha256 value hashing) so the oracle
+    replays the sketch itself, not just a tolerance band."""
     from xgeo_ray.functions.relational import kmv_distinct_sketch
 
+    et = _read(f"{sf_dir}/events.parquet", columns=["event_type"])
+    n_types = len(et.unique("event_type"))
     ds = _read(f"{sf_dir}/events.parquet", columns=["user_id"])
-    return kmv_distinct_sketch(ds, "user_id", k=64)
+    sketch = kmv_distinct_sketch(ds, "user_id", k=64)  # one-row pa.Table
+    return sketch.append_column(
+        "n_event_types", pa.array([n_types] * sketch.num_rows, pa.int64())
+    )
 
 
 def user_sessions(sf_dir: str):
@@ -815,26 +857,14 @@ def events_orders_asof(sf_dir: str):
 
 
 def doc_stats_by_lang(sf_dir: str):
-    ds = _read(
-        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars", "doc_id"]
-    )
-    return partial_group_agg(
-        ds,
-        ["lang"],
-        [
-            ("doc_id", "count", "n_docs"),
-            ("n_chars", "sum", "total_chars"),
-            ("doc_id", "min", "min_doc"),
-            ("doc_id", "max", "max_doc"),
-        ],
-    )
-
-
-def token_totals_by_lang(sf_dir: str):
+    """Per-language corpus stats INCLUDING vectorized token totals (the
+    former token_totals_by_lang folded in — token counting runs in the
+    same partial+final grouped aggregate, one driver slot)."""
     from xgeo_ray.functions.text import token_count_table
 
     ds = _read(
-        f"{sf_dir}/documents.parquet", columns=["lang", "text", "doc_id"]
+        f"{sf_dir}/documents.parquet",
+        columns=["lang", "n_chars", "text", "doc_id"],
     )
     counted = ds.map_batches(
         lambda b: token_count_table(b).drop_columns(["text"]),
@@ -844,7 +874,13 @@ def token_totals_by_lang(sf_dir: str):
     return partial_group_agg(
         counted,
         ["lang"],
-        [("n_tokens", "sum", "total_tokens"), ("doc_id", "count", "n_docs")],
+        [
+            ("doc_id", "count", "n_docs"),
+            ("n_chars", "sum", "total_chars"),
+            ("n_tokens", "sum", "total_tokens"),
+            ("doc_id", "min", "min_doc"),
+            ("doc_id", "max", "max_doc"),
+        ],
     )
 
 
@@ -1071,14 +1107,6 @@ def ngram_jaccard_pairs(sf_dir: str):
     )
 
 
-def simhash_signatures(sf_dir: str):
-    from xgeo_ray.functions.dedup import SimHasher
-
-    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(SimHasher(), batch_format="pyarrow")
-    return out.select_columns(["doc_id", "simhash"])
-
-
 def embedding_dup_pairs_q(sf_dir: str):
     from xgeo_ray.functions.dedup import embedding_dup_pairs
 
@@ -1107,50 +1135,56 @@ def embedding_dup_pairs_q(sf_dir: str):
     )
 
 
-def lang_id_pred(sf_dir: str):
-    from xgeo_ray.functions.text import LangId
+def doc_signals(sf_dir: str):
+    """Per-doc scalar signals in one pass: vectorized stopword language
+    ID + Karp-Rabin rolling-hash fingerprint (the former lang_id_pred /
+    doc_fingerprints pair — both kernels, one driver slot)."""
+    from xgeo_ray.functions.text import LangId, add_fingerprint
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(LangId(), batch_format="pyarrow")
-    return out.select_columns(["doc_id", "lang_pred"])
+    lid = LangId()
 
+    def both(b: pa.Table) -> pa.Table:
+        return add_fingerprint(lid(b))
 
-def doc_fingerprints(sf_dir: str):
-    from xgeo_ray.functions.text import add_fingerprint
-
-    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(add_fingerprint, batch_format="pyarrow").select_columns(
-        ["doc_id", "fingerprint"]
+    return ds.map_batches(both, batch_format="pyarrow").select_columns(
+        ["doc_id", "lang_pred", "fingerprint"]
     )
 
 
 def sampled_docs(sf_dir: str):
-    """Deterministic ~10% hash sample of documents — reproducible
-    cross-engine (the oracle replays the exact Fibonacci-hash acceptance
-    predicate in HUGEINT mod-2^64 arithmetic). Pure streaming filter;
-    stratification falls out because the decision is per-row."""
-    from xgeo_ray.functions.relational import hash_sample
+    """Deterministic sampling, both flavors union'd with a ``method``
+    tag (one driver slot): a ~10% global Fibonacci-hash sample and a
+    per-source MIXTURE sample (keep 80% of src0, 50% of src1, 30% of
+    src2, 5% of the rest). Reproducible cross-engine — the oracle
+    replays the exact HUGEINT acceptance predicates. Pure streaming
+    filters; no shuffle."""
+    from xgeo_ray.functions.relational import hash_sample, mixture_sample
 
-    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
-    return hash_sample(ds, "doc_id", rate_permille=100, salt=7)
-
-
-def mixture_sampled_docs(sf_dir: str):
-    """Training-data MIXING: per-source sampling rates over one corpus
-    (keep 80% of src0, 50% of src1, 30% of src2, 5% of the rest),
-    reproducible cross-engine — the oracle replays the per-source
-    acceptance band as a CASE over the same HUGEINT hash. Pure
-    streaming filter, no shuffle."""
-    from xgeo_ray.functions.relational import mixture_sample
-
-    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
-    return mixture_sample(
-        ds,
+    docs = _read(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    hs = hash_sample(docs, "doc_id", rate_permille=100, salt=7)
+    mx = mixture_sample(
+        docs,
         "source",
         "doc_id",
         {"src0": 800, "src1": 500, "src2": 300},
         default_permille=50,
         salt=3,
+    )
+
+    def tag(method):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "method", pa.array([method] * b.num_rows, pa.string())
+            )
+
+        fn.__name__ = f"tag_{method}"
+        return fn
+
+    return hs.map_batches(tag("hash"), batch_format="pyarrow").union(
+        mx.map_batches(tag("mixture"), batch_format="pyarrow")
     )
 
 
@@ -1364,36 +1398,43 @@ def ann_ivf_top10(sf_dir: str):
 # --------------------------------------------------------------- multimodal
 
 
-def multimodal_decode(sf_dir: str):
-    from xgeo_ray.functions.multimodal import DecodeMedia, docs_to_media
+def multimodal_features(sf_dir: str):
+    """The multimodal feature-extraction path in one driver slot
+    (former multimodal_decode / multimodal_frames pair): binary media
+    column -> decode stage (per-worker-cached stub codec) AND
+    frame-sampling stage (row-expanding) -> per-media frame summary,
+    joined on media_id into one feature row per media.
+
+    Both stages are instance-passed: the decoder loads once per worker
+    process (see DecodeMedia docstring; measured 0.52 s vs 1.39 s for
+    the 2-actor pool at sf0.01). Flip to (Cls, concurrency=N) when the
+    model needs dedicated processes / GPU slots."""
+    from xgeo_ray.functions.multimodal import (
+        DecodeMedia,
+        SampleFrames,
+        docs_to_media,
+    )
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     media = ds.map_batches(docs_to_media, batch_format="pyarrow")
-    # instance-passed: the decoder loads once per worker process (see
-    # DecodeMedia docstring; measured 0.52 s vs 1.39 s for the 2-actor
-    # pool at sf0.01). Flip to (DecodeMedia, concurrency=N) when the
-    # model needs dedicated processes / GPU slots.
-    return media.map_batches(DecodeMedia(), batch_format="pyarrow", batch_size=64)
-
-
-def multimodal_frames(sf_dir: str):
-    """Frame-sampling over video-like binary payloads (row-expanding
-    stage) followed by a per-media frame count — summary is small and
-    deterministic for the rows-only check."""
-    from xgeo_ray.functions.multimodal import SampleFrames, docs_to_media
-
-    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    media = ds.map_batches(docs_to_media, batch_format="pyarrow")
+    decoded = media.map_batches(
+        DecodeMedia(), batch_format="pyarrow", batch_size=64
+    )
     frames = media.map_batches(
         SampleFrames(frame_bytes=64, max_frames=4),
         batch_format="pyarrow",
         batch_size=128,
     )
-    return partial_group_agg(
+    frame_stats = partial_group_agg(
         frames.select_columns(["media_id", "frame_idx"]),
         ["media_id"],
         [("frame_idx", "count", "n_sampled"), ("frame_idx", "max", "max_frame_idx")],
     )
+    # one summary row per media = data-proportional: join distributed
+    # (bucketed cogroup), never a driver-side broadcast
+    from xgeo_ray.functions.relational import hash_join
+
+    return hash_join(decoded, frame_stats, on="media_id")
 
 
 # --------------------------------------------------------------- registries
@@ -1410,27 +1451,24 @@ def build_queries() -> dict:
         "cdc_late_events": cdc_late_events,
         "cdc_changes_feed": cdc_changes_feed,
         "cdc_derived_state": cdc_derived_state,
+        "cdc_enriched_state": cdc_enriched_state,
         "cdc_delete_where": cdc_delete_where,
         "cdc_state_asof": cdc_state_asof,
-        "text_normalized": text_normalized,
-        "pii_redacted": pii_redacted,
+        "text_clean": text_clean,
         "doc_chunks": doc_chunks,
         "q1_pricing_summary": q1_pricing_summary,
-        "region_nation_count": region_nation_count,
-        "customer_nation_count": customer_nation_count,
+        "nation_customer_counts": nation_customer_counts,
         "orders_by_segment": orders_by_segment,
         "order_revenue_by_priority": order_revenue_by_priority,
         "top10_orders": top10_orders,
         "highvalue_open_orders": highvalue_open_orders,
         "events_hourly": events_hourly,
-        "distinct_event_types": distinct_event_types,
-        "approx_distinct_users": approx_distinct_users,
+        "event_cardinalities": event_cardinalities,
         "user_sessions": user_sessions,
         "events_sliding_1h": events_sliding_1h,
         "events_pairs_1h": events_pairs_1h,
         "events_orders_asof": events_orders_asof,
         "doc_stats_by_lang": doc_stats_by_lang,
-        "token_totals_by_lang": token_totals_by_lang,
         "quality_counts": quality_counts,
         "corpus_clean_stats": corpus_clean_stats,
         "order_price_quantiles": order_price_quantiles,
@@ -1440,12 +1478,9 @@ def build_queries() -> dict:
         "top3_orders_per_segment": top3_orders_per_segment,
         "dup_clusters": dup_clusters_q,
         "simhash_dup_pairs": simhash_dup_pairs_q,
-        "simhash_signatures": simhash_signatures,
         "embedding_dup_pairs": embedding_dup_pairs_q,
-        "lang_id_pred": lang_id_pred,
-        "doc_fingerprints": doc_fingerprints,
+        "doc_signals": doc_signals,
         "sampled_docs": sampled_docs,
-        "mixture_sampled_docs": mixture_sampled_docs,
         "quality_filtered_docs": quality_filtered_docs,
         "shuffled_shards": shuffled_shards,
         "length_bucket_stats": length_bucket_stats,
@@ -1456,8 +1491,7 @@ def build_queries() -> dict:
         "doc_repetition_stats": doc_repetition_stats,
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
-        "multimodal_decode": multimodal_decode,
-        "multimodal_frames": multimodal_frames,
+        "multimodal_features": multimodal_features,
     }
 
 
@@ -1575,6 +1609,19 @@ def build_oracle_sql() -> dict[str, str]:
                 PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) = 1
               AND op <> 'D'
         """,
+        "cdc_enriched_state": f"""
+            WITH ev AS ({derive}),
+            state AS (
+              SELECT conv_id, turn_idx, role, text, ts FROM ev
+              QUALIFY row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) = 1
+                AND op <> 'D'
+            )
+            SELECT s.conv_id, s.turn_idx, s.role, s.text, s.ts,
+                   c.c_mktsegment AS segment
+            FROM state s LEFT JOIN customer c
+              ON s.conv_id = 'u' || CAST(c.c_custkey AS VARCHAR)
+        """,
         "cdc_delete_where": f"""
             WITH ev AS ({derive}),
             state AS (
@@ -1623,10 +1670,6 @@ def build_oracle_sql() -> dict[str, str]:
             JOIN wm w ON e.part_key = w.part_key AND e.epoch = w.epoch
             GROUP BY w.part_key, w.epoch, w.wm_ts
         """,
-        "text_normalized": """
-            SELECT doc_id, lower(nfc_normalize(text)) AS text_norm
-            FROM documents
-        """,
         # 64-token chunks, 16-token overlap (step 48), 1-based list slice
         "doc_chunks": r"""
             WITH toks AS (
@@ -1641,9 +1684,10 @@ def build_oracle_sql() -> dict[str, str]:
             FROM toks, unnest(generate_series(0, len(w) - 1, 48)) t(s)
             WHERE len(w) > 0
         """,
-        # identical RE2 patterns applied in identical order; counts taken
-        # on the intermediate text exactly as the engine does
-        "pii_redacted": r"""
+        # NFC-normalized casefold + the PII sweep: identical RE2 patterns
+        # applied in identical order; counts taken on the intermediate
+        # text exactly as the engine does
+        "text_clean": r"""
             WITH t0 AS (SELECT doc_id, text FROM documents),
             t1 AS (
               SELECT doc_id,
@@ -1669,9 +1713,11 @@ def build_oracle_sql() -> dict[str, str]:
                      regexp_replace(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS text
               FROM t3
             )
-            SELECT doc_id, text AS text_redacted,
+            SELECT t4.doc_id,
+                   lower(nfc_normalize(d.text)) AS text_norm,
+                   t4.text AS text_redacted,
                    CAST(n1 + n2 + n3 + n4 AS BIGINT) AS n_redactions
-            FROM t4
+            FROM t4 JOIN documents d ON t4.doc_id = d.doc_id
         """,
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
@@ -1683,15 +1729,11 @@ def build_oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '{_Q1_DATE} 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
-        "region_nation_count": """
-            SELECT r_name, count(*) AS n_nations
-            FROM nation JOIN region ON n_regionkey = r_regionkey
-            GROUP BY r_name
-        """,
-        "customer_nation_count": """
-            SELECT n_name, count(*) AS n_customers
+        "nation_customer_counts": """
+            SELECT n_name, r_name, count(*) AS n_customers
             FROM customer JOIN nation ON c_nationkey = n_nationkey
-            GROUP BY n_name
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name, r_name
         """,
         "orders_by_segment": """
             SELECT c_mktsegment, count(*) AS n_orders,
@@ -1720,10 +1762,7 @@ def build_oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY 1, 2
         """,
-        "distinct_event_types": """
-            SELECT DISTINCT event_type FROM events
-        """,
-        "approx_distinct_users": """
+        "event_cardinalities": """
             WITH d AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events),
             u AS (
               SELECT DISTINCT
@@ -1745,7 +1784,9 @@ def build_oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN n < 64 THEN n
                              ELSE FLOOR(63 / (CAST(hv AS DOUBLE)
                                               / 18446744073709551616.0)) END
-                        AS BIGINT) AS n_distinct_est
+                        AS BIGINT) AS n_distinct_est,
+                   (SELECT count(DISTINCT event_type) FROM events)
+                       AS n_event_types
             FROM kth
         """,
         "user_sessions": """
@@ -1783,18 +1824,13 @@ def build_oracle_sql() -> dict[str, str]:
             FROM events e ASOF JOIN o
               ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         """,
-        "doc_stats_by_lang": """
+        "doc_stats_by_lang": r"""
             SELECT lang, count(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-                   CAST(MIN(doc_id) AS BIGINT) AS min_doc,
-                   CAST(MAX(doc_id) AS BIGINT) AS max_doc
-            FROM documents GROUP BY lang
-        """,
-        "token_totals_by_lang": r"""
-            SELECT lang,
                    CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
                                             x -> x <> ''))) AS BIGINT) AS total_tokens,
-                   count(*) AS n_docs
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc
             FROM documents GROUP BY lang
         """,
         "quality_counts": r"""
@@ -1897,9 +1933,13 @@ def build_oracle_sql() -> dict[str, str]:
         # oracle. A banding recall miss would surface as a row-count
         # mismatch — i.e. this check also guards recall.
         "minhash_dup_pairs": _NGRAM_PAIRS_SQL,
+        # doc_signals = lang id + fingerprint joined per doc. Lang side:
         # same stopword tables / occurrence counts / tiebreak (first in
-        # sorted lang order) as functions.text.LangId
-        "lang_id_pred": r"""
+        # sorted lang order) as functions.text.LangId. Fingerprint side:
+        # exact rolling Karp-Rabin min-hash over the UTF-8 bytes (ASCII
+        # corpus): 8-byte windows, base 1000003, wrap mod 2^64 (powers
+        # pre-reduced), min over windows, signed int64 view.
+        "doc_signals": r"""
             WITH toks AS (
               SELECT doc_id,
                      list_filter(string_split_regex(lower(text), '\s+'),
@@ -1913,14 +1953,43 @@ def build_oracle_sql() -> dict[str, str]:
                 len(list_filter(w, x -> x IN ('el','la','los','y','es','un','una','por','para'))) AS s_es,
                 len(list_filter(w, x -> x IN ('le','la','les','et','est','un','une','pour','dans'))) AS s_fr
               FROM toks
+            ),
+            lang AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                          WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                          WHEN s_es >= s_fr THEN 'es'
+                          ELSE 'fr' END AS lang_pred
+              FROM scored
+            ),
+            chars AS (
+              SELECT doc_id, i,
+                     CAST(ascii(substr(text, CAST(i AS INT), 1)) AS HUGEINT) AS c,
+                     length(text) AS L
+              FROM documents, unnest(generate_series(1, length(text))) t(i)
+            ),
+            h AS (
+              SELECT doc_id, i, L,
+                     (  c                    * 12924618581234127435
+                      + lead(c, 1) OVER w    * 10923514805226455897
+                      + lead(c, 2) OVER w    * 14453212906556403763
+                      + lead(c, 3) OVER w    * 14003818205314896721
+                      + lead(c, 4) OVER w    * 1000009000027000027
+                      + lead(c, 5) OVER w    * 1000006000009
+                      + lead(c, 6) OVER w    * 1000003
+                      + lead(c, 7) OVER w ) % 18446744073709551616 AS hm
+              FROM chars
+              WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            m AS (
+              SELECT doc_id, min(hm) AS hm FROM h WHERE i <= L - 7 GROUP BY doc_id
             )
-            SELECT doc_id,
-                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-                        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-                        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-                        WHEN s_es >= s_fr THEN 'es'
-                        ELSE 'fr' END AS lang_pred
-            FROM scored
+            SELECT lang.doc_id, lang.lang_pred,
+                   CAST(CASE WHEN m.hm >= 9223372036854775808
+                             THEN m.hm - 18446744073709551616
+                             ELSE m.hm END AS BIGINT) AS fingerprint
+            FROM lang JOIN m ON lang.doc_id = m.doc_id
         """,
         # embedding near-dup: exact cosine cross-join (feasible at the
         # driver's sf0.01 scale); the engine's hyperplane-LSH buckets
@@ -1940,44 +2009,45 @@ def build_oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.999
         """,
         # the sha256-derived decode stub (functions.multimodal) replayed
-        # byte-for-byte: width/height from the first two digest bytes
-        "multimodal_decode": """
-            SELECT CAST(doc_id AS BIGINT) AS media_id,
-                   'image' AS kind,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   CAST(64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 192 AS INT) AS width,
-                   CAST(64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 192 AS INT) AS height,
-                   CAST(3 AS INT) AS channels
-            FROM documents
-        """,
-        # uniform-stride frame sampling (frame_bytes=64, max_frames=4):
-        # n_frames = max(1, bytes//64), take = min(4, n_frames),
-        # max sampled idx = floor((take-1) * n_frames / take)
-        "multimodal_frames": """
-            WITH m AS (
+        # byte-for-byte (width/height from the first two digest bytes),
+        # joined with uniform-stride frame sampling (frame_bytes=64,
+        # max_frames=4): n_frames = max(1, bytes//64), take =
+        # min(4, n_frames), max sampled idx = floor((take-1)*n_frames/take)
+        "multimodal_features": """
+            WITH dec AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     'image' AS kind,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     CAST(64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 192 AS INT) AS width,
+                     CAST(64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 192 AS INT) AS height,
+                     CAST(3 AS INT) AS channels
+              FROM documents
+            ),
+            fr AS (
               SELECT CAST(doc_id AS BIGINT) AS media_id,
                      greatest(1, octet_length(encode(text)) // 64) AS n_frames
               FROM documents
             )
-            SELECT media_id,
-                   least(4, n_frames) AS n_sampled,
-                   CAST(FLOOR((least(4, n_frames) - 1) * n_frames
-                              / CAST(least(4, n_frames) AS DOUBLE)) AS INT) AS max_frame_idx
-            FROM m
+            SELECT dec.*,
+                   least(4, fr.n_frames) AS n_sampled,
+                   CAST(FLOOR((least(4, fr.n_frames) - 1) * fr.n_frames
+                              / CAST(least(4, fr.n_frames) AS DOUBLE)) AS INT) AS max_frame_idx
+            FROM dec JOIN fr USING (media_id)
         """,
-        # the exact Fibonacci-hash acceptance predicate hash_sample
-        # applies: h = (key + salt) * floor(2^64/phi) mod 2^64; keep iff
-        # (h >> 40) % 1000 < rate. 2^40 = 1099511627776.
+        # both deterministic sampling flavors, union'd with a method
+        # tag. Hash side: the exact Fibonacci-hash acceptance predicate
+        # hash_sample applies — h = (key + salt) * floor(2^64/phi) mod
+        # 2^64; keep iff (h >> 40) % 1000 < rate (2^40 = 1099511627776).
+        # Mixture side: per-source acceptance bands over the same
+        # HUGEINT hash (salt 3).
         "sampled_docs": """
-            SELECT doc_id, lang FROM documents
+            SELECT doc_id, lang, source, 'hash' AS method FROM documents
             WHERE (((CAST(doc_id AS HUGEINT) + 7)
                      * CAST('11400714819323198485' AS HUGEINT))
                     % CAST('18446744073709551616' AS HUGEINT)
                     // 1099511627776) % 1000 < 100
-        """,
-        # per-source acceptance bands over the same HUGEINT hash (salt 3)
-        "mixture_sampled_docs": """
-            SELECT doc_id, source FROM documents
+            UNION ALL
+            SELECT doc_id, lang, source, 'mixture' AS method FROM documents
             WHERE (((CAST(doc_id AS HUGEINT) + 3)
                      * CAST('11400714819323198485' AS HUGEINT))
                     % CAST('18446744073709551616' AS HUGEINT)
@@ -2128,38 +2198,6 @@ def build_oracle_sql() -> dict[str, str]:
             FROM sh c JOIN bench USING (s)
             WHERE c.doc_id % 50 <> 0
         """,
-        # exact rolling Karp-Rabin min-hash fingerprint over the UTF-8
-        # bytes (ASCII corpus): 8-byte windows, base 1000003, wrap mod
-        # 2^64 (powers pre-reduced), min over windows, signed int64 view
-        "doc_fingerprints": """
-            WITH chars AS (
-              SELECT doc_id, i,
-                     CAST(ascii(substr(text, CAST(i AS INT), 1)) AS HUGEINT) AS c,
-                     length(text) AS L
-              FROM documents, unnest(generate_series(1, length(text))) t(i)
-            ),
-            h AS (
-              SELECT doc_id, i, L,
-                     (  c                    * 12924618581234127435
-                      + lead(c, 1) OVER w    * 10923514805226455897
-                      + lead(c, 2) OVER w    * 14453212906556403763
-                      + lead(c, 3) OVER w    * 14003818205314896721
-                      + lead(c, 4) OVER w    * 1000009000027000027
-                      + lead(c, 5) OVER w    * 1000006000009
-                      + lead(c, 6) OVER w    * 1000003
-                      + lead(c, 7) OVER w ) % 18446744073709551616 AS hm
-              FROM chars
-              WINDOW w AS (PARTITION BY doc_id ORDER BY i)
-            ),
-            m AS (
-              SELECT doc_id, min(hm) AS hm FROM h WHERE i <= L - 7 GROUP BY doc_id
-            )
-            SELECT doc_id,
-                   CAST(CASE WHEN hm >= 9223372036854775808
-                             THEN hm - 18446744073709551616
-                             ELSE hm END AS BIGINT) AS fingerprint
-            FROM m
-        """,
         # simhash_dup_pairs: the signatures themselves are not
         # SQL-reproducible (fixed-key siphash word hashes; they stay
         # golden-pinned cross-process in tests/test_dedup_text_ann.py),
@@ -2193,8 +2231,6 @@ def build_oracle_sql() -> dict[str, str]:
             FROM cand
             WHERE bit_count(xor(ha, hb)) <= 3
         """,
-        # simhash_signatures: no oracle — the signature VALUES are the
-        # non-SQL-reproducible part (pinned goldens instead).
         # ann_ivf_top10: approximate by design (nprobe < num_centroids);
         # tests assert recall >= 0.8 vs the oracle-green ann_top10
         # instead of equality.
