@@ -71,6 +71,39 @@ def test_delete_where_matches_filtered_state(tmp_path):
     assert ing.fsck(table)["ok"]
 
 
+def test_delete_where_predicate_declared_projection(tmp_path):
+    """A predicate carrying its own ``columns`` attribute prunes the
+    scan to keys + declared columns (asserted from inside the
+    predicate — workers see no other columns), and an undeclared
+    predicate warns about the unpruned scan."""
+    import warnings
+
+    table, base, events = _mk(str(tmp_path))
+    before = _df(ing.snapshot(table))
+
+    def pred(t: pa.Table):
+        assert set(t.column_names) == {"conv_id", "turn_idx", "role"}, (
+            f"unpruned delete scan read {t.column_names}"
+        )
+        return pc.equal(t.column("role"), "tool")
+
+    pred.columns = ["role"]
+    m = ing.delete_where(table, pred, batch_id="takedown-proj")
+    assert m is not None
+    got = _df(ing.snapshot(table))
+    want = before[before["role"] != "tool"].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ing.delete_where(
+            table,
+            lambda t: pc.equal(t.column("role"), "no-such-role"),
+            batch_id="takedown-unpruned",
+        )
+    assert any("EVERY column" in str(x.message) for x in w)
+
+
 def test_delete_where_empty_match_still_exactly_once(tmp_path):
     table, base, events = _mk(str(tmp_path))
     before = _df(ing.snapshot(table))

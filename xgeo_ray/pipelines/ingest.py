@@ -1410,10 +1410,12 @@ def delete_where(
     """Predicate delete — the takedown/right-to-be-forgotten primitive:
     tombstone every key whose CURRENT merged row satisfies ``predicate``
     (a callable ``pa.Table -> boolean array``, evaluated per snapshot
-    batch inside workers). Pass ``columns`` — the data columns the
-    predicate reads — to prune the scan to keys + those; without it the
-    scan reads every column (correct, just unpruned — always pass it on
-    a wide table). Fully distributed: the snapshot
+    batch inside workers). The scan is pruned to keys + the columns the
+    predicate reads, declared either via the ``columns`` argument or a
+    ``predicate.columns`` attribute (a predicate that knows its own
+    projection); with neither, every column is read (correct, just
+    unpruned) and a warning logs the unpruned scan — always declare on
+    a wide table. Fully distributed: the snapshot
     merge tasks stream, each batch filters to matching keys only (the
     payload never returns to the driver), and the resulting tombstone
     rows land as out-of-band WAL segments (op='D', seq=-1, ts =
@@ -1453,10 +1455,20 @@ def delete_where(
     if any(s.startswith(prefix) for s in table.committed_segments()):
         return None
     now = int(_time.time() * 1_000_000) if ts_us is None else int(ts_us)
+    declared = columns if columns is not None else getattr(predicate, "columns", None)
+    if declared is None:
+        import warnings as _warnings
+
+        _warnings.warn(
+            "delete_where without a declared predicate projection scans "
+            "EVERY column of the table — pass columns=[...] or set "
+            "predicate.columns to prune the read",
+            stacklevel=2,
+        )
     need = (
         None  # unpruned scan: the predicate may read any column
-        if columns is None
-        else list(dict.fromkeys(["conv_id", "turn_idx"] + list(columns)))
+        if declared is None
+        else list(dict.fromkeys(["conv_id", "turn_idx"] + list(declared)))
     )
     key_schema = pa.schema(
         [f for f in table.current_schema() if f.name in ("conv_id", "turn_idx")]

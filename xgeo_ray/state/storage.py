@@ -153,8 +153,15 @@ def _resolve_default():
     env var switches the whole engine onto the restricted contract:
     ``XGEO_STORAGE=objectstore`` runs ingest/fence/consumers without
     links, renames-as-API, or dir fsync anywhere in the interface."""
-    if os.environ.get("XGEO_STORAGE", "posix") == "objectstore":
+    kind = os.environ.get("XGEO_STORAGE", "posix")
+    if kind == "objectstore":
         return ObjectStoreStorage()
+    if kind == "s3":
+        # network-backed: conditional-PUT fence arbitrated by an
+        # S3-compatible service (XGEO_S3_ENDPOINT/XGEO_S3_BUCKET)
+        from xgeo_ray.state.s3_storage import from_env
+
+        return from_env()
     return PosixStorage()
 
 
