@@ -704,6 +704,56 @@ def add_content_hash(batch: pa.Table, content_col: str = "text") -> pa.Table:
     return batch
 
 
+class ContentKeyStage:
+    """Ingest-DAG transform that RE-KEYS change events by their content
+    hash — plugged into ``ingest.sync_derived(transform=...)`` it turns
+    a derived table into a STREAMING EXACTLY-ONCE DEDUP CORPUS: the sink
+    is keyed by the 128-bit content hash, so LWW keeps exactly one row
+    per distinct text (the latest event that carried it), incrementally,
+    crash-safe, with no batch dedup job. The original key is preserved
+    in ``orig_conv_id`` / ``orig_turn_idx`` (declare both in the sink's
+    ``base_schema`` — the declare-then-fill contract every enrichment
+    stage uses).
+
+    Semantics: an ACCUMULATING dedup corpus — every distinct content
+    the source TABLE ever committed stays (training-data dedup wants
+    the accumulated set), so source deletes are dropped here (one key
+    deleting its copy must not delete content other keys still carry);
+    purge content from the sink with ``ingest.delete_where`` when
+    needed. Granularity is the source EPOCH: the change feed carries
+    per-key committed state changes, so content that appears and is
+    superseded within a single source epoch never lands (size epochs to
+    the dedup granularity you need). The hash key is two
+    independent fixed-key siphashes rendered as decimal strings (Arrow
+    int64->string cast — vectorized; collision odds ~n²/2¹²⁹)."""
+
+    __name__ = "ContentKeyStage"
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.not_equal(batch.column("op"), "D"))
+        out = batch
+        for name, src in (("orig_conv_id", "conv_id"), ("orig_turn_idx", "turn_idx")):
+            col = batch.column(src)
+            if name in out.column_names:
+                out = out.set_column(out.schema.get_field_index(name), name, col)
+            else:
+                out = out.append_column(name, col)
+        hashed = add_content_hash(batch, self.text_col)
+        key = pc.binary_join_element_wise(
+            pc.cast(hashed.column(CONTENT_HASH_COLS[0]), pa.string()),
+            pc.cast(hashed.column(CONTENT_HASH_COLS[1]), pa.string()),
+            "-",
+        )
+        out = out.set_column(out.schema.get_field_index("conv_id"), "conv_id", key)
+        zeros = pa.array(
+            np.zeros(out.num_rows, dtype=np.int64)
+        ).cast(out.schema.field("turn_idx").type)
+        return out.set_column(out.schema.get_field_index("turn_idx"), "turn_idx", zeros)
+
+
 def exact_dedup_groups(docs: ray.data.Dataset, content_col: str = "text"):
     """Exact dedup: group by a 128-bit content hash computed per batch,
     keep (representative=min id, count). Only (hash, id) crosses the
