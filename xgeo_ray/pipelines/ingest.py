@@ -983,6 +983,7 @@ def snapshot(
     columns: list[str] | None = None,
     as_of_epoch: int | None = None,
     as_of_ts_us: int | None = None,
+    partitions: list[int] | None = None,
 ) -> ray.data.Dataset:
     """Merge-on-read view of the committed table state: one raw-Ray merge
     task per partition (launched immediately), surfaced as a Dataset via
@@ -1012,7 +1013,10 @@ def snapshot(
     postdate T even the per-epoch history is gone, so the call fails
     fast — pass ``as_of_epoch`` pointing before that compaction
     (deltas readable until vacuum) or retain deltas longer. Composable
-    with ``as_of_epoch``/``columns``."""
+    with ``as_of_epoch``/``columns``.
+
+    ``partitions`` restricts the read to those hash partitions (the
+    caller's prune hook — expire() passes its zone-map survivor set)."""
     envelope = table.current_schema(as_of_epoch)
     if as_of_ts_us is None:
         plan = table.partition_files(as_of_epoch)
@@ -1052,6 +1056,9 @@ def snapshot(
                     "before that compaction (deltas remain readable until "
                     "vacuum) or compact less aggressively."
                 )
+    if partitions is not None:
+        keep_parts = set(partitions)
+        plan = {k: v for k, v in plan.items() if k in keep_parts}
     if not plan:
         fields = [
             f
@@ -1406,6 +1413,7 @@ def delete_where(
     batch_id: str,
     columns: list[str] | None = None,
     ts_us: int | None = None,
+    partitions: list[int] | None = None,
 ) -> Manifest | None:
     """Predicate delete — the takedown/right-to-be-forgotten primitive:
     tombstone every key whose CURRENT merged row satisfies ``predicate``
@@ -1436,6 +1444,12 @@ def delete_where(
     never referenced or read). Two RACING drivers on one batch_id can
     both commit — benign (tombstoning a key twice is idempotent on
     state); serialize writers with state/lease.py where that matters.
+
+    ``partitions`` restricts the scan to those hash partitions — the
+    caller's prune hook when metadata already proves the rest can't
+    match (expire() passes its zone-map survivor set). Correctness is
+    the caller's burden: a key in an excluded partition is never
+    examined.
 
     No counterpart in the reference (stateless CLI,
     /root/reference/cmd/xgeo/main.go); required lake machinery for the
@@ -1496,7 +1510,7 @@ def delete_where(
 
     _shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage, exist_ok=True)
-    snapshot(table, columns=need).map_batches(
+    snapshot(table, columns=need, partitions=partitions).map_batches(
         _to_tombstones, batch_format="pyarrow", zero_copy_batch=True
     ).write_parquet(stage)
     staged = sorted(
@@ -1524,6 +1538,68 @@ def delete_where(
         segs.append(dst)
     _shutil.rmtree(stage, ignore_errors=True)
     return ingest_segments(table, segs, watermark_exempt=True)
+
+
+class _TsBefore:
+    """Picklable event-time predicate for expire(): current winner's ts
+    strictly before the cutoff. Declares its projection so the snapshot
+    scan reads keys + ts only."""
+
+    columns = ["ts"]
+
+    def __init__(self, cutoff_us: int):
+        self.cutoff_us = int(cutoff_us)
+
+    def __call__(self, batch: pa.Table):
+        return pc.less(
+            batch.column("ts").cast(pa.int64()),
+            pa.scalar(self.cutoff_us, pa.int64()),
+        )
+
+
+def expire(
+    table: DeltaTable,
+    older_than_ts_us: int,
+    batch_id: str | None = None,
+    ts_us: int | None = None,
+) -> Manifest | None:
+    """Event-time retention (TTL): tombstone every key whose CURRENT
+    merged winner has ``ts < older_than_ts_us`` — the scheduled
+    "drop everything older than N days" primitive, built on the
+    ``delete_where`` machinery so it inherits exactly-once commits
+    (``batch_id`` defaults to ``expire-<cutoff>``: one logical run per
+    cutoff, retries no-op), out-of-band watermark-exempt application,
+    and the physical-erasure two-step (a later full
+    ``compact(tombstone_ts_horizon=...)`` + ``vacuum()`` reclaims the
+    bytes).
+
+    Scale shape: the scan is PRUNED TWICE before any payload read —
+    partitions whose every visible file starts at or after the cutoff
+    are skipped from manifest zone maps alone
+    (``DeltaTable.partitions_with_rows_before``), and surviving
+    partitions read only the key + ts columns. On an
+    append-mostly table where old partitions went cold after a
+    ts-horizon compaction, expire cost tracks the WARM fraction, not
+    the table size.
+
+    TTL is UPSERT-semantics like any engine delete: the tombstone is
+    stamped at wall-clock now (or ``ts_us``), so a later stream update
+    with a later event time legitimately re-inserts the key."""
+    cutoff = int(older_than_ts_us)
+    if batch_id is None:
+        batch_id = f"expire-{cutoff}"
+    parts = table.partitions_with_rows_before(cutoff)
+    if not parts:
+        # nothing can match; still record the exactly-once marker so a
+        # retry after a racing compaction doesn't silently re-scan
+        parts = []
+    return delete_where(
+        table,
+        _TsBefore(cutoff),
+        batch_id=batch_id,
+        ts_us=ts_us,
+        partitions=parts,
+    )
 
 
 def reshard(

@@ -433,6 +433,22 @@ class DeltaTable:
                     chain[kk].append(wrap(e))
         return base, chain
 
+    def partitions_with_rows_before(self, ts_us: int) -> list[int]:
+        """Partitions that MAY hold a row with event time < ``ts_us``,
+        from manifest zone maps alone (each entry's min_ts): a partition
+        whose every visible file starts at or after the cutoff cannot
+        contain an expirable winner and is skipped without a read.
+        Entries from pre-zone-map manifests (min_ts == -1) are
+        conservatively included. The retention (TTL) prune — expire()
+        cost tracks the COLD fraction of the table, not its size."""
+        base, chain = self._walk_visible(None, with_ts=True)
+        out = []
+        for k in range(self.num_partitions):
+            v = ([base[k]] if base[k] else []) + chain[k]
+            if any(min_ts < 0 or min_ts < ts_us for _, min_ts in v):
+                out.append(k)
+        return out
+
     # ------------------------------------------------------------- commit
     def commit_epoch(
         self,
