@@ -407,3 +407,227 @@ def ivf_topk(
         batch_format="pyarrow",
     )
     return brute_force_topk(filtered, query_vecs, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ------------------------------------------------------------------ k-means
+
+
+def _init_centroids(
+    emb: ray.data.Dataset, k: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Deterministic init independent of block order: the (unit) vectors
+    of the k SMALLEST ids. Each block contributes only its local k
+    smallest (id, vector) rows; the driver reduces k rows per block."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        return batch.select([id_col, vec_col]).take(pa.array(take))
+
+    small = pa.concat_tables(
+        ray.get(emb.map_batches(local, batch_format="pyarrow").to_arrow_refs())
+    )
+    order = np.argsort(small.column(id_col).to_numpy(), kind="stable")[:k]
+    return _stack_unit(small.take(pa.array(order)).column(vec_col))
+
+
+def kmeans(
+    emb: ray.data.Dataset,
+    k: int = 16,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-7,
+) -> tuple[np.ndarray, list[float]]:
+    """Distributed FULL-DATA spherical k-means (cosine objective) —
+    the semantic-clustering primitive for corpus curation (cluster
+    inspection, balanced sampling, semantic dedup), complementing
+    ``train_ivf_centroids``'s bounded-sample variant.
+
+    Lloyd via per-batch sufficient statistics: every iteration is one
+    ``map_batches`` pass where each batch emits ONLY a (k x d) partial
+    sum matrix, a k-vector of counts and an inertia scalar; the driver
+    reduces k x d floats per block — the payload never leaves workers,
+    driver traffic is O(k*d*blocks) regardless of corpus size.
+    Centroids broadcast once per iteration via ray.put. The input is
+    materialized once so iterations re-read the object store (spillable)
+    rather than re-parsing parquet.
+
+    Deterministic given the data: init is the k smallest-id vectors
+    (block-order independent), each iteration's assignment is an argmax
+    over the same float64 centroids everywhere; partial sums commute up
+    to float64 rounding. Empty clusters keep their previous centroid.
+    Returns (unit centroids, per-iteration mean inertia 1 - cos)."""
+    emb = emb.materialize()
+    cents = _init_centroids(emb, k, id_col, vec_col)
+    k = len(cents)  # fewer distinct rows than k: shrink
+    d = cents.shape[1]
+    history: list[float] = []
+
+    class Partial:
+        def __init__(self, ref):
+            self.ref = ref
+            self.c = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.c is None:
+                self.c = ray.get(self.ref)
+            x = _stack_unit(batch.column(vec_col))
+            sim = x @ self.c.T
+            a = sim.argmax(axis=1)
+            sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(sums, a, x)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            inertia = float((1.0 - sim[np.arange(len(x)), a]).sum())
+            return pa.table(
+                {
+                    "sums": pa.array([sums.ravel()], pa.list_(pa.float64())),
+                    "counts": pa.array([counts], pa.list_(pa.int64())),
+                    "inertia": pa.array([inertia], pa.float64()),
+                    "n": pa.array([len(x)], pa.int64()),
+                }
+            )
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+        parts = pa.concat_tables(
+            ray.get(
+                emb.map_batches(
+                    Partial(ref), batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+        )
+        sums = (
+            np.stack(parts.column("sums").to_numpy(zero_copy_only=False))
+            .reshape(-1, k, d)
+            .sum(axis=0)
+        )
+        counts = np.stack(
+            parts.column("counts").to_numpy(zero_copy_only=False)
+        ).sum(axis=0)
+        n = int(np.sum(parts.column("n").to_numpy()))
+        history.append(float(np.sum(parts.column("inertia").to_numpy())) / max(n, 1))
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(new, axis=1)
+        norms[norms == 0] = 1.0
+        new = new / norms[:, None]
+        shift = float(np.abs(new - cents).max())
+        cents = new
+        if shift < tol:
+            break
+    return cents, history
+
+
+def assign_clusters(
+    emb: ray.data.Dataset,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> ray.data.Dataset:
+    """Nearest-centroid (cosine) cluster id per row, broadcast-assigned
+    (same kernel as ivf_assign, caller-named output column)."""
+    assigned = ivf_assign(emb, centroids, vec_col)
+    return assigned.map_batches(
+        lambda b: b.rename_columns(
+            [out_col if c == "ivf_part" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def cluster_stats(
+    emb: ray.data.Dataset,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Per-cluster size and mean cosine-to-centroid in ONE streaming
+    pass (per-batch sufficient statistics, driver reduces k scalars) —
+    the curation report that drives cluster-balanced sampling and
+    skew-aware re-training."""
+    k = len(centroids)
+    ref = ray.put(centroids)
+
+    class Partial:
+        def __init__(self, r):
+            self.ref = r
+            self.c = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.c is None:
+                self.c = ray.get(self.ref)
+            x = _stack_unit(batch.column(vec_col))
+            sim = x @ self.c.T
+            a = sim.argmax(axis=1)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            cos_sums = np.bincount(
+                a, weights=sim[np.arange(len(x)), a], minlength=k
+            )
+            return pa.table(
+                {
+                    "counts": pa.array([counts], pa.list_(pa.int64())),
+                    "cos_sums": pa.array([cos_sums], pa.list_(pa.float64())),
+                }
+            )
+
+    parts = pa.concat_tables(
+        ray.get(
+            emb.map_batches(Partial(ref), batch_format="pyarrow").to_arrow_refs()
+        )
+    )
+    counts = np.stack(parts.column("counts").to_numpy(zero_copy_only=False)).sum(axis=0)
+    cos_sums = np.stack(
+        parts.column("cos_sums").to_numpy(zero_copy_only=False)
+    ).sum(axis=0)
+    mean_cos = np.divide(
+        cos_sums, counts, out=np.zeros_like(cos_sums), where=counts > 0
+    )
+    return pa.table(
+        {
+            "cluster": pa.array(np.arange(k, dtype=np.int32)),
+            "n": pa.array(counts, pa.int64()),
+            "mean_cos": pa.array(mean_cos, pa.float64()),
+        }
+    )
+
+
+def cluster_balanced_sample(
+    emb: ray.data.Dataset,
+    centroids: np.ndarray,
+    per_cluster: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """At most ``per_cluster`` rows from every semantic cluster,
+    deterministically (the same corpus + centroids + salt always picks
+    the same rows): assign clusters broadcast-side, rank rows within a
+    cluster by an avalanched hash of their id, keep the smallest —
+    distributed via grouped_top_k (only k rows per cluster per block
+    cross the shuffle). The cluster-diversity sampler for training-mix
+    curation: caps over-represented semantic regions instead of
+    sampling them proportionally."""
+    from xgeo_ray.functions.relational import _MIX, grouped_top_k, salt_mix
+
+    assigned = assign_clusters(emb, centroids, vec_col)
+    mask = salt_mix(salt)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids ^ mask) * _MIX
+        return batch.append_column(
+            "_h", pa.array(h.view(np.int64))
+        )
+
+    ranked = assigned.map_batches(rank, batch_format="pyarrow")
+    out = grouped_top_k(
+        ranked,
+        ["cluster"],
+        ["_h", id_col],
+        [False, False],
+        per_cluster,
+    )
+    return out.drop_columns(["_h"])
