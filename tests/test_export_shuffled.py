@@ -122,3 +122,31 @@ def test_export_shuffled_column_pruning(tmp_path):
     ing.export_shuffled(table, out, num_shards=2, columns=["conv_id", "role"])
     one = pq.read_table(sorted(glob.glob(f"{out}/*.parquet"))[0])
     assert set(one.column_names) == {"conv_id", "turn_idx", "role"}
+
+
+def test_export_shuffled_jsonl(tmp_path):
+    """fmt='jsonl.gz': same rows, same deterministic per-shard order as
+    the parquet export with the same salt; format pinned in the meta."""
+    import gzip
+    import json
+
+    import pytest
+
+    table = _mk(str(tmp_path))
+    pq_dir = f"{tmp_path}/shards_pq"
+    jl_dir = f"{tmp_path}/shards_jl"
+    ing.export_shuffled(table, pq_dir, num_shards=3, salt=5)
+    got = ing.export_shuffled(table, jl_dir, num_shards=3, salt=5, fmt="jsonl.gz")
+    assert got["written"] == 3
+    for s in range(3):
+        with gzip.open(f"{jl_dir}/shard-{s:05d}.jsonl.gz", "rt") as f:
+            rows = [json.loads(line) for line in f]
+        want = pq.read_table(f"{pq_dir}/shard-{s:05d}.parquet").to_pandas()
+        assert [r["conv_id"] for r in rows] == want["conv_id"].tolist()
+        assert [r["turn_idx"] for r in rows] == want["turn_idx"].tolist()
+    # a second run is a full skip (all shard files exist)
+    again = ing.export_shuffled(table, jl_dir, num_shards=3, salt=5, fmt="jsonl.gz")
+    assert again["skipped"] == 3 and again["written"] == 0
+    # resuming the SAME dir with a different fmt refuses
+    with pytest.raises(ValueError, match="different"):
+        ing.export_shuffled(table, jl_dir, num_shards=3, salt=5, fmt="jsonl")

@@ -86,6 +86,35 @@ def _atomic_write_parquet(
     return os.path.getsize(final_path)
 
 
+def _atomic_write_jsonl(t: pa.Table, final_path: str, durable: bool = True) -> int:
+    """JSON-lines variant of _atomic_write_parquet: serialize (gzip by
+    suffix), fsync when durable, publish through the storage seam. The
+    tmp name keeps the real suffix as a prefix-dotted sibling so the
+    serializer's codec-by-suffix dispatch still sees ``.gz``."""
+    import gzip
+    import json as _json
+
+    from xgeo_ray.state.storage import DEFAULT_STORAGE
+
+    d = os.path.dirname(final_path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(
+        d, f".tmp-{os.getpid()}-{os.path.basename(final_path)}"
+    )
+    rows = t.to_pylist()
+    raw = "".join(_json.dumps(r, default=str) + "\n" for r in rows)
+    data = (
+        gzip.compress(raw.encode()) if final_path.endswith(".gz") else raw.encode()
+    )
+    with open(tmp, "wb") as f:
+        f.write(data)
+        if durable:
+            f.flush()
+            os.fsync(f.fileno())
+    DEFAULT_STORAGE.publish_file(tmp, final_path, durable)
+    return os.path.getsize(final_path)
+
+
 class NormalizeCollapsePartition:
     """Fused stateless stage: envelope normalize + optional user
     transform + within-batch LWW pre-collapse + salted partition key,
@@ -1557,6 +1586,79 @@ class _TsBefore:
         )
 
 
+def clone_table(
+    source: DeltaTable, dest_root: str, mode: str = "auto"
+) -> DeltaTable:
+    """ZERO-COPY table clone (dev/test branching, experiment isolation):
+    a new independent table whose manifests are copies of the source's
+    full history and whose data files are HARDLINKS to the source's
+    immutable deltas — O(files) metadata work, no bytes moved. Both
+    sides then evolve independently: committed delta files are
+    immutable by design and each side's vacuum only unlinks its own
+    directory entry (the inode lives while either table references it),
+    so neither clone can corrupt the other. Time travel, restore
+    markers and committed-segment cursors all travel with the manifest
+    history; consumer-group cursors and writer leases deliberately do
+    NOT (a clone starts with no consumers and no writer).
+
+    ``mode``: ``"auto"`` hardlinks and silently falls back to a byte
+    copy when the destination is on a different filesystem (EXDEV);
+    ``"copy"`` always copies (a deep clone). On an object-store
+    deployment the equivalent is the service's server-side COPY — same
+    O(files) metadata shape, no data through the client.
+
+    No reference counterpart (stateless CLI); this is the lakehouse
+    "create table clone" surface (shallow clones in Delta/Iceberg)."""
+    if mode not in ("auto", "copy"):
+        raise ValueError("mode must be 'auto' or 'copy'")
+    import shutil as _shutil
+
+    if os.path.exists(dest_root) and os.listdir(dest_root):
+        raise ValueError(f"clone destination {dest_root!r} is not empty")
+    os.makedirs(dest_root, exist_ok=True)
+    _shutil.copy2(
+        os.path.join(source.root, "_table.json"),
+        os.path.join(dest_root, "_table.json"),
+    )
+    src_man = os.path.join(source.root, "manifests")
+    dst_man = os.path.join(dest_root, "manifests")
+    os.makedirs(dst_man, exist_ok=True)
+    for n in sorted(os.listdir(src_man)):
+        if n.endswith(".json"):
+            _shutil.copy2(os.path.join(src_man, n), os.path.join(dst_man, n))
+
+    def _link(rel: str) -> None:
+        src = os.path.join(source.root, rel)
+        dst = os.path.join(dest_root, rel)
+        if os.path.exists(dst) or not os.path.exists(src):
+            return
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if mode == "copy":
+            _shutil.copy2(src, dst)
+            return
+        try:
+            os.link(src, dst)
+        except OSError:  # EXDEV / fs without hardlinks
+            _shutil.copy2(src, dst)
+
+    linked = set()
+    for m in source.manifests():
+        for e in m.partitions.values():
+            if e.path and e.path not in linked:
+                linked.add(e.path)
+                _link(e.path)
+    # out-of-band batch segments (apply_changes/delete_where) live under
+    # backfill/ and are listed in manifests' committed segments — link
+    # them too so fsck on the clone sees a complete history
+    bf = os.path.join(source.root, "backfill")
+    if os.path.isdir(bf):
+        for root_dir, _, files in os.walk(bf):
+            for n in files:
+                rel = os.path.relpath(os.path.join(root_dir, n), source.root)
+                _link(rel)
+    return DeltaTable.open(dest_root)
+
+
 def expire(
     table: DeltaTable,
     older_than_ts_us: int,
@@ -2353,6 +2455,7 @@ def export_shuffled(
     num_shards: int,
     salt: int = 0,
     columns: list[str] | None = None,
+    fmt: str = "parquet",
 ) -> dict[str, int]:
     """Write the merged table state as ``num_shards`` Parquet shard
     files in a DETERMINISTIC pseudorandom row order — the
@@ -2374,13 +2477,21 @@ def export_shuffled(
     Scale shape: per-partition merge tasks → streaming shard
     assignment → ONE shuffle keyed on shard → one vectorized sort +
     atomic write per shard. Size ``num_shards`` so a shard fits a
-    worker (it is also your training-file size)."""
+    worker (it is also your training-file size).
+
+    ``fmt``: ``"parquet"`` (default), ``"jsonl"`` or ``"jsonl.gz"`` —
+    training loaders that stream line-delimited JSON read the same
+    deterministic order; the format is pinned in the resume meta."""
     from xgeo_ray.partition import hash_conv_ids
 
     import json as _json
 
     if num_shards < 1:
         raise ValueError("num_shards must be >= 1")
+    exts = {"parquet": ".parquet", "jsonl": ".jsonl", "jsonl.gz": ".jsonl.gz"}
+    if fmt not in exts:
+        raise ValueError(f"fmt must be one of {sorted(exts)}")
+    ext = exts[fmt]
     os.makedirs(out_dir, exist_ok=True)
     # resume guard: existing shard files are only reusable if they were
     # written with the SAME placement function — resuming across a
@@ -2391,11 +2502,13 @@ def export_shuffled(
         "num_shards": num_shards,
         "columns": columns,
         "hash": "sip64+turn^saltmix*fib-v2",
+        "fmt": fmt,
     }
     meta_path = os.path.join(out_dir, "_shuffle_meta.json")
     if os.path.isfile(meta_path):
         with open(meta_path) as f:
             prev = _json.load(f)
+        prev.setdefault("fmt", "parquet")  # pre-fmt exports were parquet
         if prev != meta:
             raise ValueError(
                 f"export dir {out_dir!r} was written with a different "
@@ -2411,7 +2524,7 @@ def export_shuffled(
     done = {
         s
         for s in range(num_shards)
-        if os.path.isfile(os.path.join(out_dir, f"shard-{s:05d}.parquet"))
+        if os.path.isfile(os.path.join(out_dir, f"shard-{s:05d}{ext}"))
     }
     if len(done) == num_shards:
         return {"shards": num_shards, "written": 0, "skipped": num_shards,
@@ -2454,10 +2567,13 @@ def export_shuffled(
 
         limit_worker_threads()
         s = int(g.column("shard")[0].as_py())
-        path = os.path.join(out_dir, f"shard-{s:05d}.parquet")
+        path = os.path.join(out_dir, f"shard-{s:05d}{ext}")
         order = pc.sort_indices(g.column("_h"))
         out = g.take(order).drop_columns(["shard", "_h"])
-        _atomic_write_parquet(out, path, durable=durable)
+        if fmt == "parquet":
+            _atomic_write_parquet(out, path, durable=durable)
+        else:
+            _atomic_write_jsonl(out, path, durable=durable)
         return pa.table(
             {"shard": pa.array([s], pa.int64()),
              "rows": pa.array([out.num_rows], pa.int64())}
@@ -2486,11 +2602,15 @@ def export_shuffled(
     for s in range(num_shards):
         if s in done or s in produced:
             continue
-        _atomic_write_parquet(
-            pa.schema(out_fields).empty_table(),
-            os.path.join(out_dir, f"shard-{s:05d}.parquet"),
-            durable=durable,
-        )
+        empty_path = os.path.join(out_dir, f"shard-{s:05d}{ext}")
+        if fmt == "parquet":
+            _atomic_write_parquet(
+                pa.schema(out_fields).empty_table(), empty_path, durable=durable
+            )
+        else:
+            _atomic_write_jsonl(
+                pa.schema(out_fields).empty_table(), empty_path, durable=durable
+            )
         n_empty += 1
     return {
         "shards": num_shards,
