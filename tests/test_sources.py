@@ -124,6 +124,16 @@ def test_cli_lifecycle(tmp_path):
     # post-compact+vacuum export still matches the oracle
     out = json.loads(run("snapshot", f"{root}/t", f"{root}/snap2"))
     assert out["rows_written"] == want.num_rows
+    # zero-copy clone, then TTL-expire EVERYTHING on the clone only
+    out = json.loads(run("clone", f"{root}/t", f"{root}/t2"))
+    assert out["cloned_to"] == f"{root}/t2"
+    out = json.loads(run("expire", f"{root}/t2", str(2**62)))
+    assert out["expired"] == want.num_rows
+    # rerun = committed batch = no-op; the source is untouched
+    out = json.loads(run("expire", f"{root}/t2", str(2**62)))
+    assert out.get("noop") is True
+    out = json.loads(run("snapshot", f"{root}/t", f"{root}/snap3"))
+    assert out["rows_written"] == want.num_rows
 
 
 def test_csv_segment_ingest_parity(stream, tmp_path):

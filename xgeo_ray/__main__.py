@@ -249,6 +249,28 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ts-us", type=int, default=None)
 
     p = sub.add_parser(
+        "expire",
+        help="event-time retention (TTL): tombstone every key whose "
+        "current winner predates the cutoff (zone-map pruned; "
+        "exactly-once per cutoff; physical erasure = compact + vacuum)",
+    )
+    p.add_argument("table")
+    p.add_argument("older_than_ts_us", type=int)
+    p.add_argument("--batch-id", default=None)
+
+    p = sub.add_parser(
+        "clone",
+        help="zero-copy table clone at a new root (hardlinked immutable "
+        "deltas + copied manifest history; both sides then evolve "
+        "independently)",
+    )
+    p.add_argument("table")
+    p.add_argument("dest_root")
+    p.add_argument(
+        "--deep", action="store_true", help="byte-copy instead of hardlink"
+    )
+
+    p = sub.add_parser(
         "restore",
         help="roll the table back to the state as of a committed epoch "
         "(metadata-only; rolled-back WAL segments become re-ingestable)",
@@ -505,6 +527,30 @@ def main(argv: list[str] | None = None) -> int:
                         "deleted": m.totals.get("tombstones", 0),
                         "epoch": m.epoch,
                     }
+                )
+            )
+        elif args.cmd == "expire":
+            _init_ray()
+            m = ing.expire(
+                table, args.older_than_ts_us, batch_id=args.batch_id
+            )
+            print(
+                json.dumps(
+                    {"expired": 0, "noop": True}
+                    if m is None
+                    else {
+                        "expired": m.totals.get("tombstones", 0),
+                        "epoch": m.epoch,
+                    }
+                )
+            )
+        elif args.cmd == "clone":
+            dst = ing.clone_table(
+                table, args.dest_root, mode="copy" if args.deep else "auto"
+            )
+            print(
+                json.dumps(
+                    {"cloned_to": dst.root, "latest_epoch": dst.latest_epoch()}
                 )
             )
         elif args.cmd == "restore":
