@@ -171,3 +171,21 @@ def test_join_view_projection_and_time_travel(tmp_path, ray_session):
         rt.rename(columns={c: c + "_r" for c in overlap}), on=KEYS
     )
     assert len(old) == len(exp)
+
+
+def test_join_view_sees_restore(tmp_path, ray_session):
+    """A RESTORE on one side rewinds partition versions; the view's
+    != staleness rule must recompute those partitions, not skip them."""
+    from xgeo_ray.pipelines.ingest import restore
+
+    left = _build(tmp_path, "Lr", 400, seed=61)
+    right = _build(tmp_path, "Rr", 300, seed=63)
+    vd = str(tmp_path / "jv")
+    refresh_join_view(left, right, vd)
+    e1 = left.effective_manifests()[0].epoch
+    restore(left, e1)
+    s = refresh_join_view(left, right, vd)
+    assert s["refreshed"] > 0
+    exp = _oracle(left, right, "inner")
+    got = _got(read_join_view(vd), list(exp.columns))
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
