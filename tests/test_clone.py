@@ -85,3 +85,37 @@ def test_clone_refuses_nonempty_dest(tmp_path, ray_session):
     (d / "junk").write_text("x")
     with pytest.raises(ValueError, match="not empty"):
         ing.clone_table(src, str(d))
+
+
+def test_clone_batch_id_cursor_travels(tmp_path, ray_session):
+    """Committed backfill batch_ids must stay exactly-once ON THE CLONE:
+    manifest segment paths are source-root-absolute, so clone rewrites
+    the backfill prefix — a batch committed on the source no-ops when
+    retried against the clone instead of re-stamping tombstones."""
+    ev = fx.make_change_events(400, n_convs=8, seed=11)
+    segs = fx.write_segments(ev, str(tmp_path / "wal"), n_segments=2)
+    src = DeltaTable.create(str(tmp_path / "src"), num_partitions=4, num_salts=2)
+    ing.run_stream(src, segs, segments_per_epoch=1)
+
+    class _All:
+        columns = ["turn_idx"]
+
+        def __call__(self, batch):
+            import pyarrow.compute as pc
+
+            even = pc.bit_wise_and(batch.column("turn_idx").cast("int64"), 1)
+            return pc.equal(even, 0)
+
+    m = ing.delete_where(src, _All(), batch_id="gdpr-1")
+    assert m is not None
+    dst = ing.clone_table(src, str(tmp_path / "dst"))
+    # snapshot parity still holds after the manifest rewrite
+    pd.testing.assert_frame_equal(_snap(src), _snap(dst))
+    # the committed batch no-ops on BOTH tables
+    assert ing.delete_where(src, _All(), batch_id="gdpr-1") is None
+    assert ing.delete_where(dst, _All(), batch_id="gdpr-1") is None
+    # and expire's derived batch_id inherits the same contract
+    cutoff = 1  # nothing older than epoch-time 1: marker-only run
+    assert ing.expire(src, cutoff) is not None  # marker commit
+    dst2 = ing.clone_table(src, str(tmp_path / "dst2"))
+    assert ing.expire(dst2, cutoff) is None

@@ -89,3 +89,27 @@ def test_cluster_balanced_sample(ray_session):
     c = s3.sort_values(["cluster", "vec_id"]).reset_index(drop=True)
     assert not a["vec_id"].equals(c["vec_id"])
     assert (c.groupby("cluster").size() <= per).all()
+
+
+def test_zero_row_blocks_are_legal(ray_session):
+    """An upstream filter can empty a block; every cluster op must pass
+    zero-row batches through instead of crashing np.stack([])."""
+    import pyarrow as pa
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    empty = t.schema.empty_table()
+    ds = ray.data.from_arrow([empty, t.slice(0, 64), empty, t.slice(64, 64)])
+    cents, hist = kmeans(ds, k=4, iters=2)
+    assert cents.shape[0] == 4 and len(hist) == 2
+    st = cluster_stats(ds, cents)
+    assert int(pa.compute.sum(st.column("n")).as_py()) == 128
+    lab = assign_clusters(ds, cents).to_pandas()
+    assert len(lab) == 128 and lab["cluster"].between(0, 3).all()
+    samp = cluster_balanced_sample(ds, cents, per_cluster=5)
+    assert samp.count() <= 20
+
+    # a fully-empty dataset is a caller error with a clear message
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty dataset"):
+        kmeans(ray.data.from_arrow([empty]), k=2, iters=1)

@@ -352,7 +352,7 @@ def main(argv: list[str] | None = None) -> int:
     table = DeltaTable.open(args.table)
     from xgeo_ray.pipelines import ingest as ing
 
-    if args.cmd not in ("get", "status", "vacuum", "fsck"):
+    if args.cmd not in ("get", "status", "vacuum", "fsck", "clone"):
         _init_ray()  # these are inline metadata/file ops — no cluster
     try:
         if args.cmd == "bootstrap":
@@ -530,7 +530,6 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         elif args.cmd == "expire":
-            _init_ray()
             m = ing.expire(
                 table, args.older_than_ts_us, batch_id=args.batch_id
             )

@@ -55,6 +55,14 @@ def brute_force_topk(
             self.q = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:  # zero-row blocks are legal upstream
+                return pa.table(
+                    {
+                        "query_idx": pa.array([], pa.int32()),
+                        id_col: pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
             if self.q is None:
                 self.q = ray.get(self.ref)
             m = _stack_unit(batch.column(vec_col))
@@ -116,7 +124,11 @@ def train_ivf_centroids(
     """Lloyd iterations on a driver-side sample (centroids are tiny; the
     sample is bounded — the full dataset never materializes)."""
     sample = emb.random_sample(sample_fraction, seed=seed)
-    tbl = pa.concat_tables(ray.get(sample.to_arrow_refs()))
+    # Ray Data renders empty blocks schemaless — drop them before concat
+    tabs = [t for t in ray.get(sample.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        raise ValueError("centroid sample is empty (no vectors)")
+    tbl = pa.concat_tables(tabs)
     x = _stack_unit(tbl.column(vec_col))
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(num_centroids, len(x)), replace=False)]
@@ -145,6 +157,10 @@ def ivf_assign(
             self.c = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:  # zero-row blocks are legal upstream
+                return batch.append_column(
+                    "ivf_part", pa.array([], pa.int32())
+                )
             if self.c is None:
                 self.c = ray.get(self.ref)
             m = _stack_unit(batch.column(vec_col))
@@ -424,9 +440,17 @@ def _init_centroids(
         take = np.argsort(ids, kind="stable")[:k]
         return batch.select([id_col, vec_col]).take(pa.array(take))
 
-    small = pa.concat_tables(
-        ray.get(emb.map_batches(local, batch_format="pyarrow").to_arrow_refs())
-    )
+    # Ray Data renders empty blocks schemaless — drop them before concat
+    tabs = [
+        t
+        for t in ray.get(
+            emb.map_batches(local, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not tabs:
+        raise ValueError("kmeans over an empty dataset (no vectors)")
+    small = pa.concat_tables(tabs)
     order = np.argsort(small.column(id_col).to_numpy(), kind="stable")[:k]
     return _stack_unit(small.take(pa.array(order)).column(vec_col))
 
@@ -470,6 +494,15 @@ def kmeans(
             self.c = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:  # zero-row blocks are legal upstream
+                return pa.table(
+                    {
+                        "sums": pa.array([], pa.list_(pa.float64())),
+                        "counts": pa.array([], pa.list_(pa.int64())),
+                        "inertia": pa.array([], pa.float64()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
             if self.c is None:
                 self.c = ray.get(self.ref)
             x = _stack_unit(batch.column(vec_col))
@@ -491,11 +524,13 @@ def kmeans(
     for _ in range(iters):
         ref = ray.put(cents)
         parts = pa.concat_tables(
-            ray.get(
+            t
+            for t in ray.get(
                 emb.map_batches(
                     Partial(ref), batch_format="pyarrow"
                 ).to_arrow_refs()
             )
+            if t.num_rows  # Ray Data renders empty blocks schemaless
         )
         sums = (
             np.stack(parts.column("sums").to_numpy(zero_copy_only=False))
@@ -556,6 +591,13 @@ def cluster_stats(
             self.c = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:  # zero-row blocks are legal upstream
+                return pa.table(
+                    {
+                        "counts": pa.array([], pa.list_(pa.int64())),
+                        "cos_sums": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
             if self.c is None:
                 self.c = ray.get(self.ref)
             x = _stack_unit(batch.column(vec_col))
@@ -572,15 +614,24 @@ def cluster_stats(
                 }
             )
 
-    parts = pa.concat_tables(
-        ray.get(
+    tabs = [
+        t
+        for t in ray.get(
             emb.map_batches(Partial(ref), batch_format="pyarrow").to_arrow_refs()
         )
-    )
-    counts = np.stack(parts.column("counts").to_numpy(zero_copy_only=False)).sum(axis=0)
-    cos_sums = np.stack(
-        parts.column("cos_sums").to_numpy(zero_copy_only=False)
-    ).sum(axis=0)
+        if t.num_rows  # Ray Data renders empty blocks schemaless
+    ]
+    parts = pa.concat_tables(tabs) if tabs else None
+    if parts is None or parts.num_rows == 0:  # every block empty: all-zero
+        counts = np.zeros(k, dtype=np.int64)
+        cos_sums = np.zeros(k, dtype=np.float64)
+    else:
+        counts = np.stack(
+            parts.column("counts").to_numpy(zero_copy_only=False)
+        ).sum(axis=0)
+        cos_sums = np.stack(
+            parts.column("cos_sums").to_numpy(zero_copy_only=False)
+        ).sum(axis=0)
     mean_cos = np.divide(
         cos_sums, counts, out=np.zeros_like(cos_sums), where=counts > 0
     )

@@ -25,6 +25,7 @@ surface remain ray.data Datasets.
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -101,13 +102,26 @@ def _atomic_write_jsonl(t: pa.Table, final_path: str, durable: bool = True) -> i
     tmp = os.path.join(
         d, f".tmp-{os.getpid()}-{os.path.basename(final_path)}"
     )
-    rows = t.to_pylist()
-    raw = "".join(_json.dumps(r, default=str) + "\n" for r in rows)
-    data = (
-        gzip.compress(raw.encode()) if final_path.endswith(".gz") else raw.encode()
-    )
+    # Stream slice-by-slice through the (optionally gzip) file object:
+    # never hold the whole shard as pylist + one joined string +
+    # compressed bytes at once — a training-file-sized shard would
+    # peak at several× its parquet size per writer task otherwise.
     with open(tmp, "wb") as f:
-        f.write(data)
+        sink = (
+            gzip.GzipFile(fileobj=f, mode="wb", mtime=0)
+            if final_path.endswith(".gz")
+            else f
+        )
+        for off in range(0, t.num_rows, 8192):
+            chunk = t.slice(off, 8192)
+            sink.write(
+                "".join(
+                    _json.dumps(r, default=str) + "\n"
+                    for r in chunk.to_pylist()
+                ).encode()
+            )
+        if sink is not f:
+            sink.close()
         if durable:
             f.flush()
             os.fsync(f.fileno())
@@ -1623,9 +1637,27 @@ def clone_table(
     src_man = os.path.join(source.root, "manifests")
     dst_man = os.path.join(dest_root, "manifests")
     os.makedirs(dst_man, exist_ok=True)
+    # Committed-segment cursors must TRAVEL with the clone: backfill
+    # batch segments (apply_changes/delete_where/expire) are recorded
+    # root-ABSOLUTE, so a verbatim copy would leave the clone's
+    # batch_id exactly-once checks comparing against dest-root paths
+    # that never match — a committed batch would silently re-apply on
+    # the clone. Rewrite the source-root backfill prefix to the dest
+    # root; WAL segment paths (outside the table root) pass through
+    # unchanged, preserving resume continuity.
+    src_bf = os.path.abspath(os.path.join(source.root, "backfill")) + os.sep
+    dst_bf = os.path.abspath(os.path.join(dest_root, "backfill")) + os.sep
     for n in sorted(os.listdir(src_man)):
-        if n.endswith(".json"):
-            _shutil.copy2(os.path.join(src_man, n), os.path.join(dst_man, n))
+        if not n.endswith(".json"):
+            continue
+        with open(os.path.join(src_man, n)) as f:
+            doc = json.load(f)
+        doc["segments"] = [
+            dst_bf + s[len(src_bf):] if s.startswith(src_bf) else s
+            for s in doc.get("segments", [])
+        ]
+        with open(os.path.join(dst_man, n), "w") as f:
+            json.dump(doc, f)
 
     def _link(rel: str) -> None:
         src = os.path.join(source.root, rel)
@@ -1690,11 +1722,10 @@ def expire(
     cutoff = int(older_than_ts_us)
     if batch_id is None:
         batch_id = f"expire-{cutoff}"
+    # An empty survivor set still flows through delete_where: its
+    # empty-staged path commits the exactly-once marker, so a retry
+    # after a racing compaction doesn't silently re-scan.
     parts = table.partitions_with_rows_before(cutoff)
-    if not parts:
-        # nothing can match; still record the exactly-once marker so a
-        # retry after a racing compaction doesn't silently re-scan
-        parts = []
     return delete_where(
         table,
         _TsBefore(cutoff),

@@ -151,6 +151,16 @@ def _output_schema(
         if f.name in on:
             continue
         out.append(f.with_name(f.name + suffix) if f.name in lnames else f)
+    seen: set[str] = set()
+    dup = sorted({f.name for f in out if f.name in seen or seen.add(f.name)})
+    if dup:
+        # e.g. right carries both `x` and `x_r` (or left already has
+        # `x_r`): the rename would silently shadow a real column.
+        raise ValueError(
+            f"join output would contain duplicate column(s) {dup}; "
+            "project one side (columns_left/columns_right) or pick a "
+            "different suffix"
+        )
     return pa.schema(out)
 
 
@@ -204,14 +214,18 @@ def _join_part_task(
         use_threads=False,
     )
     # Acero join output order is non-deterministic; the view contract is
-    # partition-local key order (same as snapshot()). Joining on the full
-    # PK yields one row per key; a conv-level join is disambiguated by
-    # both sides' turn_idx columns — so this sort is total.
-    sort_cols = [
+    # partition-local key order (same as snapshot()). PK columns lead;
+    # every REMAINING output column follows as tiebreak, so the sort is
+    # total even when a projection drops turn_idx from a conv-level
+    # many-to-many join (rows equal on all columns are
+    # order-indistinguishable). Envelope types are scalar-only
+    # (manifest.validate_envelope), so every column is sortable.
+    pk_cols = [
         k
         for k in ("conv_id", "turn_idx", "turn_idx" + suffix)
         if k in out_schema.names
     ]
+    sort_cols = pk_cols + [c for c in out_schema.names if c not in pk_cols]
     joined = cast_to(joined, out_schema).sort_by(
         [(k, "ascending") for k in sort_cols]
     )

@@ -502,6 +502,10 @@ def cdc_enriched_state(sf_dir: str):
 # a takedown batch stamped here wins LWW against every stream version
 _DELETE_TS_US = 1_735_689_600_000_000
 
+# 2024-01-08T00:00:00Z in µs — mid-stream TTL cutoff for the expire()
+# leg of cdc_delete_where (events span 2024-01-01..2024-01-30)
+_EXPIRE_CUTOFF_US = 1_704_672_000_000_000
+
 
 def _role_error_pred(t: pa.Table):
     """Predicate for cdc_delete_where (module-level so workers unpickle
@@ -534,6 +538,11 @@ def cdc_delete_where(sf_dir: str):
         columns=["role"],
         ts_us=_DELETE_TS_US,
     )
+    # TTL retention on the same table: expire() tombstones every key
+    # whose current winner predates the cutoff, pruning partitions from
+    # manifest zone maps before any payload read — the driver row now
+    # certifies ingest → predicate-delete → EXPIRE → merge end-to-end.
+    ing.expire(t, _EXPIRE_CUTOFF_US, ts_us=_DELETE_TS_US + 1)
     return ing.snapshot(
         t, columns=["conv_id", "turn_idx", "role", "text", "ts"]
     )
@@ -815,6 +824,60 @@ def highvalue_open_orders(sf_dir: str):
             ["o_orderkey", "o_custkey", "o_totalprice"]
         ),
         batch_format="pyarrow",
+    )
+
+
+def order_scans(sf_dir: str):
+    """Global top-k + filter/limit row-group-pushdown scans in ONE
+    driver slot (long format, ``q`` tag — the cdc_stream_metrics
+    consolidation pattern): 'top10' rows from top_k, 'open_highvalue'
+    rows from the pushdown scan."""
+
+    def tag(name):
+        def f(b: pa.Table) -> pa.Table:
+            return b.add_column(0, "q", pa.array([name] * b.num_rows))
+
+        f.__name__ = f"tag_{name}"
+        return f
+
+    t10 = top10_orders(sf_dir).map_batches(tag("top10"), batch_format="pyarrow")
+    hv = highvalue_open_orders(sf_dir).map_batches(
+        tag("open_highvalue"), batch_format="pyarrow"
+    )
+    return t10.union(hv)
+
+
+def cluster_sizes(sf_dir: str):
+    """Driver-verified leg of the k-means family: deterministic init
+    centroids (unit vectors of the 8 smallest vec_ids —
+    ann._init_centroids) + broadcast nearest-centroid assignment
+    (ann.assign_clusters, the same kernel kmeans/cluster_stats/IVF
+    iterate), reduced to per-cluster row counts plus an INTEGER
+    membership checksum (sum of member vec_ids — float-free, so the
+    hash certifies the exact assignment without floor-boundary
+    flakiness; a single row assigned differently moves it). The Lloyd
+    loop itself is pytest-oracled against numpy; this row certifies
+    the assignment kernel end-to-end in SQL."""
+    from xgeo_ray.functions.ann import _init_centroids, assign_clusters
+
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cents = _init_centroids(emb, 8, "vec_id", "embedding")
+    assigned = assign_clusters(emb, cents)
+
+    def member_sums(b: pa.Table) -> pa.Table:
+        a = b.column("cluster").cast(pa.int64())
+        ones = pa.array(np.ones(b.num_rows, dtype=np.int64))
+        return pa.table(
+            {
+                "cluster": a,
+                "one": ones,
+                "vid": b.column("vec_id").cast(pa.int64()),
+            }
+        )
+
+    ds = assigned.map_batches(member_sums, batch_format="pyarrow")
+    return partial_group_agg(
+        ds, ["cluster"], [("one", "sum", "n"), ("vid", "sum", "id_sum")]
     )
 
 
@@ -1546,8 +1609,8 @@ def build_queries() -> dict:
         "nation_customer_counts": nation_customer_counts,
         "orders_by_segment": orders_by_segment,
         "order_revenue_by_priority": order_revenue_by_priority,
-        "top10_orders": top10_orders,
-        "highvalue_open_orders": highvalue_open_orders,
+        "order_scans": order_scans,
+        "cluster_sizes": cluster_sizes,
         "events_hourly": events_hourly,
         "event_cardinalities": event_cardinalities,
         "user_sessions": user_sessions,
@@ -1747,6 +1810,7 @@ def build_oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, turn_idx, role, text, ts FROM state
             WHERE op <> 'D' AND role <> 'error'
+              AND ts >= make_timestamp({_EXPIRE_CUTOFF_US})
         """,
         "cdc_state_asof": f"""
             WITH ev AS ({derive})
@@ -1864,13 +1928,47 @@ def build_oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
         """,
-        "top10_orders": """
-            SELECT o_orderkey, o_custkey, o_totalprice
-            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
-        """,
-        "highvalue_open_orders": """
-            SELECT o_orderkey, o_custkey, o_totalprice
+        "order_scans": """
+            SELECT 'top10' AS q, o_orderkey, o_custkey, o_totalprice
+            FROM (
+              SELECT o_orderkey, o_custkey, o_totalprice
+              FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+            )
+            UNION ALL
+            SELECT 'open_highvalue' AS q, o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 300000.0 AND o_orderstatus = 'O'
+        """,
+        "cluster_sizes": """
+            WITH c AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                     embedding
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT 8)
+            ),
+            sims AS (
+              SELECT e.vec_id, c.cluster,
+                     list_inner_product(
+                         CAST(e.embedding AS DOUBLE[]),
+                         CAST(c.embedding AS DOUBLE[])
+                     )
+                     / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]),
+                                                  CAST(c.embedding AS DOUBLE[]))))
+                       AS cos
+              FROM embeddings e CROSS JOIN c
+            ),
+            best AS (
+              SELECT vec_id, cluster, cos,
+                     row_number() OVER (
+                         PARTITION BY vec_id ORDER BY cos DESC, cluster ASC
+                     ) AS rk
+              FROM sims
+            )
+            SELECT cluster,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(vec_id) AS BIGINT) AS id_sum
+            FROM best WHERE rk = 1 GROUP BY cluster
         """,
         "events_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS hour,
