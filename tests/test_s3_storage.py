@@ -174,3 +174,74 @@ ray.shutdown()
         st._key_of(os.path.join(work, "t", "manifests")) + "/"
     )
     assert {os.path.basename(k) for k in bucket_mans} >= set(mans)
+
+
+def test_list_keys_follows_pagination(storage):
+    keys = [f"pagetest/k{i:03d}" for i in range(7)]
+    for k in keys:
+        storage.client.put_object(k, b"x")
+    # page_size=2 forces 4 ListObjectsV2 round-trips
+    got = storage.client.list_keys("pagetest/", page_size=2)
+    assert got == keys
+
+
+def test_ambiguous_conditional_put_resolves_by_readback(storage, monkeypatch):
+    """A conditional PUT whose connection dies after the server applied
+    it must NOT be blindly resent (that turns a won fence into a false
+    412): put_object reads back and compares."""
+    from xgeo_ray.state import s3_storage as m
+
+    client = storage.client
+    real_request = client._request
+
+    calls = {"n": 0}
+
+    def flaky(method, path, body=None, headers=None, retry=True):
+        if method == "PUT" and headers and "If-None-Match" in headers:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                # the server APPLIED the write, then the connection died
+                real_request(method, path, body, headers, retry=True)
+                raise m.S3AmbiguousError("connection died mid-response")
+        return real_request(method, path, body, headers, retry=retry)
+
+    monkeypatch.setattr(client, "_request", flaky)
+    # our own write was applied -> ambiguity resolves to SUCCESS
+    client.put_object("amb/won", b"mine", if_none_match=True)
+    assert client.get_object("amb/won") == b"mine"
+
+    # someone else's bytes are there -> ambiguity resolves to LOST
+    calls["n"] = 0
+    client.put_object("amb/lost", b"theirs")  # pre-existing plain object
+    with pytest.raises(FileExistsError):
+        client.put_object("amb/lost", b"mine", if_none_match=True)
+    assert client.get_object("amb/lost") == b"theirs"
+
+    # nothing applied -> safe resend succeeds
+    calls["n"] = 0
+
+    def flaky_noapply(method, path, body=None, headers=None, retry=True):
+        if method == "PUT" and headers and "If-None-Match" in headers:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise m.S3AmbiguousError("connection died before send")
+        return real_request(method, path, body, headers, retry=retry)
+
+    monkeypatch.setattr(client, "_request", flaky_noapply)
+    client.put_object("amb/retry", b"mine", if_none_match=True)
+    assert client.get_object("amb/retry") == b"mine"
+
+
+def test_commit_heals_local_cache_after_crash_window(tmp_path, storage):
+    """Crash after the bucket PUT but before the local write-through:
+    the retry must backfill the local manifest from the bucket (or the
+    table wedges on 412 forever), then report the lost fence."""
+    p = str(tmp_path / "heal" / "manifests" / "epoch=000001.json")
+    key = storage._key_of(p)
+    # simulate the dead attempt: bucket has the manifest, local does not
+    storage.client.put_object(key, b'{"epoch":1}', if_none_match=True)
+    assert not os.path.exists(p)
+    with pytest.raises(FileExistsError):
+        storage.commit_bytes_exclusive(p, b'{"epoch":1,"retry":true}')
+    # the local cache now mirrors the authoritative bucket copy
+    assert open(p, "rb").read() == b'{"epoch":1}'

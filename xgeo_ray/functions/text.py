@@ -10,7 +10,6 @@ pay setup once per actor, not per batch.
 
 from __future__ import annotations
 
-import re
 
 import numpy as np
 import pandas as pd

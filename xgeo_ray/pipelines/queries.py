@@ -83,12 +83,14 @@ def derive_change_events(sf_dir: str) -> ray.data.Dataset:
         eid = b.column("event_id").to_numpy()
         mod = eid % 10
         op = np.where(mod < 6, "I", np.where(mod < 9, "U", "D"))
-        conv = np.char.add("u", b.column("user_id").to_numpy().astype("U20"))
+        conv = pc.binary_join_element_wise(
+            "u", pc.cast(b.column("user_id"), pa.string()), ""
+        )
         return pa.table(
             {
                 "seq": b.column("event_id"),
                 "op": pa.array(op, pa.string()),
-                "conv_id": pa.array(conv, pa.string()),
+                "conv_id": conv,
                 "turn_idx": pa.array(eid % 40, pa.int64()),
                 "role": b.column("event_type"),
                 "text": b.column("props"),
@@ -218,14 +220,16 @@ def _derive_amount_events(sf_dir: str) -> ray.data.Dataset:
         eid = b.column("event_id").to_numpy()
         mod = eid % 10
         op = np.where(mod < 6, "I", np.where(mod < 9, "U", "D"))
-        conv = np.char.add("u", b.column("user_id").to_numpy().astype("U20"))
+        conv = pc.binary_join_element_wise(
+            "u", pc.cast(b.column("user_id"), pa.string()), ""
+        )
         amount = np.floor(b.column("value").to_numpy() * 100).astype(np.int64)
         amount[mod >= 9] = 0
         return pa.table(
             {
                 "seq": b.column("event_id"),
                 "op": pa.array(op, pa.string()),
-                "conv_id": pa.array(conv, pa.string()),
+                "conv_id": conv,
                 "turn_idx": pa.array(eid % 40, pa.int64()),
                 "ts": b.column("ts"),
                 "amount": pa.array(amount),
@@ -478,9 +482,8 @@ def cdc_enriched_state(sf_dir: str):
     ).map_batches(
         lambda b: pa.table(
             {
-                "conv_id": pa.array(
-                    np.char.add("u", b.column("c_custkey").to_numpy().astype("U20")),
-                    pa.string(),
+                "conv_id": pc.binary_join_element_wise(
+                    "u", pc.cast(b.column("c_custkey"), pa.string()), ""
                 ),
                 "segment": b.column("c_mktsegment"),
             }

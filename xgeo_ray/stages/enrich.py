@@ -163,9 +163,11 @@ class PartitionedLookup:
         self._empty_dim = arrow_schema.empty_table()
         self.value_cols = [c for c in arrow_schema.names if c != on]
         self.__name__ = f"PartitionedLookup[{on}]"
+        from xgeo_ray.functions.dedup import _auto_buckets
+
         block_refs = dim.to_arrow_refs()
-        nb = num_buckets if num_buckets is not None else max(
-            8, min(256, len(block_refs))
+        nb = num_buckets if num_buckets is not None else _auto_buckets(
+            len(block_refs)
         )
         self.nb = nb
         maps = [

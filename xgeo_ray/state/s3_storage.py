@@ -42,6 +42,14 @@ class S3ClientError(RuntimeError):
     pass
 
 
+class S3AmbiguousError(S3ClientError):
+    """The connection died after the request may have reached the server:
+    the outcome is unknown. Raised instead of blind-retrying for
+    NON-idempotent requests (the conditional PUT) — a blind resend of a
+    conditional PUT that was actually applied turns a WON fence claim
+    into a false 412/FileExistsError."""
+
+
 class S3Client:
     """Minimal S3-protocol client (path-style addressing, stdlib-only).
 
@@ -69,16 +77,23 @@ class S3Client:
             self._local.conn = c
         return c
 
-    def _request(self, method, path, body=None, headers=None):
+    def _request(self, method, path, body=None, headers=None, retry=True):
         c = self._conn()
         try:
             c.request(method, path, body=body, headers=headers or {})
             r = c.getresponse()
             data = r.read()
-        except (http.client.HTTPException, ConnectionError, OSError):
-            # stale keep-alive: rebuild the connection once
+        except (http.client.HTTPException, ConnectionError, OSError) as e:
+            # stale keep-alive: rebuild the connection once. Only
+            # idempotent requests (GET/DELETE/plain PUT) may be blindly
+            # resent — a conditional PUT must resolve the ambiguity at
+            # the caller (read-back compare in put_object).
             c.close()
             self._local.conn = None
+            if not retry:
+                raise S3AmbiguousError(f"{method} {path}: {e!r}") from e
+            if hasattr(body, "seek"):
+                body.seek(0)
             c = self._conn()
             c.request(method, path, body=body, headers=headers or {})
             r = c.getresponse()
@@ -88,11 +103,39 @@ class S3Client:
     def _key_path(self, key: str) -> str:
         return f"/{self.bucket}/" + urllib.parse.quote(key)
 
-    def put_object(self, key: str, data: bytes, if_none_match: bool = False) -> None:
-        headers = {"Content-Length": str(len(data))}
-        if if_none_match:
+    def put_object(self, key: str, data, if_none_match: bool = False) -> None:
+        """``data`` is bytes, or (plain PUTs only) a seekable binary file
+        object — streamed as the request body, never slurped."""
+        if hasattr(data, "read"):
+            if if_none_match:
+                raise TypeError("conditional PUT requires bytes (read-back compare)")
+            length = os.fstat(data.fileno()).st_size
+        else:
+            length = len(data)
+        headers = {"Content-Length": str(length)}
+        if not if_none_match:
+            status, body = self._request("PUT", self._key_path(key), data, headers)
+        else:
             headers["If-None-Match"] = "*"
-        status, body = self._request("PUT", self._key_path(key), data, headers)
+            for _ in range(3):
+                try:
+                    status, body = self._request(
+                        "PUT", self._key_path(key), data, headers, retry=False
+                    )
+                    break
+                except S3AmbiguousError:
+                    # the conditional PUT may or may not have been
+                    # applied — read back and compare instead of
+                    # resending blind
+                    try:
+                        existing = self.get_object(key)
+                    except FileNotFoundError:
+                        continue  # definitely not applied: safe to resend
+                    if existing == data:
+                        return  # our write was the one applied: we WON
+                    raise FileExistsError(key) from None
+            else:
+                raise S3ClientError(f"PUT {key}: repeated connection failures")
         if status == 412 or (status == 409 and if_none_match):
             # 412 PreconditionFailed (S3/MinIO); 409 ConditionalRequestConflict
             # (S3 under concurrent conditional writes) — both mean "exists
@@ -114,17 +157,40 @@ class S3Client:
         if status not in (200, 204, 404):
             raise S3ClientError(f"DELETE {key}: HTTP {status}")
 
-    def list_keys(self, prefix: str = "") -> list[str]:
-        q = urllib.parse.urlencode({"list-type": "2", "prefix": prefix})
-        status, body = self._request("GET", f"/{self.bucket}?{q}")
-        if status != 200:
-            raise S3ClientError(f"LIST {prefix}: HTTP {status}")
+    def list_keys(self, prefix: str = "", page_size: int = 1000) -> list[str]:
+        """Full listing across ListObjectsV2 pages — a real endpoint caps
+        each response at ~1000 keys; truncation must be followed, not
+        silently returned as a complete listing."""
         import re
 
-        return [
-            urllib.parse.unquote(m.decode())
-            for m in re.findall(rb"<Key>([^<]*)</Key>", body)
-        ]
+        out: list[str] = []
+        token: str | None = None
+        while True:
+            params = {
+                "list-type": "2",
+                "prefix": prefix,
+                "max-keys": str(page_size),
+            }
+            if token:
+                params["continuation-token"] = token
+            q = urllib.parse.urlencode(params)
+            status, body = self._request("GET", f"/{self.bucket}?{q}")
+            if status != 200:
+                raise S3ClientError(f"LIST {prefix}: HTTP {status}")
+            out.extend(
+                urllib.parse.unquote(m.decode())
+                for m in re.findall(rb"<Key>([^<]*)</Key>", body)
+            )
+            if not re.search(rb"<IsTruncated>true</IsTruncated>", body):
+                return out
+            m = re.search(
+                rb"<NextContinuationToken>([^<]*)</NextContinuationToken>", body
+            )
+            if not m:
+                raise S3ClientError(
+                    f"LIST {prefix}: truncated page without continuation token"
+                )
+            token = urllib.parse.unquote(m.group(1).decode())
 
 
 class S3ObjectStorage:
@@ -147,10 +213,27 @@ class S3ObjectStorage:
     def commit_bytes_exclusive(self, path: str, data: bytes) -> None:
         # the SERVICE arbitrates exclusivity: exactly one conditional
         # PUT of this key ever succeeds, across every node and process
-        self.client.put_object(self._key_of(path), data, if_none_match=True)
+        key = self._key_of(path)
+        try:
+            self.client.put_object(key, data, if_none_match=True)
+        except FileExistsError:
+            # Lost the fence — possibly to a previous attempt of this
+            # same table that died AFTER its bucket PUT but BEFORE its
+            # local write-through. Heal the local cache from the
+            # authoritative bucket copy so the resume path sees the
+            # committed epoch instead of wedging on 412 forever, then
+            # report the lost fence as usual.
+            if not os.path.exists(path):
+                committed = self.client.get_object(key)
+                self._write_local(path, committed)
+            raise
         # write-through local materialization for POSIX readers; the
         # bucket copy is authoritative, so a plain replace is safe (all
         # local writers hold identical committed bytes)
+        self._write_local(path, data)
+
+    @staticmethod
+    def _write_local(path: str, data: bytes) -> None:
         d = os.path.dirname(path)
         os.makedirs(d, exist_ok=True)
         tmp = path + f".s3tmp-{os.getpid()}"
@@ -159,9 +242,10 @@ class S3ObjectStorage:
         os.replace(tmp, path)
 
     def publish_file(self, tmp_path: str, final_path: str, durable: bool) -> None:
+        # stream the file as the request body — a full epoch delta can
+        # be hundreds of MB; slurping it would double peak worker memory
         with open(tmp_path, "rb") as f:
-            data = f.read()
-        self.client.put_object(self._key_of(final_path), data)
+            self.client.put_object(self._key_of(final_path), f)
         os.replace(tmp_path, final_path)
 
     def delete_control(self, path: str) -> None:
@@ -234,11 +318,25 @@ class MiniS3Server:
                 bucket, key, q = self._split()
                 if not key and "list-type" in q:
                     prefix = q.get("prefix", [""])[0]
+                    maxk = int(q.get("max-keys", ["1000"])[0])
+                    token = q.get("continuation-token", [None])[0]
                     with lock:
                         keys = sorted(k for k in objects if k.startswith(prefix))
+                    if token:
+                        keys = [k for k in keys if k > token]
+                    page, rest = keys[:maxk], keys[maxk:]
+                    nxt = (
+                        f"<NextContinuationToken>{page[-1]}"
+                        "</NextContinuationToken>"
+                        if rest
+                        else ""
+                    )
                     body = (
                         "<ListBucketResult>"
-                        + "".join(f"<Contents><Key>{k}</Key></Contents>" for k in keys)
+                        + f"<IsTruncated>{'true' if rest else 'false'}"
+                        "</IsTruncated>"
+                        + nxt
+                        + "".join(f"<Contents><Key>{k}</Key></Contents>" for k in page)
                         + "</ListBucketResult>"
                     ).encode()
                     self._reply(200, body)
