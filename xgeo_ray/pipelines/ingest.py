@@ -2480,6 +2480,149 @@ def export_snapshot(
     }
 
 
+def assemble_conversations(
+    table: DeltaTable,
+    sep: str = "\n",
+    role_sep: str = ": ",
+    as_of_epoch: int | None = None,
+) -> ray.data.Dataset:
+    """Assemble each conversation's merged turns into ONE training
+    document — the transcripts-payload flagship transform: rows
+    (conv_id, turn_idx, role, text) become (conv_id, n_turns, doc)
+    where ``doc`` is ``role: text`` lines joined by ``sep`` in turn
+    order.
+
+    Scale shape: ZERO shuffle. ``snapshot()`` emits one merge task per
+    hash partition whose output is partition-local sorted by
+    (conv_id, turn_idx), and a conversation lives in exactly one
+    partition — so assembly is a per-block segmented reduce: one Arrow
+    ``not_equal`` pass finds conversation boundaries, one
+    ``LargeListArray`` wrap + ``binary_join`` emits every document in
+    the block vectorized (no per-conversation Python). Large offsets
+    throughout: a partition's cumulative text may exceed 2 GiB.
+
+    The reference has no counterpart (per-record stream CLI,
+    /root/reference/cmd/xgeo/main.go); this is the table→training-doc
+    bridge a transcript lake needs."""
+    if not table.partition_files(as_of_epoch=as_of_epoch):
+        # empty table: emit the typed empty result directly (empty
+        # blocks lose their schema through the object store)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "n_turns": pa.array([], pa.int64()),
+                    "doc": pa.array([], pa.large_string()),
+                }
+            )
+        )
+    ds = snapshot(
+        table,
+        columns=["conv_id", "turn_idx", "role", "text"],
+        as_of_epoch=as_of_epoch,
+    )
+    if table.num_salts <= 1:
+        # unsalted: a conversation lives in exactly one partition and
+        # snapshot blocks are already (conv, turn)-sorted — zero shuffle
+        def assemble(b: pa.Table) -> pa.Table:
+            return _assemble_block(b, sep, role_sep)
+
+        return ds.map_batches(assemble, batch_format="pyarrow")
+    # SALTED table: the salt XOR scatters one conversation's turns
+    # across up to num_salts partitions, so turns must co-locate once —
+    # a single conv-keyed radix exchange (the repo's bucketed-cogroup
+    # shape: blocks split by unsalted conv hash, one reduce per bucket
+    # sorts + assembles). Text crosses the wire exactly once; this is
+    # the minimum movement the semantics allow.
+    from xgeo_ray.functions.dedup import _auto_buckets
+
+    refs = ds.to_arrow_refs()
+    nb = _auto_buckets(len(refs))
+    split = [
+        _asm_split.options(num_returns=nb if nb > 1 else None).remote(r, nb)
+        for r in refs
+    ]
+    if nb == 1:
+        split = [[s] for s in split]
+    reduced = [
+        _asm_reduce.remote(sep, role_sep, *[s[b] for s in split])
+        for b in range(nb)
+    ]
+    return ray.data.from_arrow_refs(reduced)
+
+
+def _assemble_block(b: pa.Table, sep: str, role_sep: str) -> pa.Table:
+    """Segmented vectorized assembly of ONE (conv, turn)-sorted block:
+    boundary scan via Arrow not_equal, per-conv join via LargeListArray
+    + binary_join — no per-conversation Python."""
+    if b.num_rows == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "n_turns": pa.array([], pa.int64()),
+                "doc": pa.array([], pa.large_string()),
+            }
+        )
+    conv = b.column("conv_id").combine_chunks()
+    line = pc.binary_join_element_wise(
+        pc.fill_null(pc.cast(b.column("role"), pa.large_string()), ""),
+        pc.fill_null(pc.cast(b.column("text"), pa.large_string()), ""),
+        pa.scalar(role_sep, pa.large_string()),
+    )
+    if isinstance(line, pa.ChunkedArray):
+        line = line.combine_chunks()
+    neq = pc.not_equal(conv.slice(1), conv.slice(0, len(conv) - 1))
+    starts = np.flatnonzero(
+        np.concatenate(([True], neq.to_numpy(zero_copy_only=False)))
+    )
+    offsets = np.concatenate((starts, [len(conv)])).astype(np.int64)
+    docs = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), line),
+        pa.scalar(sep, pa.large_string()),
+    )
+    return pa.table(
+        {
+            "conv_id": pc.cast(conv.take(pa.array(starts)), pa.string()),
+            "n_turns": pa.array(np.diff(offsets), pa.int64()),
+            "doc": docs,
+        }
+    )
+
+
+@ray.remote
+def _asm_split(block: pa.Table, nb: int):
+    """Split one snapshot block by UNSALTED conv hash into nb bucket
+    slices (the radix-exchange map side)."""
+    from xgeo_ray.partition import hash_conv_ids
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    conv = np.asarray(
+        block.column("conv_id").to_numpy(zero_copy_only=False), dtype=object
+    )
+    h = (hash_conv_ids(conv) % np.uint64(nb)).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    sorted_tbl = block.take(pa.array(order))
+    bounds = np.searchsorted(h[order], np.arange(nb + 1))
+    out = [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nb)]
+    return out if nb > 1 else out[0]
+
+
+@ray.remote
+def _asm_reduce(sep: str, role_sep: str, *slices: pa.Table) -> pa.Table:
+    """Concat one bucket's slices from every block, restore (conv, turn)
+    order, assemble (the radix-exchange reduce side)."""
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    live = [s for s in slices if s.num_rows]
+    if not live:
+        return _assemble_block(pa.table({}), sep, role_sep)
+    t = pa.concat_tables(live, promote_options="default")
+    t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    return _assemble_block(t, sep, role_sep)
+
+
 def export_shuffled(
     table: DeltaTable,
     out_dir: str,

@@ -551,6 +551,27 @@ def cdc_delete_where(sf_dir: str):
     )
 
 
+def cdc_assembled_convs(sf_dir: str):
+    """END-TO-END engine query for conversation assembly (the
+    transcripts-payload table→training-doc bridge): the derived change
+    stream is ingested via the real fence machinery, then
+    ``ingest.assemble_conversations`` merges every conversation's LWW
+    turns into one role-tagged document — zero shuffle, one segmented
+    Arrow reduce per partition. The oracle replays LWW state and
+    ``string_agg(... ORDER BY turn_idx)`` per conv, so a hash match
+    certifies turn order, tombstone handling and the join kernel."""
+    import os
+
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    work = f"/tmp/xgeo_asm_q_{os.path.basename(os.path.normpath(sf_dir))}"
+    groups = _seq_ranged_wal(sf_dir, work)
+    t = DeltaTable.create(f"{work}/t", num_partitions=16, num_salts=2)
+    ing.run_stream(t, [], segment_groups=groups)
+    return ing.assemble_conversations(t)
+
+
 # 2024-01-16T00:00:00Z in µs — mid-stream at every sf (events span
 # 2024-01-01..2024-01-30); a fixed constant so engine and oracle agree
 _ASOF_T_US = 1_705_363_200_000_000
@@ -645,22 +666,36 @@ def cdc_late_events(sf_dir: str):
     return ds.groupby("part_key").map_groups(late_group, batch_format="pyarrow")
 
 
-def text_clean(sf_dir: str):
-    """Unicode NFC normalization + casefold AND the PII redaction sweep
-    in one pipeline over the raw text (SURVEY §2.8 scalar family + the
-    redactor; replaces the former text_normalized / pii_redacted pair —
-    same kernels, one driver slot)."""
-    from xgeo_ray.functions.text import PiiRedactor, normalize_text
+def doc_transforms(sf_dir: str):
+    """Every per-doc scalar transform in ONE scan (one driver slot,
+    four kernels): Unicode NFC normalization + casefold, the PII
+    redaction sweep, vectorized stopword language ID, and the
+    Karp-Rabin rolling-hash fingerprint (former text_clean +
+    doc_signals pair — same kernels, merged to free a slot)."""
+    from xgeo_ray.functions.text import (
+        LangId,
+        PiiRedactor,
+        add_fingerprint,
+        normalize_text,
+    )
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     red = PiiRedactor()
+    lid = LangId()
 
-    def both(b: pa.Table) -> pa.Table:
-        return red(normalize_text(b, form="NFC", casefold=True))
+    def allk(b: pa.Table) -> pa.Table:
+        return add_fingerprint(lid(red(normalize_text(b, form="NFC", casefold=True))))
 
-    out = ds.map_batches(both, batch_format="pyarrow")
+    out = ds.map_batches(allk, batch_format="pyarrow")
     return out.select_columns(
-        ["doc_id", "text_norm", "text_redacted", "n_redactions"]
+        [
+            "doc_id",
+            "text_norm",
+            "text_redacted",
+            "n_redactions",
+            "lang_pred",
+            "fingerprint",
+        ]
     )
 
 
@@ -1606,7 +1641,8 @@ def build_queries() -> dict:
         "cdc_enriched_state": cdc_enriched_state,
         "cdc_delete_where": cdc_delete_where,
         "cdc_state_asof": cdc_state_asof,
-        "text_clean": text_clean,
+        "cdc_assembled_convs": cdc_assembled_convs,
+        "doc_transforms": doc_transforms,
         "doc_chunks": doc_chunks,
         "q1_pricing_summary": q1_pricing_summary,
         "nation_customer_counts": nation_customer_counts,
@@ -1631,7 +1667,6 @@ def build_queries() -> dict:
         "dup_clusters": dup_clusters_q,
         "simhash_dup_pairs": simhash_dup_pairs_q,
         "embedding_dup_pairs": embedding_dup_pairs_q,
-        "doc_signals": doc_signals,
         "sampled_docs": sampled_docs,
         "quality_filtered_docs": quality_filtered_docs,
         "shuffled_shards": shuffled_shards,
@@ -1815,6 +1850,24 @@ def build_oracle_sql() -> dict[str, str]:
             WHERE op <> 'D' AND role <> 'error'
               AND ts >= make_timestamp({_EXPIRE_CUTOFF_US})
         """,
+        "cdc_assembled_convs": f"""
+            WITH ev AS ({derive}),
+            state AS (
+              SELECT conv_id, turn_idx, role, text, op FROM ev
+              QUALIFY row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) = 1
+            ),
+            live AS (
+              SELECT conv_id, turn_idx,
+                     coalesce(role, '') AS role, coalesce(text, '') AS text
+              FROM state WHERE op <> 'D'
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   string_agg(role || ': ' || text, chr(10)
+                              ORDER BY turn_idx) AS doc
+            FROM live GROUP BY conv_id
+        """,
         "cdc_state_asof": f"""
             WITH ev AS ({derive})
             SELECT conv_id, turn_idx, role, text, ts FROM ev
@@ -1870,7 +1923,7 @@ def build_oracle_sql() -> dict[str, str]:
         # NFC-normalized casefold + the PII sweep: identical RE2 patterns
         # applied in identical order; counts taken on the intermediate
         # text exactly as the engine does
-        "text_clean": r"""
+        "doc_transforms": r"""
             WITH t0 AS (SELECT doc_id, text FROM documents),
             t1 AS (
               SELECT doc_id,
@@ -1894,13 +1947,63 @@ def build_oracle_sql() -> dict[str, str]:
               SELECT doc_id, n1, n2, n3,
                      len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n4,
                      regexp_replace(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS text
-              FROM t3
-            )
+              FROM t3),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ),
+            scored AS (
+              SELECT doc_id,
+                len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit'))) AS s_de,
+                len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','that','it','for'))) AS s_en,
+                len(list_filter(w, x -> x IN ('el','la','los','y','es','un','una','por','para'))) AS s_es,
+                len(list_filter(w, x -> x IN ('le','la','les','et','est','un','une','pour','dans'))) AS s_fr
+              FROM toks
+            ),
+            lang AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                          WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                          WHEN s_es >= s_fr THEN 'es'
+                          ELSE 'fr' END AS lang_pred
+              FROM scored
+            ),
+            chars AS (
+              SELECT doc_id, i,
+                     CAST(ascii(substr(text, CAST(i AS INT), 1)) AS HUGEINT) AS c,
+                     length(text) AS L
+              FROM documents, unnest(generate_series(1, length(text))) t(i)
+            ),
+            h AS (
+              SELECT doc_id, i, L,
+                     (  c                    * 12924618581234127435
+                      + lead(c, 1) OVER w    * 10923514805226455897
+                      + lead(c, 2) OVER w    * 14453212906556403763
+                      + lead(c, 3) OVER w    * 14003818205314896721
+                      + lead(c, 4) OVER w    * 1000009000027000027
+                      + lead(c, 5) OVER w    * 1000006000009
+                      + lead(c, 6) OVER w    * 1000003
+                      + lead(c, 7) OVER w ) % 18446744073709551616 AS hm
+              FROM chars
+              WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            m AS (
+              SELECT doc_id, min(hm) AS hm FROM h WHERE i <= L - 7 GROUP BY doc_id)
             SELECT t4.doc_id,
                    lower(nfc_normalize(d.text)) AS text_norm,
                    t4.text AS text_redacted,
-                   CAST(n1 + n2 + n3 + n4 AS BIGINT) AS n_redactions
-            FROM t4 JOIN documents d ON t4.doc_id = d.doc_id
+                   CAST(n1 + n2 + n3 + n4 AS BIGINT) AS n_redactions,
+                   lang.lang_pred,
+                   CAST(CASE WHEN m.hm >= 9223372036854775808
+                             THEN m.hm - 18446744073709551616
+                             ELSE m.hm END AS BIGINT) AS fingerprint
+            FROM t4
+            JOIN documents d ON t4.doc_id = d.doc_id
+            JOIN lang ON t4.doc_id = lang.doc_id
+            JOIN m ON t4.doc_id = m.doc_id
         """,
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
@@ -2156,58 +2259,6 @@ def build_oracle_sql() -> dict[str, str]:
         # exact rolling Karp-Rabin min-hash over the UTF-8 bytes (ASCII
         # corpus): 8-byte windows, base 1000003, wrap mod 2^64 (powers
         # pre-reduced), min over windows, signed int64 view.
-        "doc_signals": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\s+'),
-                                 x -> x <> '') AS w
-              FROM documents
-            ),
-            scored AS (
-              SELECT doc_id,
-                len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit'))) AS s_de,
-                len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','that','it','for'))) AS s_en,
-                len(list_filter(w, x -> x IN ('el','la','los','y','es','un','una','por','para'))) AS s_es,
-                len(list_filter(w, x -> x IN ('le','la','les','et','est','un','une','pour','dans'))) AS s_fr
-              FROM toks
-            ),
-            lang AS (
-              SELECT doc_id,
-                     CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-                          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-                          WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-                          WHEN s_es >= s_fr THEN 'es'
-                          ELSE 'fr' END AS lang_pred
-              FROM scored
-            ),
-            chars AS (
-              SELECT doc_id, i,
-                     CAST(ascii(substr(text, CAST(i AS INT), 1)) AS HUGEINT) AS c,
-                     length(text) AS L
-              FROM documents, unnest(generate_series(1, length(text))) t(i)
-            ),
-            h AS (
-              SELECT doc_id, i, L,
-                     (  c                    * 12924618581234127435
-                      + lead(c, 1) OVER w    * 10923514805226455897
-                      + lead(c, 2) OVER w    * 14453212906556403763
-                      + lead(c, 3) OVER w    * 14003818205314896721
-                      + lead(c, 4) OVER w    * 1000009000027000027
-                      + lead(c, 5) OVER w    * 1000006000009
-                      + lead(c, 6) OVER w    * 1000003
-                      + lead(c, 7) OVER w ) % 18446744073709551616 AS hm
-              FROM chars
-              WINDOW w AS (PARTITION BY doc_id ORDER BY i)
-            ),
-            m AS (
-              SELECT doc_id, min(hm) AS hm FROM h WHERE i <= L - 7 GROUP BY doc_id
-            )
-            SELECT lang.doc_id, lang.lang_pred,
-                   CAST(CASE WHEN m.hm >= 9223372036854775808
-                             THEN m.hm - 18446744073709551616
-                             ELSE m.hm END AS BIGINT) AS fingerprint
-            FROM lang JOIN m ON lang.doc_id = m.doc_id
-        """,
         # embedding near-dup: exact cosine cross-join (feasible at the
         # driver's sf0.01 scale); the engine's hyperplane-LSH buckets
         # recall every pair at this threshold (identical vectors always
