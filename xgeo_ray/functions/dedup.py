@@ -1121,3 +1121,421 @@ def contaminated_ids(
     return docs.select_columns(["doc_id", "text"]).map_batches(
         _FlagContaminated(ref, k_shingle), batch_format="pyarrow"
     )
+
+# ------------------------------------------------------------------
+# streaming near-dup: an incremental MinHash/LSH index maintained from
+# the change feed — the near-dup complement of ContentKeyStage's exact
+# streaming dedup
+
+_ND_META = "_neardup.json"
+_ND_KEY_SEP = "\x1f"  # doc_key = conv_id <US> turn_idx
+
+
+def _nd_doc_keys(live: pa.Table) -> pa.Array:
+    """doc_key = conv_id <US> turn_idx, Arrow-vectorized."""
+    out = pc.binary_join_element_wise(
+        pc.cast(live.column("conv_id"), pa.string()),
+        pc.cast(live.column("turn_idx"), pa.string()),
+        _ND_KEY_SEP,
+    )
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def _nd_bucket_keys(banded: pa.Table) -> pa.Array:
+    """bucket key = 'b<band>:<band_hash-as-uint64>', Arrow-vectorized."""
+    bh = banded.column("band_hash").to_numpy(zero_copy_only=False)
+    out = pc.binary_join_element_wise(
+        "b",
+        pc.cast(banded.column("band"), pa.string()),
+        ":",
+        pa.array(bh.astype(np.uint64).astype("U20")),
+        "",
+    )
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def _nd_collapse_live(ch: pa.Table, text_col: str) -> pa.Table:
+    """Latest live version per key across the consumed epochs: order by
+    (_epoch, seq), keep each key's last row, drop deletes/null text."""
+    if ch.num_rows == 0:
+        return ch
+    df_cols = ["conv_id", "turn_idx", "op", "seq", "_epoch", text_col]
+    t = ch.select([c for c in df_cols if c in ch.column_names])
+    order = pa.compute.sort_indices(
+        t,
+        sort_keys=[
+            ("conv_id", "ascending"),
+            ("turn_idx", "ascending"),
+            ("_epoch", "ascending"),
+            ("seq", "ascending"),
+        ],
+    )
+    t = t.take(order)
+    conv = t.column("conv_id").combine_chunks()
+    turn = t.column("turn_idx").combine_chunks()
+    same = pc.and_(
+        pc.equal(conv.slice(1), conv.slice(0, len(conv) - 1)),
+        pc.equal(turn.slice(1), turn.slice(0, len(turn) - 1)),
+    ).to_numpy(zero_copy_only=False)
+    last = np.concatenate((~same, [True]))  # last row of every key run
+    t = t.filter(pa.array(last))
+    keep = pc.and_(
+        pc.not_equal(t.column("op"), "D"),
+        pc.is_valid(t.column(text_col)),
+    )
+    return t.filter(keep)
+
+
+def _nd_gather_keys(
+    doc_hash: np.ndarray, doc_keys: np.ndarray, want: np.ndarray
+) -> list[str]:
+    """Map int64 doc hashes back to their doc_key strings (sorted
+    searchsorted gather — no per-row dict)."""
+    order = np.argsort(doc_hash, kind="stable")
+    pos = np.searchsorted(doc_hash[order], want)
+    return doc_keys[order[pos]].tolist()
+
+
+def _nd_candidates(
+    bucket_keys: np.ndarray,
+    band_doc: np.ndarray,
+    doc_hash: np.ndarray,
+    probe: pa.Table,
+) -> pa.Table:
+    """Candidate (a, b) doc-hash pairs from bucket collisions: new×old
+    (probe hits from the persisted index) and new×new (within this
+    epoch batch), deduplicated, a < b, self-pairs dropped."""
+    import pandas as pd
+
+    new_df = pd.DataFrame({"bucket": bucket_keys, "doc": band_doc})
+    frames = []
+    if probe.num_rows:
+        old_df = pd.DataFrame(
+            {
+                "bucket": np.asarray(
+                    probe.column("conv_id").to_numpy(zero_copy_only=False),
+                    dtype=object,
+                ),
+                "doc": probe.column("turn_idx").to_numpy(zero_copy_only=False),
+            }
+        )
+        m = new_df.merge(old_df, on="bucket", suffixes=("_n", "_o"))
+        frames.append(m[["doc_n", "doc_o"]].to_numpy())
+    nn = new_df.merge(new_df, on="bucket", suffixes=("_n", "_o"))
+    nn = nn[nn["doc_n"] < nn["doc_o"]]
+    frames.append(nn[["doc_n", "doc_o"]].to_numpy())
+    allp = np.concatenate(frames) if frames else np.empty((0, 2), np.int64)
+    if len(allp) == 0:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+    a = np.minimum(allp[:, 0], allp[:, 1]).astype(np.int64)
+    b = np.maximum(allp[:, 0], allp[:, 1]).astype(np.int64)
+    keep = a != b  # an updated doc meeting its own stale index entry
+    a, b = a[keep], b[keep]
+    uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+    return pa.table(
+        {"a": pa.array(uniq[:, 0]), "b": pa.array(uniq[:, 1])}
+    )
+
+
+def _nd_pack_sets(docs: pa.Table, k_shingle: int) -> pa.Table:
+    """(doc_id, text) → packed (probe_id, sh-list) shingle sets, the
+    verify kernel's input shape (same rebuild _mh_sets_map uses)."""
+    if docs.num_rows == 0:
+        return pa.table(
+            {
+                "probe_id": pa.array([], pa.int64()),
+                "sh": pa.array([], pa.list_(pa.int64())),
+            }
+        )
+    ex = ShingleExploder(k_shingle)(docs)
+    ids = ex.column("doc_id").to_numpy()
+    bounds = np.flatnonzero(
+        np.concatenate([[True], ids[1:] != ids[:-1], [True]])
+    )
+    return pa.table(
+        {
+            "probe_id": pa.array(ids[bounds[:-1]], pa.int64()),
+            "sh": pa.ListArray.from_arrays(
+                pa.array(bounds, pa.int32()), ex.column("sh").combine_chunks()
+            ),
+        }
+    )
+
+
+def _nd_verify(
+    cand: pa.Table,
+    doc_hash: np.ndarray,
+    doc_keys: np.ndarray,
+    live: pa.Table,
+    probe: pa.Table,
+    source,
+    text_col: str,
+    threshold: float,
+    k_shingle: int,
+) -> pa.Table:
+    """True-Jaccard verify of candidate pairs (the batch operator's own
+    _mh_verify_reduce kernel) and conversion to pairs-table upsert rows
+    keyed by the canonical doc-key pair."""
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.partition import hash_conv_ids
+
+    need = np.unique(
+        np.concatenate(
+            [
+                cand.column("a").to_numpy(zero_copy_only=False),
+                cand.column("b").to_numpy(zero_copy_only=False),
+            ]
+        )
+    )
+    # epoch docs carry their text; index partners fetch CURRENT text
+    # from the source table (distributed batch lookup)
+    in_epoch = np.isin(need, doc_hash)
+    key_of: dict[int, str] = {}
+    for h, k in zip(doc_hash.tolist(), doc_keys.tolist()):
+        key_of[h] = k
+    emask = np.isin(doc_hash, need)
+    epoch_docs = pa.table(
+        {
+            "doc_id": pa.array(doc_hash[emask], pa.int64()),
+            "text": live.column(text_col).combine_chunks().filter(
+                pa.array(emask)
+            ),
+        }
+    )
+    old_hashes = need[~in_epoch]
+    old_docs = None
+    if len(old_hashes):
+        # the index row carries each entry's doc_key: recover
+        # (conv, turn) and batch-fetch the partners' CURRENT rows
+        ph = probe.column("turn_idx").to_numpy(zero_copy_only=False)
+        pk = probe.column("doc_key").to_numpy(zero_copy_only=False)
+        for h, k in zip(ph.tolist(), pk.tolist()):
+            key_of.setdefault(int(h), str(k))
+        convs = sorted(
+            {
+                key_of[int(h)].split(_ND_KEY_SEP, 1)[0]
+                for h in old_hashes
+                if int(h) in key_of
+            }
+        )
+        fetched = ing.lookup_many(source, convs)
+        if fetched.num_rows:
+            fk = _nd_doc_keys(fetched)
+            fh = hash_conv_ids(
+                np.asarray(fk.to_numpy(zero_copy_only=False), dtype=object)
+            ).view(np.int64)
+            mask = np.isin(fh, old_hashes)
+            old_docs = pa.table(
+                {
+                    "doc_id": pa.array(fh[mask], pa.int64()),
+                    "text": fetched.column(text_col).combine_chunks().filter(
+                        pa.array(mask)
+                    ),
+                }
+            )
+    doc_tabs = [epoch_docs] + ([old_docs] if old_docs is not None else [])
+    sets = _nd_pack_sets(
+        pa.concat_tables(doc_tabs).combine_chunks(), k_shingle
+    )
+    # a partner deleted from the source since indexing has no set; the
+    # verify kernel treats missing sets as non-pairs (intersection 0)
+    pairs_in = pa.table(
+        {
+            "doc_id_a": cand.column("a"),
+            "doc_id_b": cand.column("b"),
+        }
+    )
+    verified = ray.get(
+        _mh_verify_reduce.remote(pairs_in, threshold, sets)
+    )
+    if verified.num_rows == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "doc_key_a": pa.array([], pa.string()),
+                "doc_key_b": pa.array([], pa.string()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    a = verified.column("doc_id_a").to_numpy()
+    b = verified.column("doc_id_b").to_numpy()
+    ka = [key_of[int(x)] for x in a]
+    kb = [key_of[int(x)] for x in b]
+    # canonical orientation by doc_key so the pair key is stable
+    ka2 = [min(x, y) for x, y in zip(ka, kb)]
+    kb2 = [max(x, y) for x, y in zip(ka, kb)]
+    pair_key = [x + "\x1e" + y for x, y in zip(ka2, kb2)]
+    return pa.table(
+        {
+            "conv_id": pa.array(pair_key, pa.string()),
+            "turn_idx": pa.array(np.zeros(len(pair_key), np.int64)),
+            "doc_key_a": pa.array(ka2, pa.string()),
+            "doc_key_b": pa.array(kb2, pa.string()),
+            "jaccard": verified.column("jaccard"),
+        }
+    )
+
+
+def sync_near_dup(
+    source,
+    index_root: str,
+    pairs_root: str,
+    group: str = "neardup",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    k_shingle: int = 3,
+    text_col: str = "text",
+) -> dict:
+    """Incremental near-duplicate detection AT INGEST: consume the
+    source table's change feed (consumer-group cursor ``group``),
+    MinHash+band each new/updated row, probe a persisted LSH index
+    table for bucket collisions, verify candidates by TRUE Jaccard
+    against current source text (the batch ``minhash_lsh_dup_pairs``'s
+    own ``_mh_verify_reduce`` kernel — streaming and batch agree by
+    construction), and commit verified pairs + the epoch's new band
+    rows. The near-dup complement of ``ContentKeyStage``'s exact
+    streaming dedup.
+
+    The INDEX and PAIRS sinks are ordinary DeltaTables, so they inherit
+    the fence machinery: ``apply_changes`` batch_ids derive from the
+    consumed epoch range (a crashed sync retries as no-ops) and the
+    consumer cursor is acked LAST — commit order pairs → index → ack
+    makes every crash window replay-safe. Parameters are pinned in
+    ``_neardup.json``; a sync with different parameters refuses.
+
+    Scale shape: per-sync work is bounded by the EPOCH batch (changed
+    rows + their bucket collisions), never the corpus. Band rows and
+    candidates pass through the driver like any ``apply_changes`` batch
+    (the documented driver-bounded surface — size the sync cadence so an
+    epoch batch fits); bucket probes and partner-text fetches run as
+    distributed batch lookups (``lookup_many``: one merge task per
+    touched partition, IN-pushdown). Deletes drop out of the feed (an
+    append-only index, the production norm — rebuild to reclaim); an
+    updated doc re-indexes under its new signature and is never paired
+    with its own stale entry; a pair whose partner was deleted since
+    indexing drops at verify (its shingle set is absent).
+
+    No reference counterpart (stateless CLI,
+    /root/reference/cmd/xgeo/main.go); Broder 1997 / LSH banding as in
+    the batch operator."""
+    import json as _json
+    import os
+
+    from xgeo_ray.partition import hash_conv_ids
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.state import consumers
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    spec = {
+        "source_root": os.path.abspath(source.root),
+        "threshold": threshold,
+        "num_hashes": num_hashes,
+        "num_bands": num_bands,
+        "k_shingle": k_shingle,
+        "text_col": text_col,
+    }
+    os.makedirs(index_root, exist_ok=True)
+    meta_path = os.path.join(index_root, _ND_META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = _json.load(f)
+        if prev != spec:
+            raise ValueError(
+                f"near-dup index at {index_root!r} was built with {prev}; "
+                f"refusing to sync with {spec} — rebuild or match parameters"
+            )
+    else:
+        with open(meta_path, "w") as f:
+            _json.dump(spec, f)
+
+    def _open_or_create(root):
+        if os.path.exists(os.path.join(root, "_table.json")):
+            return DeltaTable.open(root)
+        return DeltaTable.create(root, num_partitions=8, num_salts=1)
+
+    index = _open_or_create(os.path.join(index_root, "t"))
+    pairs_t = _open_or_create(pairs_root)
+
+    pos = consumers.position(source, group)
+    head = source.latest_epoch()
+    if head <= pos:
+        return {"consumed_upto": pos, "new_docs": 0, "pairs": 0}
+
+    # 1. the consumed epochs' rows, collapsed to latest live per key
+    feed = ing.changes(
+        source,
+        since_epoch=pos,
+        upto_epoch=head,
+        columns=["conv_id", "turn_idx", "op", "seq", text_col],
+    )
+    blocks = [t for t in ray.get(feed.to_arrow_refs()) if t.num_rows]
+    ch = (
+        pa.concat_tables(blocks, promote_options="default")
+        if blocks
+        else pa.table({})
+    )
+    live = _nd_collapse_live(ch, text_col)
+    if live.num_rows == 0:
+        consumers.ack(source, group, head)
+        return {"consumed_upto": head, "new_docs": 0, "pairs": 0}
+
+    dk = _nd_doc_keys(live)
+    doc_keys = np.asarray(dk.to_numpy(zero_copy_only=False), dtype=object)
+    doc_hash = hash_conv_ids(doc_keys).view(np.int64)
+
+    # 2. signatures + band buckets (the batch operator's kernels)
+    mh = MinHasher(num_hashes, k_shingle)
+    banded = explode_bands(
+        mh(
+            pa.table(
+                {"doc_id": pa.array(doc_hash), "text": live.column(text_col)}
+            )
+        ),
+        num_bands,
+    )
+    bucket_arr = _nd_bucket_keys(banded)
+    bucket_keys = np.asarray(
+        bucket_arr.to_numpy(zero_copy_only=False), dtype=object
+    )
+    band_doc = banded.column("doc_id").to_numpy(zero_copy_only=False)
+
+    # 3. probe persisted index members of the touched buckets
+    probe = ing.lookup_many(index, list(dict.fromkeys(bucket_keys.tolist())))
+    cand = _nd_candidates(bucket_keys, band_doc, doc_hash, probe)
+
+    n_pairs = 0
+    if cand.num_rows:
+        verified = _nd_verify(
+            cand, doc_hash, doc_keys, live, probe, source, text_col,
+            threshold, k_shingle,
+        )
+        n_pairs = verified.num_rows
+        if n_pairs:
+            ing.apply_changes(
+                pairs_t, verified, batch_id=f"ndpairs-{pos + 1}-{head}"
+            )
+
+    # 4. append this epoch's band rows to the index, then ack
+    ing.apply_changes(
+        index,
+        pa.table(
+            {
+                "conv_id": bucket_arr,
+                "turn_idx": pa.array(band_doc, pa.int64()),
+                "doc_key": pa.array(
+                    _nd_gather_keys(doc_hash, doc_keys, band_doc), pa.string()
+                ),
+            }
+        ),
+        batch_id=f"ndidx-{pos + 1}-{head}",
+    )
+    consumers.ack(source, group, head)
+    return {
+        "consumed_upto": head,
+        "new_docs": int(live.num_rows),
+        "pairs": int(n_pairs),
+    }
