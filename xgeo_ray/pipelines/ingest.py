@@ -309,7 +309,12 @@ class ApplyPartition:
             late=late,
         )
         if collapsed.num_rows:
+            from xgeo_ray.partition import build_key_bloom
+
             out = cast_to(collapsed, self.schema)
+            entry.bloom = build_key_bloom(
+                out.column("conv_id").to_numpy(zero_copy_only=False)
+            )
             entry.bytes = _atomic_write_parquet(
                 out, os.path.join(self.root, entry.path), durable=self.durable
             )
@@ -336,6 +341,7 @@ _ENTRY_SCHEMA = pa.schema(
         ("min_ts", pa.int64()),
         ("bytes", pa.int64()),
         ("late", pa.int64()),
+        ("bloom", pa.string()),
     ]
 )
 
@@ -483,7 +489,7 @@ def _radix_exchange_apply(
         for row in t.to_pylist():
             entries.append(
                 PartitionEntry(
-                    **{k: (v if k == "path" else int(v)) for k, v in row.items()}
+                    **{k: (v if k in ("path", "bloom") else int(v)) for k, v in row.items()}
                 )
             )
     return entries, invalid
@@ -554,7 +560,7 @@ def _check_no_split_parts(entries: list[PartitionEntry]) -> None:
 
 def _collect_entries(metrics: ray.data.Dataset) -> list[PartitionEntry]:
     entries = [
-        PartitionEntry(**{k: (v if k == "path" else int(v)) for k, v in row.items()})
+        PartitionEntry(**{k: (v if k in ("path", "bloom") else int(v)) for k, v in row.items()})
         for row in metrics.take_all()
     ]
     _check_no_split_parts(entries)
@@ -847,7 +853,7 @@ def run_stream(
             for row in t.to_pylist():
                 entries.append(
                     PartitionEntry(
-                        **{k: (v if k == "path" else int(v)) for k, v in row.items()}
+                        **{k: (v if k in ("path", "bloom") else int(v)) for k, v in row.items()}
                     )
                 )
         _check_no_split_parts(entries)
@@ -2083,12 +2089,19 @@ def lookup(
             conv_arr, turn_arr, table.num_partitions, table.num_salts
         )
     }
+    from xgeo_ray.partition import bloom_may_contain
+
     plan = table.partition_files()
+    blooms = table.file_blooms()
     policy_fn = MERGE_POLICIES[table.merge_policy]["fn"]
     envelope = table.current_schema()
     tables = []
     for part in sorted(parts):
         for p in plan.get(part, []):
+            # manifest bloom first: a chain file that can't hold the key
+            # is skipped without even a footer read
+            if p in blooms and not bloom_may_contain(blooms[p], [conv_id])[0]:
+                continue
             # delta files are sorted by conv_id, so row-group statistics
             # prune this predicate to the few groups holding the key —
             # the read touches O(row-group), not the whole partition
@@ -2165,14 +2178,31 @@ def lookup_many(
         )
         for p in parts:
             part_ids.setdefault(int(p), set()).add(cid)
+    from xgeo_ray.partition import bloom_may_contain
+
     plan = table.partition_files()
+    blooms = table.file_blooms()
     policy_fn = MERGE_POLICIES[table.merge_policy]["fn"]
+
+    def _pruned(paths: list[str], want: list[str]) -> list[str]:
+        # keep a file iff ANY wanted key may be present by its bloom
+        return [
+            p
+            for p in paths
+            if p not in blooms or bloom_may_contain(blooms[p], want).any()
+        ]
+
+    tasks = []
+    for part, want in sorted(part_ids.items()):
+        if part not in plan:
+            continue
+        w = sorted(want)
+        paths = _pruned(plan[part], w)
+        if paths:
+            tasks.append((paths, w))
     refs = [
-        _lookup_part_task.remote(
-            plan[part], sorted(want), envelope, policy_fn
-        )
-        for part, want in sorted(part_ids.items())
-        if part in plan
+        _lookup_part_task.remote(paths, w, envelope, policy_fn)
+        for paths, w in tasks
     ]
     tables = [t for t in ray.get(refs) if t.num_rows]
     if not tables:
@@ -2275,6 +2305,12 @@ def compact(
             if t.num_rows
             else -1,
         )
+        if t.num_rows:
+            from xgeo_ray.partition import build_key_bloom
+
+            entry.bloom = build_key_bloom(
+                t.column("conv_id").to_numpy(zero_copy_only=False)
+            )
         entry.bytes = _atomic_write_parquet(
             t, os.path.join(root, entry.path), durable=durable
         )
@@ -2284,7 +2320,7 @@ def compact(
     # snapshot/export); results are tiny metric rows
     refs = [compact_part.remote(k, v) for k, v in sorted(plan.items())]
     entries = [
-        PartitionEntry(**{k: (v if k == "path" else int(v)) for k, v in row.items()})
+        PartitionEntry(**{k: (v if k in ("path", "bloom") else int(v)) for k, v in row.items()})
         for t in ray.get(refs)
         for row in t.to_pylist()
     ]

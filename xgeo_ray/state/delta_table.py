@@ -353,6 +353,20 @@ class DeltaTable:
         return ms[-1].schema_version if ms else 0
 
     # ------------------------------------------------------------- file plan
+    def file_blooms(self, as_of_epoch: int | None = None) -> dict[str, str]:
+        """Absolute path → base64 conv_id bloom for every visible file
+        whose manifest entry carries one (partition.build_key_bloom).
+        Point lookups prune the delta chain from these manifest bytes
+        alone — no footer reads for files that can't hold the key.
+        Files without a bloom (pre-bloom manifests, above-cap files)
+        are simply absent: callers read them as before."""
+        out: dict[str, str] = {}
+        for m in self.effective_manifests(as_of_epoch):
+            for e in m.partitions.values():
+                if e.path and e.bloom:
+                    out[os.path.join(self.root, e.path)] = e.bloom
+        return out
+
     def partition_files(
         self, as_of_epoch: int | None = None
     ) -> dict[int, list[str]]:

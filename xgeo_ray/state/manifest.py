@@ -98,6 +98,11 @@ class PartitionEntry:
     # the partition's committed max_ts — out-of-order arrivals across
     # epochs. Absent in pre-round-3 manifests (default 0 on load).
     late: int = 0
+    # base64 bloom over this delta file's conv_ids (partition.
+    # build_key_bloom): point lookups prune the delta chain from
+    # manifest bytes alone. "" = absent (pre-bloom manifests, or files
+    # above the key cap) — no pruning, never wrong.
+    bloom: str = ""
 
 
 @dataclass
