@@ -1,0 +1,287 @@
+"""Before/after-image feed + incremental aggregate views (pipelines.ivm).
+
+The feed's images must equal epoch time travel: for every feed row at
+epoch e, the after image is snapshot(as_of_epoch=e) at that key and the
+before image is snapshot(as_of_epoch=e-1) — including keys created and
+deleted inside the window. sync_agg folded over any sync cadence must
+equal the plain GROUP BY over the final merged state.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from xgeo_ray import fixtures as fx
+from xgeo_ray.pipelines import ingest as ing
+from xgeo_ray.pipelines import ivm
+from xgeo_ray.state.delta_table import DeltaTable
+
+
+@pytest.fixture(scope="module")
+def src_table(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ivm_src"))
+    events = fx.make_change_events(1500, n_convs=15, turns_per_conv=6)
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=4)
+    src = DeltaTable.create(f"{root}/src", num_partitions=8, num_salts=2)
+    ing.run_stream(src, segs, segments_per_epoch=1)  # epochs 1..4
+    return src, root
+
+
+def _snap_df(src, epoch, keys=None):
+    df = ing.snapshot(src, as_of_epoch=epoch).to_pandas()
+    if keys is not None:
+        df = df.merge(keys, on=["conv_id", "turn_idx"])
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def test_feed_images_match_time_travel(src_table):
+    src, _ = src_table
+    feed = ivm.changes_with_before(src).to_pandas()
+    assert feed["_epoch"].nunique() == 4
+    for e, g in feed.groupby("_epoch"):
+        keys = g[["conv_id", "turn_idx"]].drop_duplicates()
+        assert len(keys) == len(g)  # one row per key per epoch
+        # AFTER image == state as of e at the touched keys
+        live = (
+            g[g["_after_exists"]][
+                ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            ]
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        want = _snap_df(src, int(e), keys)
+        pd.testing.assert_frame_equal(live, want[live.columns])
+        # a key with _after_exists=False is absent from state at e
+        dead = g[~g["_after_exists"]][["conv_id", "turn_idx"]]
+        assert len(dead.merge(want, on=["conv_id", "turn_idx"])) == 0
+        # BEFORE image == state as of e-1 at the touched keys
+        prior = _snap_df(src, int(e) - 1, keys) if e > 1 else want.iloc[:0]
+        bef = (
+            g[g["_before_exists"]][
+                ["conv_id", "turn_idx"]
+                + [f"_before_{c}" for c in ["role", "text", "tool"]]
+            ]
+            .rename(columns=lambda c: c.replace("_before_", ""))
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            bef, prior[bef.columns] if len(prior) else bef.iloc[:0], check_dtype=False
+        ) if len(bef) or len(prior) == 0 else None
+        new = g[~g["_before_exists"]][["conv_id", "turn_idx"]]
+        if len(prior):
+            assert len(new.merge(prior, on=["conv_id", "turn_idx"])) == 0
+            # before keys must all exist at e-1 with matching payload
+            joined = bef.merge(
+                prior,
+                on=["conv_id", "turn_idx"],
+                suffixes=("", "_want"),
+            )
+            assert len(joined) == len(bef)
+            for c in ["role", "text", "tool"]:
+                assert (
+                    joined[c].fillna("") == joined[f"{c}_want"].fillna("")
+                ).all()
+        else:
+            assert len(bef) == 0
+
+
+def test_feed_window_since_epoch(src_table):
+    """A windowed feed (since=2) must carry before images equal to
+    snapshot(as_of_epoch=2) — the as-of chain read, not an empty
+    state."""
+    src, _ = src_table
+    feed = ivm.changes_with_before(src, since_epoch=2).to_pandas()
+    assert set(feed["_epoch"].unique()) == {3, 4}
+    g = feed[feed["_epoch"] == 3]
+    keys = g[["conv_id", "turn_idx"]].drop_duplicates()
+    prior = _snap_df(src, 2, keys)
+    bef = g[g["_before_exists"]]
+    joined = bef.merge(prior, on=["conv_id", "turn_idx"], suffixes=("_b", ""))
+    assert len(joined) == len(bef) == len(prior)
+    assert (joined["_before_text"] == joined["text"]).all()
+
+
+def _make_text_len_derive():
+    # nested def: cloudpickle ships it by VALUE (a module-level test
+    # helper would pickle by reference to a module workers can't import)
+    def _text_len_derive(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "text_len",
+            pc.fill_null(pc.utf8_length(t.column("text")).cast(pa.int64()), 0),
+        )
+
+    return _text_len_derive
+
+
+def _want_agg(src) -> pd.DataFrame:
+    df = ing.snapshot(src).to_pandas()
+    df["text_len"] = df["text"].fillna("").str.len()
+    want = (
+        df.groupby("role", dropna=False)
+        .agg(n=("role", "size"), sum_text_len=("text_len", "sum"))
+        .reset_index()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    return want
+
+
+def _view_df(view_dir) -> pd.DataFrame:
+    return (
+        ivm.read_agg_view(view_dir)
+        .to_pandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+        .astype({"n": "int64", "sum_text_len": "int64"})
+    )
+
+
+def test_sync_agg_incremental_matches_group_by(src_table, tmp_path):
+    src, _ = src_table
+    view = str(tmp_path / "agg_view")
+    # sync in two increments: epochs 1-2, then 3-4 (retractions live in
+    # the second sync — updated/deleted keys were folded by the first)
+    st = ivm.sync_agg(
+        src,
+        view,
+        group_by=["role"],
+        sums=["text_len"],
+        derive=_make_text_len_derive(),
+        columns=["role", "text"],
+        upto_epoch=2,
+    )
+    assert st["synced_epochs"] == 2 and st["last_epoch"] == 2
+    # mid-state equals the grouped aggregate of the epoch-2 snapshot
+    df2 = ing.snapshot(src, as_of_epoch=2).to_pandas()
+    df2["text_len"] = df2["text"].fillna("").str.len()
+    want2 = (
+        df2.groupby("role", dropna=False)
+        .agg(n=("role", "size"), sum_text_len=("text_len", "sum"))
+        .reset_index()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(_view_df(view), want2)
+    st = ivm.sync_agg(
+        src,
+        view,
+        group_by=["role"],
+        sums=["text_len"],
+        derive=_make_text_len_derive(),
+        columns=["role", "text"],
+    )
+    assert st["last_epoch"] == 4
+    pd.testing.assert_frame_equal(_view_df(view), _want_agg(src))
+    # caught-up sync is a no-op
+    st = ivm.sync_agg(
+        src,
+        view,
+        group_by=["role"],
+        sums=["text_len"],
+        derive=_make_text_len_derive(),
+        columns=["role", "text"],
+    )
+    assert st["synced_epochs"] == 0
+
+
+def test_sync_agg_one_shot_equals_incremental(src_table, tmp_path):
+    src, _ = src_table
+    one = str(tmp_path / "one")
+    ivm.sync_agg(
+        src,
+        one,
+        group_by=["role"],
+        sums=["text_len"],
+        derive=_make_text_len_derive(),
+        columns=["role", "text"],
+    )
+    pd.testing.assert_frame_equal(_view_df(one), _want_agg(src))
+
+
+def test_sync_agg_spec_pin_and_restore_guard(src_table, tmp_path):
+    src, root = src_table
+    view = str(tmp_path / "pin")
+    ivm.sync_agg(src, view, group_by=["role"], columns=["role"])
+    with pytest.raises(ValueError, match="spec changed"):
+        ivm.sync_agg(src, view, group_by=["tool"], columns=["tool"])
+    # restore the SOURCE past the view's cursor -> refuse
+    clone = ing.clone_table(src, f"{root}/pin_clone")
+    v2 = str(tmp_path / "pin2")
+    ivm.sync_agg(clone, v2, group_by=["role"], columns=["role"])
+    ing.restore(clone, 2, force=True)
+    with pytest.raises(ValueError, match="restored past"):
+        ivm.sync_agg(clone, v2, group_by=["role"], columns=["role"])
+
+
+def test_sync_agg_after_delete_where(src_table, tmp_path):
+    """Distributed predicate deletes flow through the feed as
+    retractions: after delete_where, an incremental sync must drop the
+    deleted rows' contributions exactly."""
+    src, root = src_table
+    t = ing.clone_table(src, f"{root}/del_clone")
+    view = str(tmp_path / "delview")
+    ivm.sync_agg(
+        t,
+        view,
+        group_by=["role"],
+        sums=["text_len"],
+        derive=_make_text_len_derive(),
+        columns=["role", "text"],
+    )
+    ing.delete_where(
+        t,
+        predicate=lambda b: pc.equal(b.column("role"), "tool"),
+        columns=["role"],
+        batch_id="drop-tools",
+    )
+    ivm.sync_agg(
+        t,
+        view,
+        group_by=["role"],
+        sums=["text_len"],
+        derive=_make_text_len_derive(),
+        columns=["role", "text"],
+    )
+    got = _view_df(view)
+    assert "tool" not in set(got["role"])
+    pd.testing.assert_frame_equal(got, _want_agg(t))
+
+
+def test_feed_additive_images_accumulate(tmp_path):
+    """On an additive table the images are the ACCUMULATED sums before
+    and after each epoch — the policy-generic state walk, not an
+    LWW-only shortcut."""
+    root = str(tmp_path / "add")
+    tbl = DeltaTable.create(
+        root, num_partitions=4, num_salts=1, merge_policy="additive"
+    )
+
+    def ev(seq, amount):
+        return pa.table(
+            {
+                "seq": pa.array([seq], pa.int64()),
+                "op": ["U"],
+                "conv_id": ["c-1"],
+                "turn_idx": pa.array([0], pa.int32()),
+                "ts": pa.array([1_000_000 + seq], pa.timestamp("us")),
+                "amount": pa.array([amount], pa.int64()),
+            }
+        )
+
+    segs = [
+        fx.write_segments(ev(1, 10), str(tmp_path / "w1"), n_segments=1)[0],
+        fx.write_segments(ev(2, 5), str(tmp_path / "w2"), n_segments=1)[0],
+    ]
+    ing.run_stream(tbl, segs, segments_per_epoch=1)  # epochs 1, 2
+    feed = (
+        ivm.changes_with_before(tbl)
+        .to_pandas()
+        .sort_values("_epoch")
+        .reset_index(drop=True)
+    )
+    assert list(feed["amount"]) == [10, 15]
+    assert feed.loc[0, "_before_exists"] == False  # noqa: E712
+    assert feed.loc[1, "_before_amount"] == 10

@@ -1,0 +1,620 @@
+"""Before/after-image change feed + incremental aggregate views (IVM).
+
+Two capabilities the plain ``changes()`` feed cannot give a consumer:
+
+1. ``changes_with_before`` — the Debezium-shaped feed: every applied
+   change row is paired with the key's EFFECTIVE state transition
+   (before image -> after image) under the table's merge policy. The
+   images are effective, not event-literal: an out-of-order update that
+   loses last-writer-wins to the existing state emits
+   ``before == after`` (a no-op transition), which is exactly what a
+   downstream incremental consumer must see — retract(before) +
+   add(after) then cancels instead of corrupting its state.
+
+2. ``sync_agg`` / ``read_agg_view`` — retraction-based incremental
+   grouped aggregation (count + sums) maintained EXACTLY-ONCE from that
+   feed: per sync, each change contributes ``-1/-value`` for its before
+   image and ``+1/+value`` for its after image, partial-aggregated per
+   partition, hash-bucketed by group, and folded into persisted bucket
+   files. Refresh I/O tracks the CHANGE size even on LWW tables with
+   updates and deletes — the gap ``views.refresh_view`` cannot close
+   (its delta path is sound only for additive tables with no
+   tombstones; everything else re-merges whole partitions).
+
+Scale shape: one raw-Ray task per TOUCHED partition (untouched
+partitions cost nothing); inside a task the as-of state is read
+filtered to the window's touched conv_ids, so per-task memory tracks
+the number of keys changed in the window, not the partition size. The
+per-epoch walk is a vectorized searchsorted alignment over those
+touched keys only — no Python loop over rows anywhere.
+
+No counterpart in the reference (a stateless streaming CLI,
+/root/reference/cmd/xgeo/main.go:18); this is the incremental-view
+surface the north rule's lake engine needs (cf. the published
+DBSP/differential-dataflow model: changes as Z-set deltas, aggregates
+maintained by weight-summed retractions).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from xgeo_ray.schemas import cast_to
+from xgeo_ray.state.delta_table import DeltaTable
+
+_AGG_META = "_agg.json"
+BEFORE_PREFIX = "_before_"
+
+
+def _window_plan(
+    table: DeltaTable, since_epoch: int, upto_epoch: int | None
+) -> dict[int, list[tuple[str, int]]]:
+    """Per-partition ``[(path, epoch)]`` ascending for committed DELTA
+    manifests in ``(since_epoch, upto_epoch]`` — the same plan shape as
+    ``changes()``, grouped by partition so each touched partition gets
+    one task. Compactions are skipped (state rewrite, not history);
+    restores are resolved by ``effective_manifests``."""
+    plan: dict[int, list[tuple[str, int]]] = defaultdict(list)
+    for m in table.effective_manifests():
+        if m.kind != "delta" or m.epoch <= since_epoch:
+            continue
+        if upto_epoch is not None and m.epoch > upto_epoch:
+            continue
+        for k, e in m.partitions.items():
+            if e.path:
+                plan[int(k)].append(
+                    (os.path.join(table.root, e.path), m.epoch)
+                )
+    return dict(plan)
+
+
+def _k64_codes(conv: pa.Array, turn: pa.Array, uniq: pa.Array) -> np.ndarray:
+    """Composite int64 key codes (dictionary index << 32 | turn) against
+    a shared ``uniq`` conv_id dictionary — collision-free (exact index,
+    not a hash), so searchsorted alignment is sound."""
+    code = pc.index_in(conv, value_set=uniq).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    t = turn.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return (code << 32) | (t & np.int64(0xFFFFFFFF))
+
+
+def _feed_schema(envelope: pa.Schema, payload: list[str]) -> pa.Schema:
+    by_name = {f.name: f for f in envelope}
+    fields = [
+        by_name["conv_id"],
+        by_name["turn_idx"],
+        pa.field("_epoch", pa.int64()),
+        pa.field("op", pa.string()),
+        by_name["ts"],
+        pa.field("seq", pa.int64()),
+    ]
+    fields += [by_name[c] for c in payload]
+    fields += [
+        pa.field(BEFORE_PREFIX + c, by_name[c].type) for c in payload
+    ]
+    fields += [
+        pa.field("_before_exists", pa.bool_()),
+        pa.field("_after_exists", pa.bool_()),
+    ]
+    return pa.schema(fields)
+
+
+def _null_where(col: pa.ChunkedArray | pa.Array, dead: pa.Array):
+    return pc.if_else(dead, pa.scalar(None, col.type), col)
+
+
+@ray.remote
+def _before_after_task(
+    window: list[tuple[str, int]],
+    asof_paths: list[str],
+    envelope: pa.Schema,
+    policy,
+    payload: list[str],
+) -> pa.Table:
+    """One touched partition's before/after feed rows.
+
+    Reads the window's delta files (projected to merge + payload
+    columns), the as-of-``since`` chain filtered to the window's
+    touched conv_ids, then walks epochs in commit order maintaining the
+    touched keys' running state under the merge policy. All alignment
+    is vectorized: one shared conv dictionary, int64 composite codes,
+    searchsorted gathers. Cost: O(epochs x touched_keys) — independent
+    of partition size."""
+    from xgeo_ray.pipelines.ingest import _MERGE_COLS
+    from xgeo_ray.stages.collapse import merge_versions
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    read_cols = list(dict.fromkeys(_MERGE_COLS + list(payload)))
+    env = pa.schema([f for f in envelope if f.name in read_cols])
+    out_schema = _feed_schema(envelope, payload)
+
+    def _read(p: str) -> pa.Table:
+        have = [c for c in read_cols if c in pq.read_schema(p).names]
+        return pq.read_table(p, columns=have, use_threads=False)
+
+    wparts = []
+    for p, e in window:
+        t = cast_to(_read(p), env)
+        wparts.append(
+            t.append_column(
+                "_epoch", pa.array(np.full(t.num_rows, e, dtype=np.int64))
+            )
+        )
+    W = pa.concat_tables(wparts)
+    if W.num_rows == 0:
+        return out_schema.empty_table()
+    touched_convs = pc.unique(W.column("conv_id").combine_chunks())
+    asof_tables = []
+    for p in asof_paths:
+        t = _read(p)
+        t = t.filter(pc.is_in(t.column("conv_id"), value_set=touched_convs))
+        if t.num_rows:
+            asof_tables.append(cast_to(t, env))
+    # keep tombstone winners: a deleted key's tombstone still wins LWW
+    # over later lower-(ts,seq) arrivals, exactly as in the table itself
+    S = merge_versions(asof_tables, drop_tombstones=False, policy=policy)
+    if S.num_rows == 0:
+        S = env.empty_table()
+    else:
+        S = cast_to(S, env)
+
+    uniq = touched_convs  # every conv in S was filtered to this set
+    sk = _k64_codes(
+        S.column("conv_id").combine_chunks(),
+        S.column("turn_idx").combine_chunks(),
+        uniq,
+    )
+    wk = _k64_codes(
+        W.column("conv_id").combine_chunks(),
+        W.column("turn_idx").combine_chunks(),
+        uniq,
+    )
+    # restrict state to keys touched anywhere in the window (asof filter
+    # above was conv-coarse; different turn_idx of a touched conv drop)
+    keep = np.isin(sk, wk)
+    state = S.filter(pa.array(keep))
+    sk = sk[keep]
+    order = np.argsort(sk, kind="stable")
+    state = state.take(order)
+    sk = sk[order]
+
+    w_epochs = W.column("_epoch").to_numpy(zero_copy_only=False)
+    outs = []
+    for e in sorted(set(w_epochs.tolist())):
+        rows_e = W.filter(pa.array(w_epochs == e)).drop_columns(["_epoch"])
+        # collapse to the epoch's per-key effective delta (no-op on
+        # already-collapsed lww deltas; folds history-table versions)
+        rows_e = policy(rows_e, False)
+        ek = _k64_codes(
+            rows_e.column("conv_id").combine_chunks(),
+            rows_e.column("turn_idx").combine_chunks(),
+            uniq,
+        )
+        eorder = np.argsort(ek, kind="stable")
+        rows_e = rows_e.take(eorder)
+        ek = ek[eorder]
+        pos = np.searchsorted(sk, ek)
+        safe = np.minimum(pos, max(len(sk) - 1, 0))
+        found = (pos < len(sk)) & (len(sk) > 0)
+        if len(sk):
+            found &= sk[safe] == ek
+        # before images aligned to ek (null rows where the key is new)
+        idx = pa.array(
+            np.where(found, safe, 0).astype(np.int64), mask=~found
+        )
+        before = state.take(idx) if len(sk) else pa.Table.from_arrays(
+            [pa.nulls(len(ek), f.type) for f in state.schema],
+            schema=state.schema,
+        )
+        matched = state.take(pa.array(safe[found].astype(np.int64))) if (
+            found.any()
+        ) else state.schema.empty_table()
+        after = policy(
+            pa.concat_tables([matched, rows_e], promote_options="permissive"),
+            False,
+        )
+        ak = _k64_codes(
+            after.column("conv_id").combine_chunks(),
+            after.column("turn_idx").combine_chunks(),
+            uniq,
+        )
+        aorder = np.argsort(ak, kind="stable")
+        after = after.take(aorder)
+        ak = ak[aorder]
+        # after's key set == ek's key set, both sorted -> row-aligned
+        before_dead = pc.fill_null(
+            pc.or_(
+                pc.is_null(before.column("op")),
+                pc.equal(before.column("op"), "D"),
+            ),
+            True,
+        ).combine_chunks()
+        after_dead = pc.fill_null(
+            pc.equal(after.column("op"), "D"), False
+        ).combine_chunks()
+        cols: dict[str, pa.ChunkedArray | pa.Array] = {
+            "conv_id": after.column("conv_id"),
+            "turn_idx": after.column("turn_idx"),
+            "_epoch": pa.array(
+                np.full(after.num_rows, e, dtype=np.int64)
+            ),
+            "op": after.column("op"),
+            "ts": after.column("ts"),
+            "seq": after.column("seq").cast(pa.int64()),
+        }
+        for c in payload:
+            cols[c] = _null_where(after.column(c), after_dead)
+        for c in payload:
+            cols[BEFORE_PREFIX + c] = _null_where(
+                before.column(c), before_dead
+            )
+        cols["_before_exists"] = pc.invert(before_dead)
+        cols["_after_exists"] = pc.invert(after_dead)
+        outs.append(
+            pa.Table.from_arrays(
+                [
+                    pa.chunked_array([cols[f.name]])
+                    if isinstance(cols[f.name], pa.Array)
+                    else cols[f.name]
+                    for f in out_schema
+                ],
+                schema=out_schema,
+            )
+        )
+        # fold the epoch into the running state
+        unmatched = state.filter(pa.array(~np.isin(sk, ek))) if len(
+            sk
+        ) else state
+        state = pa.concat_tables(
+            [unmatched, after], promote_options="permissive"
+        )
+        sk = _k64_codes(
+            state.column("conv_id").combine_chunks(),
+            state.column("turn_idx").combine_chunks(),
+            uniq,
+        )
+        order = np.argsort(sk, kind="stable")
+        state = state.take(order)
+        sk = sk[order]
+    return pa.concat_tables(outs)
+
+
+def _resolve_policy(table: DeltaTable):
+    from xgeo_ray.stages.collapse import MERGE_POLICIES
+
+    return MERGE_POLICIES[table.merge_policy]["fn"]
+
+
+def changes_with_before(
+    table: DeltaTable,
+    since_epoch: int = 0,
+    upto_epoch: int | None = None,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """The CDC-out feed with EFFECTIVE state transitions: one row per
+    (key, epoch) in ``(since_epoch, upto_epoch]`` carrying the after
+    image (payload columns; null when the key is deleted), the before
+    image (``_before_<col>``; null when the key was absent or deleted),
+    ``_before_exists`` / ``_after_exists``, and ``_epoch``.
+
+    Images are effective under the table's merge policy, not
+    event-literal: a change that loses LWW to existing state emits
+    ``before == after`` (its retraction and addition cancel downstream);
+    on additive tables the images are the accumulated sums before/after
+    the epoch. ``op``/``ts``/``seq`` are the after image's winner row.
+
+    One task per TOUCHED partition; the as-of-``since_epoch`` state is
+    read filtered to the window's touched conv_ids, so cost tracks the
+    change volume. Retention contract: both the window's delta files
+    and the as-of chain must predate vacuum, same as ``changes()``.
+    ``columns`` restricts the payload (both images) — pass the narrow
+    set a consumer aggregates over and the text payload never leaves
+    the parquet reader."""
+    envelope = table.current_schema(upto_epoch)
+    from xgeo_ray.pipelines.ingest import _MERGE_COLS
+    from xgeo_ray.state.delta_table import LINEAGE_COLS
+
+    skip = set(_MERGE_COLS) | set(LINEAGE_COLS)
+    payload = [
+        f.name
+        for f in envelope
+        if f.name not in skip and (columns is None or f.name in columns)
+    ]
+    window = _window_plan(table, since_epoch, upto_epoch)
+    if not window:
+        return ray.data.from_arrow(_feed_schema(envelope, payload).empty_table())
+    asof = table.partition_files(as_of_epoch=since_epoch) if since_epoch > 0 else {}
+    policy = _resolve_policy(table)
+    refs = [
+        _before_after_task.remote(
+            files, asof.get(part, []), envelope, policy, payload
+        )
+        for part, files in sorted(window.items())
+    ]
+    return ray.data.from_arrow_refs(refs)
+
+
+# ------------------------------------------------------------------
+# incremental grouped aggregate views (count + sums, via retractions)
+
+
+def _agg_state(view_dir: str) -> dict:
+    p = os.path.join(view_dir, _AGG_META)
+    if not os.path.isfile(p):
+        return {"last_epoch": 0, "files": {}}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_agg_state(view_dir: str, state: dict) -> None:
+    p = os.path.join(view_dir, _AGG_META)
+    tmp = p + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=1)
+    os.replace(tmp, p)
+
+
+@ray.remote
+def _agg_delta_task(
+    feed: pa.Table,
+    group_by: list[str],
+    sums: list[str],
+    derive,
+    num_buckets: int,
+):
+    """Map one partition's before/after feed to signed group partials,
+    bucket-sliced by group hash. Returns ``num_buckets`` tables with
+    columns ``group_by + [n] + [sum_<c>...]`` (n = signed row weight)."""
+    from xgeo_ray.functions.relational import _key_buckets
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    payload = [
+        f.name[len(BEFORE_PREFIX):]
+        for f in feed.schema
+        if f.name.startswith(BEFORE_PREFIX)
+        and f.name not in ("_before_exists",)
+    ]
+    keys = ["conv_id", "turn_idx"]
+
+    def _side(before: bool, exists_col: str, weight: int) -> pa.Table | None:
+        t = feed.filter(feed.column(exists_col).combine_chunks())
+        if t.num_rows == 0:
+            return None
+        # both images expose the SAME column names (key cols + payload),
+        # so `derive` and the group/sum spec apply identically to each
+        src = [(BEFORE_PREFIX + c if before else c) for c in payload]
+        t = t.select(keys + src).rename_columns(keys + payload)
+        if derive is not None:
+            t = derive(t)
+        arrays = [t.column(c) for c in group_by]
+        w = np.full(t.num_rows, weight, dtype=np.int64)
+        arrays.append(pa.array(w))
+        for c in sums:
+            col = t.column(c)
+            if pa.types.is_floating(col.type):
+                v = pc.fill_null(col.cast(pa.float64()), 0.0)
+                arrays.append(pc.multiply(v, pa.array(w.astype(np.float64))))
+            else:
+                v = pc.fill_null(col.cast(pa.int64()), 0)
+                arrays.append(pc.multiply(v, pa.array(w)))
+        return pa.Table.from_arrays(
+            arrays, names=list(group_by) + ["n"] + [f"sum_{c}" for c in sums]
+        )
+
+    sides = [
+        s
+        for s in (
+            _side(True, "_before_exists", -1),
+            _side(False, "_after_exists", +1),
+        )
+        if s is not None
+    ]
+    if not sides:
+        return tuple(None for _ in range(num_buckets))
+    meas = ["n"] + [f"sum_{c}" for c in sums]
+    both = pa.concat_tables(sides)
+    partial = both.group_by(group_by).aggregate(
+        [(c, "sum") for c in meas]
+    ).rename_columns(list(group_by) + meas)
+    bk = _key_buckets(partial, group_by, num_buckets)
+    return tuple(
+        partial.filter(pa.array(bk == b)) for b in range(num_buckets)
+    )
+
+
+@ray.remote
+def _agg_fold_task(
+    old_path: str | None,
+    group_by: list[str],
+    meas: list[str],
+    out_path: str,
+    *slices: pa.Table | None,
+) -> int:
+    """Fold one bucket: committed partial + this sync's signed partials,
+    one vectorized group-sum; groups whose weight reaches 0 drop (every
+    contribution was retracted). Atomic epoch-versioned write — the old
+    bucket file survives until the meta commit. Returns -2 (keep the
+    old file untouched) when this sync contributed nothing to the
+    bucket — untouched buckets cost zero I/O, so sync cost tracks the
+    change volume, not the group cardinality."""
+    from xgeo_ray.pipelines.ingest import _atomic_write_parquet
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    parts = [s for s in slices if s is not None and s.num_rows > 0]
+    if not parts:
+        return -2 if old_path is not None else -1
+    if old_path is not None:
+        parts.append(pq.read_table(old_path, use_threads=False))
+    t = pa.concat_tables(parts, promote_options="permissive")
+    out = t.group_by(group_by).aggregate(
+        [(c, "sum") for c in meas]
+    ).rename_columns(group_by + meas)
+    out = out.filter(
+        pc.not_equal(out.column("n"), pa.scalar(0, out.column("n").type))
+    )
+    _atomic_write_parquet(out, out_path)
+    return out.num_rows
+
+
+def sync_agg(
+    table: DeltaTable,
+    view_dir: str,
+    group_by: list[str],
+    sums: list[str] = (),
+    derive: Callable[[pa.Table], pa.Table] | None = None,
+    columns: list[str] | None = None,
+    num_buckets: int = 16,
+    upto_epoch: int | None = None,
+) -> dict:
+    """Maintain a grouped COUNT+SUM view of the table's merged state
+    incrementally and exactly-once: each sync consumes only the delta
+    epochs committed since the view's cursor, turns every change into a
+    retraction of its before image and an addition of its after image
+    (``changes_with_before`` semantics), and folds the signed partials
+    into hash-bucketed parquet partials. After any sync,
+    ``read_agg_view(view_dir)`` equals ``SELECT group_by, count(*),
+    sum(..) FROM snapshot GROUP BY group_by`` — but the sync's I/O
+    tracked the CHANGE volume, not the table size, including on LWW
+    tables with updates/deletes (where ``views.refresh_view``'s delta
+    path is unsound and falls back to full partition re-merges).
+
+    ``derive`` (optional, pickled by value like merge policies) maps a
+    payload table to add computed measure/group columns — applied
+    identically to before and after images, so e.g. ``sums=["text_len"]``
+    with a utf8_length derive maintains a per-group character total.
+    ``sums`` columns accumulate as int64 (float columns as float64).
+    ``columns`` prunes the payload read to what derive/group/sums touch
+    (pass it on wide tables: the text column never leaves the parquet
+    reader otherwise needed). min/max are NOT supported: they are not
+    retractable — maintain those with ``views.refresh_view``.
+
+    Crash contract: bucket files are epoch-versioned and the view meta
+    is the commit point (same discipline as ``views.refresh_view``);
+    a crashed sync re-runs deterministically from the committed cursor.
+    Retention: sync before vacuum reclaims the window's delta files or
+    the as-of chain (the ``changes()`` contract). A source RESTORE past
+    the cursor fails fast — rebuild the view (its folded state includes
+    retracted history the source no longer has)."""
+    os.makedirs(view_dir, exist_ok=True)
+    state = _agg_state(view_dir)
+    spec = {
+        "group_by": list(group_by),
+        "sums": list(sums),
+        "num_buckets": num_buckets,
+    }
+    if "spec" in state and state["spec"] != spec:
+        raise ValueError(
+            f"agg view spec changed: committed {state['spec']} != requested "
+            f"{spec}. Use a fresh view_dir (the folded partials are only "
+            "meaningful under the spec that built them)."
+        )
+    last = state["last_epoch"]
+    upto = table.latest_epoch() if upto_epoch is None else upto_epoch
+    eff_epochs = {m.epoch for m in table.effective_manifests()}
+    if last > 0 and last not in eff_epochs:
+        raise ValueError(
+            f"source was restored past the view's cursor (epoch {last} is "
+            "no longer in the effective history): the view holds folded "
+            "changes the source rolled back. Rebuild the view in a fresh "
+            "view_dir."
+        )
+    if upto <= last:
+        return {"synced_epochs": 0, "last_epoch": last, "rows": None}
+    window = _window_plan(table, last, upto)
+    meas = ["n"] + [f"sum_{c}" for c in sums]
+    if window:
+        envelope = table.current_schema(upto)
+        asof = table.partition_files(as_of_epoch=last) if last > 0 else {}
+        policy = _resolve_policy(table)
+        from xgeo_ray.pipelines.ingest import _MERGE_COLS
+        from xgeo_ray.state.delta_table import LINEAGE_COLS
+
+        skip = set(_MERGE_COLS) | set(LINEAGE_COLS)
+        payload = [
+            f.name
+            for f in envelope
+            if f.name not in skip
+            and (columns is None or f.name in columns)
+        ]
+        slice_refs = []
+        for part, files in sorted(window.items()):
+            feed_ref = _before_after_task.remote(
+                files, asof.get(part, []), envelope, policy, payload
+            )
+            slice_refs.append(
+                _agg_delta_task.options(num_returns=num_buckets).remote(
+                    feed_ref, list(group_by), list(sums), derive, num_buckets
+                )
+            )
+        fold_refs = {}
+        for b in range(num_buckets):
+            old = state["files"].get(str(b))
+            old_path = os.path.join(view_dir, old) if old else None
+            out_name = f"agg-{b:05d}-e{upto:06d}.parquet"
+            fold_refs[b] = (
+                out_name,
+                _agg_fold_task.remote(
+                    old_path,
+                    list(group_by),
+                    meas,
+                    os.path.join(view_dir, out_name),
+                    *[refs[b] for refs in slice_refs],
+                ),
+            )
+        rows = 0
+        new_files = {}
+        for b, (out_name, ref) in fold_refs.items():
+            n = ray.get(ref)
+            if n >= 0:
+                new_files[str(b)] = out_name
+                rows += n
+            elif n == -2:  # bucket untouched this sync: keep the old file
+                new_files[str(b)] = state["files"][str(b)]
+        state["files"] = new_files
+    else:
+        rows = None  # no delta files in the window (e.g. restore-only)
+    state["last_epoch"] = upto
+    state["spec"] = spec
+    _write_agg_state(view_dir, state)
+    # post-commit sweep of superseded epoch files
+    keep = set(state["files"].values()) | {_AGG_META}
+    for n in os.listdir(view_dir):
+        if n.startswith("agg-") and n.endswith(".parquet") and n not in keep:
+            os.unlink(os.path.join(view_dir, n))
+    return {
+        "synced_epochs": len(
+            {e for files in window.values() for _, e in files}
+        ),
+        "last_epoch": upto,
+        "rows": rows,
+    }
+
+
+def read_agg_view(view_dir: str) -> ray.data.Dataset:
+    """The committed grouped aggregate as a Dataset (columns: group_by +
+    ``n`` + ``sum_<c>``). Groups retracted to zero weight are absent.
+    Reads only the meta-committed file set — an in-flight or crashed
+    sync's files are invisible."""
+    state = _agg_state(view_dir)
+    files = [
+        os.path.join(view_dir, n)
+        for _, n in sorted(state["files"].items(), key=lambda kv: int(kv[0]))
+    ]
+    if not files:
+        raise FileNotFoundError(f"no committed agg view under {view_dir}")
+    return ray.data.read_parquet(files)

@@ -144,7 +144,16 @@ def cdc_stream_metrics(sf_dir: str):
     watermarks + event counts (kind='wm') — the two lineage aggregates
     the ingest fence records, as pure queries over the change stream
     (consolidated from the former cdc_op_counts + cdc_partition_
-    watermarks so both stay driver-verified within the 50-row budget)."""
+    watermarks so both stay driver-verified within the 50-row budget) —
+    plus an END-TO-END engine leg (kind='agg'): the change stream is
+    ingested into a real DeltaTable and an INCREMENTAL aggregate view
+    (``ivm.sync_agg``, retraction-based count+sum per role) is
+    maintained in two syncs, the second consuming only the later
+    epochs' deltas, so its retraction path (updates/deletes folded
+    against the first sync's state) is exercised for real. The oracle
+    replays LWW winner per key and GROUP BY role in SQL, so a hash
+    match certifies the before/after-image feed and the signed fold
+    end-to-end."""
     ops = partial_group_agg(
         derive_change_events(sf_dir).select_columns(["op", "seq"]),
         ["op"],
@@ -187,7 +196,41 @@ def cdc_stream_metrics(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return ops.union(wm)
+
+    import os
+
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.pipelines import ivm
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    work = f"/tmp/xgeo_agg_q_{os.path.basename(os.path.normpath(sf_dir))}"
+    groups = _seq_ranged_wal(sf_dir, work)
+    src = DeltaTable.create(f"{work}/src", num_partitions=16, num_salts=2)
+    ing.run_stream(src, [], segment_groups=groups)
+    view = f"{work}/agg_view"
+    for upto in (2, None):  # two syncs: the second folds retractions
+        ivm.sync_agg(
+            src,
+            view,
+            group_by=["role"],
+            sums=["text_len"],
+            derive=_agg_text_len_stage,
+            columns=["role", "text"],
+            num_buckets=8,
+            upto_epoch=upto,
+        )
+    agg = ivm.read_agg_view(view).map_batches(
+        lambda b: pa.table(
+            {
+                "kind": pa.array(np.full(b.num_rows, "agg"), pa.string()),
+                "k": b.column("role"),
+                "n": b.column("n"),
+                "v": b.column("sum_text_len"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ops.union(wm).union(agg)
 
 
 def cdc_dedup_replay(sf_dir: str):
@@ -305,6 +348,16 @@ def cdc_changes_feed(sf_dir: str):
         )
 
     return ds.groupby("_gk").map_groups(collapse_group, batch_format="pyarrow")
+
+
+def _agg_text_len_stage(t: pa.Table) -> pa.Table:
+    """sync_agg derive for cdc_stream_metrics' 'agg' leg: character
+    length of the text payload as an int64 measure (module-level so
+    workers import it by reference; matches SQL length())."""
+    return t.append_column(
+        "text_len",
+        pc.fill_null(pc.utf8_length(t.column("text")).cast(pa.int64()), 0),
+    )
 
 
 def _derived_upper_stage(t: pa.Table) -> pa.Table:
@@ -1748,6 +1801,16 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT 'wm' AS kind, CAST(user_id % 16 AS VARCHAR) AS k,
                    count(*) AS n, CAST(max(event_id) AS BIGINT) AS v
             FROM events GROUP BY user_id % 16
+            UNION ALL
+            SELECT 'agg' AS kind, role AS k, count(*) AS n,
+                   CAST(sum(length(text)) AS BIGINT) AS v
+            FROM (
+                SELECT role, text FROM ev
+                QUALIFY row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY ts DESC, seq DESC) = 1
+                  AND op <> 'D'
+            ) GROUP BY role
         """,
         "cdc_join_state": f"""
             WITH ev AS ({derive}),
