@@ -285,3 +285,79 @@ def test_feed_additive_images_accumulate(tmp_path):
     assert list(feed["amount"]) == [10, 15]
     assert feed.loc[0, "_before_exists"] == False  # noqa: E712
     assert feed.loc[1, "_before_amount"] == 10
+
+
+def test_sync_agg_crash_before_commit(tmp_path):
+    """Process death between the bucket folds and the meta commit
+    (XGEO_CRASH_BEFORE_AGG_COMMIT): the committed view must still serve
+    the PRE-crash state (meta is the commit point), and a plain re-sync
+    converges to exact parity — the crashed sync's orphan files are
+    invisible and reclaimed."""
+    import os
+    import subprocess
+    import sys
+
+    root = str(tmp_path)
+    events = fx.make_change_events(800, n_convs=10, turns_per_conv=5)
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=3)
+    src = DeltaTable.create(f"{root}/src", num_partitions=4, num_salts=1)
+    ing.run_stream(src, segs, segments_per_epoch=1)  # epochs 1..3
+    view = f"{root}/view"
+    ivm.sync_agg(src, view, group_by=["role"], columns=["role"], upto_epoch=1)
+
+    script = f"""
+import ray, sys, os
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from xgeo_ray.pipelines import ivm
+from xgeo_ray.state.delta_table import DeltaTable
+src = DeltaTable.open({f"{root}/src"!r})
+os.environ["XGEO_CRASH_BEFORE_AGG_COMMIT"] = "1"
+ivm.sync_agg(src, {view!r}, group_by=["role"], columns=["role"])
+"""
+    env = {k: v for k, v in os.environ.items() if k != "RAY_ADDRESS"}
+    r = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True, timeout=240
+    )
+    assert r.returncode == 137, r.stderr.decode()[-2000:]
+    # the committed view still reads the epoch-1 state
+    assert ivm._agg_state(view)["last_epoch"] == 1
+    df1 = ing.snapshot(src, as_of_epoch=1).to_pandas()
+    want1 = (
+        df1.groupby("role", dropna=False)
+        .agg(n=("role", "size"))
+        .reset_index()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    got1 = (
+        ivm.read_agg_view(view)
+        .to_pandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+        .astype({"n": "int64"})
+    )
+    pd.testing.assert_frame_equal(got1, want1)
+    # re-sync converges to full parity; orphan files are swept
+    ivm.sync_agg(src, view, group_by=["role"], columns=["role"])
+    df = ing.snapshot(src).to_pandas()
+    want = (
+        df.groupby("role", dropna=False)
+        .agg(n=("role", "size"))
+        .reset_index()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    got = (
+        ivm.read_agg_view(view)
+        .to_pandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+        .astype({"n": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want)
+    committed = set(ivm._agg_state(view)["files"].values())
+    on_disk = {n for n in os.listdir(view) if n.endswith(".parquet")}
+    assert on_disk == committed

@@ -590,6 +590,8 @@ def sync_agg(
         rows = None  # no delta files in the window (e.g. restore-only)
     state["last_epoch"] = upto
     state["spec"] = spec
+    if os.environ.get("XGEO_CRASH_BEFORE_AGG_COMMIT"):
+        os._exit(137)  # crash hook: folded files exist, meta does not
     _write_agg_state(view_dir, state)
     # post-commit sweep of superseded epoch files
     keep = set(state["files"].values()) | {_AGG_META}
