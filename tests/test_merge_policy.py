@@ -272,3 +272,140 @@ def test_additive_dedup_catches_ts_altered_redelivery():
     out = additive_collapse(t, drop_tombstones=True).to_pandas()
     assert out["conv_id"].tolist() == ["c1"]
     assert out["amount"].tolist() == [18]  # 10 + 5 + 3, second copy dropped
+
+
+# ------------------------------------------------------------------
+# "coalesce" (partial-update / patch) policy
+
+
+def _patch_ev(seq, op, conv, turn, role=None, text=None, amount=None):
+    return dict(
+        seq=seq, op=op, conv_id=conv, turn_idx=turn,
+        ts=BASE_TS + seq * 100, role=role, text=text, amount=amount,
+    )
+
+
+def _patch_table(rows):
+    cols = {k: [r[k] for r in rows] for k in rows[0]}
+    return pa.table(
+        {
+            "seq": pa.array(cols["seq"], pa.int64()),
+            "op": pa.array(cols["op"], pa.string()),
+            "conv_id": pa.array(cols["conv_id"], pa.string()),
+            "turn_idx": pa.array(cols["turn_idx"], pa.int32()),
+            "ts": pa.array(cols["ts"], pa.timestamp("us")),
+            "role": pa.array(cols["role"], pa.string()),
+            "text": pa.array(cols["text"], pa.string()),
+            "amount": pa.array(cols["amount"], pa.int64()),
+        }
+    )
+
+
+def test_coalesce_collapse_unit():
+    from xgeo_ray.stages.collapse import coalesce_collapse
+
+    t = _patch_table(
+        [
+            _patch_ev(1, "I", "c1", 0, role="user", text="hello", amount=1),
+            _patch_ev(2, "U", "c1", 0, text="edited"),      # patches text only
+            _patch_ev(3, "U", "c1", 0, amount=7),           # patches amount only
+            _patch_ev(4, "I", "c2", 0, role="asst", text="x", amount=2),
+            _patch_ev(5, "D", "c2", 0),                     # delete
+            _patch_ev(6, "I", "c2", 0, text="fresh"),       # re-insert after delete
+        ]
+    )
+    out = (
+        coalesce_collapse(t, drop_tombstones=True)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    # c1: role from seq1, text from seq2, amount from seq3
+    assert out.loc[0, ["role", "text"]].tolist() == ["user", "edited"]
+    assert out.loc[0, "amount"] == 7
+    assert out.loc[0, "seq"] == 3  # last writer stamps the row
+    # c2: the delete RESET the row — pre-delete role/amount must not leak
+    assert out.loc[1, "text"] == "fresh"
+    assert pd.isna(out.loc[1, "role"]) and pd.isna(out.loc[1, "amount"])
+    # tombstone-last key kept as tombstone without drop
+    t2 = pa.concat_tables([t, _patch_table([_patch_ev(7, "D", "c1", 0)])])
+    out2 = coalesce_collapse(t2, drop_tombstones=False).to_pandas()
+    r = out2[out2["conv_id"] == "c1"].iloc[0]
+    assert r["op"] == "D" and pd.isna(r["text"])
+    assert coalesce_collapse(t2, drop_tombstones=True).num_rows == 1
+
+
+def test_coalesce_ingest_epochs_equal_one_shot_and_sql_oracle(tmp_path):
+    """Multi-epoch ingest == single-epoch ingest (per-epoch collapse is
+    associative with merge-on-read under seq ordering), and both equal
+    a DuckDB oracle: last non-null per column after the key's last
+    delete, last writer by seq."""
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for seq in range(400):
+        conv = f"c{rng.integers(0, 12)}"
+        turn = int(rng.integers(0, 4))
+        if rng.random() < 0.05:
+            rows.append(_patch_ev(seq, "D", conv, turn))
+            continue
+        # each update patches a random subset of columns
+        rows.append(
+            _patch_ev(
+                seq,
+                "U" if rng.random() < 0.7 else "I",
+                conv,
+                turn,
+                role=f"r{rng.integers(0, 3)}" if rng.random() < 0.5 else None,
+                text=f"t{seq}" if rng.random() < 0.6 else None,
+                amount=int(rng.integers(1, 99)) if rng.random() < 0.4 else None,
+            )
+        )
+    events = _patch_table(rows)
+    cols = ["conv_id", "turn_idx", "role", "text", "amount", "ts"]
+
+    def run(root, n_segments, per_epoch):
+        segs = fx.write_segments(events, f"{root}/wal", n_segments=n_segments)
+        t = DeltaTable.create(
+            f"{root}/t", num_partitions=4, num_salts=2, merge_policy="coalesce"
+        )
+        ing.run_stream(t, segs, segments_per_epoch=per_epoch)
+        return (
+            ing.snapshot(t)
+            .to_pandas()[cols]
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+
+    multi = run(str(tmp_path / "m"), 6, 1)   # 6 epochs
+    single = run(str(tmp_path / "s"), 1, 1)  # 1 epoch
+    pd.testing.assert_frame_equal(multi, single)
+
+    con = duckdb.connect()
+    con.register("ev", events)
+    want = con.execute(
+        """
+        WITH lastd AS (
+            -- reset boundary on a doubled axis: D at seq excludes seq
+            -- itself, I includes itself (full image) — the kernel's rule
+            SELECT conv_id, turn_idx,
+                   coalesce(max(CASE WHEN op = 'D' THEN 2 * seq
+                                     WHEN op = 'I' THEN 2 * seq - 1
+                                END), -1) AS bseq
+            FROM ev GROUP BY conv_id, turn_idx
+        )
+        SELECT e.conv_id, e.turn_idx,
+               arg_max(e.role, e.seq) FILTER (e.role IS NOT NULL) AS role,
+               arg_max(e.text, e.seq) FILTER (e.text IS NOT NULL) AS text,
+               arg_max(e.amount, e.seq) FILTER (e.amount IS NOT NULL) AS amount,
+               arg_max(e.ts, e.seq) AS ts
+        FROM ev e JOIN lastd d USING (conv_id, turn_idx)
+        WHERE 2 * e.seq > d.bseq AND e.op <> 'D'
+        GROUP BY e.conv_id, e.turn_idx
+        ORDER BY e.conv_id, e.turn_idx
+        """
+    ).df()
+    want["turn_idx"] = want["turn_idx"].astype(multi["turn_idx"].dtype)
+    want["amount"] = want["amount"].astype(multi["amount"].dtype)
+    pd.testing.assert_frame_equal(multi, want.reset_index(drop=True))

@@ -160,6 +160,100 @@ def history_dedup(
     return t, n_keys, n_trips, late
 
 
+def coalesce_collapse(t: pa.Table, drop_tombstones: bool) -> pa.Table:
+    """PARTIAL-UPDATE (patch) merge policy with CDC op semantics: per
+    primary key in WAL order, ``op='U'`` events are PATCHES (each data
+    column takes its last non-null value; null means "unchanged"),
+    while ``op='I'`` is a FULL-ROW IMAGE (insert/replace: its nulls
+    mean null — it RESETS everything before it) and ``op='D'`` resets
+    to absent — exactly the create/update/delete envelope
+    Debezium-style sources emit. Only columns set at-or-after the
+    key's last reset survive, so a re-inserted key never leaks
+    pre-delete values. ``ts``/``seq`` take the last writer's values;
+    the output ``op`` is 'D' if the last writer deleted, 'I' if any
+    reset happened in the collapsed span (the row is then a complete
+    image — what makes per-epoch collapse compose: a delete +
+    re-insert inside one epoch must reset PRIOR epochs' patches when
+    merged later), else 'U' (the row is still a partial patch over
+    earlier state).
+
+    Ordering is by ``seq`` ALONE (the WAL/log offset), not (ts, seq):
+    that is what makes per-epoch collapse associative with merge-on-read
+    — epochs are seq-disjoint under the watermarks, so a collapsed epoch
+    row (stamped with its last writer's seq, carrying last-non-null per
+    column up to that seq) merges exactly with later epochs' rows.
+    Under (ts, seq) a late-arriving row could interleave INSIDE an
+    already-collapsed epoch's range where per-column provenance is
+    gone. Consequences, documented as the policy's contract: per-key
+    updates apply in log order (what a binlog/WAL guarantees), and
+    out-of-band correction batches (seq=-1) sort EARLIEST — they cannot
+    patch over streamed values. Exact duplicates (redelivered seqs)
+    are idempotent here (same seq, same values), so no dedup pass is
+    needed. NOT precombinable: two pre-shuffle batches may interleave
+    seqs for one key, and collapsed rows lose per-column provenance.
+
+    Vectorized: one (key, seq) lexsort; per column one reduceat of
+    last-valid positions per key segment; no Python loop over rows."""
+    if t.num_rows == 0:
+        return t
+    codes, turn = _key_codes(t)
+    seq = t.column("seq").to_numpy(zero_copy_only=False)
+    order = np.lexsort((seq, turn, codes))
+    t = t.take(pa.array(order))
+    codes, turn = codes[order], turn[order]
+    n = len(codes)
+    starts = np.flatnonzero(
+        np.concatenate(
+            [[True], (codes[1:] != codes[:-1]) | (turn[1:] != turn[:-1])]
+        )
+    )
+    seg_id = np.cumsum(
+        np.concatenate([[False], (codes[1:] != codes[:-1]) | (turn[1:] != turn[:-1])])
+    )
+    last = np.append(starts[1:], n) - 1
+    idx = np.arange(n, dtype=np.int64)
+    op_np = t.column("op").combine_chunks()
+    is_d = pc.fill_null(pc.equal(op_np, "D"), False).to_numpy(
+        zero_copy_only=False
+    )
+    is_i = pc.fill_null(pc.equal(op_np, "I"), False).to_numpy(
+        zero_copy_only=False
+    )
+    # reset boundary on a doubled axis: a delete at idx excludes idx
+    # itself (2*idx), an insert includes itself (2*idx - 1, the full
+    # image's own columns count); -1 = no reset
+    bound = np.where(is_d, 2 * idx, np.where(is_i, 2 * idx - 1, -1))
+    last_reset = np.maximum.reduceat(bound, starts)
+    after_reset = (2 * idx) > last_reset[seg_id]
+    out = t.take(pa.array(last))  # last writer: key cols + ts/seq
+    # output op: 'D' if the last writer deleted; 'I' if a reset exists
+    # in the span (the row is a full image); else 'U' (still a patch)
+    last_is_d = is_d[last]
+    has_reset = last_reset >= 0
+    out_op = np.where(last_is_d, "D", np.where(has_reset, "I", "U"))
+    out = out.set_column(
+        out.schema.get_field_index("op"), "op", pa.array(out_op, pa.string())
+    )
+    skip = {"conv_id", "turn_idx", "ts", "seq", "op"}
+    for i, f in enumerate(t.schema):
+        if f.name in skip:
+            continue
+        col = t.column(f.name)
+        valid = pc.is_valid(col.combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        pos = np.where(valid & after_reset, idx, -1)
+        src = np.maximum.reduceat(pos, starts)  # last non-null idx / -1
+        gather = pa.array(
+            np.maximum(src, 0).astype(np.int64), mask=src < 0
+        )
+        out = out.set_column(i, f.name, col.take(gather))
+    if drop_tombstones:
+        not_d = pc.fill_null(pc.not_equal(out.column("op"), "D"), True)
+        out = out.filter(not_d)
+    return out
+
+
 def maybe_precollapse(t: pa.Table, threshold: float = 0.9) -> pa.Table:
     """Pre-shuffle collapse, only when it pays: an Arrow hash-aggregate
     counts distinct keys in O(n) (no sort); if nearly every row is a
@@ -289,6 +383,7 @@ def register_merge_policy(name: str, fn, precombinable: bool) -> None:
 
 register_merge_policy("lww", lww_collapse, precombinable=True)
 register_merge_policy("additive", additive_collapse, precombinable=False)
+register_merge_policy("coalesce", coalesce_collapse, precombinable=False)
 
 
 def merge_versions(
