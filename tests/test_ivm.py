@@ -361,3 +361,91 @@ ivm.sync_agg(src, {view!r}, group_by=["role"], columns=["role"])
     committed = set(ivm._agg_state(view)["files"].values())
     on_disk = {n for n in os.listdir(view) if n.endswith(".parquet")}
     assert on_disk == committed
+
+
+def test_sync_index_lookup_by_value(src_table, tmp_path):
+    """Secondary index: postings equal the value's key set in the merged
+    state; an incremental sync MOVES postings when values change; one
+    bucket read per lookup; lookup_by returns the merged rows."""
+    import os
+
+    src, root = src_table
+    t = ing.clone_table(src, f"{root}/idx_clone")
+    view = str(tmp_path / "role_idx")
+    ivm.sync_index(t, view, "role", num_buckets=8)
+
+    snap = ing.snapshot(t).to_pandas()
+    for val in snap["role"].dropna().unique():
+        posts = (
+            ivm.lookup_index(view, val)
+            .to_pandas()[["conv_id", "turn_idx"]]
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        want = (
+            snap[snap["role"] == val][["conv_id", "turn_idx"]]
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(posts, want)
+        got_rows = (
+            ivm.lookup_by(t, view, val)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        want_rows = (
+            snap[snap["role"] == val]
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got_rows[want_rows.columns.tolist()], want_rows
+        )
+
+    # move some keys to a new value via a later epoch, then re-sync:
+    # old postings must retract, new ones appear
+    victims = snap.head(5)[["conv_id", "turn_idx"]]
+    start = int(t.watermarks().max()) + 1
+    batch = pa.table(
+        {
+            "seq": pa.array(
+                np.arange(start, start + len(victims)), pa.int64()
+            ),
+            "op": pa.array(["U"] * len(victims)),
+            "conv_id": pa.array(victims["conv_id"], pa.string()),
+            "turn_idx": pa.array(victims["turn_idx"], pa.int32()),
+            "ts": pa.array(
+                np.full(len(victims), 4_000_000_000_000_000),
+                pa.timestamp("us"),
+            ),
+            "role": pa.array(["moderator"] * len(victims)),
+        }
+    )
+    segs = fx.write_segments(batch, f"{root}/idx_wal2", n_segments=1)
+    ing.run_stream(t, segs, segments_per_epoch=1)
+    st = ivm.sync_index(t, view, "role", num_buckets=8)
+    assert st["synced_epochs"] == 1
+    moved = (
+        ivm.lookup_index(view, "moderator")
+        .to_pandas()[["conv_id", "turn_idx"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        moved,
+        victims.astype(moved.dtypes.to_dict())
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True),
+    )
+    # the old values no longer post the moved keys
+    snap2 = ing.snapshot(t).to_pandas()
+    for val in snap2["role"].dropna().unique():
+        posts = ivm.lookup_index(view, val).to_pandas()
+        want_n = int((snap2["role"] == val).sum())
+        assert len(posts) == want_n, val
+    # a non-index view refuses lookup_index
+    agg = str(tmp_path / "notidx")
+    ivm.sync_agg(t, agg, group_by=["role"], columns=["role"])
+    with pytest.raises(ValueError, match="not a sync_index"):
+        ivm.lookup_index(agg, "user")

@@ -374,6 +374,7 @@ def _agg_delta_task(
     sums: list[str],
     derive,
     num_buckets: int,
+    bucket_by: list[str],
 ):
     """Map one partition's before/after feed to signed group partials,
     bucket-sliced by group hash. Returns ``num_buckets`` tables with
@@ -430,7 +431,7 @@ def _agg_delta_task(
     partial = both.group_by(group_by).aggregate(
         [(c, "sum") for c in meas]
     ).rename_columns(list(group_by) + meas)
-    bk = _key_buckets(partial, group_by, num_buckets)
+    bk = _key_buckets(partial, bucket_by, num_buckets)
     return tuple(
         partial.filter(pa.array(bk == b)) for b in range(num_buckets)
     )
@@ -480,6 +481,7 @@ def sync_agg(
     columns: list[str] | None = None,
     num_buckets: int = 16,
     upto_epoch: int | None = None,
+    bucket_by: list[str] | None = None,
 ) -> dict:
     """Maintain a grouped COUNT+SUM view of the table's merged state
     incrementally and exactly-once: each sync consumes only the delta
@@ -512,10 +514,12 @@ def sync_agg(
     retracted history the source no longer has)."""
     os.makedirs(view_dir, exist_ok=True)
     state = _agg_state(view_dir)
+    bucket_by = list(group_by) if bucket_by is None else list(bucket_by)
     spec = {
         "group_by": list(group_by),
         "sums": list(sums),
         "num_buckets": num_buckets,
+        "bucket_by": bucket_by,
     }
     if "spec" in state and state["spec"] != spec:
         raise ValueError(
@@ -558,7 +562,12 @@ def sync_agg(
             )
             slice_refs.append(
                 _agg_delta_task.options(num_returns=num_buckets).remote(
-                    feed_ref, list(group_by), list(sums), derive, num_buckets
+                    feed_ref,
+                    list(group_by),
+                    list(sums),
+                    derive,
+                    num_buckets,
+                    bucket_by,
                 )
             )
         fold_refs = {}
@@ -605,6 +614,94 @@ def sync_agg(
         "last_epoch": upto,
         "rows": rows,
     }
+
+
+# ------------------------------------------------------------------
+# secondary index: a posting-list view over the same IVM machinery
+
+
+def sync_index(
+    table: DeltaTable,
+    view_dir: str,
+    column: str,
+    num_buckets: int = 64,
+    upto_epoch: int | None = None,
+) -> dict:
+    """Maintain a SECONDARY INDEX on a non-key column incrementally and
+    exactly-once: a posting list ``(column value, conv_id, turn_idx)``
+    built from the before/after feed — when a row's value changes, the
+    old posting retracts and the new one lands in the same sync. It is
+    ``sync_agg`` with group = (value, key) and BUCKETING BY VALUE ALONE,
+    so all postings for one value co-locate in exactly one bucket file
+    and ``lookup_index`` reads one file regardless of table size.
+
+    Same contracts as sync_agg (cursor, spec pin, restore guard, crash
+    commit point). The index is exact as of its cursor — sync before
+    lookup when freshness matters. At 100 TB the posting list is
+    O(live rows) spread over ``num_buckets`` files; size num_buckets so
+    one bucket (~rows/num_buckets postings) fits a reader."""
+    return sync_agg(
+        table,
+        view_dir,
+        group_by=[column, "conv_id", "turn_idx"],
+        sums=(),
+        columns=[column],
+        num_buckets=num_buckets,
+        upto_epoch=upto_epoch,
+        bucket_by=[column],
+    )
+
+
+def lookup_index(view_dir: str, value) -> pa.Table:
+    """Postings for one indexed value: reads exactly ONE bucket file
+    (the value's hash bucket), filters to the value. Returns
+    ``(column, conv_id, turn_idx)`` rows — feed ``conv_id`` into
+    ``ingest.lookup_many`` to fetch the merged rows (``lookup_by``)."""
+    from xgeo_ray.functions.relational import _key_buckets
+
+    state = _agg_state(view_dir)
+    spec = state.get("spec")
+    if (
+        not spec
+        or len(spec["group_by"]) != 3
+        or spec.get("bucket_by") != spec["group_by"][:1]
+    ):
+        raise ValueError(
+            f"{view_dir} is not a sync_index view (spec: {spec})"
+        )
+    column = spec["group_by"][0]
+    probe = pa.table({column: pa.array([value])})
+    b = int(_key_buckets(probe, [column], spec["num_buckets"])[0])
+    name = state["files"].get(str(b))
+    cols = spec["group_by"]
+    if name is None:
+        return pa.table(
+            {c: pa.array([], probe.column(0).type if c == column else (
+                pa.string() if c == "conv_id" else pa.int32()
+            )) for c in cols}
+        )
+    t = pq.read_table(
+        os.path.join(view_dir, name), columns=cols, use_threads=False
+    )
+    return t.filter(pc.equal(t.column(column), value))
+
+
+def lookup_by(table: DeltaTable, view_dir: str, value) -> pa.Table:
+    """Point lookup BY VALUE of the indexed column: one bucket read for
+    the postings, then ``lookup_many`` fetches the merged rows (bloom +
+    IN-predicate pruned) and a semi-join keeps exactly the posted
+    (conv_id, turn_idx) keys. I/O scales with the match count, never
+    with table size."""
+    from xgeo_ray.pipelines.ingest import lookup_many
+
+    posts = lookup_index(view_dir, value)
+    if posts.num_rows == 0:
+        return lookup_many(table, [])
+    rows = lookup_many(
+        table, posts.column("conv_id").to_pylist()
+    )
+    keys = posts.select(["conv_id", "turn_idx"])
+    return rows.join(keys, keys=["conv_id", "turn_idx"], join_type="inner")
 
 
 def read_agg_view(view_dir: str) -> ray.data.Dataset:
