@@ -2521,6 +2521,7 @@ def assemble_conversations(
     sep: str = "\n",
     role_sep: str = ": ",
     as_of_epoch: int | None = None,
+    convs: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Assemble each conversation's merged turns into ONE training
     document — the transcripts-payload flagship transform: rows
@@ -2537,6 +2538,12 @@ def assemble_conversations(
     the block vectorized (no per-conversation Python). Large offsets
     throughout: a partition's cumulative text may exceed 2 GiB.
 
+    ``convs`` restricts assembly to those conversations: partitions no
+    requested conversation hashes into are never opened (the
+    lookup_many prune), surviving merge output row-filters to the set —
+    the incremental-sync path where only changed conversations
+    re-assemble.
+
     The reference has no counterpart (per-record stream CLI,
     /root/reference/cmd/xgeo/main.go); this is the table→training-doc
     bridge a transcript lake needs."""
@@ -2552,11 +2559,46 @@ def assemble_conversations(
                 }
             )
         )
+    want_parts = None
+    if convs is not None:
+        if not convs:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "conv_id": pa.array([], pa.string()),
+                        "n_turns": pa.array([], pa.int64()),
+                        "doc": pa.array([], pa.large_string()),
+                    }
+                )
+            )
+        from xgeo_ray.partition import compute_part_key
+
+        salts = np.arange(max(1, table.num_salts), dtype=np.int64)
+        parts: set[int] = set()
+        for cid in convs:
+            pk = compute_part_key(
+                pa.array([cid] * len(salts)),
+                pa.array(salts, pa.int64()),
+                table.num_partitions,
+                table.num_salts,
+            )
+            parts.update(int(p) for p in pk)
+        want_parts = sorted(parts)
     ds = snapshot(
         table,
         columns=["conv_id", "turn_idx", "role", "text"],
         as_of_epoch=as_of_epoch,
+        partitions=want_parts,
     )
+    if convs is not None:
+        conv_set = pa.array(sorted(set(convs)), pa.string())
+        ds = ds.map_batches(
+            lambda b, cs=conv_set: b.filter(
+                pc.is_in(b.column("conv_id"), value_set=cs)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     if table.num_salts <= 1:
         # unsalted: a conversation lives in exactly one partition and
         # snapshot blocks are already (conv, turn)-sorted — zero shuffle
@@ -2657,6 +2699,115 @@ def _asm_reduce(sep: str, role_sep: str, *slices: pa.Table) -> pa.Table:
     t = pa.concat_tables(live, promote_options="default")
     t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     return _assemble_block(t, sep, role_sep)
+
+
+@ray.remote
+def _window_convs_task(path: str) -> pa.Array:
+    """Unique conv_ids of one window delta file — a key-column-only read."""
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    return pc.unique(
+        pq.read_table(path, columns=["conv_id"], use_threads=False).column(
+            "conv_id"
+        ).combine_chunks()
+    )
+
+
+def sync_assembled(
+    source: DeltaTable,
+    sink: DeltaTable,
+    sep: str = "\n",
+    role_sep: str = ": ",
+    upto_epoch: int | None = None,
+) -> dict:
+    """Maintain an ASSEMBLED-CONVERSATIONS table incrementally from the
+    source's committed change feed: each sync re-assembles ONLY the
+    conversations touched by the window's delta epochs (key-column-only
+    window reads → `assemble_conversations(convs=...)`, which opens
+    only the partitions those conversations hash into) and upserts the
+    documents into ``sink`` keyed (conv_id, 0); conversations whose
+    turns are all gone tombstone their document. The training corpus
+    follows the CDC stream at change-volume cost — a conversation that
+    never changed is never re-read, re-assembled or re-written.
+
+    Cursor: a consumer group on the SOURCE (fence-committed acks, named
+    for the sink root). Commit order: sink upsert (``apply_changes``
+    batch, exactly-once by batch id) THEN ack — a crash between them
+    replays a window whose re-assembly is convergent (same docs upsert
+    under LWW; the replayed batch id no-ops when the window is
+    identical). Retention: sync before vacuum reclaims window deltas,
+    the ``changes()`` contract.
+
+    Driver memory: O(touched conversations) ids + their assembled docs
+    per sync (the apply batch) — bounded by the sync cadence's change
+    volume, not the corpus. Create ``sink`` with
+    ``base_schema=ASSEMBLED_SCHEMA``; num_salts=1 is right (one row
+    per conversation)."""
+    import hashlib
+
+    from xgeo_ray.pipelines.ivm import _window_plan
+    from xgeo_ray.state import consumers as _cons
+
+    sink_id = hashlib.sha1(
+        os.path.abspath(sink.root).encode()
+    ).hexdigest()[:10]
+    group = f"assembled-{sink_id}"
+    since = _cons.position(source, group)
+    upto = source.latest_epoch() if upto_epoch is None else upto_epoch
+    if upto <= since:
+        return {"synced_epochs": 0, "convs": 0, "last_epoch": since}
+    window = _window_plan(source, since, upto)
+    files = [p for fl in window.values() for p, _ in fl]
+    epochs = {e for fl in window.values() for _, e in fl}
+    uniq = ray.get([_window_convs_task.remote(p) for p in files])
+    convs = sorted(
+        {c for arr in uniq for c in arr.to_pylist() if c is not None}
+    )
+    ds = assemble_conversations(
+        source, sep, role_sep, as_of_epoch=upto, convs=convs
+    )
+    # O(touched convs) — the apply batch is driver-side by design
+    blocks = [b for b in ray.get(ds.to_arrow_refs()) if b.num_rows]
+    done = (
+        pa.concat_tables(blocks, promote_options="permissive")
+        if blocks
+        else None
+    )
+    assembled_ids = (
+        set(done.column("conv_id").to_pylist()) if done is not None else set()
+    )
+    gone = sorted(set(convs) - assembled_ids)
+    cols: dict[str, list] = {"conv_id": [], "n_turns": [], "doc": [], "op": []}
+    if done is not None:
+        cols["conv_id"] = done.column("conv_id").to_pylist()
+        cols["n_turns"] = done.column("n_turns").to_pylist()
+        cols["doc"] = done.column("doc").to_pylist()
+        cols["op"] = ["U"] * done.num_rows
+    cols["conv_id"] += gone
+    cols["n_turns"] += [0] * len(gone)
+    cols["doc"] += [None] * len(gone)
+    cols["op"] += ["D"] * len(gone)
+    if cols["conv_id"]:
+        batch = pa.table(
+            {
+                "conv_id": pa.array(cols["conv_id"], pa.string()),
+                "turn_idx": pa.array([0] * len(cols["conv_id"]), pa.int32()),
+                "n_turns": pa.array(cols["n_turns"], pa.int64()),
+                "doc": pa.array(cols["doc"], pa.large_string()),
+                "op": pa.array(cols["op"], pa.string()),
+            }
+        )
+        apply_changes(
+            sink, batch, batch_id=f"{group}-e{since + 1}-{upto}"
+        )
+    _cons.ack(source, group, upto)
+    return {
+        "synced_epochs": len(epochs),
+        "convs": len(convs),
+        "deleted": len(gone),
+        "last_epoch": upto,
+    }
 
 
 def export_shuffled(

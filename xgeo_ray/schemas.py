@@ -39,6 +39,19 @@ CHANGE_EVENTS_SCHEMA = pa.schema(
     ]
 )
 
+# Assembled-conversation sink (ingest.sync_assembled): one row per
+# conversation, keyed (conv_id, 0); doc is the role-tagged training
+# document (large offsets: one conversation can exceed 2 GiB cumulative).
+ASSEMBLED_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int32()),
+        pa.field("n_turns", pa.int64()),
+        pa.field("doc", pa.large_string()),
+        pa.field("ts", pa.timestamp("us")),
+    ]
+)
+
 KEY_COLUMNS = ["conv_id", "turn_idx"]
 ORDER_COLUMNS = ["ts", "seq"]  # last-writer-wins order within a key
 
