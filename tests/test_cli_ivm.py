@@ -1,0 +1,63 @@
+"""CLI wiring for the IVM surface: agg-view / index / find /
+assemble-sync / changes --with-before, driven in-process through
+main() (the session Ray fixture makes _init_ray a no-op)."""
+
+import json
+
+import pyarrow.parquet as pq
+import pandas as pd
+
+from xgeo_ray import fixtures as fx
+from xgeo_ray.__main__ import main
+from xgeo_ray.pipelines import ingest as ing
+from xgeo_ray.schemas import ASSEMBLED_SCHEMA
+from xgeo_ray.state.delta_table import DeltaTable
+
+
+def test_cli_ivm_surface(tmp_path, capsys):
+    root = str(tmp_path)
+    events = fx.make_change_events(600, n_convs=8, turns_per_conv=4)
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=1)
+    src = DeltaTable.create(f"{root}/src", num_partitions=4, num_salts=2)
+    ing.run_stream(src, segs, segments_per_epoch=1)
+    snap = ing.snapshot(src).to_pandas()
+
+    assert main([
+        "agg-view", f"{root}/src", f"{root}/agg", "--group-by", "role",
+    ]) in (0, None)
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["last_epoch"] == src.latest_epoch()
+
+    assert main([
+        "index", f"{root}/src", f"{root}/idx", "role", "--buckets", "4",
+    ]) in (0, None)
+    capsys.readouterr()
+    val = snap["role"].dropna().iloc[0]
+    assert main(["find", f"{root}/src", f"{root}/idx", str(val)]) in (0, None)
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rows) == int((snap["role"] == val).sum())
+
+    DeltaTable.create(
+        f"{root}/asm", num_partitions=2, num_salts=1,
+        base_schema=ASSEMBLED_SCHEMA,
+    )
+    assert main([
+        "assemble-sync", f"{root}/asm", f"{root}/src",
+    ]) in (0, None)
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["convs"] > 0
+    got = ing.snapshot(DeltaTable.open(f"{root}/asm")).to_pandas()
+    want = ing.assemble_conversations(src).to_pandas()
+    assert len(got) == len(want)
+
+    assert main([
+        "changes", f"{root}/src", f"{root}/feed", "--with-before",
+    ]) in (0, None)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    import glob
+
+    feed = pd.concat(
+        [pq.read_table(p).to_pandas() for p in glob.glob(f"{root}/feed/*.parquet")]
+    )
+    assert out["rows"] == len(feed)
+    assert "_before_text" in feed.columns and "_after_exists" in feed.columns

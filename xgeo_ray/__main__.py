@@ -179,6 +179,12 @@ def main(argv: list[str] | None = None) -> int:
         "--ts-min", type=int, default=None, help="event-time band (µs, zone-map pruned)"
     )
     p.add_argument("--ts-max", type=int, default=None)
+    p.add_argument(
+        "--with-before",
+        action="store_true",
+        help="Debezium-shaped feed: pair every change with the key's "
+        "effective before/after images (no ts band in this mode)",
+    )
 
     p = sub.add_parser(
         "sync",
@@ -291,6 +297,49 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("table")
     p.add_argument("group")
     p.add_argument("to_epoch", type=int)
+
+    p = sub.add_parser(
+        "agg-view",
+        help="sync an INCREMENTAL grouped count+sum view (retraction "
+        "IVM): refresh cost tracks the change volume, not table size",
+    )
+    p.add_argument("table")
+    p.add_argument("view_dir")
+    p.add_argument("--group-by", required=True, help="comma-separated columns")
+    p.add_argument("--sums", default="", help="comma-separated numeric columns")
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--upto", type=int, default=None)
+
+    p = sub.add_parser(
+        "index",
+        help="sync a SECONDARY INDEX on a non-key column (incremental "
+        "posting list; value changes move postings exactly-once)",
+    )
+    p.add_argument("table")
+    p.add_argument("view_dir")
+    p.add_argument("column")
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--upto", type=int, default=None)
+
+    p = sub.add_parser(
+        "find",
+        help="lookup merged rows BY VALUE of an indexed column (one "
+        "bucket read + bloom/IN-pruned batch fetch)",
+    )
+    p.add_argument("table")
+    p.add_argument("view_dir")
+    p.add_argument("value")
+
+    p = sub.add_parser(
+        "assemble-sync",
+        help="maintain an assembled-conversations sink incrementally: "
+        "only conversations the new epochs touched re-assemble",
+    )
+    p.add_argument("table", help="the SINK table (ASSEMBLED_SCHEMA)")
+    p.add_argument("source")
+    p.add_argument("--sep", default="\n")
+    p.add_argument("--role-sep", default=": ")
+    p.add_argument("--upto", type=int, default=None)
 
     p = sub.add_parser("status", help="print manifests + lineage totals as JSON")
     p.add_argument("table")
@@ -447,13 +496,22 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         elif args.cmd == "changes":
-            ds = ing.changes(
-                table,
-                since_epoch=args.since,
-                upto_epoch=args.upto,
-                ts_min_us=args.ts_min,
-                ts_max_us=args.ts_max,
-            )
+            if args.with_before:
+                if args.ts_min is not None or args.ts_max is not None:
+                    raise SystemExit("--with-before has no ts band")
+                from xgeo_ray.pipelines import ivm
+
+                ds = ivm.changes_with_before(
+                    table, since_epoch=args.since, upto_epoch=args.upto
+                )
+            else:
+                ds = ing.changes(
+                    table,
+                    since_epoch=args.since,
+                    upto_epoch=args.upto,
+                    ts_min_us=args.ts_min,
+                    ts_max_us=args.ts_max,
+                )
             n = ds.count()
             ds.write_parquet(args.out_dir)
             print(json.dumps({"out": args.out_dir, "rows": n}))
@@ -564,6 +622,48 @@ def main(argv: list[str] | None = None) -> int:
 
             pos = _cons.rewind(table, args.group, args.to_epoch)
             print(json.dumps({"group": args.group, "position": pos}))
+        elif args.cmd == "agg-view":
+            from xgeo_ray.pipelines import ivm
+
+            st = ivm.sync_agg(
+                table,
+                args.view_dir,
+                group_by=args.group_by.split(","),
+                sums=[s for s in args.sums.split(",") if s],
+                columns=[
+                    c
+                    for c in args.group_by.split(",") + args.sums.split(",")
+                    if c
+                ],
+                num_buckets=args.buckets,
+                upto_epoch=args.upto,
+            )
+            print(json.dumps(st))
+        elif args.cmd == "index":
+            from xgeo_ray.pipelines import ivm
+
+            st = ivm.sync_index(
+                table,
+                args.view_dir,
+                args.column,
+                num_buckets=args.buckets,
+                upto_epoch=args.upto,
+            )
+            print(json.dumps(st))
+        elif args.cmd == "find":
+            from xgeo_ray.pipelines import ivm
+
+            t = ivm.lookup_by(table, args.view_dir, args.value)
+            print(json.dumps(t.to_pylist(), default=str))
+        elif args.cmd == "assemble-sync":
+            st = ing.sync_assembled(
+                DeltaTable.open(args.source),
+                table,
+                sep=args.sep,
+                role_sep=args.role_sep,
+                upto_epoch=args.upto,
+            )
+            print(json.dumps(st))
         elif args.cmd == "fsck":
             out = ing.fsck(table)
             print(json.dumps(out))
