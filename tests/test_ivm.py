@@ -449,3 +449,111 @@ def test_sync_index_lookup_by_value(src_table, tmp_path):
     ivm.sync_agg(t, agg, group_by=["role"], columns=["role"])
     with pytest.raises(ValueError, match="not a sync_index"):
         ivm.lookup_index(agg, "user")
+
+
+def test_sync_minmax_exact_under_updates_and_deletes(src_table, tmp_path):
+    """min/max per group from the pair-count view equals the oracle over
+    the final merged state at every sync cadence — exact despite
+    min/max not being retractable (the multiset form is)."""
+    src, root = src_table
+    t = ing.clone_table(src, f"{root}/mm_clone")
+    view = str(tmp_path / "mm")
+    kw = dict(
+        group_by=["role"],
+        value="text_len",
+        derive=_make_text_len_derive(),
+        columns=["role", "text"],
+    )
+    ivm.sync_minmax(t, view, upto_epoch=2, **kw)
+    ivm.sync_minmax(t, view, **kw)  # incremental remainder
+
+    def want_mm(df):
+        df = df.copy()
+        df["text_len"] = df["text"].fillna("").str.len()
+        return (
+            df.groupby("role", dropna=False)
+            .agg(
+                min_text_len=("text_len", "min"),
+                max_text_len=("text_len", "max"),
+                n_rows=("text_len", "size"),
+            )
+            .reset_index()
+            .sort_values("role")
+            .reset_index(drop=True)
+        )
+
+    got = (
+        ivm.read_minmax_view(view)
+        .to_pandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+        .astype({"min_text_len": "int64", "max_text_len": "int64", "n_rows": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want_mm(ing.snapshot(t).to_pandas()))
+
+    # delete the current max-length rows of one role, re-sync: the max
+    # must FALL to the true next value (the non-retractable case)
+    snap = ing.snapshot(t).to_pandas()
+    snap["text_len"] = snap["text"].fillna("").str.len()
+    role = snap["role"].dropna().iloc[0]
+    grp = snap[snap["role"] == role]
+    mx = grp["text_len"].max()
+    kill = grp[grp["text_len"] == mx][["conv_id", "turn_idx"]]
+    start = int(t.watermarks().max()) + 1
+    batch = pa.table(
+        {
+            "seq": pa.array(np.arange(start, start + len(kill)), pa.int64()),
+            "op": pa.array(["D"] * len(kill)),
+            "conv_id": pa.array(kill["conv_id"], pa.string()),
+            "turn_idx": pa.array(kill["turn_idx"].astype("int32"), pa.int32()),
+            "ts": pa.array(
+                np.full(len(kill), 4_100_000_000_000_000), pa.timestamp("us")
+            ),
+        }
+    )
+    segs = fx.write_segments(batch, f"{root}/mm_wal2", n_segments=1)
+    ing.run_stream(t, segs, segments_per_epoch=1)
+    ivm.sync_minmax(t, view, **kw)
+    got2 = (
+        ivm.read_minmax_view(view)
+        .to_pandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+        .astype({"min_text_len": "int64", "max_text_len": "int64", "n_rows": "int64"})
+    )
+    want2 = want_mm(ing.snapshot(t).to_pandas())
+    pd.testing.assert_frame_equal(got2, want2)
+    new_max = int(
+        want2.loc[want2["role"] == role, "max_text_len"].iloc[0]
+    )
+    assert new_max < mx
+
+
+def test_feed_across_schema_evolution(tmp_path):
+    """A feed window spanning an envelope evolution (added meta column,
+    widened turn_idx): before/after images cast onto the evolved
+    envelope; final-epoch after images equal the evolved snapshot."""
+    root = str(tmp_path)
+    events = fx.make_change_events(800, n_convs=10, turns_per_conv=5)
+    segs = fx.write_segments(
+        events, f"{root}/wal", n_segments=2, evolve_from=1
+    )
+    src = DeltaTable.create(f"{root}/src", num_partitions=4, num_salts=2)
+    ing.run_stream(src, segs, segments_per_epoch=1)  # epoch 2 evolves
+    feed = ivm.changes_with_before(src).to_pandas()
+    assert "meta" in feed.columns and "_before_meta" in feed.columns
+    g = feed[feed["_epoch"] == 2]
+    keys = g[["conv_id", "turn_idx"]].drop_duplicates()
+    snap = ing.snapshot(src).to_pandas()
+    want = snap.merge(keys, on=["conv_id", "turn_idx"]).sort_values(
+        ["conv_id", "turn_idx"]
+    ).reset_index(drop=True)
+    live = (
+        g[g["_after_exists"]][["conv_id", "turn_idx", "text", "meta"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(live, want[live.columns], check_dtype=False)
+    # pre-evolution epoch rows surface with meta null
+    g1 = feed[feed["_epoch"] == 1]
+    assert g1["meta"].isna().all() and g1["_before_meta"].isna().all()

@@ -704,6 +704,66 @@ def lookup_by(table: DeltaTable, view_dir: str, value) -> pa.Table:
     return rows.join(keys, keys=["conv_id", "turn_idx"], join_type="inner")
 
 
+# ------------------------------------------------------------------
+# exact retractable MIN/MAX views (pair-count form)
+
+
+def sync_minmax(
+    table: DeltaTable,
+    view_dir: str,
+    group_by: list[str],
+    value: str,
+    derive: Callable[[pa.Table], pa.Table] | None = None,
+    columns: list[str] | None = None,
+    num_buckets: int = 16,
+    upto_epoch: int | None = None,
+) -> dict:
+    """Maintain EXACT min/max per group incrementally despite min/max
+    not being retractable aggregates: the persisted state is the
+    (group, value) PAIR-COUNT multiset (``sync_agg`` grouped by
+    group+value — deletes/updates retract pair counts exactly), and
+    ``read_minmax_view`` folds min/max over surviving pairs at read
+    time — the standard multiset reduction for non-invertible
+    aggregates (cf. DBSP/differential dataflow). View size is
+    O(distinct (group, value) pairs), sync cost is change-volume;
+    coarse ``value`` domains (lengths, scores, buckets) keep it tiny."""
+    return sync_agg(
+        table,
+        view_dir,
+        group_by=list(group_by) + [value],
+        sums=(),
+        derive=derive,
+        columns=columns,
+        num_buckets=num_buckets,
+        upto_epoch=upto_epoch,
+        bucket_by=list(group_by),
+    )
+
+
+def read_minmax_view(view_dir: str) -> ray.data.Dataset:
+    """min/max per group from a ``sync_minmax`` view: one fold over the
+    surviving (group, value) pairs. Columns: group_by + min_<value> +
+    max_<value> + n_rows (the group's live row count, free from the
+    same pairs)."""
+    from xgeo_ray.functions.relational import partial_group_agg
+
+    spec = _agg_state(view_dir).get("spec")
+    if not spec or len(spec["group_by"]) < 2:
+        raise ValueError(f"{view_dir} is not a sync_minmax view (spec: {spec})")
+    group = spec["group_by"][:-1]
+    value = spec["group_by"][-1]
+    return partial_group_agg(
+        read_agg_view(view_dir),
+        group,
+        [
+            (value, "min", f"min_{value}"),
+            (value, "max", f"max_{value}"),
+            ("n", "sum", "n_rows"),
+        ],
+        num_buckets=spec["num_buckets"],
+    )
+
+
 def read_agg_view(view_dir: str) -> ray.data.Dataset:
     """The committed grouped aggregate as a Dataset (columns: group_by +
     ``n`` + ``sum_<c>``). Groups retracted to zero weight are absent.
