@@ -557,3 +557,67 @@ def test_feed_across_schema_evolution(tmp_path):
     # pre-evolution epoch rows surface with meta null
     g1 = feed[feed["_epoch"] == 1]
     assert g1["meta"].isna().all() and g1["_before_meta"].isna().all()
+
+
+def test_tail_on_commit_maintains_views_live(tmp_path):
+    """tail(on_commit=...) lets incremental views follow the stream
+    inline: an agg view synced from the hook equals the final grouped
+    state after the tailer drains; exactly-once across batches."""
+    import threading
+    import time
+
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path)
+    wal = f"{root}/wal"
+    import os as _os
+
+    _os.makedirs(wal)
+    ev = fx.make_change_events(600, n_convs=8, turns_per_conv=5)
+    n = ev.num_rows
+    bounds = [round(i * n / 3) for i in range(4)]
+    src = DeltaTable.create(f"{root}/src", num_partitions=4, num_salts=2)
+    view = f"{root}/view"
+    syncs = []
+
+    def on_commit(ms, table):
+        st = ivm.sync_agg(table, view, group_by=["role"], columns=["role"])
+        syncs.append(st["synced_epochs"])
+
+    def writer():
+        for k in range(3):
+            seg = ev.slice(bounds[k], bounds[k + 1] - bounds[k])
+            tmp = f"{wal}/.tmp-{k}"
+            pq.write_table(seg, tmp)
+            _os.replace(tmp, f"{wal}/segment-{k:05d}.parquet")
+            time.sleep(0.4)
+
+    th = threading.Thread(target=writer)
+    th.start()
+    ing.tail(
+        src,
+        wal,
+        poll_interval_s=0.1,
+        segments_per_epoch=1,
+        idle_polls_to_stop=8,
+        stable_for_s=0.1,
+        on_commit=on_commit,
+    )
+    th.join()
+    assert sum(syncs) == src.latest_epoch() >= 3
+    got = (
+        ivm.read_agg_view(view)
+        .to_pandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+        .astype({"n": "int64"})
+    )
+    df = ing.snapshot(src).to_pandas()
+    want = (
+        df.groupby("role", dropna=False)
+        .agg(n=("role", "size"))
+        .reset_index()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

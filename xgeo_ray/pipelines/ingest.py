@@ -2994,6 +2994,7 @@ def tail(
     vacuum_respect_consumers: bool = True,
     allowed_lateness_us: int = 0,
     on_watermark_advance=None,
+    on_commit=None,
     lease_holder: str | None = None,
     lease_ttl_s: float = 30.0,
 ) -> list[Manifest]:
@@ -3032,6 +3033,14 @@ def tail(
     the per-epoch ``late`` lineage total — monitor it to size
     ``allowed_lateness_us``.
 
+    ``on_commit(manifests, table)`` fires after every committed batch
+    (before inline maintenance) — the hook where incremental views
+    follow the stream live: call ``ivm.sync_agg`` / ``ivm.sync_index``
+    / ``sync_assembled`` inside it and each is exactly-once from its
+    own cursor, so a hook that crashes or a restarted tailer never
+    double-applies. Keep hooks change-volume-cheap; they run on the
+    tailer's thread between polls.
+
     ``lease_holder`` takes the ADVISORY writer lease before tailing and
     renews it every poll: a second tailer on the same table fails fast
     at startup (state/lease.py) instead of losing every fence race
@@ -3058,6 +3067,7 @@ def tail(
             vacuum_respect_consumers,
             allowed_lateness_us,
             on_watermark_advance,
+            on_commit,
             lease_holder,
         )
     finally:
@@ -3078,6 +3088,7 @@ def _tail_loop(
     vacuum_respect_consumers,
     allowed_lateness_us,
     on_watermark_advance,
+    on_commit,
     lease_holder,
 ):
     import time as _time
@@ -3116,6 +3127,8 @@ def _tail_loop(
             ms = run_stream(table, fresh, segments_per_epoch=segments_per_epoch)
             committed.extend(ms)
             epochs_since_compact += len(ms)
+            if on_commit is not None and ms:
+                on_commit(ms, table)
             if on_watermark_advance is not None and ms:
                 w = table.event_time_watermark(allowed_lateness_us)
                 if w > last_wm:
