@@ -198,3 +198,102 @@ def test_history_dedup_invariants(events, n_dups):
     kd = kept.to_pandas()
     key = list(zip(kd.conv_id, kd.turn_idx, kd.ts, kd.seq))
     assert key == sorted(key)
+
+
+# ------------------------------------------------------ coalesce policy
+
+coalesce_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(0, 3),                      # conv
+        st.integers(0, 2),                      # turn
+        st.one_of(st.none(), st.integers(0, 4)),  # role value or unchanged
+        st.one_of(st.none(), st.integers(0, 9)),  # text value or unchanged
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _build_coalesce(events) -> pa.Table:
+    n = len(events)
+    return pa.table(
+        {
+            "seq": pa.array(range(n), pa.int64()),
+            "op": pa.array([e[0] for e in events]),
+            "conv_id": pa.array([f"c{e[1]}" for e in events]),
+            "turn_idx": pa.array([e[2] for e in events], pa.int32()),
+            "role": pa.array(
+                [None if e[3] is None else f"r{e[3]}" for e in events],
+                pa.string(),
+            ),
+            "text": pa.array(
+                [None if e[4] is None else f"t{e[4]}" for e in events],
+                pa.string(),
+            ),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array(
+                [fx.BASE_TS_US + i for i in range(n)], pa.int64()
+            ).cast(pa.timestamp("us")),
+        },
+        schema=CHANGE_EVENTS_SCHEMA,
+    )
+
+
+def _coalesce_oracle(t: pa.Table) -> pd.DataFrame:
+    """Replay per key in seq order: D resets to absent, I is a full
+    image, U patches non-null columns."""
+    state: dict[tuple, dict | None] = {}
+    for r in t.to_pylist():
+        k = (r["conv_id"], r["turn_idx"])
+        if r["op"] == "D":
+            state[k] = None
+        elif r["op"] == "I":
+            state[k] = {"role": r["role"], "text": r["text"]}
+        else:
+            cur = state.get(k) or {"role": None, "text": None}
+            state[k] = {
+                "role": r["role"] if r["role"] is not None else cur["role"],
+                "text": r["text"] if r["text"] is not None else cur["text"],
+            }
+    rows = [
+        {"conv_id": k[0], "turn_idx": k[1], **v}
+        for k, v in state.items()
+        if v is not None
+    ]
+    return (
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+        .astype({"turn_idx": "int64"})
+    )
+
+
+@given(coalesce_strategy, st.integers(1, 5))
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+def test_coalesce_any_epoch_split_matches_oracle(events, n_chunks):
+    """coalesce: per-epoch collapse (ANY contiguous seq split — the
+    engine's seq-disjoint epochs) merged on read == whole-stream
+    collapse == the per-key replay oracle."""
+    from xgeo_ray.stages.collapse import coalesce_collapse
+
+    t = _build_coalesce(events)
+    bounds = [round(i * t.num_rows / n_chunks) for i in range(n_chunks + 1)]
+    chunks = [
+        t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_chunks)
+    ]
+    pre = [coalesce_collapse(c, False) for c in chunks if c.num_rows]
+    got = merge_versions(
+        pre, drop_tombstones=True, policy="coalesce"
+    ).to_pandas()
+    whole = coalesce_collapse(t, True).to_pandas()
+    want = _coalesce_oracle(t)
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    for frame in (got, whole):
+        out = (
+            frame[cols]
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+            .astype({"turn_idx": "int64"})
+        )
+        pd.testing.assert_frame_equal(out, want)

@@ -221,15 +221,18 @@ def coalesce_collapse(t: pa.Table, drop_tombstones: bool) -> pa.Table:
     )
     # reset boundary on a doubled axis: a delete at idx excludes idx
     # itself (2*idx), an insert includes itself (2*idx - 1, the full
-    # image's own columns count); -1 = no reset
-    bound = np.where(is_d, 2 * idx, np.where(is_i, 2 * idx - 1, -1))
+    # image's own columns count). The no-reset sentinel must be -2: an
+    # insert at segment position 0 has boundary -1, and a -1 sentinel
+    # would mis-stamp that row 'U' (a patch) instead of 'I' (an image),
+    # letting earlier epochs' values leak through a merge.
+    bound = np.where(is_d, 2 * idx, np.where(is_i, 2 * idx - 1, -2))
     last_reset = np.maximum.reduceat(bound, starts)
     after_reset = (2 * idx) > last_reset[seg_id]
     out = t.take(pa.array(last))  # last writer: key cols + ts/seq
     # output op: 'D' if the last writer deleted; 'I' if a reset exists
     # in the span (the row is a full image); else 'U' (still a patch)
     last_is_d = is_d[last]
-    has_reset = last_reset >= 0
+    has_reset = last_reset > -2
     out_op = np.where(last_is_d, "D", np.where(has_reset, "I", "U"))
     out = out.set_column(
         out.schema.get_field_index("op"), "op", pa.array(out_op, pa.string())
