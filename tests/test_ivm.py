@@ -621,3 +621,88 @@ def test_tail_on_commit_maintains_views_live(tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_sync_agg_over_coalesce_table(tmp_path):
+    """IVM over a PARTIAL-UPDATE table: before/after images are the
+    coalesced states (policy-generic state walk), so an agg view over a
+    patch stream still equals the grouped final state — null patch
+    columns must not retract as value changes."""
+    root = str(tmp_path)
+    rng = np.random.default_rng(13)
+    rows = []
+    for seq in range(300):
+        conv = f"c{rng.integers(0, 10)}"
+        turn = int(rng.integers(0, 3))
+        if rng.random() < 0.06:
+            op, role, text = "D", None, None
+        elif rng.random() < 0.4:
+            op = "I"
+            role = f"r{rng.integers(0, 3)}"
+            text = f"t{seq}"
+        else:
+            op = "U"
+            role = f"r{rng.integers(0, 3)}" if rng.random() < 0.4 else None
+            text = f"t{seq}" if rng.random() < 0.5 else None
+        rows.append(
+            {
+                "seq": seq,
+                "op": op,
+                "conv_id": conv,
+                "turn_idx": turn,
+                "ts": 1_000_000 + seq * 100,
+                "role": role,
+                "text": text,
+            }
+        )
+    events = pa.table(
+        {
+            "seq": pa.array([r["seq"] for r in rows], pa.int64()),
+            "op": pa.array([r["op"] for r in rows]),
+            "conv_id": pa.array([r["conv_id"] for r in rows]),
+            "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
+            "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+            "role": pa.array([r["role"] for r in rows], pa.string()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+        }
+    )
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=3)
+    t = DeltaTable.create(
+        f"{root}/t", num_partitions=4, num_salts=2, merge_policy="coalesce"
+    )
+    ing.run_stream(t, segs, segments_per_epoch=1)  # 3 epochs
+    view = f"{root}/view"
+    ivm.sync_agg(
+        t,
+        view,
+        group_by=["role"],
+        sums=["text_len"],
+        derive=_make_text_len_derive(),
+        columns=["role", "text"],
+        upto_epoch=2,
+    )
+    ivm.sync_agg(
+        t,
+        view,
+        group_by=["role"],
+        sums=["text_len"],
+        derive=_make_text_len_derive(),
+        columns=["role", "text"],
+    )
+    got = (
+        ivm.read_agg_view(view)
+        .to_pandas()
+        .sort_values("role", na_position="first")
+        .reset_index(drop=True)
+        .astype({"n": "int64", "sum_text_len": "int64"})
+    )
+    df = ing.snapshot(t).to_pandas()
+    df["text_len"] = df["text"].fillna("").str.len()
+    want = (
+        df.groupby("role", dropna=False)
+        .agg(n=("role", "size"), sum_text_len=("text_len", "sum"))
+        .reset_index()
+        .sort_values("role", na_position="first")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -514,6 +514,9 @@ def sync_agg(
     retracted history the source no longer has)."""
     os.makedirs(view_dir, exist_ok=True)
     state = _agg_state(view_dir)
+    # floor of 2: ray's num_returns=1 returns a bare ref, not a list,
+    # which would break the per-bucket slice wiring
+    num_buckets = max(2, int(num_buckets))
     bucket_by = list(group_by) if bucket_by is None else list(bucket_by)
     spec = {
         "group_by": list(group_by),
