@@ -706,3 +706,28 @@ def test_sync_agg_over_coalesce_table(tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_feed_on_history_table(tmp_path):
+    """history='full' deltas keep every version per key per epoch; the
+    feed must collapse each epoch to its end-of-epoch winner before
+    imaging — after images still equal epoch time travel."""
+    root = str(tmp_path)
+    events = fx.make_change_events(500, n_convs=6, turns_per_conv=4)
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=2)
+    src = DeltaTable.create(
+        f"{root}/src", num_partitions=4, num_salts=1, history="full"
+    )
+    ing.run_stream(src, segs, segments_per_epoch=1)
+    feed = ivm.changes_with_before(src).to_pandas()
+    for e in (1, 2):
+        g = feed[feed["_epoch"] == e]
+        assert g.duplicated(["conv_id", "turn_idx"]).sum() == 0
+        keys = g[["conv_id", "turn_idx"]].drop_duplicates()
+        want = _snap_df(src, e, keys)
+        live = (
+            g[g["_after_exists"]][["conv_id", "turn_idx", "text"]]
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(live, want[live.columns])
