@@ -61,3 +61,44 @@ def test_cli_ivm_surface(tmp_path, capsys):
     )
     assert out["rows"] == len(feed)
     assert "_before_text" in feed.columns and "_after_exists" in feed.columns
+
+
+def test_cli_find_coerces_value_to_indexed_column_type(tmp_path, capsys):
+    """`find` takes the probe value as an argv STRING; on an int-typed
+    index the raw string would hash to the wrong bucket (string vs int
+    siphash path). The CLI must cast to the indexed column's type — and
+    fail fast on an uncastable value."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    root = str(tmp_path)
+    n = 60
+    events = pa.table(
+        {
+            "seq": pa.array(np.arange(1, n + 1), pa.int64()),
+            "op": pa.array(["I"] * n),
+            "conv_id": pa.array([f"c{i % 12}" for i in range(n)]),
+            "turn_idx": pa.array(np.arange(n) // 12, pa.int32()),
+            "ts": pa.array(
+                np.full(n, 1_700_000_000_000_000) + np.arange(n),
+                pa.timestamp("us"),
+            ),
+            "amount": pa.array((np.arange(n) % 7).astype("int64"), pa.int64()),
+        }
+    )
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=1)
+    src = DeltaTable.create(f"{root}/src", num_partitions=2, num_salts=1)
+    ing.run_stream(src, segs, segments_per_epoch=1)
+    snap = ing.snapshot(src).to_pandas()
+
+    assert main([
+        "index", f"{root}/src", f"{root}/amt_idx", "amount", "--buckets", "4",
+    ]) in (0, None)
+    capsys.readouterr()
+    assert main(["find", f"{root}/src", f"{root}/amt_idx", "3"]) in (0, None)
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rows) == int((snap["amount"] == 3).sum()) > 0
+    assert all(r["amount"] == 3 for r in rows)
+    with pytest.raises(SystemExit, match="does not cast"):
+        main(["find", f"{root}/src", f"{root}/amt_idx", "not-an-int"])

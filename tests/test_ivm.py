@@ -731,3 +731,124 @@ def test_feed_on_history_table(tmp_path):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(live, want[live.columns])
+
+
+def test_sync_agg_upto_epoch_clamps_to_effective(src_table, tmp_path):
+    """An explicit upto_epoch beyond the committed fence must clamp to
+    the largest EFFECTIVE epoch — not seal the cursor ahead and skip
+    every epoch committed underneath it."""
+    src, root = src_table
+    t = ing.clone_table(src, f"{root}/clamp_clone")
+    view = str(tmp_path / "clamp")
+    st = ivm.sync_agg(
+        t, view, group_by=["role"], columns=["role"], upto_epoch=999
+    )
+    assert st["last_epoch"] == t.latest_epoch() == 4
+    # later epochs still sync (nothing was skipped by the big upto)
+    ev2 = fx.make_change_events(120, n_convs=15, turns_per_conv=6, seed=91)
+    seqs = pc.add(ev2.column("seq"), int(t.watermarks().max()) + 1)
+    ev2 = ev2.set_column(ev2.schema.get_field_index("seq"), "seq", seqs)
+    segs = fx.write_segments(ev2, f"{root}/clamp_wal2", n_segments=1)
+    ing.run_stream(t, segs, segments_per_epoch=1)
+    st = ivm.sync_agg(t, view, group_by=["role"], columns=["role"])
+    assert st["synced_epochs"] == 1 and st["last_epoch"] == 5
+    got = (
+        ivm.read_agg_view(view)
+        .to_pandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    want = (
+        ing.snapshot(t)
+        .to_pandas()
+        .groupby("role", dropna=False)
+        .size()
+        .rename("n")
+        .reset_index()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    assert got["role"].tolist() == want["role"].tolist()
+    assert got["n"].astype("int64").tolist() == want["n"].astype("int64").tolist()
+
+
+def test_sync_agg_default_upto_lands_on_effective_after_restore(
+    src_table, tmp_path
+):
+    """latest_epoch() counts restore markers; the default cursor must
+    land on an EFFECTIVE epoch or the view's own restore guard would
+    trip forever on the next sync."""
+    src, root = src_table
+    t = ing.clone_table(src, f"{root}/restore_cursor_clone")
+    ing.restore(t, 2, force=True)  # mints a marker epoch above 4
+    view = str(tmp_path / "marker")
+    st = ivm.sync_agg(t, view, group_by=["role"], columns=["role"])
+    eff = {m.epoch for m in t.effective_manifests()}
+    assert st["last_epoch"] in eff
+    # and the follow-up sync is a clean no-op, not a guard trip
+    st2 = ivm.sync_agg(t, view, group_by=["role"], columns=["role"])
+    assert st2["synced_epochs"] == 0
+    got = (
+        ivm.read_agg_view(view)
+        .to_pandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    want = (
+        ing.snapshot(t)
+        .to_pandas()
+        .groupby("role", dropna=False)
+        .size()
+        .rename("n")
+        .reset_index()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    assert got["n"].astype("int64").tolist() == want["n"].astype("int64").tolist()
+
+
+def test_sync_agg_derive_id_pins_derive_version(src_table, tmp_path):
+    """The derive callable can't be pickled into the spec pin; derive_id
+    is the user-declared version string that IS pinned. Changing it
+    refuses; a pre-derive_id state (no key in the committed spec) still
+    accepts the default."""
+    src, _ = src_table
+    view = str(tmp_path / "dpin")
+    kw = dict(
+        group_by=["role"],
+        sums=["text_len"],
+        derive=_make_text_len_derive(),
+        columns=["role", "text"],
+    )
+    ivm.sync_agg(src, view, upto_epoch=2, derive_id="v1", **kw)
+    with pytest.raises(ValueError, match="spec changed"):
+        ivm.sync_agg(src, view, derive_id="v2", **kw)
+    st = ivm.sync_agg(src, view, derive_id="v1", **kw)
+    assert st["last_epoch"] == 4
+    # pre-derive_id on-disk state: spec without the key == derive_id ""
+    legacy = str(tmp_path / "legacy")
+    ivm.sync_agg(src, legacy, upto_epoch=2, **kw)
+    state = ivm._agg_state(legacy)
+    state["spec"].pop("derive_id")
+    ivm._write_agg_state(legacy, state)
+    st = ivm.sync_agg(src, legacy, **kw)
+    assert st["last_epoch"] == 4
+    pd.testing.assert_frame_equal(_view_df(legacy), _want_agg(src))
+
+
+def test_read_minmax_view_rejects_other_view_shapes(src_table, tmp_path):
+    """A sync_index view (3-col group, bucket_by=value) and a
+    multi-column sync_agg view (bucket_by unset) must both be refused —
+    folding min/max of their LAST group column would be meaningless."""
+    src, _ = src_table
+    idx = str(tmp_path / "idx")
+    ivm.sync_index(src, idx, "role", num_buckets=4, upto_epoch=2)
+    with pytest.raises(ValueError, match="not a sync_minmax"):
+        ivm.read_minmax_view(idx)
+    agg = str(tmp_path / "agg2")
+    ivm.sync_agg(
+        src, agg, group_by=["role", "tool"], columns=["role", "tool"],
+        upto_epoch=2,
+    )
+    with pytest.raises(ValueError, match="not a sync_minmax"):
+        ivm.read_minmax_view(agg)

@@ -409,3 +409,39 @@ def test_coalesce_ingest_epochs_equal_one_shot_and_sql_oracle(tmp_path):
     want["turn_idx"] = want["turn_idx"].astype(multi["turn_idx"].dtype)
     want["amount"] = want["amount"].astype(multi["amount"].dtype)
     pd.testing.assert_frame_equal(multi, want.reset_index(drop=True))
+
+
+def test_coalesce_rejects_out_of_band_batches(tmp_path):
+    """apply_changes / delete_where mint seq=-1, which sorts EARLIEST
+    under coalesce's strict-seq order: the batch would be silently
+    inert (a delete that retains data). Both must fail fast on a
+    coalesce table instead."""
+    root = str(tmp_path)
+    t = DeltaTable.create(
+        f"{root}/t", num_partitions=2, num_salts=1, merge_policy="coalesce"
+    )
+    events = _events_table(
+        [_ev(1, "I", "c1", 0, 100, 10), _ev(2, "U", "c1", 0, 200, 5)]
+    )
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=1)
+    ing.run_stream(t, segs, segments_per_epoch=1)
+
+    batch = pa.table(
+        {
+            "conv_id": pa.array(["c1"], pa.string()),
+            "turn_idx": pa.array([0], pa.int32()),
+            "amount": pa.array([99], pa.int64()),
+        }
+    )
+    with pytest.raises(ValueError, match="coalesce"):
+        ing.apply_changes(t, batch, batch_id="patch-1")
+    with pytest.raises(ValueError, match="coalesce"):
+        ing.delete_where(
+            t,
+            predicate=lambda b: pa.compute.equal(b.column("conv_id"), "c1"),
+            columns=["conv_id"],
+            batch_id="kill-c1",
+        )
+    # nothing landed: state unchanged, no stray epochs
+    snap = ing.snapshot(t).to_pandas()
+    assert snap["amount"].tolist() == [15] or snap["amount"].tolist() == [5]

@@ -651,9 +651,32 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(st))
         elif args.cmd == "find":
+            import pyarrow as _pa
+
             from xgeo_ray.pipelines import ivm
 
-            t = ivm.lookup_by(table, args.view_dir, args.value)
+            # coerce the argv string to the INDEXED column's type —
+            # a raw string probe on an int64 index hashes to the wrong
+            # bucket (string vs int siphash path) and pc.equal raises
+            # on any postings it does hit (same class as the round-3
+            # CLI delete coercion fix above).
+            spec = ivm._agg_state(args.view_dir).get("spec") or {}
+            col = (spec.get("group_by") or [None])[0]
+            env = table.current_schema()
+            val = args.value
+            if col in env.names:
+                try:
+                    val = (
+                        _pa.scalar(args.value, _pa.string())
+                        .cast(env.field(col).type)
+                        .as_py()
+                    )
+                except Exception as e:
+                    raise SystemExit(
+                        f"value {args.value!r} does not cast to indexed "
+                        f"column {col!r} type {env.field(col).type}: {e}"
+                    )
+            t = ivm.lookup_by(table, args.view_dir, val)
             print(json.dumps(t.to_pylist(), default=str))
         elif args.cmd == "assemble-sync":
             st = ing.sync_assembled(

@@ -1374,6 +1374,20 @@ def sync_derived(
     )
 
 
+def _reject_oob_on_coalesce(table: DeltaTable, op_name: str) -> None:
+    """Out-of-band batches mint seq=-1, which sorts EARLIEST under the
+    coalesce policy's strict-seq order — the batch would be silently
+    inert (deletes retain data: a GDPR failure mode). Fail fast."""
+    if table.merge_policy == "coalesce":
+        raise ValueError(
+            f"{op_name} is not supported on merge_policy='coalesce' "
+            "tables: out-of-band batches mint seq=-1, which sorts "
+            "earliest under coalesce's WAL-seq order and is overridden "
+            "by every streamed row (deletes would silently retain "
+            "data). Send the change through the WAL with a real seq."
+        )
+
+
 def apply_changes(
     table: DeltaTable,
     rows: pa.Table,
@@ -1404,7 +1418,17 @@ def apply_changes(
 
     Bounded by driver memory (takes a pa.Table): lake-scale backfills
     should write real WAL segments and run ``ingest_segments``; this is
-    the correction-batch path."""
+    the correction-batch path.
+
+    NOT available on ``merge_policy="coalesce"`` tables: coalesce
+    orders strictly by WAL seq (what makes its per-epoch collapse
+    associative), so this path's out-of-band seq=-1 rows would sort
+    EARLIEST and be overridden by every streamed row — a correction
+    that silently does nothing, and a tombstone that silently
+    un-deletes nothing while re-exposing pre-delete patches. Fails
+    fast instead; issue coalesce corrections/deletes through the WAL
+    with real seqs."""
+    _reject_oob_on_coalesce(table, "apply_changes")
     import re as _re
     import time as _time
 
@@ -1502,7 +1526,10 @@ def delete_where(
 
     No counterpart in the reference (stateless CLI,
     /root/reference/cmd/xgeo/main.go); required lake machinery for the
-    north rule's upsert engine."""
+    north rule's upsert engine. Not available on coalesce tables (the
+    seq=-1 tombstones would sort earliest and silently retain data —
+    see ``_reject_oob_on_coalesce``)."""
+    _reject_oob_on_coalesce(table, "delete_where")
     import re as _re
     import time as _time
 
@@ -2573,17 +2600,18 @@ def assemble_conversations(
             )
         from xgeo_ray.partition import compute_part_key
 
-        salts = np.arange(max(1, table.num_salts), dtype=np.int64)
-        parts: set[int] = set()
-        for cid in convs:
-            pk = compute_part_key(
-                pa.array([cid] * len(salts)),
-                pa.array(salts, pa.int64()),
-                table.num_partitions,
-                table.num_salts,
-            )
-            parts.update(int(p) for p in pk)
-        want_parts = sorted(parts)
+        # ONE vectorized hash over the (conv × salt) cross product —
+        # a per-conversation loop here is serial driver time on every
+        # incremental sync (100k touched convs = 100k tiny hash calls).
+        ns = max(1, table.num_salts)
+        conv_list = list(convs)
+        pk = compute_part_key(
+            pa.array(np.repeat(np.asarray(conv_list, dtype=object), ns)),
+            pa.array(np.tile(np.arange(ns, dtype=np.int64), len(conv_list))),
+            table.num_partitions,
+            table.num_salts,
+        )
+        want_parts = sorted(int(p) for p in np.unique(pk))
     ds = snapshot(
         table,
         columns=["conv_id", "turn_idx", "role", "text"],

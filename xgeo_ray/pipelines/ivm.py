@@ -157,10 +157,27 @@ def _before_after_task(
     if W.num_rows == 0:
         return out_schema.empty_table()
     touched_convs = pc.unique(W.column("conv_id").combine_chunks())
+    # as-of chain read pushed down to the parquet reader (row-group
+    # prune + row filter — the lookup_many idiom), so task memory
+    # tracks the touched keys, not the partition size. Very large
+    # touched sets fall back to a plain read + Arrow is_in (a giant
+    # IN expression costs more than the vectorized kernel).
+    touched_list = touched_convs.to_pylist() if len(touched_convs) <= 20_000 else None
     asof_tables = []
     for p in asof_paths:
-        t = _read(p)
-        t = t.filter(pc.is_in(t.column("conv_id"), value_set=touched_convs))
+        if touched_list is not None:
+            have = [c for c in read_cols if c in pq.read_schema(p).names]
+            t = pq.read_table(
+                p,
+                columns=have,
+                use_threads=False,
+                filters=[("conv_id", "in", touched_list)],
+            )
+        else:
+            t = _read(p)
+            t = t.filter(
+                pc.is_in(t.column("conv_id"), value_set=touched_convs)
+            )
         if t.num_rows:
             asof_tables.append(cast_to(t, env))
     # keep tombstone winners: a deleted key's tombstone still wins LWW
@@ -482,6 +499,7 @@ def sync_agg(
     num_buckets: int = 16,
     upto_epoch: int | None = None,
     bucket_by: list[str] | None = None,
+    derive_id: str = "",
 ) -> dict:
     """Maintain a grouped COUNT+SUM view of the table's merged state
     incrementally and exactly-once: each sync consumes only the delta
@@ -523,16 +541,32 @@ def sync_agg(
         "sums": list(sums),
         "num_buckets": num_buckets,
         "bucket_by": bucket_by,
+        "derive_id": derive_id,
     }
-    if "spec" in state and state["spec"] != spec:
-        raise ValueError(
-            f"agg view spec changed: committed {state['spec']} != requested "
-            f"{spec}. Use a fresh view_dir (the folded partials are only "
-            "meaningful under the spec that built them)."
-        )
+    if "spec" in state:
+        prev = dict(state["spec"])
+        prev.setdefault("derive_id", "")  # pre-derive_id views
+        if prev != spec:
+            raise ValueError(
+                f"agg view spec changed: committed {prev} != requested "
+                f"{spec}. Use a fresh view_dir (the folded partials are "
+                "only meaningful under the spec that built them). NOTE: "
+                "the `derive` callable itself cannot be pinned — it must "
+                "stay semantically FIXED for the view's lifetime (pass a "
+                "version string as derive_id to enforce that here)."
+            )
     last = state["last_epoch"]
-    upto = table.latest_epoch() if upto_epoch is None else upto_epoch
     eff_epochs = {m.epoch for m in table.effective_manifests()}
+    # the cursor must land on an EFFECTIVE epoch: latest_epoch() counts
+    # restore markers, which effective_manifests filters out — a cursor
+    # on a marker would trip the restore guard forever. Clamp explicit
+    # upto_epoch to the largest effective epoch at or below it (an upto
+    # beyond the committed fence would otherwise seal the cursor ahead
+    # and silently skip every epoch committed underneath it).
+    if upto_epoch is None:
+        upto = max(eff_epochs, default=0)
+    else:
+        upto = max((e for e in eff_epochs if e <= upto_epoch), default=0)
     if last > 0 and last not in eff_epochs:
         raise ValueError(
             f"source was restored past the view's cursor (epoch {last} is "
@@ -751,7 +785,17 @@ def read_minmax_view(view_dir: str) -> ray.data.Dataset:
     from xgeo_ray.functions.relational import partial_group_agg
 
     spec = _agg_state(view_dir).get("spec")
-    if not spec or len(spec["group_by"]) < 2:
+    # a sync_minmax view is structurally group_by=[...groups, value]
+    # bucketed by the groups alone — require that exact shape, or any
+    # multi-column sync_agg / sync_index view would pass and return a
+    # meaningless min/max of its LAST group column (sync_index shows as
+    # bucket_by == group_by[:1], which this rejects for len-3 specs).
+    if (
+        not spec
+        or len(spec["group_by"]) < 2
+        or spec.get("bucket_by") != spec["group_by"][:-1]
+        or spec.get("sums")
+    ):
         raise ValueError(f"{view_dir} is not a sync_minmax view (spec: {spec})")
     group = spec["group_by"][:-1]
     value = spec["group_by"][-1]
