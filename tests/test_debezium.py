@@ -1,0 +1,177 @@
+"""Debezium-envelope CDC export (ivm.export_debezium).
+
+The exported NDJSON must be a faithful re-encoding of the
+before/after feed (itself certified against epoch time travel in
+test_ivm): op c/u/d maps to the image-existence transition, images
+carry the key + payload columns, absent->absent no-ops are dropped,
+and the consumer-cursor path is exactly-once across crash replays at
+every point of the files -> meta -> ack commit order.
+"""
+
+import glob
+import gzip
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from xgeo_ray import fixtures as fx
+from xgeo_ray.pipelines import ingest as ing
+from xgeo_ray.pipelines import ivm
+from xgeo_ray.state import consumers as cons
+from xgeo_ray.state.delta_table import DeltaTable
+
+
+@pytest.fixture(scope="module")
+def src_table(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dbz_src"))
+    events = fx.make_change_events(1200, n_convs=12, turns_per_conv=5)
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=4)
+    src = DeltaTable.create(f"{root}/src", num_partitions=4, num_salts=2)
+    ing.run_stream(src, segs, segments_per_epoch=1)  # epochs 1..4
+    return src, root
+
+
+def _read_window(window_dir: str) -> list[dict]:
+    recs = []
+    for p in sorted(glob.glob(os.path.join(window_dir, "part-*.jsonl*"))):
+        op = gzip.open if p.endswith(".gz") else open
+        with op(p, "rt") as f:
+            recs.extend(json.loads(line) for line in f if line.strip())
+    return recs
+
+
+def _feed_df(src, since=0, upto=None) -> pd.DataFrame:
+    return ivm.changes_with_before(
+        src, since_epoch=since, upto_epoch=upto
+    ).to_pandas()
+
+
+def test_export_matches_feed(src_table, tmp_path):
+    src, _ = src_table
+    out = str(tmp_path / "dbz")
+    st = ivm.export_debezium(src, out)
+    assert st["since"] == 0 and st["upto"] == 4 and not st["skipped"]
+    recs = _read_window(os.path.join(out, "window=1-4"))
+    assert len(recs) == st["rows"]
+
+    feed = _feed_df(src)
+    live = feed[feed["_before_exists"] | feed["_after_exists"]]
+    assert len(recs) == len(live)
+
+    def rec_key(r):
+        img = r["after"] or r["before"]
+        return (img["conv_id"], img["turn_idx"], r["source"]["epoch"])
+
+    by_key = {rec_key(r): r for r in recs}
+    assert len(by_key) == len(recs)  # one record per (key, epoch)
+    payload = ["role", "text", "tool"]
+    for row in live.to_dict("records"):
+        r = by_key[(row["conv_id"], row["turn_idx"], row["_epoch"])]
+        want_op = (
+            "c" if not row["_before_exists"]
+            else ("u" if row["_after_exists"] else "d")
+        )
+        assert r["op"] == want_op
+        assert r["source"]["seq"] == row["seq"]
+        assert r["ts_ms"] == row["ts"].value // 1_000_000
+        if row["_after_exists"]:
+            for c in payload:
+                want = row[c]
+                assert r["after"][c] == (None if pd.isna(want) else want)
+        else:
+            assert r["after"] is None
+        if row["_before_exists"]:
+            for c in payload:
+                want = row[f"_before_{c}"]
+                assert r["before"][c] == (None if pd.isna(want) else want)
+        else:
+            assert r["before"] is None
+
+    # per-key records are epoch-ordered within their part file (a key
+    # lives in exactly one partition == one file)
+    for p in glob.glob(os.path.join(out, "window=1-4", "part-*.jsonl")):
+        with open(p) as f:
+            seen: dict[tuple, int] = {}
+            for line in f:
+                r = json.loads(line)
+                img = r["after"] or r["before"]
+                k = (img["conv_id"], img["turn_idx"])
+                e = r["source"]["epoch"]
+                assert seen.get(k, 0) < e
+                seen[k] = e
+
+    # idempotent: identical call skips (meta hit), same counts
+    st2 = ivm.export_debezium(src, out)
+    assert st2["skipped"] and st2["rows"] == st["rows"]
+    # parameter pin: same window, different params -> refuse
+    with pytest.raises(ValueError, match="different parameters"):
+        ivm.export_debezium(src, out, gzip=True)
+
+
+def test_export_consumer_exactly_once(src_table, tmp_path):
+    src, _ = src_table
+    out = str(tmp_path / "inc")
+    g = "dbz-test"
+    st1 = ivm.export_debezium(src, out, consumer=g, upto_epoch=2)
+    assert st1["since"] == 0 and st1["upto"] == 2
+    assert cons.position(src, g) == 2
+    st2 = ivm.export_debezium(src, out, consumer=g)
+    assert st2["since"] == 2 and st2["upto"] == 4
+    # the two windows together equal the full feed's live rows
+    total = len(_read_window(f"{out}/window=1-2")) + len(
+        _read_window(f"{out}/window=3-4")
+    )
+    feed = _feed_df(src)
+    assert total == int((feed["_before_exists"] | feed["_after_exists"]).sum())
+    # caught up -> no-op, cursor unchanged
+    st3 = ivm.export_debezium(src, out, consumer=g)
+    assert st3["rows"] == 0 and cons.position(src, g) == 4
+    # crash between meta and ack: rewind the cursor, re-export — the
+    # completed window is skipped (no rewrite) and the ack is restored
+    cons.rewind(src, g, 2)
+    st4 = ivm.export_debezium(src, out, consumer=g)
+    assert st4["skipped"] and st4["rows"] == st2["rows"]
+    assert cons.position(src, g) == 4
+
+
+def test_export_crashed_window_rewrites(src_table, tmp_path):
+    src, _ = src_table
+    out = str(tmp_path / "crash")
+    wdir = os.path.join(out, "window=1-4")
+    os.makedirs(wdir)
+    with open(os.path.join(wdir, "part-0.jsonl"), "w") as f:
+        f.write('{"garbage": true}\n')  # partial window, no meta
+    st = ivm.export_debezium(src, out)
+    assert not st["skipped"]
+    recs = _read_window(wdir)
+    assert len(recs) == st["rows"] > 0
+    assert not any("garbage" in r for r in recs)
+
+
+def test_export_gzip_and_columns(src_table, tmp_path):
+    src, _ = src_table
+    out = str(tmp_path / "gz")
+    st = ivm.export_debezium(src, out, columns=["role"], gzip=True)
+    files = glob.glob(os.path.join(out, "window=1-4", "part-*.jsonl.gz"))
+    assert files and all(f.endswith(".jsonl.gz") for f in files)
+    recs = _read_window(os.path.join(out, "window=1-4"))
+    assert len(recs) == st["rows"] > 0
+    for r in recs:
+        img = r["after"] or r["before"]
+        assert set(img) == {"conv_id", "turn_idx", "role"}
+
+
+def test_cli_debezium(src_table, tmp_path, capsys):
+    from xgeo_ray.__main__ import main
+
+    src, _ = src_table
+    out = str(tmp_path / "cli")
+    assert main(
+        ["changes", src.root, out, "--debezium", "--consumer", "cli-g"]
+    ) in (0, None)
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["rows"] > 0 and cons.position(src, "cli-g") == 4
+    with pytest.raises(SystemExit, match="no ts band"):
+        main(["changes", src.root, out, "--debezium", "--ts-min", "0"])

@@ -185,6 +185,16 @@ def main(argv: list[str] | None = None) -> int:
         help="Debezium-shaped feed: pair every change with the key's "
         "effective before/after images (no ts band in this mode)",
     )
+    p.add_argument(
+        "--debezium",
+        action="store_true",
+        help="export the before/after feed as Debezium-envelope JSONL "
+        "(out_dir/window=A-B/part-P.jsonl); with --consumer the window "
+        "starts at the group's cursor and acks after publish "
+        "(exactly-once)",
+    )
+    p.add_argument("--consumer", default=None)
+    p.add_argument("--gzip", action="store_true")
 
     p = sub.add_parser(
         "sync",
@@ -496,6 +506,26 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         elif args.cmd == "changes":
+            if args.debezium:
+                if args.with_before or args.ts_min is not None or (
+                    args.ts_max is not None
+                ):
+                    raise SystemExit(
+                        "--debezium implies before/after images and has "
+                        "no ts band"
+                    )
+                from xgeo_ray.pipelines import ivm
+
+                st = ivm.export_debezium(
+                    table,
+                    args.out_dir,
+                    consumer=args.consumer,
+                    since_epoch=args.since,
+                    upto_epoch=args.upto,
+                    gzip=args.gzip,
+                )
+                print(json.dumps(st))
+                return 0
             if args.with_before:
                 if args.ts_min is not None or args.ts_max is not None:
                     raise SystemExit("--with-before has no ts band")

@@ -340,6 +340,26 @@ def changes_with_before(
     ``columns`` restricts the payload (both images) — pass the narrow
     set a consumer aggregates over and the text payload never leaves
     the parquet reader."""
+    refs, payload, envelope = _feed_refs(
+        table, since_epoch, upto_epoch, columns
+    )
+    if not refs:
+        return ray.data.from_arrow(
+            _feed_schema(envelope, payload).empty_table()
+        )
+    return ray.data.from_arrow_refs([r for _, r in refs])
+
+
+def _feed_refs(
+    table: DeltaTable,
+    since_epoch: int,
+    upto_epoch: int | None,
+    columns: list[str] | None,
+) -> tuple[list[tuple[int, ray.ObjectRef]], list[str], pa.Schema]:
+    """One ``_before_after_task`` per touched partition for the window —
+    the shared plan behind ``changes_with_before`` and
+    ``export_debezium``. Returns ``[(partition, ref)]`` plus the payload
+    column list and the envelope schema."""
     envelope = table.current_schema(upto_epoch)
     from xgeo_ray.pipelines.ingest import _MERGE_COLS
     from xgeo_ray.state.delta_table import LINEAGE_COLS
@@ -352,16 +372,187 @@ def changes_with_before(
     ]
     window = _window_plan(table, since_epoch, upto_epoch)
     if not window:
-        return ray.data.from_arrow(_feed_schema(envelope, payload).empty_table())
+        return [], payload, envelope
     asof = table.partition_files(as_of_epoch=since_epoch) if since_epoch > 0 else {}
     policy = _resolve_policy(table)
     refs = [
-        _before_after_task.remote(
-            files, asof.get(part, []), envelope, policy, payload
+        (
+            part,
+            _before_after_task.remote(
+                files, asof.get(part, []), envelope, policy, payload
+            ),
         )
         for part, files in sorted(window.items())
     ]
-    return ray.data.from_arrow_refs(refs)
+    return refs, payload, envelope
+
+
+_DBZ_META = "_debezium.json"
+
+
+@ray.remote
+def _debezium_write_task(
+    feed: pa.Table, payload: list[str], path: str, gz: bool
+) -> int:
+    """Serialize one partition's before/after feed rows as
+    Debezium-envelope NDJSON and publish the file atomically. All
+    serialization is vectorized (polars struct columns -> Rust NDJSON
+    writer); no per-row Python."""
+    import gzip as _gzip
+    import io
+
+    import polars as pl
+
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    # absent -> absent transitions (key created AND deleted inside one
+    # epoch) are no-ops a Debezium consumer must not see
+    feed = feed.filter(
+        pc.or_(feed.column("_before_exists"), feed.column("_after_exists"))
+    )
+    df = pl.from_arrow(feed)
+    key = [pl.col("conv_id"), pl.col("turn_idx")]
+    image = key + [pl.col(c) for c in payload]
+    before_image = key + [
+        pl.col(BEFORE_PREFIX + c).alias(c) for c in payload
+    ]
+    out = df.select(
+        pl.when(pl.col("_before_exists"))
+        .then(pl.struct(before_image))
+        .otherwise(None)
+        .alias("before"),
+        pl.when(pl.col("_after_exists"))
+        .then(pl.struct(image))
+        .otherwise(None)
+        .alias("after"),
+        pl.when(~pl.col("_before_exists"))
+        .then(pl.lit("c"))
+        .when(pl.col("_after_exists"))
+        .then(pl.lit("u"))
+        .otherwise(pl.lit("d"))
+        .alias("op"),
+        pl.struct(
+            pl.col("_epoch").alias("epoch"),
+            pl.col("seq"),
+            pl.col("ts").dt.epoch("us").alias("ts_us"),
+        ).alias("source"),
+        pl.col("ts").dt.epoch("ms").alias("ts_ms"),
+    )
+    tmp = f"{path}.tmp-{os.getpid()}"
+    if gz:
+        buf = io.BytesIO()
+        out.write_ndjson(buf)
+        with open(tmp, "wb") as f:
+            with _gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as z:
+                z.write(buf.getbuffer())
+            f.flush()
+            os.fsync(f.fileno())
+    else:
+        out.write_ndjson(tmp)
+    os.replace(tmp, path)
+    return out.height
+
+
+def export_debezium(
+    table: DeltaTable,
+    out_dir: str,
+    consumer: str | None = None,
+    since_epoch: int = 0,
+    upto_epoch: int | None = None,
+    columns: list[str] | None = None,
+    gzip: bool = False,
+) -> dict:
+    """Export the before/after change feed as standard Debezium-envelope
+    JSONL — the lingua-franca CDC format any downstream system (Kafka
+    consumers, warehouse CDC loaders, cache invalidators) already
+    speaks. One record per effective (key, epoch) transition::
+
+        {"before": {...}|null, "after": {...}|null, "op": "c"|"u"|"d",
+         "source": {"epoch": E, "seq": S, "ts_us": T}, "ts_ms": M}
+
+    Images are EFFECTIVE under the table's merge policy (see
+    ``changes_with_before``); absent->absent no-ops (a key created and
+    deleted inside one epoch) are dropped. Files land under
+    ``out_dir/window=<since+1>-<upto>/part-<P>.jsonl[.gz]`` — one file
+    per touched partition, so each key's records are totally ordered
+    within its file (a key lives in exactly one partition).
+
+    Exactly-once: pass ``consumer`` (a consumer-group name) and the
+    window starts at the group's committed cursor and acks ``upto``
+    AFTER the window's meta commit — the crash order is files -> meta
+    -> ack, so a crash anywhere replays into the same window directory
+    (partial windows are wiped and rewritten; completed windows are
+    skipped and just re-acked). Without ``consumer``, drive the window
+    with ``since_epoch``/``upto_epoch`` and the same meta makes the
+    call idempotent. Retention contract matches ``changes()``: run
+    before vacuum outpaces the cursor (``vacuum --respect-consumers``
+    pins it automatically).
+
+    Scale shape: serialization cost rides the same one-task-per-touched-
+    partition plan as the feed itself; JSON bytes never visit the
+    driver. No counterpart in the reference (stateless CLI,
+    /root/reference/cmd/xgeo/main.go:18); format per the public
+    Debezium envelope spec."""
+    from xgeo_ray.state import consumers as cons
+
+    if consumer is not None:
+        since_epoch = cons.position(table, consumer)
+    eff_epochs = {m.epoch for m in table.effective_manifests()}
+    if upto_epoch is None:
+        upto = max(eff_epochs, default=0)
+    else:
+        upto = max((e for e in eff_epochs if e <= upto_epoch), default=0)
+    if upto <= since_epoch:
+        return {"rows": 0, "since": since_epoch, "upto": since_epoch,
+                "files": [], "skipped": False}
+    window_dir = os.path.join(
+        out_dir, f"window={since_epoch + 1}-{upto}"
+    )
+    meta_path = os.path.join(window_dir, _DBZ_META)
+    params = {"columns": columns, "gzip": gzip}
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if {k: meta[k] for k in params} != params:
+            raise ValueError(
+                f"debezium window {window_dir} was exported with "
+                f"different parameters ({ {k: meta[k] for k in params} } "
+                f"!= {params}); use a fresh out_dir"
+            )
+        if consumer is not None:
+            cons.ack(table, consumer, upto)
+        return {**meta, "skipped": True}
+    if os.path.isdir(window_dir):  # crashed mid-window: wipe, rewrite
+        import shutil
+
+        shutil.rmtree(window_dir)
+    os.makedirs(window_dir)
+    refs, payload, _ = _feed_refs(table, since_epoch, upto, columns)
+    ext = ".jsonl.gz" if gzip else ".jsonl"
+    files = [
+        os.path.join(window_dir, f"part-{part}{ext}") for part, _ in refs
+    ]
+    counts = ray.get(
+        [
+            _debezium_write_task.remote(ref, payload, path, gzip)
+            for (_, ref), path in zip(refs, files)
+        ]
+    )
+    meta = {
+        **params,
+        "since": since_epoch,
+        "upto": upto,
+        "rows": int(sum(counts)),
+        "files": [os.path.basename(p) for p in files],
+    }
+    tmp = meta_path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, meta_path)
+    if consumer is not None:
+        cons.ack(table, consumer, upto)
+    return {**meta, "skipped": False}
 
 
 # ------------------------------------------------------------------
