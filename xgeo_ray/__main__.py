@@ -275,6 +275,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batch-id", default=None)
 
     p = sub.add_parser(
+        "drop-columns",
+        help="drop data columns (metadata-only: readers stop projecting "
+        "them, new WAL values are discarded, time travel below the drop "
+        "epoch keeps them; physical erasure = compact + vacuum)",
+    )
+    p.add_argument("table")
+    p.add_argument("columns", nargs="+")
+
+    p = sub.add_parser(
         "clone",
         help="zero-copy table clone at a new root (hardlinked immutable "
         "deltas + copied manifest history; both sides then evolve "
@@ -411,7 +420,9 @@ def main(argv: list[str] | None = None) -> int:
     table = DeltaTable.open(args.table)
     from xgeo_ray.pipelines import ingest as ing
 
-    if args.cmd not in ("get", "status", "vacuum", "fsck", "clone"):
+    if args.cmd not in (
+        "get", "status", "vacuum", "fsck", "clone", "drop-columns"
+    ):
         _init_ray()  # these are inline metadata/file ops — no cluster
     try:
         if args.cmd == "bootstrap":
@@ -631,6 +642,8 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "drop-columns":
+            print(json.dumps(ing.drop_columns(table, args.columns)))
         elif args.cmd == "clone":
             dst = ing.clone_table(
                 table, args.dest_root, mode="copy" if args.deep else "auto"

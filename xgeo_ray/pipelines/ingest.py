@@ -149,10 +149,11 @@ class NormalizeCollapsePartition:
         num_salts: int,
         transform=None,
         precombine: bool = True,
+        drop: frozenset = frozenset(),
     ):
         # limit_worker_threads happens in the task body (_radix_map), not
         # here: driver-side __init__ would clamp the DRIVER's Arrow pools.
-        self.norm = NormalizeEvents(envelope)
+        self.norm = NormalizeEvents(envelope, drop=drop)
         self.p = num_partitions
         self.s = num_salts
         self.transform = transform
@@ -416,13 +417,22 @@ def _radix_reduce_snap(
     limit_worker_threads()
     subs = [s for s in subs if s.num_rows]
     entry = None
-    tables = [pq.read_table(p, use_threads=False) for p in prior_paths]
+    envelope = apply_partition.schema
+    tables = [
+        pq.read_table(
+            p,
+            columns=[
+                c for c in envelope.names if c in pq.read_schema(p).names
+            ],
+            use_threads=False,
+        )
+        for p in prior_paths
+    ]
     if subs:
         t = pa.concat_tables(subs, promote_options="permissive")
         entry, delta = apply_partition._apply_one(part, t, want_delta=True)
         if delta.num_rows:
             tables.append(delta)
-    envelope = apply_partition.schema
     merged = cast_to(
         merge_versions(
             tables, drop_tombstones=True, policy=apply_partition.policy_fn
@@ -567,6 +577,21 @@ def _collect_entries(metrics: ray.data.Dataset) -> list[PartitionEntry]:
     return entries
 
 
+def _read_env_tables(paths: list[str], envelope: pa.Schema) -> list[pa.Table]:
+    """Read delta files PROJECTED to the envelope's columns: a file
+    written before a column was dropped still holds its bytes, and they
+    must neither be read nor surface past the narrowed envelope (the
+    downstream ``cast_to`` fails fast on extras by design)."""
+    return [
+        pq.read_table(
+            p,
+            columns=[c for c in envelope.names if c in pq.read_schema(p).names],
+            use_threads=False,
+        )
+        for p in paths
+    ]
+
+
 def plan_envelope_schema(table: DeltaTable, segment_paths: list[str]) -> pa.Schema:
     """Schema-evolution planning from segment *metadata only* (Parquet
     footers; a small head sample for JSON): union of the table's current
@@ -580,7 +605,14 @@ def plan_envelope_schema(table: DeltaTable, segment_paths: list[str]) -> pa.Sche
         schemas.append(segment_schema(p))
     # fail fast HERE (plan time) on types the manifest can't record —
     # not at commit time after the epoch's read/shuffle/write is spent
-    return validate_envelope(unify(*schemas))
+    env = validate_envelope(unify(*schemas))
+    # a DROPPED column arriving in new segments must not resurrect: the
+    # union re-adds it, so subtract the drop set again (NormalizeEvents
+    # then discards the incoming values)
+    dropped = table.dropped_columns()
+    if dropped:
+        env = pa.schema([f for f in env if f.name not in dropped])
+    return env
 
 
 def read_segments(segment_paths: list[str], envelope: pa.Schema) -> ray.data.Dataset:
@@ -642,6 +674,7 @@ def ingest_segments(
         # collapse would drop them
         precombine=MERGE_POLICIES[table.merge_policy]["precombinable"]
         and table.history != "full",
+        drop=frozenset(table.dropped_columns()),
     )
     chunks = plan_read_chunks(segment_paths)
     entries, invalid = _radix_exchange_apply(
@@ -780,9 +813,11 @@ def run_stream(
 
     from xgeo_ray.stages.collapse import MERGE_POLICIES
 
+    dropped = frozenset(table.dropped_columns())
+
     def launch_maps(i: int):
         if boot_group and i == 0:
-            prep = _BootstrapPrep(envs[0], P, table.num_salts)
+            prep = _BootstrapPrep(envs[0], P, table.num_salts, drop=dropped)
         else:
             prep = NormalizeCollapsePartition(
                 envs[i],
@@ -793,6 +828,7 @@ def run_stream(
                 # pre-shuffle collapse would drop them
                 precombine=MERGE_POLICIES[table.merge_policy]["precombinable"]
                 and table.history != "full",
+                drop=dropped,
             )
         prep_ref = ray.put(prep)
         return [
@@ -914,10 +950,18 @@ def bootstrap_base(
     watermark array is both safe and correct here."""
 
     envelope = unify(table.current_schema(), pq.read_schema(base_parquet))
+    dropped = table.dropped_columns()
+    if dropped:  # a dropped column in the base parquet stays dropped
+        envelope = pa.schema([f for f in envelope if f.name not in dropped])
     epoch = table.latest_epoch() + 1
     from xgeo_ray.sources.wal import plan_read_chunks
 
-    prep = _BootstrapPrep(envelope, table.num_partitions, table.num_salts)
+    prep = _BootstrapPrep(
+        envelope,
+        table.num_partitions,
+        table.num_salts,
+        drop=frozenset(table.dropped_columns()),
+    )
     chunks = plan_read_chunks([os.path.abspath(base_parquet)])
     no_wm = np.full(table.num_partitions, -1, dtype=np.int64)
     entries, _ = _radix_exchange_apply(
@@ -934,12 +978,23 @@ class _BootstrapPrep:
     seq=-1 (sorts under every real WAL event for the same key and ts),
     cast to the envelope, add the salted partition key."""
 
-    def __init__(self, envelope: pa.Schema, num_partitions: int, num_salts: int):
+    def __init__(
+        self,
+        envelope: pa.Schema,
+        num_partitions: int,
+        num_salts: int,
+        drop: frozenset = frozenset(),
+    ):
         self.envelope = envelope
         self.p = num_partitions
         self.s = num_salts
+        self.drop = drop
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.drop:
+            batch = batch.drop_columns(
+                [c for c in batch.column_names if c in self.drop]
+            )
         n = batch.num_rows
         batch = batch.append_column("op", pa.array(["I"] * n))
         batch = batch.append_column("seq", pa.array(np.full(n, -1, np.int64)))
@@ -963,7 +1018,17 @@ class _MergePartitions:
         limit_worker_threads()
         out = []
         for row in batch.to_pylist():
-            tables = [pq.read_table(p) for p in row["paths"]]
+            tables = [
+                pq.read_table(
+                    p,
+                    columns=[
+                        c
+                        for c in self.envelope.names
+                        if c in pq.read_schema(p).names
+                    ],
+                )
+                for p in row["paths"]
+            ]
             t = merge_versions(tables, drop_tombstones=True, policy=self.policy)
             if t.num_rows == 0:
                 continue
@@ -994,16 +1059,16 @@ def _merge_part_task(
     from xgeo_ray.tuning import limit_worker_threads
 
     limit_worker_threads()
-    read_cols = None
+    # always project to the requested columns (or the envelope): a file
+    # written before a column was dropped still holds its bytes, and
+    # they must neither be read nor surface past the narrowed envelope
+    read_cols = list(envelope.names)
     if columns is not None:
         read_cols = list(dict.fromkeys(_MERGE_COLS + list(columns)))
     tables = []
     for p in paths:
-        if read_cols is None:
-            t = pq.read_table(p, use_threads=False)
-        else:
-            have = [c for c in read_cols if c in pq.read_schema(p).names]
-            t = pq.read_table(p, columns=have, use_threads=False)
+        have = [c for c in read_cols if c in pq.read_schema(p).names]
+        t = pq.read_table(p, columns=have, use_threads=False)
         if as_of_ts_us is not None:
             # event-time travel: merge as if no event with ts > T ever
             # arrived (filter BEFORE the LWW merge, per file)
@@ -1147,7 +1212,13 @@ def _read_delta_task(
         t = pq.read_table(path, columns=have, use_threads=False)
         envelope = pa.schema([f for f in envelope if f.name in need])
     else:
-        t = pq.read_table(path, use_threads=False)
+        t = pq.read_table(
+            path,
+            columns=[
+                c for c in envelope.names if c in pq.read_schema(path).names
+            ],
+            use_threads=False,
+        )
     t = cast_to(t, envelope)
     if ts_min_us is not None or ts_max_us is not None:
         ts = t.column("ts").cast(pa.int64())
@@ -1724,6 +1795,68 @@ def clone_table(
     return DeltaTable.open(dest_root)
 
 
+def drop_columns(table: DeltaTable, columns: list[str]) -> dict:
+    """Drop data columns from the table — the COLUMN-level complement to
+    ``delete_where`` (rows) and ``expire`` (age): the
+    right-to-be-forgotten story for an over-collected field. A drop is
+    a METADATA operation (one atomic table-meta write, zero data I/O):
+
+    * every reader at or past the drop epoch stops projecting the
+      column — existing files keep their bytes but the envelope-pruned
+      parquet reads never fetch them;
+    * new WAL events still carrying the column have those values
+      discarded at normalize (the column does not resurrect through
+      schema evolution's union);
+    * ``snapshot(as_of_epoch=e)`` BELOW the drop epoch still reads the
+      column from the pre-drop files (time travel keeps fidelity);
+    * ``restore`` below the drop epoch revives the column;
+    * PHYSICAL erasure happens at the next FULL ``compact`` — the fold
+      reads through the narrowed envelope, so rewritten files simply
+      lack the column — plus ``vacuum`` to reclaim the old files.
+      (A minor compact already strips it from the chain files it
+      rewrites; the base file keeps its bytes until the full fold.)
+      Until then the bytes exist on disk but are unreadable through
+      every engine surface.
+
+    Key/envelope columns (conv_id, turn_idx, op, seq, ts) and lineage
+    columns cannot be dropped. Idempotent: re-dropping keeps the
+    original drop epoch. Out-of-band writers (``apply_changes``) stay
+    strict — handing them a dropped column fails fast rather than
+    silently discarding a correction's payload.
+
+    No counterpart in the reference (stateless CLI,
+    /root/reference/cmd/xgeo/main.go); standard lake-format surface
+    (cf. public Delta Lake / Iceberg column-drop semantics: metadata
+    now, physical on rewrite)."""
+    from xgeo_ray.state.delta_table import LINEAGE_COLS
+
+    if not columns:
+        raise ValueError("no columns given")
+    protected = set(_MERGE_COLS) | set(LINEAGE_COLS)
+    bad = [c for c in columns if c in protected]
+    if bad:
+        raise ValueError(
+            f"cannot drop key/envelope/lineage columns: {sorted(bad)}"
+        )
+    env_names = set(table.current_schema().names)
+    already = set(table.dropped_columns())  # replayed drop: no-op below
+    missing = [c for c in columns if c not in env_names and c not in already]
+    if missing:
+        raise ValueError(
+            f"columns not in the table schema: {sorted(missing)} "
+            f"(have: {sorted(env_names - protected)})"
+        )
+    # the drop epoch is the CURRENT latest: snapshot() and
+    # snapshot(as_of_epoch=latest) must agree (both hide the column);
+    # strictly-older time travel still reads it
+    from_epoch = table.latest_epoch()
+    table.mark_dropped(list(columns), from_epoch)
+    return {
+        "dropped": sorted(table.dropped_columns()),
+        "from_epoch": from_epoch,
+    }
+
+
 def expire(
     table: DeltaTable,
     older_than_ts_us: int,
@@ -1828,7 +1961,7 @@ def reshard(
         from xgeo_ray.tuning import limit_worker_threads
 
         limit_worker_threads()
-        tables = [pq.read_table(p, use_threads=False) for p in paths]
+        tables = _read_env_tables(paths, envelope)
         if preserve_history:
             from xgeo_ray.schemas import unify as _unify
             from xgeo_ray.stages.collapse import history_dedup
@@ -1953,6 +2086,10 @@ def restore(table: DeltaTable, to_epoch: int, force: bool = False) -> Manifest:
             f"file(s) already vacuumed (first: {missing[0]}). The vacuum "
             "cadence is the restore retention window."
         )
+    # rolling state below a column drop brings the column back: forget
+    # drops recorded above the target BEFORE committing the marker, so
+    # the marker's schema (current_schema(to_epoch)) includes it again
+    table.prune_dropped_above(to_epoch)
     return table.commit_epoch(
         latest + 1,
         [f"restore:{to_epoch}"],
@@ -2298,7 +2435,7 @@ def compact(
         from xgeo_ray.tuning import limit_worker_threads
 
         limit_worker_threads()
-        tables = [pq.read_table(p, use_threads=False) for p in paths]
+        tables = _read_env_tables(paths, envelope)
         rows_in = sum(t.num_rows for t in tables)
         if preserve_history:
             from xgeo_ray.schemas import unify as _unify, cast_to as _cast
@@ -2505,7 +2642,7 @@ def _export_part(
     final = os.path.join(out_dir, f"part-{part:05d}.parquet")
     if os.path.exists(final):
         return (part, -1)
-    tables = [pq.read_table(p, use_threads=False) for p in paths]
+    tables = _read_env_tables(paths, envelope)
     t = merge_versions(tables, drop_tombstones=True, policy=policy)
     t = cast_to(t, envelope)
     if not keep_lineage:

@@ -166,13 +166,14 @@ def _refresh_part(
     if columns is not None:
         read_cols = list(dict.fromkeys(_MERGE_COLS + list(columns)))
         envelope = pa.schema([f for f in envelope if f.name in read_cols])
+    if read_cols is None:
+        # project to the envelope even unfiltered: files written before
+        # a column drop still hold the bytes, and cast_to fails on extras
+        read_cols = list(envelope.names)
     tables = []
     for p in paths:
-        if read_cols is None:
-            tables.append(pq.read_table(p, use_threads=False))
-        else:
-            have = [c for c in read_cols if c in pq.read_schema(p).names]
-            tables.append(pq.read_table(p, columns=have, use_threads=False))
+        have = [c for c in read_cols if c in pq.read_schema(p).names]
+        tables.append(pq.read_table(p, columns=have, use_threads=False))
     t = cast_to(merge_versions(tables, drop_tombstones=True, policy=policy), envelope)
     t = t.drop_columns([c for c in LINEAGE_COLS if c in t.column_names])
     out = agg_fn(t)

@@ -36,14 +36,23 @@ class NormalizeEvents:
     schema-registry-refreshing variant can subclass it.
     """
 
-    def __init__(self, target_schema: pa.Schema):
+    def __init__(self, target_schema: pa.Schema, drop: frozenset = frozenset()):
         self.schema = target_schema
+        # columns DROPPED from the table (ingest.drop_columns): incoming
+        # events may still carry them; discard the values instead of
+        # tripping cast_to's extra-column fail-fast (which still guards
+        # genuinely unplanned columns)
+        self.drop = drop
         # drop count of the most recent __call__; read by the ingest map
         # task right after it invokes the stage (one call per chunk), so
         # no cross-call accumulation is needed
         self.last_invalid = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.drop:
+            batch = batch.drop_columns(
+                [c for c in batch.column_names if c in self.drop]
+            )
         valid = pc.and_(
             pc.and_(
                 pc.is_valid(batch.column("conv_id")),

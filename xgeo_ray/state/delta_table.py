@@ -207,6 +207,54 @@ class DeltaTable:
         with open(os.path.join(self.root, TABLE_META)) as f:
             return schema_from_json(json.load(f)["base_schema"])
 
+    # ------------------------------------------------------- dropped columns
+    def dropped_columns(self) -> dict[str, int]:
+        """Column name -> drop epoch (the latest epoch when the drop was
+        issued; the column is hidden at and past it). A drop is a
+        metadata operation (``ingest.drop_columns``): readers at or past
+        the drop epoch never project the column, new WAL data carrying
+        it is ignored, and the next FULL compaction physically erases
+        the bytes. Time travel strictly below the drop epoch still sees
+        it."""
+        with open(os.path.join(self.root, TABLE_META)) as f:
+            raw = json.load(f).get("dropped_columns", {})
+        return {k: int(v) for k, v in raw.items()}
+
+    def _mutate_meta(self, mutate) -> None:
+        p = os.path.join(self.root, TABLE_META)
+        with open(p) as f:
+            meta = json.load(f)
+        mutate(meta)
+        tmp = p + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, p)
+
+    def mark_dropped(self, cols: list[str], from_epoch: int) -> None:
+        """Record ``cols`` as dropped from ``from_epoch`` onward. A
+        re-drop keeps the EARLIEST epoch (idempotent replay)."""
+
+        def _m(meta):
+            d = meta.setdefault("dropped_columns", {})
+            for c in cols:
+                d[c] = min(int(d.get(c, from_epoch)), from_epoch)
+
+        self._mutate_meta(_m)
+
+    def prune_dropped_above(self, epoch: int) -> list[str]:
+        """Forget drops recorded above ``epoch`` — restore's companion:
+        rolling state back below a drop brings the column back."""
+        revived: list[str] = []
+
+        def _m(meta):
+            d = meta.get("dropped_columns", {})
+            for c in [c for c, e in d.items() if int(e) > epoch]:
+                revived.append(c)
+                del d[c]
+
+        self._mutate_meta(_m)
+        return revived
+
     # ------------------------------------------------------------- manifests
     def manifests(self) -> list[Manifest]:
         return read_manifests(self.root, cache=self._manifest_cache)
@@ -338,11 +386,25 @@ class DeltaTable:
         evolution is forward-only, so this is the schema a time-travel
         reader should cast to). A restore rolls the schema back with the
         state (the marker is filtered; the last surviving manifest's
-        schema wins)."""
+        schema wins). Dropped columns (``dropped_columns``) are
+        subtracted at or past their drop epoch — and kept below it, so
+        time travel still reads them from the pre-drop files."""
         ms = self.effective_manifests(as_of_epoch)
-        if ms:
-            return ms[-1].schema()
-        return unify(CHANGE_EVENTS_SCHEMA, self.base_schema())
+        env = (
+            ms[-1].schema()
+            if ms
+            else unify(CHANGE_EVENTS_SCHEMA, self.base_schema())
+        )
+        dropped = self.dropped_columns()
+        if dropped:
+            cut = {
+                c
+                for c, e in dropped.items()
+                if as_of_epoch is None or as_of_epoch >= e
+            }
+            if cut:
+                env = pa.schema([f for f in env if f.name not in cut])
+        return env
 
     def data_schema(self) -> pa.Schema:
         env = self.current_schema()
