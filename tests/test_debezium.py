@@ -177,6 +177,42 @@ def test_cli_debezium(src_table, tmp_path, capsys):
         main(["changes", src.root, out, "--debezium", "--ts-min", "0"])
 
 
+def test_import_infers_schema_past_100_rows(tmp_path):
+    """Regression: a part file leading with >100 creates (before=null)
+    must not pin `before` to a Null dtype — polars' default 100-row
+    inference window did exactly that and the first later delete failed
+    the whole read. The importer scans the full file."""
+    wdir = tmp_path / "feed" / "window=1-1"
+    os.makedirs(wdir)
+    with open(wdir / "part-0.jsonl", "w") as f:
+        for i in range(150):
+            f.write(json.dumps({
+                "before": None,
+                "after": {"conv_id": f"c{i:03d}", "turn_idx": 0,
+                          "role": "user", "text": "x", "tool": None},
+                "op": "c",
+                "source": {"epoch": 1, "seq": i, "ts_us": 1_000_000 + i},
+                "ts_ms": 1000,
+            }) + "\n")
+        f.write(json.dumps({
+            "before": {"conv_id": "c000", "turn_idx": 0,
+                       "role": "user", "text": "x", "tool": None},
+            "after": None,
+            "op": "d",
+            "source": {"epoch": 1, "seq": 200, "ts_us": 2_000_000},
+            "ts_ms": 2000,
+        }) + "\n")
+    groups = ivm.debezium_to_segments(
+        str(tmp_path / "feed"), str(tmp_path / "wal")
+    )
+    assert len(groups) == 1 and len(groups[0]) == 1
+    dst = DeltaTable.create(str(tmp_path / "t"), num_partitions=2)
+    ing.run_stream(dst, [], segment_groups=groups)
+    snap = ing.snapshot(dst).to_pandas()
+    assert len(snap) == 149  # the late delete landed
+    assert "c000" not in set(snap["conv_id"])
+
+
 def test_debezium_roundtrip_ingest(src_table, tmp_path):
     """The interop loop closes: export table A as Debezium JSONL,
     convert the stream back to WAL segments, ingest into a fresh table

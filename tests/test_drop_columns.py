@@ -122,6 +122,25 @@ def test_feed_and_views_after_drop(tmp_path):
     assert len(feed) > 0
 
 
+def test_lookup_after_drop(tmp_path):
+    """Regression: point lookups read delta files written BEFORE the
+    drop (which still hold the column's bytes) and must project them
+    away — unprojected reads tripped cast_to's extra-column fail-fast."""
+    t, segs = _mk(str(tmp_path))
+    ing.run_stream(t, segs, segments_per_epoch=1)
+    snap = _snap(t)
+    cid = snap["conv_id"].iloc[0]
+    want = snap[snap["conv_id"] == cid].drop(columns=["tool"])
+    ing.drop_columns(t, ["tool"])
+    got = ing.lookup(t, cid).to_pandas()
+    assert "tool" not in got.columns
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    many = ing.lookup_many(t, [cid]).to_pandas()
+    assert "tool" not in many.columns and len(many) == len(want)
+
+
 def test_cli_drop_columns(tmp_path, capsys):
     from xgeo_ray.__main__ import main
 

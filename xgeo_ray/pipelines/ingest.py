@@ -2270,7 +2270,16 @@ def lookup(
             # prune this predicate to the few groups holding the key —
             # the read touches O(row-group), not the whole partition
             t = pq.read_table(
-                p, use_threads=False, filters=[("conv_id", "==", conv_id)]
+                p,
+                # project to the envelope: pre-drop files still hold a
+                # dropped column's bytes and cast_to fails on extras
+                columns=[
+                    c
+                    for c in envelope.names
+                    if c in pq.read_schema(p).names
+                ],
+                use_threads=False,
+                filters=[("conv_id", "==", conv_id)],
             )
             if t.num_rows:
                 tables.append(t)
@@ -2301,7 +2310,14 @@ def _lookup_part_task(
     tables = []
     for p in paths:
         t = pq.read_table(
-            p, use_threads=False, filters=[("conv_id", "in", conv_ids)]
+            p,
+            # envelope projection: see lookup() — dropped columns must
+            # not surface from pre-drop files
+            columns=[
+                c for c in envelope.names if c in pq.read_schema(p).names
+            ],
+            use_threads=False,
+            filters=[("conv_id", "in", conv_ids)],
         )
         if t.num_rows:
             tables.append(t)

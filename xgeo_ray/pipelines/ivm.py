@@ -573,7 +573,11 @@ def _debezium_read_task(path: str, out_path: str) -> str | None:
         raw = f.read()
     if not raw.strip():
         return None
-    df = pl.read_ndjson(io.BytesIO(raw))
+    # infer over the WHOLE file: the default 100-row window infers
+    # `before` as Null-typed when the file leads with >100 creates, and
+    # the first later delete then fails the read (non-null value for
+    # NULL-typed column)
+    df = pl.read_ndjson(io.BytesIO(raw), infer_schema_length=None)
     # a window file of only creates infers `before` as Null-typed (no
     # struct fields); only deletes leaves `after` Null-typed. Guard both.
     has_before = isinstance(df.schema.get("before"), pl.Struct)
