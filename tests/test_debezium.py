@@ -175,6 +175,76 @@ def test_cli_debezium(src_table, tmp_path, capsys):
     assert st["rows"] > 0 and cons.position(src, "cli-g") == 4
     with pytest.raises(SystemExit, match="no ts band"):
         main(["changes", src.root, out, "--debezium", "--ts-min", "0"])
+    with pytest.raises(SystemExit, match="requires --debezium"):
+        main(["changes", src.root, out, "--bootstrap"])
+    assert main(
+        ["changes", src.root, out, "--debezium", "--bootstrap"]
+    ) in (0, None)
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st.get("snapshot") and st["upto"] == 4
+    assert os.path.isdir(os.path.join(out, "snapshot=0-4"))
+
+
+def test_export_bootstrap_snapshot_then_stream(src_table, tmp_path):
+    """The standard Debezium handshake: snapshot phase (op='r' full
+    state) then stream windows — a fresh table built from the export
+    equals the source, and the consumer cursor jumps the snapshot."""
+    src, _ = src_table
+    out = str(tmp_path / "bs")
+    g = "bs-group"
+    st = ivm.export_debezium(
+        src, out, consumer=g, upto_epoch=2, bootstrap=True
+    )
+    assert st["snapshot"] and st["upto"] == 2 and not st["skipped"]
+    assert cons.position(src, g) == 2
+    recs = _read_window(os.path.join(out, "snapshot=0-2"))
+    assert len(recs) == st["rows"] > 0
+    state2 = ing.snapshot(src, as_of_epoch=2, keep_lineage=True).to_pandas()
+    assert len(recs) == len(state2)
+    assert all(r["op"] == "r" and r["before"] is None for r in recs)
+    by_key = {
+        (r["after"]["conv_id"], r["after"]["turn_idx"]): r for r in recs
+    }
+    for row in state2.to_dict("records"):
+        r = by_key[(row["conv_id"], row["turn_idx"])]
+        assert r["after"]["text"] == row["text"]
+        assert r["source"]["seq"] == row["seq"]
+    # idempotent replay at the same pin: meta hit, cursor intact
+    st2 = ivm.export_debezium(
+        src, out, consumer=g, upto_epoch=2, bootstrap=True
+    )
+    assert st2["skipped"] and cons.position(src, g) == 2
+    # the stream continues from the snapshot point
+    st3 = ivm.export_debezium(src, out, consumer=g)
+    assert st3["since"] == 2 and st3["upto"] == 4
+
+    # bootstrap + stream import into a fresh table == source state
+    groups = ivm.debezium_to_segments(out, str(tmp_path / "bs_wal"))
+    assert len(groups) == 2  # snapshot=0-2 base, then window 3-4
+    dst = DeltaTable.create(str(tmp_path / "bs_dst"), num_partitions=2)
+    ing.run_stream(dst, [], segment_groups=groups)
+
+    def _state(t):
+        cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        return (
+            ing.snapshot(t).to_pandas()[cols]
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(_state(dst), _state(src), check_dtype=False)
+
+    # a later savepoint (unpinned re-bootstrap at upto=4) becomes the
+    # import BASE: older snapshot + covered window are skipped — vital,
+    # since snapshots carry no tombstones and replaying the old one
+    # first could strand deletes below the seq watermark
+    st4 = ivm.export_debezium(src, out, consumer=g, bootstrap=True)
+    assert st4["upto"] == 4 and not st4["skipped"]
+    groups2 = ivm.debezium_to_segments(out, str(tmp_path / "bs_wal"))
+    assert len(groups2) == 1
+    assert all("dbz-0-4-" in s for s in groups2[0])
+    dst2 = DeltaTable.create(str(tmp_path / "bs_dst2"), num_partitions=2)
+    ing.run_stream(dst2, [], segment_groups=groups2)
+    pd.testing.assert_frame_equal(_state(dst2), _state(src), check_dtype=False)
 
 
 def test_import_infers_schema_past_100_rows(tmp_path):

@@ -195,6 +195,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--consumer", default=None)
     p.add_argument("--gzip", action="store_true")
+    p.add_argument(
+        "--bootstrap",
+        action="store_true",
+        help="with --debezium: export the snapshot phase (full state as "
+        "op='r' records under snapshot=0-U) instead of a change window; "
+        "with --consumer the cursor jumps to U so the next call streams",
+    )
 
     p = sub.add_parser(
         "sync",
@@ -534,9 +541,12 @@ def main(argv: list[str] | None = None) -> int:
                     since_epoch=args.since,
                     upto_epoch=args.upto,
                     gzip=args.gzip,
+                    bootstrap=args.bootstrap,
                 )
                 print(json.dumps(st))
                 return 0
+            if args.bootstrap:
+                raise SystemExit("--bootstrap requires --debezium")
             if args.with_before:
                 if args.ts_min is not None or args.ts_max is not None:
                     raise SystemExit("--with-before has no ts band")

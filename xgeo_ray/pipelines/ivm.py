@@ -390,6 +390,57 @@ def _feed_refs(
 _DBZ_META = "_debezium.json"
 
 
+def _write_ndjson(out, path: str, gz: bool) -> None:
+    """Atomic NDJSON publish shared by the window and snapshot writers
+    (gzip with mtime=0 so identical content means identical bytes)."""
+    import gzip as _gzip
+    import io
+
+    tmp = f"{path}.tmp-{os.getpid()}"
+    if gz:
+        buf = io.BytesIO()
+        out.write_ndjson(buf)
+        with open(tmp, "wb") as f:
+            with _gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as z:
+                z.write(buf.getbuffer())
+            f.flush()
+            os.fsync(f.fileno())
+    else:
+        out.write_ndjson(tmp)
+    os.replace(tmp, path)
+
+
+@ray.remote
+def _debezium_snapshot_write_task(
+    state: pa.Table, payload: list[str], epoch: int, path: str, gz: bool
+) -> int:
+    """Serialize one partition's MERGED STATE as Debezium snapshot-phase
+    records (op='r', before=null — the read-phase convention every
+    Debezium consumer bootstraps from). source.seq/ts_us carry each
+    winner's real WAL position so the following stream windows replay
+    idempotently on top (their seqs are strictly higher)."""
+    import polars as pl
+
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    df = pl.from_arrow(state)
+    key = [pl.col("conv_id"), pl.col("turn_idx")]
+    out = df.select(
+        pl.lit(None).alias("before"),
+        pl.struct(key + [pl.col(c) for c in payload]).alias("after"),
+        pl.lit("r").alias("op"),
+        pl.struct(
+            pl.lit(epoch, dtype=pl.Int64).alias("epoch"),
+            pl.col("seq"),
+            pl.col("ts").dt.epoch("us").alias("ts_us"),
+        ).alias("source"),
+        pl.col("ts").dt.epoch("ms").alias("ts_ms"),
+    )
+    _write_ndjson(out, path, gz)
+    return out.height
+
+
 @ray.remote
 def _debezium_write_task(
     feed: pa.Table, payload: list[str], path: str, gz: bool
@@ -398,9 +449,6 @@ def _debezium_write_task(
     Debezium-envelope NDJSON and publish the file atomically. All
     serialization is vectorized (polars struct columns -> Rust NDJSON
     writer); no per-row Python."""
-    import gzip as _gzip
-    import io
-
     import polars as pl
 
     from xgeo_ray.tuning import limit_worker_threads
@@ -439,18 +487,7 @@ def _debezium_write_task(
         ).alias("source"),
         pl.col("ts").dt.epoch("ms").alias("ts_ms"),
     )
-    tmp = f"{path}.tmp-{os.getpid()}"
-    if gz:
-        buf = io.BytesIO()
-        out.write_ndjson(buf)
-        with open(tmp, "wb") as f:
-            with _gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as z:
-                z.write(buf.getbuffer())
-            f.flush()
-            os.fsync(f.fileno())
-    else:
-        out.write_ndjson(tmp)
-    os.replace(tmp, path)
+    _write_ndjson(out, path, gz)
     return out.height
 
 
@@ -462,6 +499,7 @@ def export_debezium(
     upto_epoch: int | None = None,
     columns: list[str] | None = None,
     gzip: bool = False,
+    bootstrap: bool = False,
 ) -> dict:
     """Export the before/after change feed as standard Debezium-envelope
     JSONL — the lingua-franca CDC format any downstream system (Kafka
@@ -489,6 +527,18 @@ def export_debezium(
     before vacuum outpaces the cursor (``vacuum --respect-consumers``
     pins it automatically).
 
+    ``bootstrap=True`` exports the Debezium SNAPSHOT PHASE instead of a
+    change window: the table's full merged state at ``upto`` as op='r'
+    (read) records under ``out_dir/snapshot=0-<upto>/`` — the standard
+    bootstrap-then-follow handshake. Each record's source.seq/ts_us is
+    the winner's real WAL position, so following stream windows replay
+    idempotently on top (their seqs are strictly higher — the same
+    watermark argument the importer relies on). With ``consumer`` the
+    cursor advances to ``upto``, so the next plain call exports the
+    stream from there. Re-snapshotting later is legal (a savepoint):
+    the importer bootstraps from the NEWEST snapshot and skips every
+    directory it covers, so mixed snapshot + window dirs converge.
+
     Scale shape: serialization cost rides the same one-task-per-touched-
     partition plan as the feed itself; JSON bytes never visit the
     driver. No counterpart in the reference (stateless CLI,
@@ -503,6 +553,10 @@ def export_debezium(
         upto = max(eff_epochs, default=0)
     else:
         upto = max((e for e in eff_epochs if e <= upto_epoch), default=0)
+    if bootstrap:
+        return _export_debezium_snapshot(
+            table, out_dir, consumer, upto, columns, gzip
+        )
     if upto <= since_epoch:
         return {"rows": 0, "since": since_epoch, "upto": since_epoch,
                 "files": [], "skipped": False}
@@ -544,6 +598,85 @@ def export_debezium(
         "since": since_epoch,
         "upto": upto,
         "rows": int(sum(counts)),
+        "files": [os.path.basename(p) for p in files],
+    }
+    tmp = meta_path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, meta_path)
+    if consumer is not None:
+        cons.ack(table, consumer, upto)
+    return {**meta, "skipped": False}
+
+
+def _export_debezium_snapshot(
+    table: DeltaTable,
+    out_dir: str,
+    consumer: str | None,
+    upto: int,
+    columns: list[str] | None,
+    gz: bool,
+) -> dict:
+    """The snapshot (bootstrap) phase of ``export_debezium``: one merged
+    op='r' file per partition under ``snapshot=0-<upto>/``. Same crash
+    contract as windows: files -> meta -> ack; a partial directory is
+    wiped and rewritten, a completed one is skipped and re-acked."""
+    from xgeo_ray.pipelines.ingest import _MERGE_COLS, _merge_part_task
+    from xgeo_ray.stages.collapse import MERGE_POLICIES
+    from xgeo_ray.state import consumers as cons
+    from xgeo_ray.state.delta_table import LINEAGE_COLS
+
+    snap_dir = os.path.join(out_dir, f"snapshot=0-{upto}")
+    meta_path = os.path.join(snap_dir, _DBZ_META)
+    params = {"columns": columns, "gzip": gz}
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if {k: meta[k] for k in params} != params:
+            raise ValueError(
+                f"debezium snapshot {snap_dir} was exported with "
+                f"different parameters ({ {k: meta[k] for k in params} } "
+                f"!= {params}); use a fresh out_dir"
+            )
+        if consumer is not None:
+            cons.ack(table, consumer, upto)  # monotone: never rewinds
+        return {**meta, "skipped": True}
+    if os.path.isdir(snap_dir):  # crashed mid-snapshot: wipe, rewrite
+        import shutil
+
+        shutil.rmtree(snap_dir)
+    os.makedirs(snap_dir)
+    envelope = table.current_schema(upto)
+    payload = [
+        f.name
+        for f in envelope
+        if f.name not in _MERGE_COLS
+        and f.name not in LINEAGE_COLS
+        and (columns is None or f.name in columns)
+    ]
+    plan = table.partition_files(as_of_epoch=upto) if upto else {}
+    policy_fn = MERGE_POLICIES[table.merge_policy]["fn"]
+    cols = ["conv_id", "turn_idx", "seq", "ts"] + payload
+    ext = ".jsonl.gz" if gz else ".jsonl"
+    refs, files = [], []
+    for part, paths in sorted(plan.items()):
+        # keep_lineage=True so `seq` (a lineage column) survives the
+        # merge; the trailing column select drops `op` anyway
+        state = _merge_part_task.remote(
+            paths, envelope, True, policy_fn, cols, None
+        )
+        path = os.path.join(snap_dir, f"part-{part}{ext}")
+        refs.append(
+            _debezium_snapshot_write_task.remote(state, payload, upto, path, gz)
+        )
+        files.append(path)
+    counts = ray.get(refs)
+    meta = {
+        **params,
+        "since": 0,
+        "upto": upto,
+        "rows": int(sum(counts)),
+        "snapshot": True,
         "files": [os.path.basename(p) for p in files],
     }
     tmp = meta_path + f".tmp-{os.getpid()}"
@@ -601,9 +734,10 @@ def _debezium_read_task(path: str, out_path: str) -> str | None:
         pl.col("source").struct.field("seq").cast(pl.Int64).alias("seq"),
         pl.when(pl.col("op") == "d")
         .then(pl.lit("D"))
-        .when(pl.col("op") == "c")
-        .then(pl.lit("I"))
-        .otherwise(pl.lit("U"))
+        .when(pl.col("op") == "u")
+        .then(pl.lit("U"))
+        # 'c' (create) and 'r' (snapshot read) are full images -> 'I'
+        .otherwise(pl.lit("I"))
         .alias("op"),
         _key("conv_id").alias("conv_id"),
         _key("turn_idx").alias("turn_idx"),
@@ -633,10 +767,22 @@ def debezium_to_segments(in_dir: str, wal_dir: str) -> list[list[str]]:
     """Import a Debezium-envelope JSONL stream (the layout
     ``export_debezium`` writes, or any compatible per-window feed) as
     WAL parquet segments — the interop path for following ANOTHER
-    system's CDC stream into a table here. Mapping: ``op`` c→I, u→U,
-    d→D (keys from the before image); ``source.seq``→seq,
-    ``source.ts_us``→ts; after-image fields become payload columns
-    (missing ones null-fill in normalize).
+    system's CDC stream into a table here. Mapping: ``op`` c→I, r→I
+    (snapshot-phase reads are full images), u→U, d→D (keys from the
+    before image); ``source.seq``→seq, ``source.ts_us``→ts; after-image
+    fields become payload columns (missing ones null-fill in
+    normalize). Snapshot directories (``snapshot=0-U``, from
+    ``export_debezium(bootstrap=True)``) bootstrap the import: the
+    LATEST one is the base — it replays first, and every directory it
+    fully covers (upto <= U: older snapshots AND already-folded stream
+    windows) is skipped, exactly how a Debezium consumer treats the
+    snapshot phase. Skipping is load-bearing, not an optimization:
+    snapshots carry no tombstones, so replaying an OLDER snapshot first
+    could create keys whose later deletes land at-or-below the sink's
+    seq watermark and silently drop — the newest snapshot already
+    reflects those deletes. A window straddling the base (a <= U < b)
+    replays after it: its covered rows drop as replays, its tail
+    applies.
 
     Returns one GROUP of segment paths per window, window-ascending —
     feed them to ``run_stream(table, [], segment_groups=groups)`` so
@@ -661,10 +807,16 @@ def debezium_to_segments(in_dir: str, wal_dir: str) -> list[list[str]]:
 
     os.makedirs(wal_dir, exist_ok=True)
     windows = []
+    snaps = []
     for name in os.listdir(in_dir):
-        m = _re.match(r"^window=(\d+)-(\d+)$", name)
+        m = _re.match(r"^(window|snapshot)=(\d+)-(\d+)$", name)
         if m and os.path.isdir(os.path.join(in_dir, name)):
-            windows.append((int(m.group(1)), int(m.group(2)), name))
+            row = (int(m.group(2)), int(m.group(3)), name)
+            (snaps if m.group(1) == "snapshot" else windows).append(row)
+    if snaps:
+        base = max(snaps, key=lambda s: s[1])
+        # the newest snapshot folds everything at-or-below its upto
+        windows = [base] + [w for w in windows if w[1] > base[1]]
     jobs: list[list[tuple[str, str] | str]] = []
     for a, b, name in sorted(windows):
         parts = sorted(
