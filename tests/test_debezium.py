@@ -184,6 +184,15 @@ def test_cli_debezium(src_table, tmp_path, capsys):
     assert st.get("snapshot") and st["upto"] == 4
     assert os.path.isdir(os.path.join(out, "snapshot=0-4"))
 
+    # the import side closes the loop from the CLI too
+    dst = DeltaTable.create(str(tmp_path / "cli_dst"), num_partitions=2)
+    assert main(
+        ["import-debezium", dst.root, out, str(tmp_path / "cli_wal")]
+    ) in (0, None)
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["epochs"] and st["events"] > 0
+    assert ing.snapshot(dst).count() == ing.snapshot(src).count()
+
 
 def test_export_bootstrap_snapshot_then_stream(src_table, tmp_path):
     """The standard Debezium handshake: snapshot phase (op='r' full
@@ -245,6 +254,53 @@ def test_export_bootstrap_snapshot_then_stream(src_table, tmp_path):
     dst2 = DeltaTable.create(str(tmp_path / "bs_dst2"), num_partitions=2)
     ing.run_stream(dst2, [], segment_groups=groups2)
     pd.testing.assert_frame_equal(_state(dst2), _state(src), check_dtype=False)
+
+
+def test_tail_debezium_follows_live_feed(src_table, tmp_path):
+    """The live CDC-import half: the tailer ingests committed windows as
+    they land, never touches a window whose commit marker is missing
+    (mid-write exporter race), and a restarted tailer resumes
+    exactly-once off run_stream's committed-segment cursor."""
+    src, _ = src_table
+    out = str(tmp_path / "feed")
+    wal = str(tmp_path / "wal")
+    dst = DeltaTable.create(str(tmp_path / "dst"), num_partitions=2)
+
+    # a mid-write window (files, no _debezium.json) must be invisible
+    fake = os.path.join(out, "window=1-9")
+    os.makedirs(fake)
+    with open(os.path.join(fake, "part-0.jsonl"), "w") as f:
+        f.write(json.dumps({
+            "before": None,
+            "after": {"conv_id": "ghost", "turn_idx": 0, "role": "u",
+                      "text": "partial", "tool": None},
+            "op": "c", "source": {"epoch": 9, "seq": 10**9, "ts_us": 1},
+            "ts_ms": 0,
+        }) + "\n")
+    ms = ivm.tail_debezium(out, dst, wal, poll_interval_s=0.01,
+                           idle_polls_to_stop=2)
+    assert ms == [] and ing.snapshot(dst).count() == 0
+    import shutil
+    shutil.rmtree(fake)
+
+    ivm.export_debezium(src, out, upto_epoch=2)
+    ms1 = ivm.tail_debezium(out, dst, wal, poll_interval_s=0.01,
+                            idle_polls_to_stop=2)
+    assert len(ms1) == 1
+    ivm.export_debezium(src, out, since_epoch=2)
+    ms2 = ivm.tail_debezium(out, dst, wal, poll_interval_s=0.01,
+                            idle_polls_to_stop=2)
+    assert len(ms2) == 1
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    a = (ing.snapshot(src).to_pandas()[cols]
+         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    b = (ing.snapshot(dst).to_pandas()[cols]
+         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(b, a, check_dtype=False)
+    # caught up: another tailer run commits nothing
+    assert ivm.tail_debezium(out, dst, wal, poll_interval_s=0.01,
+                             idle_polls_to_stop=1) == []
 
 
 def test_import_infers_schema_past_100_rows(tmp_path):

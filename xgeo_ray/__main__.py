@@ -156,6 +156,24 @@ def main(argv: list[str] | None = None) -> int:
         help="stop after this many empty polls (default: run forever)",
     )
 
+    p = sub.add_parser(
+        "import-debezium",
+        help="ingest a Debezium-envelope JSONL feed (snapshot + window "
+        "dirs) — one epoch per window, exactly-once resume; --follow "
+        "keeps polling for newly committed windows",
+    )
+    p.add_argument("table")
+    p.add_argument("in_dir")
+    p.add_argument("wal_dir", help="where converted parquet segments land")
+    p.add_argument("--follow", action="store_true")
+    p.add_argument("--poll-interval", type=float, default=0.5)
+    p.add_argument(
+        "--idle-polls-to-stop",
+        type=int,
+        default=None,
+        help="with --follow: stop after this many empty polls",
+    )
+
     p = sub.add_parser("compact", help="fold each partition into one file")
     p.add_argument("table")
     p.add_argument("--tombstone-ts-horizon", type=int, default=None)
@@ -448,6 +466,36 @@ def main(argv: list[str] | None = None) -> int:
                         "epochs": [m.epoch for m in ms],
                         "events_read": sum(
                             m.totals.get("events_read", 0) for m in ms
+                        ),
+                    }
+                )
+            )
+        elif args.cmd == "import-debezium":
+            from xgeo_ray.pipelines import ivm
+
+            if args.follow:
+                ms = ivm.tail_debezium(
+                    args.in_dir,
+                    table,
+                    args.wal_dir,
+                    poll_interval_s=args.poll_interval,
+                    idle_polls_to_stop=args.idle_polls_to_stop,
+                )
+            else:
+                groups = ivm.debezium_to_segments(
+                    args.in_dir, args.wal_dir, require_meta=True
+                )
+                ms = (
+                    ing.run_stream(table, [], segment_groups=groups)
+                    if groups
+                    else []
+                )
+            print(
+                json.dumps(
+                    {
+                        "epochs": [m.epoch for m in ms],
+                        "events": sum(
+                            m.totals.get("applied", 0) for m in ms
                         ),
                     }
                 )

@@ -763,7 +763,9 @@ def _debezium_read_task(path: str, out_path: str) -> str | None:
     return out_path
 
 
-def debezium_to_segments(in_dir: str, wal_dir: str) -> list[list[str]]:
+def debezium_to_segments(
+    in_dir: str, wal_dir: str, require_meta: bool = False
+) -> list[list[str]]:
     """Import a Debezium-envelope JSONL stream (the layout
     ``export_debezium`` writes, or any compatible per-window feed) as
     WAL parquet segments — the interop path for following ANOTHER
@@ -799,6 +801,15 @@ def debezium_to_segments(in_dir: str, wal_dir: str) -> list[list[str]]:
     conversion is deterministic). One Ray task per file; JSON bytes
     never visit the driver.
 
+    ``require_meta=True`` consumes only directories whose
+    ``_debezium.json`` commit marker exists — mandatory when RACING a
+    live exporter (``tail_debezium`` sets it): a window mid-write would
+    otherwise convert partially, and since segment conversion is
+    keep-if-exists, the stale partial conversion would pin forever even
+    after the exporter wipes and rewrites the window. Leave it False
+    only for foreign feeds that are complete-on-arrival and write no
+    marker.
+
     Roundtrip: ``export_debezium`` of table A ingested here into table
     B yields ``snapshot(B) == snapshot(A)`` (epoch-effective images
     replayed in seq order converge under LWW — certified in
@@ -811,6 +822,10 @@ def debezium_to_segments(in_dir: str, wal_dir: str) -> list[list[str]]:
     for name in os.listdir(in_dir):
         m = _re.match(r"^(window|snapshot)=(\d+)-(\d+)$", name)
         if m and os.path.isdir(os.path.join(in_dir, name)):
+            if require_meta and not os.path.isfile(
+                os.path.join(in_dir, name, _DBZ_META)
+            ):
+                continue
             row = (int(m.group(2)), int(m.group(3)), name)
             (snaps if m.group(1) == "snapshot" else windows).append(row)
     if snaps:
@@ -850,6 +865,56 @@ def debezium_to_segments(in_dir: str, wal_dir: str) -> list[list[str]]:
         if segs:
             out.append(segs)
     return out
+
+
+def tail_debezium(
+    in_dir: str,
+    sink: "DeltaTable",
+    wal_dir: str,
+    poll_interval_s: float = 0.5,
+    idle_polls_to_stop: int | None = None,
+    transform=None,
+    on_commit=None,
+) -> list:
+    """Follow another system's Debezium-envelope feed LIVE: poll
+    ``in_dir`` for newly COMMITTED window/snapshot directories
+    (``require_meta`` — the exporter's ``_debezium.json`` is the commit
+    marker, so a window mid-write is never half-ingested), convert the
+    new files, and ingest each window as one epoch. The live half of
+    the CDC-import story (``debezium_to_segments`` + ``run_stream`` is
+    the one-shot/resume half; both share run_stream's committed-segment
+    cursor, so a restarted tailer continues exactly-once — the whole
+    group list is re-offered every poll and already-committed files are
+    skipped per-file).
+
+    ``on_commit(manifests, sink)`` fires after each poll that committed
+    epochs — the hook point for chaining incremental views off the
+    imported stream (hooks derive their own cursors, same contract as
+    ``ingest.tail``). ``idle_polls_to_stop`` bounds the loop for tests /
+    batch drains (None = run forever)."""
+    import time as _time
+
+    from xgeo_ray.pipelines.ingest import run_stream
+
+    committed: list = []
+    idle = 0
+    while True:
+        groups = debezium_to_segments(in_dir, wal_dir, require_meta=True)
+        ms = (
+            run_stream(sink, [], segment_groups=groups, transform=transform)
+            if groups
+            else []
+        )
+        if ms:
+            committed.extend(ms)
+            idle = 0
+            if on_commit is not None:
+                on_commit(ms, sink)
+        else:
+            idle += 1
+            if idle_polls_to_stop is not None and idle >= idle_polls_to_stop:
+                return committed
+            _time.sleep(poll_interval_s)
 
 
 # ------------------------------------------------------------------
