@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -86,6 +87,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("wal_dir")
     p.add_argument("--segment-rows", type=int, default=262_144)
+
+    p = sub.add_parser(
+        "demux",
+        help="route a multi-table WAL into per-route WAL directories "
+        "(one table's stream each; exactly-once per segment, resumable)",
+    )
+    p.add_argument("wal_dir", help="directory of interleaved segments")
+    p.add_argument("out_root")
+    p.add_argument("--route-col", default="table")
+    p.add_argument("--keep-route-col", action="store_true")
 
     p = sub.add_parser("bootstrap", help="load a base parquet as epoch-1 inserts")
     p.add_argument("table")
@@ -428,6 +439,29 @@ def main(argv: list[str] | None = None) -> int:
             n += t.num_rows
         w.close()
         print(json.dumps({"rows": n, "next_segment": w._next_idx}))
+        return 0
+
+    if args.cmd == "demux":  # no table: stream-level routing
+        from xgeo_ray.sources.demux import demux_wal
+        from xgeo_ray.sources.wal import is_supported_segment
+
+        _init_ray()
+        segs = sorted(
+            os.path.join(args.wal_dir, n)
+            for n in os.listdir(args.wal_dir)
+            if is_supported_segment(n)
+        )
+        routed = demux_wal(
+            segs,
+            args.out_root,
+            route_col=args.route_col,
+            keep_route_col=args.keep_route_col,
+        )
+        print(
+            json.dumps(
+                {r: len(paths) for r, paths in sorted(routed.items())}
+            )
+        )
         return 0
 
     if args.cmd == "create":
