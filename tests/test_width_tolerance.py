@@ -55,6 +55,29 @@ def test_wal_writer_scan_past_segment_99999(tmp_path):
     assert next_seq == 4
 
 
+def test_manifests_visible_and_ordered_past_epoch_999999(tmp_path):
+    """Manifests past epoch 999999 widen to 7 digits: the scanner must
+    still see them AND return them in numeric order ("1000000" sorts
+    lexicographically BEFORE "999999") — a fixed-width or
+    name-sorted scan stalls latest_epoch() and the next commit
+    collides with a committed epoch."""
+    from xgeo_ray.state.manifest import manifest_path, read_manifests
+
+    t = _tiny_table(tmp_path)
+    src = manifest_path(t.root, 1)
+    with open(src) as f:
+        base = json.load(f)
+    for e in (999_999, 1_000_000):
+        m = dict(base)
+        m["epoch"] = e
+        with open(manifest_path(t.root, e), "w") as f:
+            json.dump(m, f)
+    ms = read_manifests(t.root)
+    epochs = [m.epoch for m in ms]
+    assert epochs == sorted(epochs) and epochs[-2:] == [999_999, 1_000_000]
+    assert DeltaTable.open(t.root).latest_epoch() == 1_000_000
+
+
 def test_sniff_jsonl_with_multi_mb_first_record(tmp_path):
     # first JSONL record exceeds 1 MiB: the sniffer must keep reading
     # to the first newline, see a complete record + more content, and

@@ -122,7 +122,12 @@ class Manifest:
 
 
 MANIFEST_DIR = "manifests"
-_NAME_RE = re.compile(r"^epoch=(\d{6})\.json$")
+# Width-TOLERANT (\d{6,}): manifest_path zero-pads to 6 digits but
+# epochs past 999999 widen the filename (~6 days of sub-second tailing);
+# a fixed-width match would silently stop seeing newer manifests —
+# latest_epoch() stalls and the next commit collides with a committed
+# epoch. Same fail-open class as DELTA_FILENAME_RE / _ACK_RE / _SEG_RE.
+_NAME_RE = re.compile(r"^epoch=(\d{6,})\.json$")
 
 
 def manifest_path(root: str, epoch: int) -> str:
@@ -167,9 +172,14 @@ def read_manifests(
     if not os.path.isdir(d):
         return []
     out = []
-    for name in sorted(os.listdir(d)):
-        if not _NAME_RE.match(name):
-            continue
+    # sort NUMERICALLY by the parsed epoch: lexicographic filename order
+    # inverts at the 6->7 digit width change ("1000000" < "999999")
+    named = []
+    for name in os.listdir(d):
+        m = _NAME_RE.match(name)
+        if m:
+            named.append((int(m.group(1)), name))
+    for _, name in sorted(named):
         if cache is not None and name in cache:
             out.append(cache[name])
             continue
