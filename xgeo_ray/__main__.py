@@ -265,6 +265,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("table")
     p.add_argument("conv_id", nargs="+")
     p.add_argument("--turn", type=int, default=None)
+    p.add_argument(
+        "--history",
+        action="store_true",
+        help="every readable committed version (op/seq/_epoch kept, "
+        "tombstones visible) instead of the merged winner",
+    )
 
     p = sub.add_parser(
         "vacuum", help="delete delta files superseded by a committed compaction"
@@ -277,6 +283,23 @@ def main(argv: list[str] | None = None) -> int:
         "group has not acked them (default keeps them; fsck then "
         "reports the gap as a warning)",
     )
+    p.add_argument(
+        "--no-respect-tags",
+        action="store_true",
+        help="reclaim files only a TAGGED epoch still references "
+        "(default keeps every tagged epoch readable)",
+    )
+
+    p = sub.add_parser(
+        "tag",
+        help="named savepoints: tag NAME tags the latest (or --epoch) "
+        "committed epoch; omit NAME to list; --delete removes (vacuum "
+        "keeps tagged epochs readable until then)",
+    )
+    p.add_argument("table")
+    p.add_argument("name", nargs="?", default=None)
+    p.add_argument("--epoch", type=int, default=None)
+    p.add_argument("--delete", action="store_true")
 
     p = sub.add_parser(
         "reshard",
@@ -480,7 +503,7 @@ def main(argv: list[str] | None = None) -> int:
     from xgeo_ray.pipelines import ingest as ing
 
     if args.cmd not in (
-        "get", "status", "vacuum", "fsck", "clone", "drop-columns"
+        "get", "status", "vacuum", "fsck", "clone", "drop-columns", "tag"
     ):
         _init_ray()  # these are inline metadata/file ops — no cluster
     try:
@@ -654,11 +677,28 @@ def main(argv: list[str] | None = None) -> int:
                     ing.vacuum(
                         table,
                         respect_consumers=not args.no_respect_consumers,
+                        respect_tags=not args.no_respect_tags,
                     )
                 )
             )
+        elif args.cmd == "tag":
+            from xgeo_ray.state import tags as tg
+
+            if args.name is None:
+                print(json.dumps(tg.tags(table)))
+            elif args.delete:
+                print(json.dumps({"deleted": tg.delete_tag(table, args.name)}))
+            else:
+                e = tg.tag(table, args.name, epoch=args.epoch)
+                print(json.dumps({"tag": args.name, "epoch": e}))
         elif args.cmd == "get":
-            if len(args.conv_id) == 1:
+            if args.history:
+                if len(args.conv_id) != 1:
+                    raise SystemExit("--history takes a single conv_id")
+                t = ing.key_history(
+                    table, args.conv_id[0], turn_idx=args.turn
+                )
+            elif len(args.conv_id) == 1:
                 t = ing.lookup(table, args.conv_id[0], turn_idx=args.turn)
             else:
                 if args.turn is not None:

@@ -2396,6 +2396,87 @@ def lookup_many(
     return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
 
 
+def key_history(
+    table: DeltaTable,
+    conv_id: str,
+    turn_idx: int | None = None,
+    as_of_epoch: int | None = None,
+) -> pa.Table:
+    """Every readable committed VERSION of one conversation (optionally
+    one turn), epoch-stamped — the audit/debug complement of ``lookup``
+    (which merges to the current winner) and ``changes`` (whole-table
+    feed): "who wrote this turn, when, and what did each write say".
+
+    Reads only the key's <= num_salts partition chains (bloom- and
+    row-group-pruned like ``lookup``), inline on the caller — no table
+    scan, no merge. Rows keep ``op`` and ``seq`` (tombstones VISIBLE:
+    a delete is part of the history) plus ``_epoch`` (the committing
+    epoch parsed from the delta filename) and ``_folded`` (True for
+    rows served by a compaction file — their pre-fold per-epoch detail
+    was absorbed at that epoch; on ``history="full"`` tables folds are
+    version-preserving, so every distinct (key, seq) version survives
+    with full fidelity, while collapsed tables retain per-epoch
+    winners until a fold and the folded winner after). The readable
+    horizon is the vacuum cadence — pin an epoch with a tag
+    (state/tags.py) to hold history open. Ascends by
+    (turn_idx, seq)."""
+    from xgeo_ray.partition import bloom_may_contain, compute_part_key
+    from xgeo_ray.state.delta_table import DELTA_FILENAME_RE
+
+    salts = np.arange(max(1, table.num_salts), dtype=np.int64)
+    probe_turns = pa.array(
+        salts if turn_idx is None else np.full(len(salts), turn_idx, np.int64),
+        pa.int64(),
+    )
+    parts = {
+        int(p)
+        for p in compute_part_key(
+            pa.array([conv_id] * len(salts)),
+            probe_turns,
+            table.num_partitions,
+            table.num_salts,
+        )
+    }
+    plan = table.partition_files(as_of_epoch)
+    blooms = table.file_blooms()
+    envelope = table.current_schema(as_of_epoch)
+    out_schema = envelope.append(pa.field("_epoch", pa.int64())).append(
+        pa.field("_folded", pa.bool_())
+    )
+    tables = []
+    for part in sorted(parts):
+        for p in plan.get(part, []):
+            if p in blooms and not bloom_may_contain(blooms[p], [conv_id])[0]:
+                continue
+            t = pq.read_table(
+                p,
+                columns=[
+                    c for c in envelope.names if c in pq.read_schema(p).names
+                ],
+                use_threads=False,
+                filters=[("conv_id", "==", conv_id)],
+            )
+            if not t.num_rows:
+                continue
+            name = os.path.basename(p)
+            m = DELTA_FILENAME_RE.match(name)
+            ep = int(m.group(1)) if m else -1
+            t = cast_to(t, envelope)
+            n = t.num_rows
+            t = t.append_column(
+                "_epoch", pa.array(np.full(n, ep, np.int64))
+            ).append_column(
+                "_folded", pa.array([name.startswith("compact-")] * n)
+            )
+            tables.append(t)
+    if not tables:
+        return out_schema.empty_table()
+    t = pa.concat_tables(tables)
+    if turn_idx is not None:
+        t = t.filter(pc.equal(t.column("turn_idx").cast(pa.int64()), turn_idx))
+    return t.sort_by([("turn_idx", "ascending"), ("seq", "ascending")])
+
+
 def compact(
     table: DeltaTable,
     tombstone_ts_horizon: int | None = None,
@@ -2521,7 +2602,11 @@ def compact(
     )
 
 
-def vacuum(table: DeltaTable, respect_consumers: bool = True) -> dict:
+def vacuum(
+    table: DeltaTable,
+    respect_consumers: bool = True,
+    respect_tags: bool = True,
+) -> dict:
     """Delete partition files superseded by a committed compaction —
     the storage-reclaim half of compact() (which rewrites but never
     deletes, so a long-running table otherwise accumulates every epoch's
@@ -2551,7 +2636,13 @@ def vacuum(table: DeltaTable, respect_consumers: bool = True) -> dict:
     never acks then blocks reclaim indefinitely; drop the group or pass
     ``respect_consumers=False`` to override — fsck will then surface
     the consumer gap as a WARNING (not corruption) until the group
-    catches up or is dropped."""
+    catches up or is dropped.
+
+    ``respect_tags`` (DEFAULT): also keep every file visible as of any
+    TAGGED epoch (state/tags.py), so
+    ``snapshot(as_of_epoch=tags[name])`` stays readable across
+    compact + vacuum until the tag is deleted — named savepoints are a
+    retention guarantee, not a hint."""
     import re as _re
 
     keep_after = None
@@ -2564,6 +2655,12 @@ def vacuum(table: DeltaTable, respect_consumers: bool = True) -> dict:
         for paths in table.partition_files().values()
         for p in paths
     }
+    if respect_tags:
+        from xgeo_ray.state import tags as _tags
+
+        for e in set(_tags.tags(table).values()):
+            for paths in table.partition_files(as_of_epoch=e).values():
+                visible.update(os.path.abspath(p) for p in paths)
     if keep_after is not None:
         # protect the committed (manifest-referenced) delta files of
         # epochs an unacked consumer still needs — losing-attempt token
