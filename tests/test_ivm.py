@@ -852,3 +852,54 @@ def test_read_minmax_view_rejects_other_view_shapes(src_table, tmp_path):
     )
     with pytest.raises(ValueError, match="not a sync_minmax"):
         ivm.read_minmax_view(agg)
+
+
+def test_sync_agg_event_time_buckets(src_table, tmp_path):
+    """Tumbling event-time window view: grouping on a ts-derived bucket
+    is retraction-sound because the feed exposes each image's OWN ts
+    (_before_ts for the before image) — an updated key retracts from
+    the window its old version lived in."""
+    src, _ = src_table
+    view = str(tmp_path / "bucket_view")
+
+    def _want(epoch):
+        df = ing.snapshot(src, as_of_epoch=epoch).to_pandas()
+        return (
+            df.assign(bucket=df["ts"].dt.floor("ms"))
+            .groupby("bucket", dropna=False)
+            .agg(n=("bucket", "size"))
+            .reset_index()
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+
+    def _got():
+        return (
+            ivm.read_agg_view(view)
+            .to_pandas()
+            .sort_values("bucket")
+            .reset_index(drop=True)
+            .astype({"n": "int64"})
+        )
+
+    # incremental: epochs 1-2, then 3-4 — the second sync carries
+    # cross-bucket moves (updates re-ts keys into later milliseconds)
+    ivm.sync_agg(
+        src,
+        view,
+        group_by=["bucket"],
+        derive=ivm.time_bucket_derive("millisecond"),
+        derive_id="bucket-ms",
+        columns=[],
+        upto_epoch=2,
+    )
+    pd.testing.assert_frame_equal(_got(), _want(2))
+    ivm.sync_agg(
+        src,
+        view,
+        group_by=["bucket"],
+        derive=ivm.time_bucket_derive("millisecond"),
+        derive_id="bucket-ms",
+        columns=[],
+    )
+    pd.testing.assert_frame_equal(_got(), _want(4))

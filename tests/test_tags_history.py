@@ -122,6 +122,16 @@ def test_key_history_collapsed_epochs(tmp_path):
     assert set(h["seq"]).issubset(set(own["seq"]))
 
 
+def test_tags_travel_with_clone(tmp_path):
+    t, _ = _mk(str(tmp_path), n=200, n_segments=2)
+    tg.tag(t, "v1", epoch=1)
+    c = ing.clone_table(t, str(tmp_path / "clone"))
+    assert tg.tags(c) == {"v1": 1}
+    # pins are independent per side
+    tg.delete_tag(c, "v1")
+    assert tg.tags(t) == {"v1": 1} and tg.tags(c) == {}
+
+
 def test_cli_tag_and_history(tmp_path, capsys):
     from xgeo_ray.__main__ import main
 
@@ -139,6 +149,23 @@ def test_cli_tag_and_history(tmp_path, capsys):
     assert main(["get", t.root, cid, "--history"]) in (0, None)
     rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rows and all("_epoch" in r and "op" in r for r in rows)
+    # restore accepts the tag name as the target
+    want1 = (
+        ing.snapshot(t, as_of_epoch=1)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert main(["restore", t.root, "v1", "--force"]) in (0, None)
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["restored_to"] == 1
+    got = (
+        ing.snapshot(DeltaTable.open(t.root))
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want1)
     assert main(["tag", t.root, "v1", "--delete"]) in (0, None)
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {
         "deleted": True

@@ -360,7 +360,10 @@ def main(argv: list[str] | None = None) -> int:
         "(metadata-only; rolled-back WAL segments become re-ingestable)",
     )
     p.add_argument("table")
-    p.add_argument("to_epoch", type=int)
+    p.add_argument(
+        "to_epoch",
+        help="a committed epoch number, or a tag name (state/tags.py)",
+    )
     p.add_argument(
         "--force",
         action="store_true",
@@ -786,10 +789,16 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         elif args.cmd == "restore":
-            m = ing.restore(table, args.to_epoch, force=args.force)
+            if args.to_epoch.isdigit():
+                target = int(args.to_epoch)
+            else:
+                from xgeo_ray.state import tags as tg
+
+                target = tg.resolve(table, args.to_epoch)
+            m = ing.restore(table, target, force=args.force)
             print(
                 json.dumps(
-                    {"restored_to": args.to_epoch, "restore_epoch": m.epoch}
+                    {"restored_to": target, "restore_epoch": m.epoch}
                 )
             )
         elif args.cmd == "rewind":

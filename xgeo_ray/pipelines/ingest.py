@@ -1792,6 +1792,18 @@ def clone_table(
             for n in files:
                 rel = os.path.relpath(os.path.join(root_dir, n), source.root)
                 _link(rel)
+    # tags describe the manifest history, which the clone copies — they
+    # travel (and keep pinning vacuum retention independently on each
+    # side); consumers/leases are PROCESS state and do not
+    src_tags = os.path.join(source.root, "tags")
+    if os.path.isdir(src_tags):
+        os.makedirs(os.path.join(dest_root, "tags"), exist_ok=True)
+        for n in sorted(os.listdir(src_tags)):
+            if n.endswith(".json"):
+                _shutil.copy2(
+                    os.path.join(src_tags, n),
+                    os.path.join(dest_root, "tags", n),
+                )
     return DeltaTable.open(dest_root)
 
 

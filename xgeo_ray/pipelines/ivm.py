@@ -104,6 +104,11 @@ def _feed_schema(envelope: pa.Schema, payload: list[str]) -> pa.Schema:
     fields += [
         pa.field(BEFORE_PREFIX + c, by_name[c].type) for c in payload
     ]
+    # the BEFORE VERSION'S OWN event time (top-level `ts` is the after
+    # version's): together they make `ts` a per-image column, so
+    # retraction consumers (sync_agg with a time-bucket derive) retract
+    # from the bucket the old version lived in, not the new one
+    fields += [pa.field(BEFORE_PREFIX + "ts", by_name["ts"].type)]
     fields += [
         pa.field("_before_exists", pa.bool_()),
         pa.field("_after_exists", pa.bool_()),
@@ -278,6 +283,9 @@ def _before_after_task(
             cols[BEFORE_PREFIX + c] = _null_where(
                 before.column(c), before_dead
             )
+        cols[BEFORE_PREFIX + "ts"] = _null_where(
+            before.column("ts"), before_dead
+        )
         cols["_before_exists"] = pc.invert(before_dead)
         cols["_after_exists"] = pc.invert(after_dead)
         outs.append(
@@ -331,7 +339,11 @@ def changes_with_before(
     event-literal: a change that loses LWW to existing state emits
     ``before == after`` (its retraction and addition cancel downstream);
     on additive tables the images are the accumulated sums before/after
-    the epoch. ``op``/``ts``/``seq`` are the after image's winner row.
+    the epoch. ``op``/``ts``/``seq`` are the after image's winner row;
+    ``_before_ts`` is the BEFORE version's own event time — making
+    ``ts`` a per-image column, so event-time consumers (e.g. a
+    time-bucketed ``sync_agg``) retract from the window the old version
+    lived in.
 
     One task per TOUCHED partition; the as-of-``since_epoch`` state is
     read filtered to the window's touched conv_ids, so cost tracks the
@@ -915,6 +927,29 @@ def tail_debezium(
             if idle_polls_to_stop is not None and idle >= idle_polls_to_stop:
                 return committed
             _time.sleep(poll_interval_s)
+
+
+def time_bucket_derive(unit: str = "hour", alias: str = "bucket"):
+    """Derive callable for ``sync_agg``: tumbling event-time window key
+    (truncate each image's OWN ``ts`` to the window start). Sound under
+    retractions because the feed exposes ``ts`` per image (top-level
+    ``ts`` for the after image, ``_before_ts`` for the before image —
+    both surface to the derive as ``ts``): an update whose new version
+    lands in a different window retracts from the OLD window and adds
+    to the new one. Pass ``derive_id=f"bucket-{unit}"`` to pin the
+    window width for the view's lifetime::
+
+        ivm.sync_agg(t, view, group_by=["bucket"],
+                     derive=ivm.time_bucket_derive("hour"),
+                     derive_id="bucket-hour", columns=[])
+    """
+
+    def _derive(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            alias, pc.floor_temporal(t.column("ts"), unit=unit)
+        )
+
+    return _derive
 
 
 # ------------------------------------------------------------------
