@@ -256,6 +256,28 @@ def test_export_bootstrap_snapshot_then_stream(src_table, tmp_path):
     pd.testing.assert_frame_equal(_state(dst2), _state(src), check_dtype=False)
 
 
+def test_import_straddling_window_converges(src_table, tmp_path):
+    """A stream window that OVERLAPS the snapshot base (a <= U < b)
+    replays after it: its covered rows drop as replays at the seq
+    watermark, its tail applies — final state equals the source."""
+    src, _ = src_table
+    out = str(tmp_path / "strad")
+    ivm.export_debezium(src, out, bootstrap=True, upto_epoch=2)
+    ivm.export_debezium(src, out)  # window=1-4 straddles snapshot=0-2
+    assert os.path.isdir(os.path.join(out, "window=1-4"))
+    groups = ivm.debezium_to_segments(out, str(tmp_path / "wal"))
+    assert len(groups) == 2
+    assert all("dbz-0-2-" in s for s in groups[0])  # base first
+    dst = DeltaTable.create(str(tmp_path / "dst"), num_partitions=2)
+    ing.run_stream(dst, [], segment_groups=groups)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    a = (ing.snapshot(src).to_pandas()[cols]
+         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    b = (ing.snapshot(dst).to_pandas()[cols]
+         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(b, a, check_dtype=False)
+
+
 def test_tail_debezium_follows_live_feed(src_table, tmp_path):
     """The live CDC-import half: the tailer ingests committed windows as
     they land, never touches a window whose commit marker is missing
