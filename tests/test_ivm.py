@@ -903,3 +903,42 @@ def test_sync_agg_event_time_buckets(src_table, tmp_path):
         columns=[],
     )
     pd.testing.assert_frame_equal(_got(), _want(4))
+
+
+def test_read_closed_windows(src_table, tmp_path):
+    """Window finalization: only buckets whose end is at-or-below the
+    event-time watermark (minus lateness) are closed; the lateness knob
+    moves the line backward."""
+    src, _ = src_table
+    view = str(tmp_path / "closed_view")
+    ivm.sync_agg(
+        src,
+        view,
+        group_by=["bucket"],
+        derive=ivm.time_bucket_derive("millisecond"),
+        derive_id="bucket-ms",
+        columns=[],
+    )
+    allv = (
+        ivm.read_agg_view(view).to_pandas().sort_values("bucket")
+    )
+    wm = pd.to_datetime(src.event_time_watermark(), unit="us")
+    closed = ivm.read_closed_windows(
+        src, view, unit="millisecond"
+    ).to_pandas()
+    one_ms = pd.Timedelta(milliseconds=1)
+    assert (closed["bucket"] + one_ms <= wm).all()
+    want = allv[allv["bucket"] + one_ms <= wm]
+    assert len(closed) == len(want) > 0
+    assert len(closed) < len(allv)  # the watermark-edge bucket is open
+    # more lateness closes fewer windows; a huge allowance closes none
+    fewer = ivm.read_closed_windows(
+        src, view, unit="millisecond", allowed_lateness_us=100_000
+    )
+    assert 0 < fewer.num_rows < len(closed)
+    none = ivm.read_closed_windows(
+        src, view, unit="millisecond", allowed_lateness_us=10**12
+    )
+    assert none.num_rows == 0
+    with pytest.raises(ValueError, match="fixed width"):
+        ivm.read_closed_windows(src, view, unit="month")

@@ -929,6 +929,54 @@ def tail_debezium(
             _time.sleep(poll_interval_s)
 
 
+_UNIT_US = {
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def read_closed_windows(
+    table: DeltaTable,
+    view_dir: str,
+    unit: str = "hour",
+    allowed_lateness_us: int = 0,
+    alias: str = "bucket",
+) -> pa.Table:
+    """Finalized tumbling windows of a time-bucketed agg view: the rows
+    whose window END is at-or-below the table's event-time watermark
+    minus ``allowed_lateness_us`` — the streaming trigger line "this
+    window will no longer change under normal arrival". Size the
+    lateness knob against the ``late`` lineage metric, same as
+    ``tail(on_watermark_advance=)``.
+
+    Closure is an arrival-COMPLETENESS statement, not an immutability
+    fence: out-of-band correction batches (``apply_changes`` seq=-1
+    rows are watermark-exempt by design) can still reopen a closed
+    window — re-read after corrections, or gate them upstream. Only
+    fixed-width units close (month/year boundaries are not constant in
+    µs)."""
+    if unit not in _UNIT_US:
+        raise ValueError(
+            f"unit {unit!r} has no fixed width; closable units: "
+            f"{sorted(_UNIT_US)}"
+        )
+    t = read_agg_view(view_dir)
+    t = t if isinstance(t, pa.Table) else pa.concat_tables(
+        ray.get(t.to_arrow_refs())
+    )
+    wm = table.event_time_watermark(allowed_lateness_us)
+    if t.num_rows == 0 or wm < 0:
+        return t.slice(0, 0)
+    end_us = pc.add(
+        t.column(alias).cast(pa.timestamp("us")).cast(pa.int64()),
+        pa.scalar(_UNIT_US[unit], pa.int64()),
+    )
+    return t.filter(pc.less_equal(end_us, pa.scalar(wm, pa.int64())))
+
+
 def time_bucket_derive(unit: str = "hour", alias: str = "bucket"):
     """Derive callable for ``sync_agg``: tumbling event-time window key
     (truncate each image's OWN ``ts`` to the window start). Sound under
