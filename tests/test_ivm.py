@@ -942,3 +942,51 @@ def test_read_closed_windows(src_table, tmp_path):
     assert none.num_rows == 0
     with pytest.raises(ValueError, match="fixed width"):
         ivm.read_closed_windows(src, view, unit="month")
+
+
+def test_sync_agg_hopping_windows(src_table, tmp_path):
+    """Overlapping (hopping) windows: each row counts in `hops`
+    windows; updates retract from every window the old version
+    occupied. Incremental view == direct expansion of the snapshot."""
+    src, _ = src_table
+    view = str(tmp_path / "hop_view")
+    HOPS = 3
+
+    def _want(epoch):
+        df = ing.snapshot(src, as_of_epoch=epoch).to_pandas()
+        fl = df["ts"].dt.floor("ms")
+        parts = [
+            fl - pd.Timedelta(milliseconds=k) for k in range(HOPS)
+        ]
+        buckets = pd.concat(parts, ignore_index=True).astype(
+            "datetime64[us]"
+        )
+        return (
+            buckets.to_frame("bucket")
+            .groupby("bucket")
+            .size()
+            .rename("n")
+            .reset_index()
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+
+    def _got():
+        return (
+            ivm.read_agg_view(view)
+            .to_pandas()
+            .sort_values("bucket")
+            .reset_index(drop=True)
+            .astype({"n": "int64"})
+        )
+
+    kw = dict(
+        group_by=["bucket"],
+        derive=ivm.hopping_window_derive("millisecond", hops=HOPS),
+        derive_id=f"hop-ms-{HOPS}",
+        columns=[],
+    )
+    ivm.sync_agg(src, view, upto_epoch=2, **kw)
+    pd.testing.assert_frame_equal(_got(), _want(2))
+    ivm.sync_agg(src, view, **kw)
+    pd.testing.assert_frame_equal(_got(), _want(4))

@@ -977,6 +977,40 @@ def read_closed_windows(
     return t.filter(pc.less_equal(end_us, pa.scalar(wm, pa.int64())))
 
 
+def hopping_window_derive(unit: str = "hour", hops: int = 2, alias: str = "bucket"):
+    """Derive callable for ``sync_agg``: HOPPING (overlapping) windows —
+    each row lands in ``hops`` windows of width ``hops x unit`` stepping
+    by one ``unit`` (bucket = window START; window ``b`` covers
+    ``[b, b + hops*unit)``). Row-expanding derives are sound here
+    because signed weights attach AFTER the derive and both images
+    expand identically: an update retracts from every window its old
+    version occupied. Pin ``derive_id=f"hop-{unit}-{hops}"``."""
+    if unit not in _UNIT_US:
+        raise ValueError(
+            f"unit {unit!r} has no fixed width; hoppable units: "
+            f"{sorted(_UNIT_US)}"
+        )
+    if hops < 1:
+        raise ValueError("hops must be >= 1")
+    u = _UNIT_US[unit]
+
+    def _derive(t: pa.Table) -> pa.Table:
+        fl = (
+            pc.floor_temporal(t.column("ts"), unit=unit)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+        )
+        outs = []
+        for k in range(hops):
+            b = pc.subtract(fl, pa.scalar(k * u, pa.int64())).cast(
+                pa.timestamp("us")
+            )
+            outs.append(t.append_column(alias, b))
+        return pa.concat_tables(outs)
+
+    return _derive
+
+
 def time_bucket_derive(unit: str = "hour", alias: str = "bucket"):
     """Derive callable for ``sync_agg``: tumbling event-time window key
     (truncate each image's OWN ``ts`` to the window start). Sound under
