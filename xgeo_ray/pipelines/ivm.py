@@ -718,11 +718,16 @@ def _debezium_read_task(path: str, out_path: str) -> str | None:
         raw = f.read()
     if not raw.strip():
         return None
-    # infer over the WHOLE file: the default 100-row window infers
-    # `before` as Null-typed when the file leads with >100 creates, and
-    # the first later delete then fails the read (non-null value for
-    # NULL-typed column)
-    df = pl.read_ndjson(io.BytesIO(raw), infer_schema_length=None)
+    # the default 100-row inference window infers `before` as Null-typed
+    # when the file leads with >100 creates, and the first later delete
+    # FAILS the read loudly (non-null value for NULL-typed column) — a
+    # Null-typed column can never silently swallow data, so retrying
+    # with whole-file inference is sound and keeps the common case at
+    # single-pass parse speed
+    try:
+        df = pl.read_ndjson(io.BytesIO(raw))
+    except pl.exceptions.ComputeError:
+        df = pl.read_ndjson(io.BytesIO(raw), infer_schema_length=None)
     # a window file of only creates infers `before` as Null-typed (no
     # struct fields); only deletes leaves `after` Null-typed. Guard both.
     has_before = isinstance(df.schema.get("before"), pl.Struct)
