@@ -113,3 +113,43 @@ def test_demux_validation(tmp_path):
     nsegs = fx.write_segments(withnull, str(tmp_path / "nwal"), n_segments=1)
     with pytest.raises(Exception, match="null"):
         demux.demux_wal(nsegs, str(tmp_path / "r3"), route_col="tenant")
+
+
+def test_tail_demux_follows_live_wal(tmp_path):
+    """The live router: each poll demuxes newly published segments
+    exactly-once; on_routes reports only the new paths; the cumulative
+    map equals a one-shot demux of the full WAL."""
+    events = _routed_events(800)
+    half = events.num_rows // 2
+    wal = str(tmp_path / "wal")
+    out = str(tmp_path / "routes")
+    fx.write_segments(events.slice(0, half), wal, n_segments=2)
+    calls = []
+    got1 = demux.tail_demux(
+        wal, out, route_col="tenant",
+        poll_interval_s=0.01, idle_polls_to_stop=2,
+        on_routes=lambda new: calls.append(new),
+    )
+    assert len(calls) == 1 and set(got1) == {"tenant0", "tenant1", "tenant2"}
+    # two more segments land (names continue lexicographically)
+    import pyarrow.parquet as pq
+    later = events.slice(half)
+    mid = later.num_rows // 2
+    pq.write_table(later.slice(0, mid), os.path.join(wal, "segment-00002.parquet"))
+    pq.write_table(later.slice(mid), os.path.join(wal, "segment-00003.parquet"))
+    got2 = demux.tail_demux(
+        wal, out, route_col="tenant",
+        poll_interval_s=0.01, idle_polls_to_stop=2,
+        on_routes=lambda new: calls.append(new),
+    )
+    # the second tailer run is fresh state: its `new` is everything
+    assert len(calls) == 2
+    # one-shot demux of the full WAL agrees with the cumulative map
+    segs = sorted(
+        os.path.join(wal, n) for n in os.listdir(wal)
+        if n.endswith(".parquet")
+    )
+    assert demux.demux_wal(segs, out, route_col="tenant") == got2
+    for r, paths in got2.items():
+        assert paths == sorted(paths)
+        assert len(paths) == 4  # every tenant present in all 4 segments

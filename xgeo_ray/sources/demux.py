@@ -115,10 +115,18 @@ def demux_wal(
     files publish atomically, so a tailer never sees partial
     segments)."""
     os.makedirs(os.path.join(out_root, _MARKER_DIR), exist_ok=True)
+    bases = [os.path.basename(p).split(".")[0] for p in segment_paths]
+    dupes = {b for b in bases if bases.count(b) > 1}
+    if dupes:
+        raise ValueError(
+            f"segment basenames must be unique across the input list "
+            f"(markers and route files are keyed by them); duplicated: "
+            f"{sorted(dupes)[:5]}"
+        )
     markers: dict[int, dict] = {}
     pending: list[tuple[int, str]] = []
     for i, p in enumerate(segment_paths):
-        base = os.path.basename(p).split(".")[0]
+        base = bases[i]
         mp = _marker_path(out_root, base)
         if os.path.isfile(mp):
             with open(mp) as f:
@@ -152,3 +160,64 @@ def demux_wal(
                 os.path.join(out_root, r, f"{i:06d}-{m['segment']}.parquet")
             )
     return routed
+
+
+def tail_demux(
+    wal_dir: str,
+    out_root: str,
+    route_col: str = "table",
+    keep_route_col: bool = False,
+    poll_interval_s: float = 0.5,
+    idle_polls_to_stop: int | None = None,
+    on_routes=None,
+) -> dict[str, list[str]]:
+    """Follow a live multi-table WAL directory and keep the per-route
+    WAL directories current: each poll demuxes newly published segments
+    (done-markers make re-offers exactly-once, same as one-shot
+    ``demux_wal`` — which this simply loops). Per-route consumers run
+    their own ``ingest.tail`` on ``out_root/<route>/`` concurrently;
+    route files publish atomically, so they never see partial segments.
+
+    ``on_routes(new_routed)`` fires after each poll that demuxed new
+    segments with ONLY the newly added paths per route — the hook point
+    for creating a table when a never-seen route appears.
+    ``idle_polls_to_stop`` bounds the loop (None = run forever).
+    Returns the cumulative route map."""
+    import time as _time
+
+    from xgeo_ray.sources.wal import is_supported_segment
+
+    seen: dict[str, list[str]] = {}
+    idle = 0
+    while True:
+        segs = sorted(
+            os.path.join(wal_dir, n)
+            for n in os.listdir(wal_dir)
+            if is_supported_segment(n)
+        )
+        routed = (
+            demux_wal(
+                segs,
+                out_root,
+                route_col=route_col,
+                keep_route_col=keep_route_col,
+            )
+            if segs
+            else {}
+        )
+        new: dict[str, list[str]] = {}
+        for r, paths in routed.items():
+            fresh = [p for p in paths if p not in set(seen.get(r, []))]
+            if fresh:
+                new[r] = fresh
+        if new:
+            for r, fresh in new.items():
+                seen.setdefault(r, []).extend(fresh)
+            idle = 0
+            if on_routes is not None:
+                on_routes(new)
+        else:
+            idle += 1
+            if idle_polls_to_stop is not None and idle >= idle_polls_to_stop:
+                return seen
+            _time.sleep(poll_interval_s)
