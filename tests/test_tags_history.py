@@ -170,3 +170,24 @@ def test_cli_tag_and_history(tmp_path, capsys):
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {
         "deleted": True
     }
+
+
+def test_fsck_validates_tags(tmp_path):
+    t, _ = _mk(str(tmp_path), n=300, n_segments=2)
+    tg.tag(t, "pin", epoch=1)
+    st = ing.fsck(t)
+    assert st["ok"], st["issues"]
+    # vacuum WITHOUT tag respect after a compact: the pin breaks and
+    # fsck says so
+    ing.compact(t)
+    ing.vacuum(t, respect_tags=False)
+    st = ing.fsck(t)
+    assert not st["ok"]
+    assert any("pins missing file" in i for i in st["issues"])
+    # an out-of-range tag is an issue too
+    tg.delete_tag(t, "pin")
+    import json as _json
+    with open(os.path.join(t.root, "tags", "future.json"), "w") as f:
+        _json.dump({"epoch": 99}, f)
+    st = ing.fsck(t)
+    assert any("outside the committed range" in i for i in st["issues"])

@@ -2216,6 +2216,32 @@ def fsck(table: DeltaTable) -> dict:
                 f"consumer group {g!r} cursor {pos} is ahead of the "
                 f"committed fence {latest}"
             )
+    # tags must resolve to committed epochs and their pinned epochs must
+    # still be fully readable (a tag whose files were vacuumed away —
+    # respect_tags=False, or the tag landed after the reclaim — is a
+    # broken retention promise: an ISSUE, not a warning)
+    from xgeo_ray.state import tags as _tags
+
+    try:
+        tag_map = _tags.tags(table)
+    except (ValueError, KeyError, json.JSONDecodeError) as e:
+        tag_map = {}
+        issues.append(f"unreadable tag file: {e}")
+    for name, e in sorted(tag_map.items()):
+        if not (0 < e <= latest):
+            issues.append(
+                f"tag {name!r} points at epoch {e}, outside the committed "
+                f"range 1..{latest}"
+            )
+            continue
+        for part, paths in table.partition_files(as_of_epoch=e).items():
+            for p in paths:
+                if not os.path.isfile(p):
+                    issues.append(
+                        f"tag {name!r} (epoch {e}) pins missing file "
+                        f"{os.path.relpath(p, table.root)} — vacuumed "
+                        "without respect_tags?"
+                    )
     unreferenced = 0
     parts_root = os.path.join(table.root, PARTS_DIR)
     if os.path.isdir(parts_root):
