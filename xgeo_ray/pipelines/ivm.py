@@ -422,9 +422,29 @@ def _write_ndjson(out, path: str, gz: bool) -> None:
     os.replace(tmp, path)
 
 
+def _binary_payload_cols(envelope: pa.Schema, payload: list[str]) -> list[str]:
+    """Payload columns that hold raw bytes — JSON can't carry them, so
+    the Debezium writers base64-encode (the standard Debezium `bytes`
+    handling) and record the column list in the window meta for the
+    importer to decode."""
+    by = {f.name: f.type for f in envelope}
+    return [
+        c
+        for c in payload
+        if pa.types.is_binary(by[c])
+        or pa.types.is_large_binary(by[c])
+        or pa.types.is_fixed_size_binary(by[c])
+    ]
+
+
 @ray.remote
 def _debezium_snapshot_write_task(
-    state: pa.Table, payload: list[str], epoch: int, path: str, gz: bool
+    state: pa.Table,
+    payload: list[str],
+    epoch: int,
+    path: str,
+    gz: bool,
+    bin_cols: list[str] = (),
 ) -> int:
     """Serialize one partition's MERGED STATE as Debezium snapshot-phase
     records (op='r', before=null — the read-phase convention every
@@ -437,6 +457,10 @@ def _debezium_snapshot_write_task(
 
     limit_worker_threads()
     df = pl.from_arrow(state)
+    if bin_cols:
+        df = df.with_columns(
+            [pl.col(c).bin.encode("base64") for c in bin_cols]
+        )
     key = [pl.col("conv_id"), pl.col("turn_idx")]
     out = df.select(
         pl.lit(None).alias("before"),
@@ -455,7 +479,11 @@ def _debezium_snapshot_write_task(
 
 @ray.remote
 def _debezium_write_task(
-    feed: pa.Table, payload: list[str], path: str, gz: bool
+    feed: pa.Table,
+    payload: list[str],
+    path: str,
+    gz: bool,
+    bin_cols: list[str] = (),
 ) -> int:
     """Serialize one partition's before/after feed rows as
     Debezium-envelope NDJSON and publish the file atomically. All
@@ -472,6 +500,14 @@ def _debezium_write_task(
         pc.or_(feed.column("_before_exists"), feed.column("_after_exists"))
     )
     df = pl.from_arrow(feed)
+    if bin_cols:
+        df = df.with_columns(
+            [pl.col(c).bin.encode("base64") for c in bin_cols]
+            + [
+                pl.col(BEFORE_PREFIX + c).bin.encode("base64")
+                for c in bin_cols
+            ]
+        )
     key = [pl.col("conv_id"), pl.col("turn_idx")]
     image = key + [pl.col(c) for c in payload]
     before_image = key + [
@@ -594,14 +630,15 @@ def export_debezium(
 
         shutil.rmtree(window_dir)
     os.makedirs(window_dir)
-    refs, payload, _ = _feed_refs(table, since_epoch, upto, columns)
+    refs, payload, envelope = _feed_refs(table, since_epoch, upto, columns)
+    bin_cols = _binary_payload_cols(envelope, payload)
     ext = ".jsonl.gz" if gzip else ".jsonl"
     files = [
         os.path.join(window_dir, f"part-{part}{ext}") for part, _ in refs
     ]
     counts = ray.get(
         [
-            _debezium_write_task.remote(ref, payload, path, gzip)
+            _debezium_write_task.remote(ref, payload, path, gzip, bin_cols)
             for (_, ref), path in zip(refs, files)
         ]
     )
@@ -610,6 +647,7 @@ def export_debezium(
         "since": since_epoch,
         "upto": upto,
         "rows": int(sum(counts)),
+        "binary_columns": bin_cols,
         "files": [os.path.basename(p) for p in files],
     }
     tmp = meta_path + f".tmp-{os.getpid()}"
@@ -668,6 +706,7 @@ def _export_debezium_snapshot(
     ]
     plan = table.partition_files(as_of_epoch=upto) if upto else {}
     policy_fn = MERGE_POLICIES[table.merge_policy]["fn"]
+    bin_cols = _binary_payload_cols(envelope, payload)
     cols = ["conv_id", "turn_idx", "seq", "ts"] + payload
     ext = ".jsonl.gz" if gz else ".jsonl"
     refs, files = [], []
@@ -679,7 +718,9 @@ def _export_debezium_snapshot(
         )
         path = os.path.join(snap_dir, f"part-{part}{ext}")
         refs.append(
-            _debezium_snapshot_write_task.remote(state, payload, upto, path, gz)
+            _debezium_snapshot_write_task.remote(
+                state, payload, upto, path, gz, bin_cols
+            )
         )
         files.append(path)
     counts = ray.get(refs)
@@ -689,6 +730,7 @@ def _export_debezium_snapshot(
         "upto": upto,
         "rows": int(sum(counts)),
         "snapshot": True,
+        "binary_columns": bin_cols,
         "files": [os.path.basename(p) for p in files],
     }
     tmp = meta_path + f".tmp-{os.getpid()}"
@@ -701,10 +743,15 @@ def _export_debezium_snapshot(
 
 
 @ray.remote
-def _debezium_read_task(path: str, out_path: str) -> str | None:
+def _debezium_read_task(
+    path: str, out_path: str, bin_cols: tuple = ()
+) -> str | None:
     """Parse one Debezium JSONL file into a WAL parquet segment.
     Returns the segment path, or None for an empty file. Vectorized:
-    polars NDJSON reader + struct field extraction, no per-row JSON."""
+    polars NDJSON reader + struct field extraction, no per-row JSON.
+    ``bin_cols`` (from the window meta's ``binary_columns``) are
+    base64-decoded back to raw bytes — the standard Debezium bytes
+    handling our exporter writes."""
     import gzip as _gzip
     import io
 
@@ -764,7 +811,14 @@ def _debezium_read_task(path: str, out_path: str) -> str | None:
         .alias("ts"),
     ]
     if has_after:
-        exprs += [pl.col("after").struct.field(c).alias(c) for c in payload]
+        exprs += [
+            (
+                pl.col("after").struct.field(c).str.decode("base64")
+                if c in set(bin_cols)
+                else pl.col("after").struct.field(c)
+            ).alias(c)
+            for c in payload
+        ]
     t = df.select(exprs).to_arrow()
     # polars strings are Arrow large_string; the envelope schema (and
     # the promote rules in schemas.py) speak plain string/binary
@@ -849,21 +903,26 @@ def debezium_to_segments(
         base = max(snaps, key=lambda s: s[1])
         # the newest snapshot folds everything at-or-below its upto
         windows = [base] + [w for w in windows if w[1] > base[1]]
-    jobs: list[list[tuple[str, str] | str]] = []
+    jobs: list[list[tuple[str, str, tuple] | str]] = []
     for a, b, name in sorted(windows):
+        meta_p = os.path.join(in_dir, name, _DBZ_META)
+        bin_cols: tuple = ()
+        if os.path.isfile(meta_p):
+            with open(meta_p) as f:
+                bin_cols = tuple(json.load(f).get("binary_columns") or ())
         parts = sorted(
             f
             for f in os.listdir(os.path.join(in_dir, name))
             if f.startswith("part-") and ".jsonl" in f
         )
-        grp: list[tuple[str, str] | str] = []
+        grp: list[tuple[str, str, tuple] | str] = []
         for p in parts:
             part_id = p.split(".")[0]  # part-<P>
             seg = os.path.join(wal_dir, f"dbz-{a}-{b}-{part_id}.parquet")
             if os.path.isfile(seg):
                 grp.append(seg)  # already converted (deterministic)
             else:
-                grp.append((os.path.join(in_dir, name, p), seg))
+                grp.append((os.path.join(in_dir, name, p), seg, bin_cols))
         jobs.append(grp)
     refs = {
         (i, k): _debezium_read_task.remote(*j)
