@@ -150,3 +150,49 @@ def test_export_shuffled_jsonl(tmp_path):
     # resuming the SAME dir with a different fmt refuses
     with pytest.raises(ValueError, match="different"):
         ing.export_shuffled(table, jl_dir, num_shards=3, salt=5, fmt="jsonl")
+
+
+def test_jsonl_shards_base64_binary(tmp_path):
+    """Binary payload columns in JSONL shards are base64 strings, not
+    the lossy Python bytes repr json.dumps(default=str) would emit."""
+    import base64
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xgeo_ray import fixtures as fx
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    events = fx.make_change_events(200, n_convs=4, turns_per_conv=3)
+    blob = pa.array(
+        [bytes([i % 256, 255]) if i % 4 else None for i in range(events.num_rows)],
+        pa.binary(),
+    )
+    events = events.append_column("media", blob)
+    os.makedirs(tmp_path / "wal")
+    seg = str(tmp_path / "wal" / "segment-00000.parquet")
+    pq.write_table(events, seg)
+    t = DeltaTable.create(str(tmp_path / "t"), num_partitions=2)
+    ing.run_stream(t, [seg])
+    out = str(tmp_path / "shards")
+    ing.export_shuffled(t, out, num_shards=2, fmt="jsonl")
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["media"]
+        for r in ing.snapshot(t).to_pandas().to_dict("records")
+    }
+    seen = 0
+    for name in sorted(os.listdir(out)):
+        if not name.endswith(".jsonl"):
+            continue
+        with open(os.path.join(out, name)) as f:
+            for line in f:
+                r = _json.loads(line)
+                w = want[(r["conv_id"], r["turn_idx"])]
+                if r["media"] is None:
+                    assert w is None or (w != w)  # null stays null
+                else:
+                    assert base64.b64decode(r["media"]) == w
+                    seen += 1
+    assert seen > 0

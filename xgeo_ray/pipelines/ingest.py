@@ -102,6 +102,22 @@ def _atomic_write_jsonl(t: pa.Table, final_path: str, durable: bool = True) -> i
     tmp = os.path.join(
         d, f".tmp-{os.getpid()}-{os.path.basename(final_path)}"
     )
+    # bytes have no JSON form: base64-encode binary columns (the
+    # json.dumps default=str fallback would write the PYTHON REPR of
+    # the bytes — silent corruption of multimodal payloads)
+    bin_cols = [
+        f.name
+        for f in t.schema
+        if pa.types.is_binary(f.type)
+        or pa.types.is_large_binary(f.type)
+        or pa.types.is_fixed_size_binary(f.type)
+    ]
+    if bin_cols and t.num_rows:
+        import polars as pl
+
+        t = pl.from_arrow(t).with_columns(
+            [pl.col(c).bin.encode("base64") for c in bin_cols]
+        ).to_arrow()
     # Stream slice-by-slice through the (optionally gzip) file object:
     # never hold the whole shard as pylist + one joined string +
     # compressed bytes at once — a training-file-sized shard would

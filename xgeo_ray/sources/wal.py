@@ -385,6 +385,21 @@ def write_segment_jsonl(table: pa.Table, path: str) -> str:
 
     logical, codec = _strip_compression(path)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    # bytes have no JSON form: base64 binary columns (default=str would
+    # write the Python repr — silent corruption)
+    bin_cols = [
+        f.name
+        for f in table.schema
+        if pa.types.is_binary(f.type)
+        or pa.types.is_large_binary(f.type)
+        or pa.types.is_fixed_size_binary(f.type)
+    ]
+    if bin_cols and table.num_rows:
+        import polars as pl
+
+        table = pl.from_arrow(table).with_columns(
+            [pl.col(c).bin.encode("base64") for c in bin_cols]
+        ).to_arrow()
     rows = table.to_pylist()
     raw = "\n".join(json.dumps(r, default=str) for r in rows) + "\n"
     if codec == "gzip":
