@@ -403,10 +403,15 @@ _DBZ_META = "_debezium.json"
 
 
 def _write_ndjson(out, path: str, gz: bool) -> None:
-    """Atomic NDJSON publish shared by the window and snapshot writers
-    (gzip with mtime=0 so identical content means identical bytes)."""
+    """Durable atomic NDJSON publish shared by the window and snapshot
+    writers (gzip with mtime=0 so identical content means identical
+    bytes). Bytes are fsync'd BEFORE the publish and the publish goes
+    through the storage seam: the window meta is the commit point, so a
+    part file must never be torn under a surviving meta."""
     import gzip as _gzip
     import io
+
+    from xgeo_ray.state.storage import DEFAULT_STORAGE
 
     tmp = f"{path}.tmp-{os.getpid()}"
     if gz:
@@ -419,7 +424,9 @@ def _write_ndjson(out, path: str, gz: bool) -> None:
             os.fsync(f.fileno())
     else:
         out.write_ndjson(tmp)
-    os.replace(tmp, path)
+        with open(tmp, "rb+") as f:
+            os.fsync(f.fileno())
+    DEFAULT_STORAGE.publish_file(tmp, path, durable=True)
 
 
 def _binary_payload_cols(envelope: pa.Schema, payload: list[str]) -> list[str]:
@@ -653,7 +660,11 @@ def export_debezium(
     tmp = meta_path + f".tmp-{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)
-    os.replace(tmp, meta_path)
+        f.flush()
+        os.fsync(f.fileno())
+    from xgeo_ray.state.storage import DEFAULT_STORAGE
+
+    DEFAULT_STORAGE.publish_file(tmp, meta_path, durable=True)
     if consumer is not None:
         cons.ack(table, consumer, upto)
     return {**meta, "skipped": False}
@@ -736,7 +747,11 @@ def _export_debezium_snapshot(
     tmp = meta_path + f".tmp-{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)
-    os.replace(tmp, meta_path)
+        f.flush()
+        os.fsync(f.fileno())
+    from xgeo_ray.state.storage import DEFAULT_STORAGE
+
+    DEFAULT_STORAGE.publish_file(tmp, meta_path, durable=True)
     if consumer is not None:
         cons.ack(table, consumer, upto)
     return {**meta, "skipped": False}
@@ -830,7 +845,11 @@ def _debezium_read_task(
     )
     tmp = f"{out_path}.tmp-{os.getpid()}"
     pq.write_table(t, tmp)
-    os.replace(tmp, out_path)
+    with open(tmp, "rb+") as f:
+        os.fsync(f.fileno())
+    from xgeo_ray.state.storage import DEFAULT_STORAGE
+
+    DEFAULT_STORAGE.publish_file(tmp, out_path, durable=True)
     return out_path
 
 

@@ -49,6 +49,7 @@ def _demux_segment_task(
     The done-marker write is the commit point — route files land first,
     so a marker always describes fully published files."""
     from xgeo_ray.sources.wal import read_segment_table
+    from xgeo_ray.state.storage import DEFAULT_STORAGE
     from xgeo_ray.tuning import limit_worker_threads
 
     limit_worker_threads()
@@ -84,14 +85,16 @@ def _demux_segment_task(
         pq.write_table(sub, tmp)
         with open(tmp, "rb+") as f:
             os.fsync(f.fileno())
-        os.replace(tmp, final)
+        DEFAULT_STORAGE.publish_file(tmp, final, durable=True)
         counts[r] = sub.num_rows
     marker = {"index": index, "routes": counts, "segment": base}
     mp = _marker_path(out_root, base)
     tmp = f"{mp}.tmp-{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(marker, f, indent=1)
-    os.replace(tmp, mp)
+        f.flush()
+        os.fsync(f.fileno())
+    DEFAULT_STORAGE.publish_file(tmp, mp, durable=True)
     return marker
 
 
