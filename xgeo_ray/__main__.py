@@ -105,6 +105,12 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("ingest", help="apply WAL segments (resumable)")
     p.add_argument("table")
     p.add_argument("segments", nargs="+")
+    p.add_argument(
+        "--dlq",
+        default=None,
+        help="dead-letter directory: rejected rows are quarantined "
+        "(original shape + _reason) instead of only counted",
+    )
     p.add_argument("--segments-per-epoch", type=int, default=8)
     p.add_argument(
         "--stages",
@@ -519,6 +525,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.segments,
                 segments_per_epoch=args.segments_per_epoch,
                 transform=_load_stages(args),
+                dlq_dir=args.dlq,
             )
             print(
                 json.dumps(

@@ -166,10 +166,11 @@ class NormalizeCollapsePartition:
         transform=None,
         precombine: bool = True,
         drop: frozenset = frozenset(),
+        dlq_dir: str | None = None,
     ):
         # limit_worker_threads happens in the task body (_radix_map), not
         # here: driver-side __init__ would clamp the DRIVER's Arrow pools.
-        self.norm = NormalizeEvents(envelope, drop=drop)
+        self.norm = NormalizeEvents(envelope, drop=drop, dlq_dir=dlq_dir)
         self.p = num_partitions
         self.s = num_salts
         self.transform = transform
@@ -658,6 +659,7 @@ def ingest_segments(
     batch_size: int = 65536,
     transform=None,
     watermark_exempt: bool = False,
+    dlq_dir: str | None = None,
 ) -> Manifest:
     """Apply one epoch of WAL segments to the table; returns the committed
     manifest. Crash-safe: nothing is visible until the final commit.
@@ -691,6 +693,7 @@ def ingest_segments(
         precombine=MERGE_POLICIES[table.merge_policy]["precombinable"]
         and table.history != "full",
         drop=frozenset(table.dropped_columns()),
+        dlq_dir=dlq_dir,
     )
     chunks = plan_read_chunks(segment_paths)
     entries, invalid = _radix_exchange_apply(
@@ -731,6 +734,7 @@ def run_stream(
     bootstrap: str | None = None,
     final_snapshot: bool = False,
     segment_groups: list[list[str]] | None = None,
+    dlq_dir: str | None = None,
 ) -> list[Manifest] | tuple[list[Manifest], ray.data.Dataset]:
     """Process a WAL in epoch-sized gulps, skipping already-committed
     segments — this IS the resume path: call it again after a crash and it
@@ -805,7 +809,10 @@ def run_stream(
             out.append(bootstrap_base(table, groups[0][0], batch_size=batch_size))
             groups = groups[1:]
         out += [
-            ingest_segments(table, segs, batch_size=batch_size, transform=transform)
+            ingest_segments(
+                table, segs, batch_size=batch_size, transform=transform,
+                dlq_dir=dlq_dir,
+            )
             for segs in groups
         ]
         return (out, snapshot(table)) if final_snapshot else out
@@ -845,6 +852,7 @@ def run_stream(
                 precombine=MERGE_POLICIES[table.merge_policy]["precombinable"]
                 and table.history != "full",
                 drop=dropped,
+                dlq_dir=dlq_dir,
             )
         prep_ref = ray.put(prep)
         return [
@@ -3329,6 +3337,7 @@ def tail(
     on_commit=None,
     lease_holder: str | None = None,
     lease_ttl_s: float = 30.0,
+    dlq_dir: str | None = None,
 ) -> list[Manifest]:
     """Follow a WAL directory and apply new segments as they land — the
     'binlog tailer' entry point. Micro-batch streaming: each poll that
@@ -3456,7 +3465,10 @@ def _tail_loop(
             fresh.append(p)
         if fresh:
             idle = 0
-            ms = run_stream(table, fresh, segments_per_epoch=segments_per_epoch)
+            ms = run_stream(
+                table, fresh, segments_per_epoch=segments_per_epoch,
+                dlq_dir=dlq_dir,
+            )
             committed.extend(ms)
             epochs_since_compact += len(ms)
             if on_commit is not None and ms:

@@ -36,13 +36,24 @@ class NormalizeEvents:
     schema-registry-refreshing variant can subclass it.
     """
 
-    def __init__(self, target_schema: pa.Schema, drop: frozenset = frozenset()):
+    def __init__(
+        self,
+        target_schema: pa.Schema,
+        drop: frozenset = frozenset(),
+        dlq_dir: str | None = None,
+    ):
         self.schema = target_schema
         # columns DROPPED from the table (ingest.drop_columns): incoming
         # events may still carry them; discard the values instead of
         # tripping cast_to's extra-column fail-fast (which still guards
         # genuinely unplanned columns)
         self.drop = drop
+        # dead-letter quarantine: when set, rejected rows are WRITTEN
+        # (original shape + a `_reason` column) instead of only counted,
+        # so an operator can inspect / repair / re-feed them. Files are
+        # named by content hash — an at-least-once replay of the same
+        # chunk rewrites the same file, never duplicates it.
+        self.dlq_dir = dlq_dir
         # drop count of the most recent __call__; read by the ingest map
         # task right after it invokes the stage (one call per chunk), so
         # no cross-call accumulation is needed
@@ -53,23 +64,67 @@ class NormalizeEvents:
             batch = batch.drop_columns(
                 [c for c in batch.column_names if c in self.drop]
             )
-        valid = pc.and_(
-            pc.and_(
-                pc.is_valid(batch.column("conv_id")),
-                pc.is_valid(batch.column("turn_idx")),
-            ),
-            pc.and_(
-                pc.is_valid(batch.column("seq")),
-                pc.is_in(batch.column("op"), value_set=pa.array(_VALID_OPS)),
-            ),
-        )
+        k_conv = pc.is_valid(batch.column("conv_id"))
+        k_turn = pc.is_valid(batch.column("turn_idx"))
+        k_seq = pc.is_valid(batch.column("seq"))
+        k_op = pc.is_in(batch.column("op"), value_set=pa.array(_VALID_OPS))
+        valid = pc.and_(pc.and_(k_conv, k_turn), pc.and_(k_seq, k_op))
         # pc.sum of an empty mask is null — zero-row batches are legal
         # (e.g. a delete_where that matched nothing commits a marker)
         n_bad = batch.num_rows - (pc.sum(valid).as_py() or 0)
         if n_bad:
+            if self.dlq_dir is not None:
+                bad = pc.invert(valid)
+                reason = pc.if_else(
+                    pc.invert(k_conv),
+                    "null_conv_id",
+                    pc.if_else(
+                        pc.invert(k_turn),
+                        "null_turn_idx",
+                        pc.if_else(
+                            pc.invert(k_seq), "null_seq", "invalid_op"
+                        ),
+                    ),
+                )
+                _write_dlq(
+                    batch.filter(bad).append_column(
+                        "_reason", pc.cast(reason, pa.string()).filter(bad)
+                    ),
+                    self.dlq_dir,
+                )
             batch = batch.filter(valid)
         self.last_invalid = int(n_bad)
         return cast_to(batch, self.schema)
+
+
+def _write_dlq(rejected: pa.Table, dlq_dir: str) -> str:
+    """Durably publish rejected rows as one content-hash-named parquet
+    file under ``dlq_dir`` — deterministic bytes, so a replayed chunk
+    re-publishes the SAME file (exactly-once quarantine without any
+    cursor). Read the queue back with plain ``ray.data.read_parquet``,
+    repair, and re-feed through a fresh WAL segment."""
+    import hashlib
+    import io
+    import os
+
+    import pyarrow.parquet as pq
+
+    from xgeo_ray.state.storage import DEFAULT_STORAGE
+
+    buf = io.BytesIO()
+    pq.write_table(rejected, buf)
+    digest = hashlib.sha256(buf.getbuffer()).hexdigest()[:20]
+    os.makedirs(dlq_dir, exist_ok=True)
+    final = os.path.join(dlq_dir, f"dlq-{digest}.parquet")
+    if os.path.isfile(final):
+        return final
+    tmp = f"{final}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(buf.getbuffer())
+        f.flush()
+        os.fsync(f.fileno())
+    DEFAULT_STORAGE.publish_file(tmp, final, durable=True)
+    return final
 
 
 def validate_mask(batch: pa.Table) -> np.ndarray:
