@@ -172,6 +172,11 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="stop after this many empty polls (default: run forever)",
     )
+    p.add_argument(
+        "--dlq",
+        default=None,
+        help="dead-letter directory for rejected rows (see ingest --dlq)",
+    )
 
     p = sub.add_parser(
         "import-debezium",
@@ -577,6 +582,7 @@ def main(argv: list[str] | None = None) -> int:
                 compact_every_epochs=args.compact_every,
                 compact_minor=args.compact_minor,
                 vacuum_after_compact=args.vacuum,
+                dlq_dir=args.dlq,
             )
             print(
                 json.dumps(
