@@ -3410,6 +3410,7 @@ def tail(
             on_watermark_advance,
             on_commit,
             lease_holder,
+            dlq_dir,
         )
     finally:
         if lease_holder is not None:
@@ -3431,6 +3432,7 @@ def _tail_loop(
     on_watermark_advance,
     on_commit,
     lease_holder,
+    dlq_dir=None,
 ):
     import time as _time
 
