@@ -903,6 +903,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
             chain = table.partition_chain_files()
             from xgeo_ray.state import consumers as _cons
+            from xgeo_ray.state import tags as _tags
 
             print(
                 json.dumps(
@@ -924,6 +925,8 @@ def main(argv: list[str] | None = None) -> int:
                             g: _cons.position(table, g)
                             for g in _cons.groups(table)
                         },
+                        "tags": _tags.tags(table),
+                        "dropped_columns": table.dropped_columns(),
                         "epochs": epochs,
                     }
                 )
