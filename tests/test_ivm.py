@@ -990,3 +990,55 @@ def test_sync_agg_hopping_windows(src_table, tmp_path):
     pd.testing.assert_frame_equal(_got(), _want(2))
     ivm.sync_agg(src, view, **kw)
     pd.testing.assert_frame_equal(_got(), _want(4))
+
+
+def test_sync_minmax_per_window(src_table, tmp_path):
+    """Composition: per-WINDOW exact max via sync_minmax grouped on a
+    ts-derived bucket — retraction-correct because both images derive
+    their own bucket (from ts / _before_ts)."""
+    src, _ = src_table
+    view = str(tmp_path / "win_minmax")
+
+    def _derive():
+        def _f(t: pa.Table) -> pa.Table:
+            t = t.append_column(
+                "bucket", pc.floor_temporal(t.column("ts"), unit="millisecond")
+            )
+            return t.append_column(
+                "text_len",
+                pc.fill_null(
+                    pc.utf8_length(t.column("text")).cast(pa.int64()), 0
+                ),
+            )
+
+        return _f
+
+    ivm.sync_minmax(
+        src, view, group_by=["bucket"], value="text_len",
+        derive=_derive(), columns=["text"],
+    )
+    got = (
+        ivm.read_minmax_view(view)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    df = ing.snapshot(src).to_pandas()
+    df["bucket"] = df["ts"].dt.floor("ms")
+    df["text_len"] = df["text"].fillna("").str.len()
+    want = (
+        df.groupby("bucket")
+        .agg(
+            min_text_len=("text_len", "min"),
+            max_text_len=("text_len", "max"),
+            n_rows=("text_len", "size"),
+        )
+        .reset_index()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype({"n_rows": "int64", "min_text_len": "int64", "max_text_len": "int64"}),
+        want.astype({"n_rows": "int64", "min_text_len": "int64", "max_text_len": "int64"}),
+        check_dtype=False,
+    )
