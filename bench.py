@@ -276,15 +276,15 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # N and 4N parallelism levels. Default 1 -> 4: the pair with the
-    # LEAST shared-box distortion — this sandbox runs ONE object store /
-    # raylet / virtio disk / driver for every level, resources a real
-    # 4N-node cluster multiplies per node, and their contention grows
-    # with concurrent heavy workers. Warm-cache steady state measured
-    # 1->4 at 0.90 vs 2->8 at ~0.69 on identical code (BASELINE.md
-    # round-4 scaling section has both pairs + the cache-state A/B that
-    # settled it); the full 1/2/4/8/16/32 picture is in BASELINE.md.
-    lo = int(os.environ.get("XGEO_SCALE_LO", "1"))
+    # N and 4N parallelism levels, default 2 -> 8. CALM-WINDOW
+    # measurements are mandatory: the round-4 forensics (BASELINE.md)
+    # showed a single noisy hi-leg window can read 0.42-0.69 while the
+    # true warm steady state is 0.86 (2->8) / 0.92 (1->4) — judge a
+    # sub-0.8 reading only after tight samples on BOTH legs. This box
+    # runs ONE object store / raylet / disk / driver for every level
+    # (a real 4N-node cluster multiplies those per node), so wider
+    # pairs understate real cluster scaling.
+    lo = int(os.environ.get("XGEO_SCALE_LO", "2"))
     hi = int(os.environ.get("XGEO_SCALE_HI", str(4 * lo)))
     reps = int(os.environ.get("XGEO_SCALE_REPS", "3"))
 
