@@ -51,7 +51,11 @@ def _events(seq0, n, rng, ts0):
     )
 
 
-@pytest.mark.parametrize("seed,history", [(1, "collapsed"), (2, "collapsed"), (3, "full")])
+@pytest.mark.parametrize(
+    "seed,history",
+    [(1, "collapsed"), (2, "collapsed"), (3, "full"), (4, "full"),
+     (5, "collapsed"), (6, "full")],
+)
 def test_random_lifecycle_against_model(tmp_path, seed, history):
     rng = np.random.default_rng(seed)
     t = DeltaTable.create(

@@ -236,6 +236,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--consumer", default=None)
     p.add_argument("--gzip", action="store_true")
     p.add_argument(
+        "--columns",
+        default=None,
+        help="with --debezium: comma-separated payload columns for the "
+        "images (narrow consumers never pull the text payload)",
+    )
+    p.add_argument(
         "--bootstrap",
         action="store_true",
         help="with --debezium: export the snapshot phase (full state as "
@@ -661,6 +667,7 @@ def main(argv: list[str] | None = None) -> int:
                     consumer=args.consumer,
                     since_epoch=args.since,
                     upto_epoch=args.upto,
+                    columns=args.columns.split(",") if args.columns else None,
                     gzip=args.gzip,
                     bootstrap=args.bootstrap,
                 )
