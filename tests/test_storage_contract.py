@@ -190,3 +190,58 @@ ray.shutdown()
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "OBJSTORE-OPS-OK" in r.stdout
+
+
+def test_new_surfaces_on_objectstore_contract(tmp_path):
+    """demux + dead-letter queue + Debezium bootstrap export/import —
+    the round-4 surfaces that publish through the storage seam — run
+    end-to-end under XGEO_STORAGE=objectstore in a fresh process."""
+    import subprocess
+    import sys
+
+    script = r"""
+import os, sys
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext; DataContext.get_current().enable_progress_bars = False
+import pyarrow as pa, pyarrow.parquet as pq, pandas as pd
+from xgeo_ray import fixtures as fx
+from xgeo_ray.pipelines import ingest as ing, ivm
+from xgeo_ray.sources import demux
+from xgeo_ray.state.delta_table import DeltaTable
+from xgeo_ray.state.storage import DEFAULT_STORAGE
+assert type(DEFAULT_STORAGE).__name__ == "ObjectStoreStorage"
+root = sys.argv[1]
+events = fx.make_change_events(600, n_convs=6, turns_per_conv=4)
+tenants = pa.array([f"t{sum(map(ord,c))%2}" for c in events.column("conv_id").to_pylist()])
+df = events.to_pandas(); df.loc[0:1, "conv_id"] = None
+routed_events = pa.Table.from_pandas(df, preserve_index=False).cast(events.schema).append_column("tenant", tenants)
+os.makedirs(f"{root}/wal", exist_ok=True)
+pq.write_table(routed_events, f"{root}/wal/segment-00000.parquet")
+routed = demux.demux_wal([f"{root}/wal/segment-00000.parquet"], f"{root}/routes", route_col="tenant")
+tabs = {}
+for r, paths in sorted(routed.items()):
+    t = DeltaTable.create(f"{root}/tab_{r}", num_partitions=2)
+    ing.run_stream(t, paths, dlq_dir=f"{root}/dlq")
+    tabs[r] = t
+assert len(os.listdir(f"{root}/dlq")) > 0
+src = tabs["t0"]
+ivm.export_debezium(src, f"{root}/dbz", bootstrap=True)
+groups = ivm.debezium_to_segments(f"{root}/dbz", f"{root}/dwal")
+dst = DeltaTable.create(f"{root}/dst", num_partitions=2)
+ing.run_stream(dst, [], segment_groups=groups)
+a = ing.snapshot(src).to_pandas().sort_values(["conv_id","turn_idx"]).reset_index(drop=True)
+b = ing.snapshot(dst).to_pandas().sort_values(["conv_id","turn_idx"]).reset_index(drop=True)
+pd.testing.assert_frame_equal(b, a[b.columns], check_dtype=False)
+print("NEW-SURFACES-OK")
+ray.shutdown()
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script, str(tmp_path)],
+        env={**os.environ, "XGEO_STORAGE": "objectstore"},
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "NEW-SURFACES-OK" in r.stdout
