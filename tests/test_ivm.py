@@ -529,6 +529,129 @@ def test_sync_minmax_exact_under_updates_and_deletes(src_table, tmp_path):
     assert new_max < mx
 
 
+def test_multiset_read_folds_distinct_topk_quantiles(src_table, tmp_path):
+    """One synced pair-count multiset serves every non-invertible
+    read-time fold: COUNT DISTINCT, per-group top-k and exact weighted
+    quantiles all equal their oracles over the final merged state —
+    including after deletes retract pairs (none of these aggregates is
+    invertible; the multiset form is what makes them exact)."""
+    src, root = src_table
+    t = ing.clone_table(src, f"{root}/ms_clone")
+    view = str(tmp_path / "ms")
+    kw = dict(
+        group_by=["role"],
+        value="text_len",
+        derive=_make_text_len_derive(),
+        columns=["role", "text"],
+    )
+    ivm.sync_minmax(t, view, upto_epoch=2, **kw)
+    ivm.sync_minmax(t, view, **kw)
+
+    def _snapvals():
+        df = ing.snapshot(t).to_pandas()
+        df["text_len"] = df["text"].fillna("").str.len().astype("int64")
+        df["role"] = df["role"].fillna("<null>")
+        return df
+
+    def _check_all():
+        snap = _snapvals()
+        # --- distinct ---
+        want = (
+            snap.groupby("role")
+            .agg(
+                n_distinct_text_len=("text_len", "nunique"),
+                n_rows=("text_len", "size"),
+            )
+            .reset_index()
+            .sort_values("role")
+            .reset_index(drop=True)
+        )
+        got = ivm.read_distinct_view(view).to_pandas()
+        got["role"] = got["role"].fillna("<null>")
+        got = got.sort_values("role").reset_index(drop=True).astype(
+            {"n_distinct_text_len": "int64", "n_rows": "int64"}
+        )
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+        # --- top-k ---
+        k = 3
+        pairs = (
+            snap.groupby(["role", "text_len"])
+            .size()
+            .reset_index(name="n")
+            .sort_values(["role", "text_len"], ascending=[True, False])
+        )
+        wtop = pairs.groupby("role").head(k).copy()
+        wtop["rank"] = wtop.groupby("role").cumcount() + 1
+        wtop = wtop.reset_index(drop=True)
+        gtop = ivm.read_topk_view(view, k).to_pandas()
+        gtop["role"] = gtop["role"].fillna("<null>")
+        gtop = (
+            gtop.sort_values(["role", "rank"])
+            .reset_index(drop=True)
+            .astype({"text_len": "int64", "n": "int64", "rank": "int64"})
+        )
+        pd.testing.assert_frame_equal(gtop[wtop.columns.tolist()], wtop)
+
+        # --- quantiles (quantile_disc: value at 1-indexed ceil(q*n)) ---
+        qs = [0.1, 0.5, 0.9, 1.0]
+        rows = []
+        for role, g in snap.groupby("role"):
+            vals = np.sort(g["text_len"].to_numpy())
+            for q in qs:
+                pos = max(1, int(np.ceil(q * len(vals))))
+                rows.append((role, q, int(vals[pos - 1])))
+        wq = pd.DataFrame(rows, columns=["role", "q", "text_len"]).sort_values(
+            ["role", "q"]
+        ).reset_index(drop=True)
+        gq = ivm.read_quantile_view(view, qs).to_pandas()
+        gq["role"] = gq["role"].fillna("<null>")
+        gq = (
+            gq.sort_values(["role", "q"])
+            .reset_index(drop=True)
+            .astype({"text_len": "int64"})
+        )
+        pd.testing.assert_frame_equal(gq[wq.columns.tolist()], wq)
+
+    _check_all()
+
+    # delete every row holding one role's median value: distinct count
+    # drops, the top-k ladder shifts, quantiles move — all must track
+    snap = _snapvals()
+    role = snap["role"].iloc[0]
+    grp = snap[snap["role"] == role]
+    med = int(np.sort(grp["text_len"].to_numpy())[len(grp) // 2])
+    kill = grp[grp["text_len"] == med][["conv_id", "turn_idx"]]
+    assert len(kill) > 0
+    start = int(t.watermarks().max()) + 1
+    batch = pa.table(
+        {
+            "seq": pa.array(np.arange(start, start + len(kill)), pa.int64()),
+            "op": pa.array(["D"] * len(kill)),
+            "conv_id": pa.array(kill["conv_id"], pa.string()),
+            "turn_idx": pa.array(kill["turn_idx"].astype("int32"), pa.int32()),
+            "ts": pa.array(
+                np.full(len(kill), 4_100_000_000_000_000), pa.timestamp("us")
+            ),
+        }
+    )
+    segs = fx.write_segments(batch, f"{root}/ms_wal2", n_segments=1)
+    ing.run_stream(t, segs, segments_per_epoch=1)
+    ivm.sync_minmax(t, view, **kw)
+    _check_all()
+
+    # a non-multiset view refuses all three folds
+    agg = str(tmp_path / "ms_notview")
+    ivm.sync_agg(t, agg, group_by=["role"], columns=["role"])
+    for fold in (
+        lambda: ivm.read_distinct_view(agg),
+        lambda: ivm.read_topk_view(agg, 2),
+        lambda: ivm.read_quantile_view(agg, [0.5]),
+    ):
+        with pytest.raises(ValueError, match="not a sync_minmax"):
+            fold()
+
+
 def test_feed_across_schema_evolution(tmp_path):
     """A feed window spanning an envelope evolution (added meta column,
     widened turn_idx): before/after images cast onto the evolved

@@ -1530,6 +1530,33 @@ def sync_minmax(
     )
 
 
+def _multiset_spec(view_dir: str) -> tuple[dict, list[str], str]:
+    """Validate that ``view_dir`` holds a ``sync_minmax``-shaped
+    (group, value) pair-count multiset and return
+    ``(spec, group_cols, value_col)``.
+
+    The multiset shape is structurally group_by=[...groups, value]
+    bucketed by the groups alone — require that exact shape, or any
+    multi-column sync_agg / sync_index view would pass and a fold would
+    return a meaningless reduction of its LAST group column (sync_index
+    shows as bucket_by == group_by[:1], which this rejects for len-3
+    specs). One synced multiset serves EVERY non-invertible read-time
+    fold (min/max, count-distinct, top-k, quantiles) — the DBSP
+    multiset reduction for aggregates retractions can't invert."""
+    spec = _agg_state(view_dir).get("spec")
+    if (
+        not spec
+        or len(spec["group_by"]) < 2
+        or spec.get("bucket_by") != spec["group_by"][:-1]
+        or spec.get("sums")
+    ):
+        raise ValueError(
+            f"{view_dir} is not a sync_minmax-shaped multiset view "
+            f"(spec: {spec})"
+        )
+    return spec, spec["group_by"][:-1], spec["group_by"][-1]
+
+
 def read_minmax_view(view_dir: str) -> ray.data.Dataset:
     """min/max per group from a ``sync_minmax`` view: one fold over the
     surviving (group, value) pairs. Columns: group_by + min_<value> +
@@ -1537,21 +1564,7 @@ def read_minmax_view(view_dir: str) -> ray.data.Dataset:
     same pairs)."""
     from xgeo_ray.functions.relational import partial_group_agg
 
-    spec = _agg_state(view_dir).get("spec")
-    # a sync_minmax view is structurally group_by=[...groups, value]
-    # bucketed by the groups alone — require that exact shape, or any
-    # multi-column sync_agg / sync_index view would pass and return a
-    # meaningless min/max of its LAST group column (sync_index shows as
-    # bucket_by == group_by[:1], which this rejects for len-3 specs).
-    if (
-        not spec
-        or len(spec["group_by"]) < 2
-        or spec.get("bucket_by") != spec["group_by"][:-1]
-        or spec.get("sums")
-    ):
-        raise ValueError(f"{view_dir} is not a sync_minmax view (spec: {spec})")
-    group = spec["group_by"][:-1]
-    value = spec["group_by"][-1]
+    spec, group, value = _multiset_spec(view_dir)
     return partial_group_agg(
         read_agg_view(view_dir),
         group,
@@ -1562,6 +1575,139 @@ def read_minmax_view(view_dir: str) -> ray.data.Dataset:
         ],
         num_buckets=spec["num_buckets"],
     )
+
+
+def read_distinct_view(view_dir: str) -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT value) per group from a ``sync_minmax``
+    multiset view — distinct count is not retractable either (a delete
+    can't tell whether it removed the LAST row holding a value), but
+    the pair-count multiset makes it a read-time fold: each surviving
+    (group, value) pair IS one distinct value. Columns: group_by +
+    ``n_distinct_<value>`` (SQL semantics: nulls not counted) +
+    ``n_rows``. Incremental maintenance cost stays change-volume —
+    this read costs O(surviving pairs), not O(table)."""
+    from xgeo_ray.functions.relational import partial_group_agg
+
+    spec, group, value = _multiset_spec(view_dir)
+    return partial_group_agg(
+        read_agg_view(view_dir),
+        group,
+        [
+            (value, "count", f"n_distinct_{value}"),
+            ("n", "sum", "n_rows"),
+        ],
+        num_buckets=spec["num_buckets"],
+    )
+
+
+def read_topk_view(
+    view_dir: str, k: int, largest: bool = True
+) -> ray.data.Dataset:
+    """Per-group top-k VALUES (with live row counts) from a
+    ``sync_minmax`` multiset view: rank the surviving (group, value)
+    pairs by value within each group. Columns: group_by + value + ``n``
+    (live rows holding that value in the group) + ``rank`` (1-based).
+    Exact under deletes/updates — when every row holding the current
+    top value retracts, the next value surfaces, same guarantee
+    ``read_minmax_view`` certifies for k=1."""
+    from xgeo_ray.functions.relational import grouped_top_k
+
+    spec, group, value = _multiset_spec(view_dir)
+    return grouped_top_k(
+        read_agg_view(view_dir),
+        group,
+        sort_cols=[value],
+        descending=[largest],
+        k=k,
+        rank_col="rank",
+        num_buckets=spec["num_buckets"],
+    )
+
+
+@ray.remote
+def _quantile_fold_task(
+    path: str, group: list[str], value: str, qs: list[float]
+) -> pa.Table:
+    """Weighted exact quantile_disc per group over one multiset bucket
+    file. A group's pairs live wholly in one bucket (sync_agg buckets
+    by the group columns), so per-file folds are complete. Fully
+    vectorized: one sort, one cumsum, one searchsorted for ALL groups'
+    targets at once (pair counts are positive, so the global cumsum is
+    strictly increasing and absolute-rank targets resolve per group)."""
+    import math
+
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    t = pq.read_table(path, columns=group + [value, "n"], use_threads=False)
+    out_schema = pa.schema(
+        [t.schema.field(c) for c in group]
+        + [pa.field("q", pa.float64()), t.schema.field(value)]
+    )
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+    t = t.sort_by([(c, "ascending") for c in group + [value]])
+    # group-boundary scan (null-safe): a new group starts where any
+    # group column changes, counting null<->non-null as a change
+    chg = np.zeros(t.num_rows - 1, dtype=bool) if t.num_rows > 1 else None
+    if chg is not None:
+        for c in group:
+            col = t.column(c).combine_chunks()
+            a, b = col.slice(1), col.slice(0, len(col) - 1)
+            ne = pc.fill_null(pc.not_equal(a, b), False)
+            nulls_differ = pc.xor(pc.is_null(a), pc.is_null(b))
+            chg |= pc.or_(ne, nulls_differ).to_numpy(zero_copy_only=False)
+    starts = (
+        np.flatnonzero(np.concatenate([[True], chg]))
+        if chg is not None
+        else np.array([0], dtype=np.int64)
+    )
+    n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.cumsum(n)
+    base = np.where(starts > 0, cum[starts - 1], 0)
+    ends = np.concatenate([starts[1:] - 1, [t.num_rows - 1]])
+    totals = cum[ends] - base
+    rows_g, rows_q = [], []
+    for q in qs:
+        # quantile_disc: value at 1-indexed weighted position ceil(q*n)
+        # (same convention as functions.relational.exact_quantiles)
+        pos = np.maximum(1, np.ceil(q * totals).astype(np.int64))
+        idx = np.searchsorted(cum, base + pos, side="left")
+        rows_g.append(idx)
+        rows_q.append(np.full(len(idx), q))
+    take = np.concatenate(rows_g)
+    arrays = [t.column(c).take(pa.array(take)) for c in group]
+    arrays.append(pa.array(np.concatenate(rows_q), pa.float64()))
+    arrays.append(t.column(value).take(pa.array(take)))
+    return pa.Table.from_arrays(arrays, schema=out_schema)
+
+
+def read_quantile_view(view_dir: str, qs: list[float]) -> ray.data.Dataset:
+    """Exact per-group quantiles from a ``sync_minmax`` multiset view —
+    quantiles are the canonical non-invertible aggregate, and the
+    pair-count multiset IS the exact value histogram the fold needs:
+    each surviving (group, value, n) row contributes ``n`` ranks.
+    One raw-Ray task per committed bucket file (groups never span
+    buckets), vectorized inside; result columns: group_by + ``q`` +
+    value (``quantile_disc`` semantics — the value at 1-indexed
+    weighted position ceil(q*n), matching
+    ``functions.relational.exact_quantiles`` and DuckDB's
+    ``quantile_disc``). View size bounds the cost: O(distinct
+    (group, value) pairs), never O(table rows) — the same
+    fixed-precision-domain contract exact_quantiles documents."""
+    state = _agg_state(view_dir)
+    _, group, value = _multiset_spec(view_dir)
+    files = [
+        os.path.join(view_dir, n)
+        for _, n in sorted(state["files"].items(), key=lambda kv: int(kv[0]))
+    ]
+    if not files:
+        raise FileNotFoundError(f"no committed agg view under {view_dir}")
+    refs = [
+        _quantile_fold_task.remote(p, list(group), value, [float(q) for q in qs])
+        for p in files
+    ]
+    return ray.data.from_arrow_refs(refs)
 
 
 def read_agg_view(view_dir: str) -> ray.data.Dataset:
