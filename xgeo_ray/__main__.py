@@ -341,6 +341,26 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ts-us", type=int, default=None)
 
     p = sub.add_parser(
+        "update",
+        help="rewrite payload columns of every key whose current row "
+        "matches a column equality (distributed predicate update; "
+        "--set COL=VALUE repeatable; --batch-id is the exactly-once key)",
+    )
+    p.add_argument("table")
+    p.add_argument("column")
+    p.add_argument("value")
+    p.add_argument(
+        "--set",
+        dest="sets",
+        action="append",
+        required=True,
+        metavar="COL=VALUE",
+        help="payload column to rewrite (repeatable; cast to column type)",
+    )
+    p.add_argument("--batch-id", required=True)
+    p.add_argument("--ts-us", type=int, default=None)
+
+    p = sub.add_parser(
         "expire",
         help="event-time retention (TTL): tombstone every key whose "
         "current winner predates the cutoff (zone-map pruned; "
@@ -779,6 +799,57 @@ def main(argv: list[str] | None = None) -> int:
                     if m is None
                     else {
                         "deleted": m.totals.get("tombstones", 0),
+                        "epoch": m.epoch,
+                    }
+                )
+            )
+        elif args.cmd == "update":
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            env = table.current_schema()
+            col = args.column
+            if col not in env.names:
+                raise SystemExit(
+                    f"no column {col!r} in table schema {env.names}"
+                )
+
+            def _coerce(name: str, raw: str):
+                if name not in env.names:
+                    raise SystemExit(
+                        f"no column {name!r} in table schema {env.names}"
+                    )
+                try:
+                    return _pa.scalar(raw, _pa.string()).cast(
+                        env.field(name).type
+                    )
+                except Exception as e:
+                    raise SystemExit(
+                        f"value {raw!r} does not cast to column "
+                        f"{name!r} type {env.field(name).type}: {e}"
+                    )
+
+            val = _coerce(col, args.value)
+            sets = {}
+            for kv in args.sets:
+                if "=" not in kv:
+                    raise SystemExit(f"--set needs COL=VALUE, got {kv!r}")
+                k, _, v = kv.partition("=")
+                sets[k] = _coerce(k, v).as_py()
+            _init_ray()
+            m = ing.update_where(
+                table,
+                lambda t: _pc.equal(t.column(col), val),
+                sets,
+                batch_id=args.batch_id,
+                ts_us=args.ts_us,
+            )
+            print(
+                json.dumps(
+                    {"updated": 0, "noop": True}
+                    if m is None
+                    else {
+                        "updated": m.totals.get("applied", 0),
                         "epoch": m.epoch,
                     }
                 )

@@ -1711,6 +1711,175 @@ def delete_where(
     return ingest_segments(table, segs, watermark_exempt=True)
 
 
+def update_where(
+    table: DeltaTable,
+    predicate,
+    set_values,
+    batch_id: str,
+    ts_us: int | None = None,
+    partitions: list[int] | None = None,
+) -> Manifest | None:
+    """Predicate UPDATE — the in-place-correction primitive beside
+    ``delete_where`` (rows) and ``drop_columns`` (columns): rewrite the
+    payload of every key whose CURRENT merged row satisfies
+    ``predicate`` (a callable ``pa.Table -> boolean array``). The new
+    values come from ``set_values``, either a dict ``{col: scalar}``
+    (``None`` allowed — nulls the column) or a callable
+    ``pa.Table -> {col: pa.Array}`` computed vectorized from the
+    matched rows (e.g. redaction: ``lambda t: {"text":
+    pc.replace_substring_regex(t.column("text"), ...)}``). Key columns
+    (conv_id/turn_idx) and the envelope columns (ts/op/seq) are
+    refused — re-keying is a delete+insert, and the new version's ts
+    is stamped by this call.
+
+    Fully distributed and LWW-native: the snapshot merge tasks stream,
+    each batch filters to matches, swaps the target columns, and the
+    FULL updated row images land as out-of-band WAL segments (op='U',
+    seq=-1, ts = ``ts_us`` or now) through the normal epoch machinery.
+    The update therefore wins against all current versions by LWW ts,
+    and a later stream event with a later ts supersedes it — the same
+    upsert semantics as ``delete_where``. Exactly-once by ``batch_id``
+    (an id already committed is a no-op, returns None); crash-resume
+    recomputes and publishes a fresh attempt-token set.
+
+    The scan reads EVERY payload column by design: LWW replacement
+    needs the full image (untouched columns must ride along or the new
+    version would null them). Partial column patches are the
+    ``merge_policy="coalesce"`` domain — and coalesce tables are
+    refused here anyway (out-of-band seq=-1 sorts earliest under
+    coalesce's WAL-seq order, see ``_reject_oob_on_coalesce``).
+    ``additive`` tables are refused too: an oob 'U' image ADDS to the
+    accumulated sum instead of replacing it — issue additive
+    corrections through ``apply_changes`` deltas. ``partitions`` is
+    the caller's prune hook, same contract as ``delete_where``.
+
+    RACING drivers on one batch_id: both can commit. For scalar
+    ``set_values`` that is idempotent on state; for a COMPUTED set the
+    second attempt may re-read state that already includes the first
+    attempt's updates (double-apply) — serialize computed updates with
+    ``state/lease.py``.
+
+    No reference counterpart (stateless CLI,
+    /root/reference/cmd/xgeo/main.go); this is the lakehouse UPDATE
+    surface (Delta/Iceberg ``UPDATE WHERE``) the north rule's upsert
+    engine needs."""
+    _reject_oob_on_coalesce(table, "update_where")
+    if table.merge_policy != "lww":
+        raise ValueError(
+            f"update_where requires merge_policy='lww' (got "
+            f"{table.merge_policy!r}): the emitted full-row image must "
+            "REPLACE the current version; under additive/custom policies "
+            "replacement is not the merge semantics — use apply_changes"
+        )
+    import re as _re
+    import time as _time
+
+    from xgeo_ray.state.delta_table import new_commit_token
+    from xgeo_ray.state.storage import DEFAULT_STORAGE
+
+    if not _re.fullmatch(r"[A-Za-z0-9_.-]+", batch_id):
+        raise ValueError(f"batch_id {batch_id!r} must be filesystem-safe")
+    final_dir = os.path.abspath(
+        os.path.join(table.root, "backfill", f"{batch_id}.u")
+    )
+    prefix = final_dir + os.sep
+    if any(s.startswith(prefix) for s in table.committed_segments()):
+        return None
+    now = int(_time.time() * 1_000_000) if ts_us is None else int(ts_us)
+    envelope = table.current_schema()
+    payload = [f.name for f in envelope if f.name not in LINEAGE_COLS]
+    forbidden = {"conv_id", "turn_idx", "ts", "op", "seq"}
+    if isinstance(set_values, dict):
+        bad = sorted(set(set_values) & forbidden)
+        if bad:
+            raise ValueError(
+                f"update_where cannot set {bad}: keys are identity "
+                "(delete+insert to re-key) and ts/op/seq are stamped by "
+                "the call"
+            )
+        unknown = sorted(set(set_values) - set(payload))
+        if unknown:
+            raise ValueError(
+                f"update_where set columns {unknown} not in the table "
+                f"envelope {sorted(set(payload) - {'conv_id', 'turn_idx'})}"
+            )
+        if not set_values:
+            raise ValueError("update_where needs at least one set column")
+    elif not callable(set_values):
+        raise ValueError(
+            "set_values must be a {col: scalar} dict or a callable "
+            "pa.Table -> {col: pa.Array}"
+        )
+    types = {f.name: f.type for f in envelope}
+
+    def _to_updates(batch: pa.Table) -> pa.Table:
+        mask = predicate(batch)
+        rows = batch.filter(mask).select(payload)
+        n = rows.num_rows
+        new = set_values(rows) if callable(set_values) else set_values
+        for col, val in new.items():
+            if col in forbidden or col not in rows.column_names:
+                raise ValueError(
+                    f"update_where computed set returned column {col!r}: "
+                    "not an updatable payload column"
+                )
+            arr = (
+                val
+                if isinstance(val, (pa.Array, pa.ChunkedArray))
+                else pa.repeat(pa.scalar(val, types[col]), n)
+            )
+            rows = rows.set_column(
+                rows.column_names.index(col), col, arr.cast(types[col])
+            )
+        rows = rows.set_column(
+            rows.column_names.index("ts"),
+            "ts",
+            pa.repeat(pa.scalar(now, pa.timestamp("us")), n),
+        )
+        return rows.append_column(
+            "op", pa.array(np.full(n, "U", dtype="U1"), pa.string())
+        ).append_column(
+            "seq", pa.array(np.full(n, -1, dtype=np.int64), pa.int64())
+        )
+
+    stage = final_dir + f".stage-{os.getpid()}"
+    import shutil as _shutil
+
+    _shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    snapshot(table, partitions=partitions).map_batches(
+        _to_updates, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(stage)
+    staged = sorted(
+        os.path.join(stage, f)
+        for f in os.listdir(stage)
+        if f.endswith(".parquet")
+    )
+    if not staged:  # nothing matched: still commit an exactly-once marker
+        key_schema = pa.schema(
+            [f for f in envelope if f.name in ("conv_id", "turn_idx")]
+        )
+        empty = (
+            key_schema.empty_table()
+            .append_column("op", pa.array([], pa.string()))
+            .append_column("ts", pa.array([], pa.timestamp("us")))
+            .append_column("seq", pa.array([], pa.int64()))
+        )
+        p = os.path.join(stage, "empty.parquet")
+        pq.write_table(empty, p)
+        staged = [p]
+    token = new_commit_token()
+    durable = table.durability == "full"
+    os.makedirs(final_dir, exist_ok=True)
+    segs = []
+    for i, src in enumerate(staged):
+        dst = os.path.join(final_dir, f"part-{token}-{i:05d}.parquet")
+        DEFAULT_STORAGE.publish_file(src, dst, durable=durable)
+        segs.append(dst)
+    _shutil.rmtree(stage, ignore_errors=True)
+    return ingest_segments(table, segs, watermark_exempt=True)
+
+
 class _TsBefore:
     """Picklable event-time predicate for expire(): current winner's ts
     strictly before the cutoff. Declares its projection so the snapshot

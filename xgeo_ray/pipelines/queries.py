@@ -569,6 +569,11 @@ def _role_error_pred(t: pa.Table):
     return pc.equal(t.column("role"), "error")
 
 
+def _role_click_pred(t: pa.Table):
+    """Predicate for cdc_delete_where's update_where leg."""
+    return pc.equal(t.column("role"), "click")
+
+
 def cdc_delete_where(sf_dir: str):
     """END-TO-END engine query for the predicate-delete (takedown)
     path: the derived change stream is ingested into a DeltaTable via
@@ -599,6 +604,18 @@ def cdc_delete_where(sf_dir: str):
     # manifest zone maps before any payload read — the driver row now
     # certifies ingest → predicate-delete → EXPIRE → merge end-to-end.
     ing.expire(t, _EXPIRE_CUTOFF_US, ts_us=_DELETE_TS_US + 1)
+    # Predicate UPDATE on the surviving state: every remaining 'click'
+    # row's text is redacted in place via a full-image oob 'U' batch
+    # stamped above the expire tombstones — the row now certifies
+    # ingest → delete → expire → UPDATE → merge end-to-end (the oracle
+    # replays the update as a CASE over the kept winners).
+    ing.update_where(
+        t,
+        _role_click_pred,
+        {"text": "[click redacted]"},
+        batch_id="redact-q",
+        ts_us=_DELETE_TS_US + 2,
+    )
     return ing.snapshot(
         t, columns=["conv_id", "turn_idx", "role", "text", "ts"]
     )
@@ -1908,10 +1925,19 @@ def build_oracle_sql() -> dict[str, str]:
               SELECT conv_id, turn_idx, role, text, ts, op FROM ev
               QUALIFY row_number() OVER (
                   PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) = 1
+            ),
+            kept AS (
+              SELECT conv_id, turn_idx, role, text, ts FROM state
+              WHERE op <> 'D' AND role <> 'error'
+                AND ts >= make_timestamp({_EXPIRE_CUTOFF_US})
             )
-            SELECT conv_id, turn_idx, role, text, ts FROM state
-            WHERE op <> 'D' AND role <> 'error'
-              AND ts >= make_timestamp({_EXPIRE_CUTOFF_US})
+            SELECT conv_id, turn_idx, role,
+                   CASE WHEN role = 'click'
+                        THEN '[click redacted]' ELSE text END AS text,
+                   CASE WHEN role = 'click'
+                        THEN make_timestamp({_DELETE_TS_US + 2})
+                        ELSE ts END AS ts
+            FROM kept
         """,
         "cdc_assembled_convs": f"""
             WITH ev AS ({derive}),
