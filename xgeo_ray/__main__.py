@@ -59,6 +59,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-partitions", type=int, default=64)
     p.add_argument("--num-salts", type=int, default=4)
     p.add_argument(
+        "--join-of",
+        nargs=2,
+        metavar=("LEFT", "RIGHT"),
+        default=None,
+        help="create a join-view SINK for these two table roots "
+        "(base schema = keys + left payload + prefixed right payload; "
+        "drive it with join-sync)",
+    )
+    p.add_argument(
+        "--join-how", choices=["inner", "left"], default="inner"
+    )
+    p.add_argument("--right-prefix", default="r_")
+    p.add_argument(
         "--durability",
         choices=["full", "commit"],
         default="full",
@@ -459,6 +472,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--role-sep", default=": ")
     p.add_argument("--upto", type=int, default=None)
 
+    p = sub.add_parser(
+        "join-sync",
+        help="maintain a materialized PK join of two tables "
+        "incrementally: only keys touched since the cursors re-join "
+        "(create the sink with `create --join-of LEFT RIGHT`)",
+    )
+    p.add_argument("table", help="the join SINK table")
+    p.add_argument("left")
+    p.add_argument("right")
+    p.add_argument("--how", choices=["inner", "left"], default="inner")
+    p.add_argument("--right-prefix", default="r_")
+    p.add_argument("--upto-left", type=int, default=None)
+    p.add_argument("--upto-right", type=int, default=None)
+
     p = sub.add_parser("status", help="print manifests + lineage totals as JSON")
     p.add_argument("table")
 
@@ -528,6 +555,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "create":
+        kw = {}
+        if args.join_of is not None:
+            from xgeo_ray.pipelines import ivm
+
+            kw["base_schema"] = ivm.join_sink_schema(
+                DeltaTable.open(args.join_of[0]),
+                DeltaTable.open(args.join_of[1]),
+                right_prefix=args.right_prefix,
+                how=args.join_how,
+            )
         DeltaTable.create(
             args.table,
             num_partitions=args.num_partitions,
@@ -535,6 +572,7 @@ def main(argv: list[str] | None = None) -> int:
             durability=args.durability,
             merge_policy=args.merge_policy,
             history=args.history,
+            **kw,
         )
         print(json.dumps({"created": args.table}))
         return 0
@@ -953,6 +991,19 @@ def main(argv: list[str] | None = None) -> int:
                     )
             t = ivm.lookup_by(table, args.view_dir, val)
             print(json.dumps(t.to_pylist(), default=str))
+        elif args.cmd == "join-sync":
+            from xgeo_ray.pipelines import ivm
+
+            st = ivm.sync_join(
+                DeltaTable.open(args.left),
+                DeltaTable.open(args.right),
+                table,
+                how=args.how,
+                right_prefix=args.right_prefix,
+                upto_left=args.upto_left,
+                upto_right=args.upto_right,
+            )
+            print(json.dumps(st))
         elif args.cmd == "assemble-sync":
             st = ing.sync_assembled(
                 DeltaTable.open(args.source),

@@ -2560,6 +2560,7 @@ def lookup_many(
     table: DeltaTable,
     conv_ids: list[str],
     keep_lineage: bool = False,
+    as_of_epoch: int | None = None,
 ) -> pa.Table:
     """BATCH point lookup: the merged state of N conversations with one
     merge task per TOUCHED partition — each conversation's keys hash to
@@ -2567,12 +2568,17 @@ def lookup_many(
     is pushed to the Parquet row-group filter, and untouched partitions
     are never opened. I/O scales with the keys requested, wall time
     with touched partitions / CPUs — not with N sequential round-trips
-    (``lookup``) and not with table size (``snapshot``)."""
+    (``lookup``) and not with table size (``snapshot``).
+
+    ``as_of_epoch`` time-travels the lookup (same retention contract as
+    ``snapshot(as_of_epoch=)``: the chain must predate vacuum) — the
+    consistent-read primitive incremental consumers (``ivm.sync_join``)
+    pin their window reads with."""
     from xgeo_ray.partition import compute_part_key
     from xgeo_ray.stages.collapse import MERGE_POLICIES
 
     ids = sorted(set(conv_ids))
-    envelope = table.current_schema()
+    envelope = table.current_schema(as_of_epoch)
     if not ids:
         base = pa.schema(
             [f for f in envelope if keep_lineage or f.name not in LINEAGE_COLS]
@@ -2591,8 +2597,8 @@ def lookup_many(
             part_ids.setdefault(int(p), set()).add(cid)
     from xgeo_ray.partition import bloom_may_contain
 
-    plan = table.partition_files()
-    blooms = table.file_blooms()
+    plan = table.partition_files(as_of_epoch)
+    blooms = table.file_blooms(as_of_epoch)
     policy_fn = MERGE_POLICIES[table.merge_policy]["fn"]
 
     def _pruned(paths: list[str], want: list[str]) -> list[str]:

@@ -1723,3 +1723,333 @@ def read_agg_view(view_dir: str) -> ray.data.Dataset:
     if not files:
         raise FileNotFoundError(f"no committed agg view under {view_dir}")
     return ray.data.read_parquet(files)
+
+
+# ------------------------------------------------------------------
+# incremental PK join views: a joined DeltaTable maintained from BOTH
+# sides' committed change streams at change-volume cost
+
+_JOIN_META = "_join.json"
+
+
+def _payload_names(
+    envelope: pa.Schema, columns: list[str] | None
+) -> list[str]:
+    from xgeo_ray.pipelines.ingest import _MERGE_COLS
+    from xgeo_ray.state.delta_table import LINEAGE_COLS
+
+    skip = set(_MERGE_COLS) | set(LINEAGE_COLS)
+    names = [f.name for f in envelope if f.name not in skip]
+    if columns is not None:
+        missing = sorted(set(columns) - set(names))
+        if missing:
+            raise ValueError(
+                f"join columns {missing} not payload columns of the "
+                f"side (payload: {names})"
+            )
+        names = [n for n in names if n in set(columns)]
+    return names
+
+
+def join_sink_schema(
+    left: DeltaTable,
+    right: DeltaTable,
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+    right_prefix: str = "r_",
+    how: str = "inner",
+) -> pa.Schema:
+    """The ``base_schema`` for a ``sync_join`` sink: keys + the left
+    side's payload columns under their own names + the right side's
+    prefixed + (``how="left"`` only) a ``<prefix>exists`` flag that
+    disambiguates "no right row" from "right row with null values".
+    Pass to ``DeltaTable.create(base_schema=...)``. Name collisions
+    between the prefixed right columns and the left columns refuse —
+    pick a different ``right_prefix``."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    lenv, renv = left.current_schema(), right.current_schema()
+    fields = [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", lenv.field("turn_idx").type),
+    ]
+    for c in _payload_names(lenv, left_columns):
+        fields.append(lenv.field(c))
+    names = {f.name for f in fields}
+    rcols = _payload_names(renv, right_columns)
+    if how == "left":
+        rcols = rcols + ["exists"]
+    for c in rcols:
+        n = right_prefix + c
+        if n in names:
+            raise ValueError(
+                f"prefixed right column {n!r} collides with a left "
+                f"column — pass a different right_prefix"
+            )
+        t = pa.bool_() if c == "exists" else renv.field(c).type
+        fields.append(pa.field(n, t))
+        names.add(n)
+    fields.append(pa.field("ts", pa.timestamp("us")))
+    return pa.schema(fields)
+
+
+@ray.remote
+def _window_keys_task(path: str) -> pa.Table:
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    t = pq.read_table(
+        path, columns=["conv_id", "turn_idx"], use_threads=False
+    )
+    return pa.table(
+        {
+            "conv_id": t.column("conv_id").cast(pa.string()),
+            "turn_idx": t.column("turn_idx").cast(pa.int64()),
+        }
+    )
+
+
+def sync_join(
+    left: DeltaTable,
+    right: DeltaTable,
+    sink: DeltaTable,
+    how: str = "inner",
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+    right_prefix: str = "r_",
+    upto_left: int | None = None,
+    upto_right: int | None = None,
+) -> dict:
+    """Maintain a MATERIALIZED PK equi-join of two tables incrementally
+    and exactly-once: after any sync, ``snapshot(sink)`` equals the key
+    join of ``snapshot(left, as_of=left cursor)`` and ``snapshot(right,
+    as_of=right cursor)`` — but each sync's I/O tracks the CHANGE
+    volume, not the table sizes. The key-granularity complement of
+    ``pipelines.join_view`` (which recomputes whole partitions when
+    either side's file set moved, and requires aligned partitioning):
+    this path re-joins only the keys TOUCHED since the cursors, via
+    bloom/IN-pruned batch lookups — so the two sides may have different
+    partitioning entirely.
+
+    Per sync: (1) advance both sides' consumer cursors over their
+    committed delta epochs; (2) key-column-only reads of the window
+    files collect the touched (conv_id, turn_idx) set; (3) one
+    ``lookup_many(as_of_epoch=cursor)`` per side fetches those keys'
+    merged current rows as of the PINNED epochs (a concurrent commit
+    cannot tear the join); (4) the per-key join recomputes vectorized
+    (Acero, driver-side over O(touched keys) rows — same bound as
+    ``sync_assembled``'s apply batch); (5) joined rows upsert into
+    ``sink`` (op='U'), keys now absent from the join tombstone
+    (op='D'), one ``apply_changes`` batch exactly-once by batch id;
+    (6) both cursors ack. Crash order upsert-then-ack: a replayed
+    window recomputes convergently under the sink's LWW (an identical
+    window no-ops on its batch id).
+
+    ``how``: "inner" or "left" (right columns null when unmatched,
+    ``<prefix>exists``=False distinguishes that from null values).
+    Create ``sink`` with ``base_schema=join_sink_schema(...)`` — payload
+    columns flow only if DECLARED there (source columns added by later
+    schema evolution are ignored until the view is rebuilt), the
+    ``stages.enrich`` convention. Spec pinned in ``_join.json``;
+    changing it refuses. A source RESTORE below its cursor fails fast
+    (rebuild, or ``consumers.rewind`` both cursors below the restore
+    target). Restoring the SINK desyncs the view the same way — rewind
+    the source cursors to (at most) the sink's restored epoch's source
+    window or rebuild. Retention: sync before vacuum reclaims either
+    side's window deltas or as-of chains (the ``changes()`` contract).
+
+    No reference counterpart (stateless CLI,
+    /root/reference/cmd/xgeo/main.go:18-61); published shape: Iceberg/
+    Delta MERGE-maintained join tables and DBSP delta-join views."""
+    import hashlib
+
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.state import consumers as _cons
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if sink.merge_policy != "lww":
+        raise ValueError(
+            f"sync_join sink must be merge_policy='lww' (got "
+            f"{sink.merge_policy!r}): per-key recomputation upserts "
+            "full replacement rows"
+        )
+    spec = {
+        "left_root": os.path.abspath(left.root),
+        "right_root": os.path.abspath(right.root),
+        "how": how,
+        "right_prefix": right_prefix,
+        "left_columns": None if left_columns is None else sorted(left_columns),
+        "right_columns": None
+        if right_columns is None
+        else sorted(right_columns),
+    }
+    meta_p = os.path.join(sink.root, _JOIN_META)
+    if os.path.isfile(meta_p):
+        with open(meta_p) as f:
+            prev = json.load(f)
+        if prev != spec:
+            raise ValueError(
+                f"join view spec changed: committed {prev} != requested "
+                f"{spec}. Use a fresh sink (its rows are only meaningful "
+                "under the spec that built them)."
+            )
+    else:
+        tmp = meta_p + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(spec, f, indent=1)
+        os.replace(tmp, meta_p)
+    sink_id = hashlib.sha1(
+        os.path.abspath(sink.root).encode()
+    ).hexdigest()[:10]
+    gl, gr = f"join-{sink_id}-L", f"join-{sink_id}-R"
+
+    def _cursor(side: DeltaTable, group: str, upto_req: int | None):
+        since = _cons.position(side, group)
+        eff = {m.epoch for m in side.effective_manifests()}
+        if since > 0 and since not in eff:
+            raise ValueError(
+                f"source {side.root} was restored past the join view's "
+                f"cursor (epoch {since} is no longer in the effective "
+                "history): the sink holds rows the source rolled back. "
+                "Rebuild the view or rewind both cursors below the "
+                "restore target."
+            )
+        if upto_req is None:
+            upto = max(eff, default=0)
+        else:
+            upto = max((e for e in eff if e <= upto_req), default=0)
+        return since, max(upto, since)
+
+    since_l, upto_l = _cursor(left, gl, upto_left)
+    since_r, upto_r = _cursor(right, gr, upto_right)
+    stats = {
+        "synced_epochs": 0,
+        "keys": 0,
+        "upserts": 0,
+        "deletes": 0,
+        "left_epoch": upto_l,
+        "right_epoch": upto_r,
+    }
+    if upto_l <= since_l and upto_r <= since_r:
+        return stats
+    win_l = _window_plan(left, since_l, upto_l)
+    win_r = _window_plan(right, since_r, upto_r)
+    files = [p for w in (win_l, win_r) for fl in w.values() for p, _ in fl]
+    stats["synced_epochs"] = sum(
+        len({e for fl in w.values() for _, e in fl}) for w in (win_l, win_r)
+    )
+    key_tabs = [
+        t
+        for t in ray.get([_window_keys_task.remote(p) for p in files])
+        if t.num_rows
+    ]
+    if not key_tabs:
+        _cons.ack(left, gl, upto_l)
+        _cons.ack(right, gr, upto_r)
+        return stats
+    kt = pa.concat_tables(key_tabs).group_by(
+        ["conv_id", "turn_idx"]
+    ).aggregate([])
+    stats["keys"] = kt.num_rows
+    convs = sorted(set(kt.column("conv_id").to_pylist()))
+    uniq = pa.array(convs, pa.string())
+    k_codes = np.sort(
+        _k64_codes(kt.column("conv_id"), kt.column("turn_idx"), uniq)
+    )
+
+    sink_names = set(sink.current_schema().names)
+    lpay = [
+        c
+        for c in _payload_names(left.current_schema(upto_l), left_columns)
+        if c in sink_names
+    ]
+    rpay = [
+        c
+        for c in _payload_names(right.current_schema(upto_r), right_columns)
+        if right_prefix + c in sink_names
+    ]
+
+    def _side_rows(side, upto, pay) -> pa.Table:
+        t = ing.lookup_many(side, convs, as_of_epoch=upto)
+        t = pa.table(
+            {
+                "conv_id": t.column("conv_id").cast(pa.string()),
+                "turn_idx": t.column("turn_idx").cast(pa.int64()),
+                **{c: t.column(c) for c in pay},
+            }
+        )
+        codes = _k64_codes(t.column("conv_id"), t.column("turn_idx"), uniq)
+        return t.filter(pa.array(np.isin(codes, k_codes)))
+
+    a = _side_rows(left, upto_l, lpay)
+    b = _side_rows(right, upto_r, rpay)
+    b = b.rename_columns(
+        ["conv_id", "turn_idx"] + [right_prefix + c for c in rpay]
+    )
+    exists_col = right_prefix + "exists"
+    if how == "left" and exists_col in sink_names:
+        b = b.append_column(
+            exists_col, pa.array(np.ones(b.num_rows, bool), pa.bool_())
+        )
+    joined = a.join(
+        b,
+        keys=["conv_id", "turn_idx"],
+        join_type="inner" if how == "inner" else "left outer",
+    )
+    if how == "left" and exists_col in joined.column_names:
+        joined = joined.set_column(
+            joined.column_names.index(exists_col),
+            exists_col,
+            pc.fill_null(joined.column(exists_col), False),
+        )
+    j_codes = _k64_codes(
+        joined.column("conv_id"), joined.column("turn_idx"), uniq
+    )
+    dead = kt.filter(pa.array(~np.isin(
+        _k64_codes(kt.column("conv_id"), kt.column("turn_idx"), uniq),
+        j_codes,
+    )))
+    stats["upserts"], stats["deletes"] = joined.num_rows, dead.num_rows
+    parts = []
+    if joined.num_rows:
+        parts.append(
+            joined.append_column(
+                "op",
+                pa.array(np.full(joined.num_rows, "U", "U1"), pa.string()),
+            )
+        )
+    if dead.num_rows:
+        parts.append(
+            dead.append_column(
+                "op", pa.array(np.full(dead.num_rows, "D", "U1"), pa.string())
+            )
+        )
+    if parts:
+        batch = pa.concat_tables(parts, promote_options="permissive")
+        # cast to the sink's DECLARED types (the working key type is
+        # int64): a wider batch column would otherwise silently EVOLVE
+        # the sink schema through the ingest union
+        env_s = sink.current_schema()
+        batch = pa.table(
+            {
+                c: (
+                    batch.column(c).cast(env_s.field(c).type)
+                    if c in env_s.names
+                    else batch.column(c)
+                )
+                for c in batch.column_names
+            }
+        )
+        ing.apply_changes(
+            sink,
+            batch,
+            batch_id=(
+                f"{gl}-eL{since_l + 1}-{upto_l}-eR{since_r + 1}-{upto_r}"
+            ),
+        )
+    if os.environ.get("XGEO_CRASH_BEFORE_JOIN_ACK"):
+        os._exit(137)  # crash hook: sink upserted, cursors not acked
+    _cons.ack(left, gl, upto_l)
+    _cons.ack(right, gr, upto_r)
+    return stats

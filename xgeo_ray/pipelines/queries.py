@@ -474,11 +474,18 @@ def cdc_join_state(sf_dir: str):
     partition-locally (zero shuffle — identical keys co-locate). The
     oracle replays LWW winner per key on both streams and joins in
     SQL, so a hash match certifies ingest → two-table merge-on-read →
-    co-partitioned join end-to-end."""
+    co-partitioned join end-to-end.
+
+    The row ALSO certifies the INCREMENTAL join path (ivm.sync_join):
+    a materialized join sink follows both streams across two sync
+    points (one mid-left-ingest) and is asserted row-equal to the
+    batch join_snapshot before the result returns — a divergence
+    fails the driver row."""
     import os
     import shutil
 
     from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.pipelines import ivm
     from xgeo_ray.pipelines.join_view import join_snapshot
     from xgeo_ray.state.delta_table import DeltaTable
 
@@ -489,7 +496,6 @@ def cdc_join_state(sf_dir: str):
         sf_dir, f"{work}/rwal", derive_fn=_amount_events_mod3
     )
     left = DeltaTable.create(f"{work}/left", num_partitions=16, num_salts=2)
-    ing.run_stream(left, [], segment_groups=lgroups)
     rschema = pa.schema(
         [
             pa.field("conv_id", pa.string()),
@@ -501,14 +507,45 @@ def cdc_join_state(sf_dir: str):
     right = DeltaTable.create(
         f"{work}/right", num_partitions=16, num_salts=2, base_schema=rschema
     )
+    jcols = {"left_columns": ["role", "text"], "right_columns": ["amount"]}
+    sink = DeltaTable.create(
+        f"{work}/jsink",
+        num_partitions=8,
+        num_salts=1,
+        base_schema=ivm.join_sink_schema(left, right, **jcols),
+    )
+    half = max(1, len(lgroups) // 2)
+    ing.run_stream(left, [], segment_groups=lgroups[:half])
+    ivm.sync_join(left, right, sink, **jcols)
+    ing.run_stream(left, [], segment_groups=lgroups[half:])
     ing.run_stream(right, [], segment_groups=rgroups)
-    return join_snapshot(
+    ivm.sync_join(left, right, sink, **jcols)
+    result = join_snapshot(
         left,
         right,
         how="inner",
         columns_left=["role", "text", "ts"],
         columns_right=["amount"],
+    ).materialize()
+    cols = ["conv_id", "turn_idx", "role", "text", "amount"]
+    want = (
+        result.to_pandas()[cols]
+        .astype({"turn_idx": "int64"})
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
     )
+    got = (
+        ing.snapshot(sink)
+        .to_pandas()
+        .rename(columns={"r_amount": "amount"})[cols]
+        .astype({"turn_idx": "int64"})
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    import pandas as _pd
+
+    _pd.testing.assert_frame_equal(got, want)
+    return result
 
 
 def cdc_enriched_state(sf_dir: str):
