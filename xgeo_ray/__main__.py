@@ -393,6 +393,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("columns", nargs="+")
 
     p = sub.add_parser(
+        "rename-column",
+        help="rename a payload column (full-image rewrite: snapshot "
+        "streams out with the column renamed, then the old name is "
+        "metadata-dropped; exactly-once by batch id; time travel below "
+        "keeps the old name)",
+    )
+    p.add_argument("table")
+    p.add_argument("old")
+    p.add_argument("new")
+    p.add_argument("--batch-id", default=None)
+
+    p = sub.add_parser(
         "clone",
         help="zero-copy table clone at a new root (hardlinked immutable "
         "deltas + copied manifest history; both sides then evolve "
@@ -908,6 +920,14 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.cmd == "drop-columns":
             print(json.dumps(ing.drop_columns(table, args.columns)))
+        elif args.cmd == "rename-column":
+            print(
+                json.dumps(
+                    ing.rename_column(
+                        table, args.old, args.new, batch_id=args.batch_id
+                    )
+                )
+            )
         elif args.cmd == "clone":
             dst = ing.clone_table(
                 table, args.dest_root, mode="copy" if args.deep else "auto"

@@ -213,6 +213,7 @@ class ApplyPartition:
         token: str = "",
         ts_watermarks: np.ndarray | None = None,
         history: str = "collapsed",
+        stats_columns: list[str] | None = None,
     ):
         # NOTE: no limit_worker_threads() here — instance-passed stages are
         # constructed on the DRIVER (pickled to workers, __init__ never
@@ -232,6 +233,7 @@ class ApplyPartition:
         # data files stay disjoint; only the fence winner's are visible)
         self.token = token
         self.history = history
+        self.stats_columns = stats_columns or []
         # resolve the callable HERE (driver): runtime-registered policies
         # are not in the worker's registry; the pickled instance carries it
         from xgeo_ray.stages.collapse import MERGE_POLICIES
@@ -333,6 +335,7 @@ class ApplyPartition:
             entry.bloom = build_key_bloom(
                 out.column("conv_id").to_numpy(zero_copy_only=False)
             )
+            entry.stats = _column_stats_json(out, self.stats_columns)
             entry.bytes = _atomic_write_parquet(
                 out, os.path.join(self.root, entry.path), durable=self.durable
             )
@@ -360,8 +363,29 @@ _ENTRY_SCHEMA = pa.schema(
         ("bytes", pa.int64()),
         ("late", pa.int64()),
         ("bloom", pa.string()),
+        ("stats", pa.string()),
     ]
 )
+
+
+def _column_stats_json(t: pa.Table, cols: list[str]) -> str:
+    """JSON zone map {"col": [min, max] | null} for the declared stats
+    columns present in ``t`` (null = declared but all values null;
+    absent = column not in this file). Timestamps record as int64 µs so
+    the manifest stays JSON and comparisons stay numeric."""
+    if not cols:
+        return ""
+    out = {}
+    for c in cols:
+        if c not in t.column_names:
+            continue
+        col = t.column(c)
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.int64())
+        mm = pc.min_max(col)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        out[c] = None if lo is None else [lo, hi]
+    return json.dumps(out) if out else ""
 
 
 def _entry_to_table(e: PartitionEntry) -> pa.Table:
@@ -498,6 +522,7 @@ def _radix_exchange_apply(
             token=new_commit_token() if token is None else token,
             ts_watermarks=table.ts_watermarks(),
             history=table.history,
+            stats_columns=table.stats_columns(),
         )
     )
     maps = [
@@ -516,7 +541,7 @@ def _radix_exchange_apply(
         for row in t.to_pylist():
             entries.append(
                 PartitionEntry(
-                    **{k: (v if k in ("path", "bloom") else int(v)) for k, v in row.items()}
+                    **{k: (v if k in ("path", "bloom", "stats") else int(v)) for k, v in row.items()}
                 )
             )
     return entries, invalid
@@ -547,6 +572,7 @@ def _apply_shuffled(
             token=new_commit_token(),
             ts_watermarks=table.ts_watermarks(),
             history=table.history,
+            stats_columns=table.stats_columns(),
         ),
         batch_format="pyarrow",
     )
@@ -587,7 +613,7 @@ def _check_no_split_parts(entries: list[PartitionEntry]) -> None:
 
 def _collect_entries(metrics: ray.data.Dataset) -> list[PartitionEntry]:
     entries = [
-        PartitionEntry(**{k: (v if k in ("path", "bloom") else int(v)) for k, v in row.items()})
+        PartitionEntry(**{k: (v if k in ("path", "bloom", "stats") else int(v)) for k, v in row.items()})
         for row in metrics.take_all()
     ]
     _check_no_split_parts(entries)
@@ -880,6 +906,7 @@ def run_stream(
                 # bootstrap rows predate the stream: not late by definition
                 ts_watermarks=None if is_boot else tswm,
                 history=table.history,
+                stats_columns=table.stats_columns(),
             )
         )
         snap_refs = None
@@ -913,7 +940,7 @@ def run_stream(
             for row in t.to_pylist():
                 entries.append(
                     PartitionEntry(
-                        **{k: (v if k in ("path", "bloom") else int(v)) for k, v in row.items()}
+                        **{k: (v if k in ("path", "bloom", "stats") else int(v)) for k, v in row.items()}
                     )
                 )
         _check_no_split_parts(entries)
@@ -1079,6 +1106,7 @@ def _merge_part_task(
     policy: str = "lww",
     columns: list[str] | None = None,
     as_of_ts_us: int | None = None,
+    ranges: dict[str, tuple] | None = None,
 ) -> pa.Table:
     from xgeo_ray.tuning import limit_worker_threads
 
@@ -1088,7 +1116,11 @@ def _merge_part_task(
     # they must neither be read nor surface past the narrowed envelope
     read_cols = list(envelope.names)
     if columns is not None:
-        read_cols = list(dict.fromkeys(_MERGE_COLS + list(columns)))
+        read_cols = list(
+            dict.fromkeys(
+                _MERGE_COLS + list(columns) + list(ranges or {})
+            )
+        )
     tables = []
     for p in paths:
         have = [c for c in read_cols if c in pq.read_schema(p).names]
@@ -1108,6 +1140,19 @@ def _merge_part_task(
     t = cast_to(
         merge_versions(tables, drop_tombstones=True, policy=policy), envelope
     )
+    if ranges:
+        # band post-filter on the MERGED rows (the partition prune is a
+        # superset guarantee; this makes the result exact)
+        for col, (lo, hi) in ranges.items():
+            c = t.column(col)
+            if pa.types.is_timestamp(c.type):
+                c = c.cast(pa.int64())
+            mask = pc.is_valid(c)
+            if lo is not None:
+                mask = pc.and_(mask, pc.greater_equal(c, pa.scalar(lo, c.type)))
+            if hi is not None:
+                mask = pc.and_(mask, pc.less_equal(c, pa.scalar(hi, c.type)))
+            t = t.filter(mask)
     if not keep_lineage:
         t = t.drop_columns([c for c in LINEAGE_COLS if c in t.column_names])
     if columns is not None:
@@ -1122,6 +1167,7 @@ def snapshot(
     as_of_epoch: int | None = None,
     as_of_ts_us: int | None = None,
     partitions: list[int] | None = None,
+    ranges: dict[str, tuple] | None = None,
 ) -> ray.data.Dataset:
     """Merge-on-read view of the committed table state: one raw-Ray merge
     task per partition (launched immediately), surfaced as a Dataset via
@@ -1154,8 +1200,36 @@ def snapshot(
     with ``as_of_epoch``/``columns``.
 
     ``partitions`` restricts the read to those hash partitions (the
-    caller's prune hook — expire() passes its zone-map survivor set)."""
+    caller's prune hook — expire() passes its zone-map survivor set).
+
+    ``ranges`` is a band query over declared zone-map columns
+    (``{col: (lo, hi)}``, inclusive, ``None`` = unbounded): partitions
+    provably disjoint from every band are never read
+    (``DeltaTable.partitions_in_range``), and the merged rows of the
+    surviving partitions are post-filtered to the bands — on a table
+    whose stats column correlates with the partition layout (e.g. after
+    a ts-ordered history or a reshard by that key) the scan cost tracks
+    the matching fraction, not the table size. Requires
+    ``stats_columns`` declared before the files were written; undeclared
+    history degrades to a filtered full scan (correct, unpruned).
+    Timestamp bands are int64 µs. Latest-epoch reads only (zone maps
+    describe the CURRENT visible set)."""
     envelope = table.current_schema(as_of_epoch)
+    if ranges:
+        if as_of_epoch is not None or as_of_ts_us is not None:
+            raise ValueError(
+                "ranges= composes with the current visible set only — "
+                "time-travel reads must filter client-side"
+            )
+        keep: set[int] | None = None
+        for col, (lo, hi) in ranges.items():
+            ps = set(table.partitions_in_range(col, lo, hi))
+            keep = ps if keep is None else keep & ps
+        partitions = (
+            sorted(keep)
+            if partitions is None
+            else sorted(keep & set(partitions))
+        )
     if as_of_ts_us is None:
         plan = table.partition_files(as_of_epoch)
     else:
@@ -1210,7 +1284,8 @@ def snapshot(
     policy_fn = MERGE_POLICIES[table.merge_policy]["fn"]
     refs = [
         _merge_part_task.remote(
-            paths, envelope, keep_lineage, policy_fn, columns, as_of_ts_us
+            paths, envelope, keep_lineage, policy_fn, columns, as_of_ts_us,
+            ranges,
         )
         for _, paths in sorted(plan.items())
     ]
@@ -1582,6 +1657,7 @@ def delete_where(
     columns: list[str] | None = None,
     ts_us: int | None = None,
     partitions: list[int] | None = None,
+    ranges: dict[str, tuple] | None = None,
 ) -> Manifest | None:
     """Predicate delete — the takedown/right-to-be-forgotten primitive:
     tombstone every key whose CURRENT merged row satisfies ``predicate``
@@ -1617,7 +1693,11 @@ def delete_where(
     caller's prune hook when metadata already proves the rest can't
     match (expire() passes its zone-map survivor set). Correctness is
     the caller's burden: a key in an excluded partition is never
-    examined.
+    examined. ``ranges`` (``{col: (lo, hi)}``) derives that prune from
+    the declared column zone maps (``DeltaTable.partitions_in_range``)
+    — the caller asserts the predicate can only match inside the bands
+    (e.g. ``predicate`` tests ``amount > 1000`` and ``ranges={"amount":
+    (1000, None)}``); the predicate itself still decides each row.
 
     No counterpart in the reference (stateless CLI,
     /root/reference/cmd/xgeo/main.go); required lake machinery for the
@@ -1625,6 +1705,16 @@ def delete_where(
     seq=-1 tombstones would sort earliest and silently retain data —
     see ``_reject_oob_on_coalesce``)."""
     _reject_oob_on_coalesce(table, "delete_where")
+    if ranges:
+        keep: set[int] | None = None
+        for col, (lo, hi) in ranges.items():
+            ps = set(table.partitions_in_range(col, lo, hi))
+            keep = ps if keep is None else keep & ps
+        partitions = (
+            sorted(keep)
+            if partitions is None
+            else sorted(keep & set(partitions))
+        )
     import re as _re
     import time as _time
 
@@ -1842,14 +1932,32 @@ def update_where(
             "seq", pa.array(np.full(n, -1, dtype=np.int64), pa.int64())
         )
 
-    stage = final_dir + f".stage-{os.getpid()}"
+    return _stage_and_ingest_oob(
+        table,
+        snapshot(table, partitions=partitions).map_batches(
+            _to_updates, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        final_dir,
+    )
+
+
+def _stage_and_ingest_oob(table: DeltaTable, updates, final_dir: str):
+    """Shared tail of the oob full-image rewriters (``update_where``,
+    ``rename_column``): write the update-image Dataset to a staging
+    dir, publish the parts under attempt-token names into ``final_dir``
+    (the exactly-once batch directory), and ingest them
+    watermark-exempt. An empty result still publishes a schema-only
+    marker so the batch's exactly-once check commits."""
     import shutil as _shutil
 
+    from xgeo_ray.state.delta_table import new_commit_token
+    from xgeo_ray.state.storage import DEFAULT_STORAGE
+
+    envelope = table.current_schema()
+    stage = final_dir + f".stage-{os.getpid()}"
     _shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage, exist_ok=True)
-    snapshot(table, partitions=partitions).map_batches(
-        _to_updates, batch_format="pyarrow", zero_copy_batch=True
-    ).write_parquet(stage)
+    updates.write_parquet(stage)
     staged = sorted(
         os.path.join(stage, f)
         for f in os.listdir(stage)
@@ -1878,6 +1986,133 @@ def update_where(
         segs.append(dst)
     _shutil.rmtree(stage, ignore_errors=True)
     return ingest_segments(table, segs, watermark_exempt=True)
+
+
+def rename_column(
+    table: DeltaTable,
+    old: str,
+    new: str,
+    batch_id: str | None = None,
+    ts_us: int | None = None,
+) -> dict:
+    """Rename a payload column — the last leg of the schema-evolution
+    story (ADD via stream/union evolution, DROP via ``drop_columns``,
+    RENAME here). Semantics: after the call, ``snapshot()`` carries the
+    values under ``new`` and ``old`` is gone; time travel BELOW the
+    rename epoch still reads ``old`` (same contract as a drop); new WAL
+    events must already carry ``new`` (values still arriving under
+    ``old`` are discarded at normalize like any dropped column's).
+
+    Mechanism — an honest REWRITE, not a metadata alias: the snapshot
+    merge tasks stream full current-row images out with the column
+    renamed (out-of-band 'U' batch, seq=-1, LWW-winning ts), the union
+    evolves the envelope to include ``new``, then ``old`` is
+    metadata-dropped. Cost is one full-table rewrite (O(live rows), the
+    same bound as ``update_where`` with a match-all predicate) plus the
+    usual compact+vacuum to reclaim the old files. A zero-I/O metadata
+    rename needs field-ID column mapping through EVERY pruned read path
+    (the Iceberg approach) — a deployment-scale follow-up documented
+    here rather than half-built; the rewrite is exactly-once
+    (``batch_id``, default ``rename-<old>-to-<new>``) and crash-safe:
+    a crash between the rewrite commit and the drop marker re-runs to
+    the idempotent drop.
+
+    LWW tables only (the image must REPLACE; under additive it would
+    double the sums, and coalesce refuses oob seq=-1 ordering).
+
+    No reference counterpart (stateless CLI,
+    /root/reference/cmd/xgeo/main.go); standard lake-format surface
+    (Delta column-mapping / Iceberg RENAME COLUMN, here as a rewrite)."""
+    import re as _re
+    import time as _time
+
+    from xgeo_ray.state.delta_table import LINEAGE_COLS
+
+    _reject_oob_on_coalesce(table, "rename_column")
+    if table.merge_policy != "lww":
+        raise ValueError(
+            f"rename_column requires merge_policy='lww' (got "
+            f"{table.merge_policy!r}): the renamed full-row image must "
+            "REPLACE the current version"
+        )
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+        raise ValueError(f"new column name {new!r} is not an identifier")
+    protected = set(_MERGE_COLS) | set(LINEAGE_COLS)
+    if old in protected or new in protected:
+        raise ValueError(
+            f"cannot rename key/envelope/lineage columns ({sorted(protected)})"
+        )
+    envelope = table.current_schema()
+    if old not in envelope.names:
+        # replayed completed rename: idempotent no-op
+        if new in envelope.names and old in table.dropped_columns():
+            return {
+                "renamed": {old: new},
+                "from_epoch": table.dropped_columns()[old],
+            }
+        raise ValueError(
+            f"column {old!r} not in the table schema "
+            f"(have: {sorted(set(envelope.names) - protected)})"
+        )
+    if new in envelope.names:
+        raise ValueError(f"column {new!r} already exists")
+    if new in table.dropped_columns():
+        raise ValueError(
+            f"column {new!r} was previously dropped — renaming onto a "
+            "dropped name would resurrect it through evolution; pick "
+            "another name or fully compact+vacuum first"
+        )
+    if batch_id is None:
+        batch_id = f"rename-{old}-to-{new}"
+    if not _re.fullmatch(r"[A-Za-z0-9_.-]+", batch_id):
+        raise ValueError(f"batch_id {batch_id!r} must be filesystem-safe")
+    final_dir = os.path.abspath(
+        os.path.join(table.root, "backfill", f"{batch_id}.u")
+    )
+    prefix = final_dir + os.sep
+    payload = [f.name for f in envelope if f.name not in LINEAGE_COLS]
+    now = int(_time.time() * 1_000_000) if ts_us is None else int(ts_us)
+
+    def _to_images(batch: pa.Table) -> pa.Table:
+        rows = batch.select(payload)
+        n = rows.num_rows
+        rows = rows.rename_columns(
+            [new if c == old else c for c in rows.column_names]
+        )
+        # Unlike update_where (where "a later event supersedes" is the
+        # contract), a rename must not silently lose rows whose event
+        # time sits in the FUTURE of the rewrite: stamp each image at
+        # max(now, its own ts + 1µs) so it always wins the LWW race
+        # (seq=-1 sorts below a stream seq at equal ts).
+        stamped = pc.max_element_wise(
+            pc.add(rows.column("ts").cast(pa.int64()), 1),
+            pa.scalar(now, pa.int64()),
+        ).cast(pa.timestamp("us"))
+        rows = rows.set_column(
+            rows.column_names.index("ts"), "ts", stamped
+        )
+        return rows.append_column(
+            "op", pa.array(np.full(n, "U", dtype="U1"), pa.string())
+        ).append_column(
+            "seq", pa.array(np.full(n, -1, dtype=np.int64), pa.int64())
+        )
+
+    if not any(s.startswith(prefix) for s in table.committed_segments()):
+        _stage_and_ingest_oob(
+            table,
+            snapshot(table).map_batches(
+                _to_images, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            final_dir,
+        )
+    # drop AFTER the rewrite commits (crash between re-runs to here;
+    # mark_dropped is idempotent) — the drop epoch is the rewrite's, so
+    # snapshot() and as_of_epoch=latest agree immediately
+    drop_columns(table, [old])
+    return {
+        "renamed": {old: new},
+        "from_epoch": table.dropped_columns()[old],
+    }
 
 
 class _TsBefore:
@@ -2191,6 +2426,7 @@ def reshard(
         durability=table.durability,
         merge_policy=table.merge_policy,
         history=table.history,
+        stats_columns=table.stats_columns() or None,
     )
     # ONE epoch: segments partition the KEY space (one old partition
     # each) with overlapping seq ranges — splitting them across epochs
@@ -2758,6 +2994,7 @@ def compact(
     from xgeo_ray.stages.collapse import MERGE_POLICIES
 
     policy = MERGE_POLICIES[table.merge_policy]["fn"]
+    stats_cols = table.stats_columns()
     # minor folds of a full-history table preserve every version (dedup
     # + sort only) so endless maintenance never costs the table its
     # exact event-time travel; a FULL compact folds to state even there
@@ -2809,6 +3046,7 @@ def compact(
             entry.bloom = build_key_bloom(
                 t.column("conv_id").to_numpy(zero_copy_only=False)
             )
+            entry.stats = _column_stats_json(t, stats_cols)
         entry.bytes = _atomic_write_parquet(
             t, os.path.join(root, entry.path), durable=durable
         )
@@ -2818,7 +3056,7 @@ def compact(
     # snapshot/export); results are tiny metric rows
     refs = [compact_part.remote(k, v) for k, v in sorted(plan.items())]
     entries = [
-        PartitionEntry(**{k: (v if k in ("path", "bloom") else int(v)) for k, v in row.items()})
+        PartitionEntry(**{k: (v if k in ("path", "bloom", "stats") else int(v)) for k, v in row.items()})
         for t in ray.get(refs)
         for row in t.to_pylist()
     ]

@@ -130,6 +130,7 @@ class DeltaTable:
         durability: str = "full",
         merge_policy: str = "lww",
         history: str = "collapsed",
+        stats_columns: list[str] | None = None,
     ) -> "DeltaTable":
         """``durability``:
         * ``"full"`` (default) — every delta Parquet is fsync'd (file and
@@ -177,6 +178,8 @@ class DeltaTable:
             "merge_policy": merge_policy,
             "history": history,
         }
+        if stats_columns:
+            meta["stats_columns"] = sorted(set(stats_columns))
         p = os.path.join(root, TABLE_META)
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
@@ -488,13 +491,24 @@ class DeltaTable:
             if v
         }
 
-    def _walk_visible(self, as_of_epoch: int | None, with_ts: bool = False):
+    def _walk_visible(
+        self,
+        as_of_epoch: int | None,
+        with_ts: bool = False,
+        with_stats: bool = False,
+    ):
         """ONE manifest walk shared by the file-plan methods: per
         partition, the base (last full compact's file) and the delta
         chain after it (a minor fold replaces the chain accumulated so
         far). Relative paths; with ``with_ts`` each element is
-        ``(path, min_ts)`` (base becomes such a tuple too)."""
-        wrap = (lambda e: (e.path, e.min_ts)) if with_ts else (lambda e: e.path)
+        ``(path, min_ts)`` (base becomes such a tuple too); with
+        ``with_stats`` it is ``(path, stats_json)``."""
+        if with_stats:
+            wrap = lambda e: (e.path, e.stats)  # noqa: E731
+        elif with_ts:
+            wrap = lambda e: (e.path, e.min_ts)  # noqa: E731
+        else:
+            wrap = lambda e: e.path  # noqa: E731
         base: dict[int, object] = {k: None for k in range(self.num_partitions)}
         chain: dict[int, list] = {k: [] for k in range(self.num_partitions)}
         for m in self.effective_manifests(as_of_epoch):
@@ -523,6 +537,78 @@ class DeltaTable:
             v = ([base[k]] if base[k] else []) + chain[k]
             if any(min_ts < 0 or min_ts < ts_us for _, min_ts in v):
                 out.append(k)
+        return out
+
+    # ------------------------------------------------------ column zone maps
+    def stats_columns(self) -> list[str]:
+        """Payload columns whose per-file [min, max] zone maps the apply
+        and compact tasks record in the manifest (``PartitionEntry.
+        stats``). Declared at ``create(stats_columns=[...])`` or later
+        via ``set_stats_columns`` (later: only files written AFTER the
+        change carry stats — older files stay unpruned, never wrong)."""
+        with open(os.path.join(self.root, TABLE_META)) as f:
+            return list(json.load(f).get("stats_columns", []))
+
+    def set_stats_columns(self, cols: list[str]) -> None:
+        """Declare (or change) the zone-mapped columns. Takes effect on
+        files written from the next epoch on; existing files keep their
+        recorded stats (pruning treats a file as prunable only if it
+        carries stats for the queried column, so mixed histories stay
+        sound)."""
+
+        def _m(meta):
+            meta["stats_columns"] = sorted(set(cols))
+
+        self._mutate_meta(_m)
+
+    def partitions_in_range(self, col: str, lo=None, hi=None) -> list[int]:
+        """Partitions that MAY hold a physical row with ``col`` in
+        [lo, hi] (inclusive; ``None`` = unbounded), from manifest zone
+        maps alone — the generic data-skipping complement to
+        ``partitions_with_rows_before`` (ts) and the key blooms. A
+        partition prunes only when EVERY visible file carries stats for
+        ``col`` showing its [min, max] disjoint from the band; files
+        without stats (pre-stats history, all-null columns, stats not
+        enabled) conservatively keep the partition.
+
+        SOUND for pruning reads of MERGED state under ``lww``,
+        ``coalesce`` and ``history="full"``: a merged row's value of
+        ``col`` is always some physical row's value, so no physical row
+        in range ⇒ no merged row in range. NOT sound under ``additive``
+        (merged values are sums that no single file bounds) — refused.
+
+        Timestamps compare as int64 µs (how stats are recorded); pass
+        ``lo``/``hi`` accordingly."""
+        if self.merge_policy == "additive":
+            raise ValueError(
+                "partitions_in_range is unsound under merge_policy="
+                "'additive': merged values are sums no single file's "
+                "zone map bounds"
+            )
+        base, chain = self._walk_visible(None, with_stats=True)
+        out = []
+        for k in range(self.num_partitions):
+            v = ([base[k]] if base[k] else []) + chain[k]
+            if not v:
+                continue
+            for _, stats_json in v:
+                if not stats_json:
+                    out.append(k)
+                    break
+                st = json.loads(stats_json)
+                if col not in st:
+                    # not declared when this file was written: unknown
+                    out.append(k)
+                    break
+                mm = st[col]
+                if mm is None:
+                    # declared but every value null: null never matches
+                    # a range — this file is provably disjoint
+                    continue
+                fmin, fmax = mm
+                if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
+                    out.append(k)
+                    break
         return out
 
     # ------------------------------------------------------------- commit

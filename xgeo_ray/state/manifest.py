@@ -103,6 +103,12 @@ class PartitionEntry:
     # manifest bytes alone. "" = absent (pre-bloom manifests, or files
     # above the key cap) — no pruning, never wrong.
     bloom: str = ""
+    # JSON {"col": [min, max]} zone map over the table's declared
+    # stats_columns for this delta file's applied rows (nulls skipped,
+    # all-null columns omitted; timestamps as int64 µs). "" = absent
+    # (stats not enabled, or pre-stats manifests) — no pruning, never
+    # wrong. Consumed by DeltaTable.partitions_in_range.
+    stats: str = ""
 
 
 @dataclass
