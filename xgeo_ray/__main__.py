@@ -153,6 +153,16 @@ def main(argv: list[str] | None = None) -> int:
         "shard; --salt gives a fresh order per training epoch)",
     )
     p.add_argument("--salt", type=int, default=0)
+    p.add_argument(
+        "--sorted-by",
+        default=None,
+        help="instead of per-partition files, write --sorted-shards "
+        "files in GLOBAL sorted order by this (numeric/temporal) "
+        "column — file order + row order = the total order (resumable "
+        "per shard; range bounds pinned in the dir)",
+    )
+    p.add_argument("--sorted-shards", type=int, default=16)
+    p.add_argument("--descending", action="store_true")
 
     p = sub.add_parser(
         "tail",
@@ -674,6 +684,14 @@ def main(argv: list[str] | None = None) -> int:
             if args.shuffled_shards is not None:
                 stats = ing.export_shuffled(
                     table, args.out_dir, args.shuffled_shards, salt=args.salt
+                )
+            elif args.sorted_by is not None:
+                stats = ing.export_sorted(
+                    table,
+                    args.out_dir,
+                    by=args.sorted_by,
+                    num_shards=args.sorted_shards,
+                    descending=args.descending,
                 )
             else:
                 stats = ing.export_snapshot(table, args.out_dir)

@@ -949,3 +949,178 @@ def exact_quantiles(
     return pa.table(
         {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.int64())}
     )
+
+
+# ---------------------------------------------------------------- global sort
+
+def _range_key_i64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Order-preserving int64 view of a numeric/temporal sort key (the
+    range-partitioner's fast path). Floats keep their own dtype (numpy
+    compares them natively); strings are refused — range-partitioning
+    text needs either a numeric surrogate (fingerprint, score) or a
+    prefix encoding that can't be made exact cheaply."""
+    t = col.type
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        col = col.cast(pa.int64())
+    elif not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+        raise TypeError(
+            f"range partitioning needs a numeric/temporal key, got {t} — "
+            "sort text by a numeric surrogate (fingerprint, quality score)"
+        )
+    if col.null_count and not pa.types.is_floating(col.type):
+        # keep the int64 dtype: a null-bearing int column would convert
+        # to float64 and corrupt keys above 2^53 (e.g. fingerprints);
+        # callers mask null positions separately
+        col = pc.fill_null(col, 0)
+    return col.to_numpy(zero_copy_only=False)
+
+
+def range_bounds(
+    ds: ray.data.Dataset,
+    col: str,
+    num_shards: int,
+    per_block_cap: int = 1024,
+) -> list:
+    """Sample-based range cut points for a distributed sort: stride-
+    sample the key inside map_batches (≤ ``per_block_cap`` values per
+    block leave the workers), quantile the sample on the driver into
+    ``num_shards - 1`` ascending bounds. Bounds need not be exact
+    quantiles — sampling error only skews shard SIZES, never ordering
+    correctness (assignment is searchsorted by value, so equal keys
+    always land in one shard). Nulls are excluded here and assigned to
+    the last shard downstream. The classic sample-sort shape: the full
+    payload moves exactly once, in the exchange that follows."""
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    if num_shards == 1:
+        return []
+
+    def sample(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col).drop_null()
+        n = len(arr)
+        if n == 0:
+            return pa.table({col: arr})
+        stride = max(1, n // per_block_cap)
+        return pa.table({col: arr.take(np.arange(0, n, stride))})
+
+    keys = ds.select_columns([col]).map_batches(
+        sample, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tables = [t for t in ray.get(keys.materialize().to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return []
+    vals = np.sort(_range_key_i64(pa.concat_tables(tables).column(col)))
+    if len(vals) > 1_048_576:  # driver-side cap: subsample evenly
+        vals = vals[:: len(vals) // 1_048_576]
+    qpos = (np.arange(1, num_shards) * len(vals)) // num_shards
+    return np.asarray(vals[np.minimum(qpos, len(vals) - 1)]).tolist()
+
+
+def range_shard_assign(
+    bounds: list, col: str, num_shards: int, null_shard: int | None = None
+):
+    """Batch fn factory: append ``shard`` = searchsorted(bounds, key)
+    (a pure function of the key VALUE, so equal keys never split across
+    shards and shard concatenation order is a total order). Null keys
+    go to ``null_shard`` (default: the last shard — NULLS LAST in an
+    ascending walk; a descending consumer passes 0, its last-walked
+    shard)."""
+    b = np.asarray(bounds)
+    if null_shard is None:
+        null_shard = num_shards - 1
+
+    def assign(batch: pa.Table) -> pa.Table:
+        k = _range_key_i64(batch.column(col))
+        shard = np.searchsorted(b, k, side="left").astype(np.int64)
+        null_mask = np.asarray(pc.is_null(batch.column(col)))
+        if null_mask.any():
+            shard[null_mask] = null_shard
+        return batch.append_column("shard", pa.array(shard))
+
+    return assign
+
+
+def global_rank(
+    ds: ray.data.Dataset,
+    col: str,
+    tiebreak: list[str],
+    num_shards: int = 64,
+    descending: bool = False,
+) -> ray.data.Dataset:
+    """GLOBAL SORT as a rank column: every row gets ``rank`` = its
+    0-based position in the total order by (``col``, ``tiebreak``...,
+    all ascending unless ``descending`` flips ``col``; nulls last) —
+    the distributed ORDER BY / ROW_NUMBER the engine's other sorts
+    (partition-local, top-k) don't cover.
+
+    Sample-sort shape, exact ranks in two passes: (1) sample bounds +
+    per-shard COUNTS from the key column only (one pruned pass, a
+    ``num_shards``-long bincount per batch, summed driver-side into
+    exclusive offsets); (2) the payload moves ONCE through a
+    groupby(shard) exchange, each shard sorts vectorized and stamps
+    ``rank = offset[shard] + local position``. Skewed keys imbalance
+    shard sizes (sampling), never correctness: equal keys are never
+    split across shards, and the tiebreak orders them within one task.
+
+    Published shape: classic parallel sample sort (e.g. Blelloch et
+    al.); no reference counterpart (stateless CLI,
+    /root/reference/cmd/xgeo/main.go:18-61)."""
+    bounds = range_bounds(ds, col, num_shards)
+    assign = range_shard_assign(
+        bounds, col, num_shards,
+        null_shard=0 if descending else num_shards - 1,
+    )
+
+    def count(batch: pa.Table) -> pa.Table:
+        t = assign(batch)
+        c = np.bincount(
+            t.column("shard").to_numpy(zero_copy_only=False),
+            minlength=num_shards,
+        )
+        return pa.table(
+            {
+                "shard": pa.array(np.arange(num_shards, dtype=np.int64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.select_columns([col])
+        .map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .sum("n")
+        .to_pandas()
+        .set_index("shard")["sum(n)"]
+    )
+    per_shard = np.zeros(num_shards, dtype=np.int64)
+    per_shard[counts.index.to_numpy()] = counts.to_numpy()
+    if descending:
+        # descending rank order = shards walked high->low, keys sorted
+        # descending within each
+        offsets = np.concatenate(
+            [[0], np.cumsum(per_shard[::-1])[:-1]]
+        )[::-1].copy()
+    else:
+        offsets = np.concatenate([[0], np.cumsum(per_shard)[:-1]])
+
+    sort_keys = [(col, "descending" if descending else "ascending")] + [
+        (c, "ascending") for c in tiebreak
+    ]
+
+    def rank_shard(g: pa.Table) -> pa.Table:
+        s = int(g.column("shard")[0].as_py())
+        order = pc.sort_indices(
+            g, sort_keys=sort_keys, null_placement="at_end"
+        )
+        g = g.take(order).drop_columns(["shard"])
+        return g.append_column(
+            "rank",
+            pa.array(offsets[s] + np.arange(g.num_rows, dtype=np.int64)),
+        )
+
+    rank_shard.__name__ = "rank_shard"
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(rank_shard, batch_format="pyarrow")
+    )

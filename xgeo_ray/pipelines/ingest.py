@@ -2115,6 +2115,173 @@ def rename_column(
     }
 
 
+def export_sorted(
+    table: DeltaTable,
+    out_dir: str,
+    by: str,
+    num_shards: int,
+    tiebreak: list[str] | None = None,
+    descending: bool = False,
+    columns: list[str] | None = None,
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """Write the merged table state as ``num_shards`` shard files in
+    GLOBAL SORTED ORDER by (``by``, ``tiebreak``... — tiebreak always
+    ascending; nulls last) — the curriculum/length-ordered companion to
+    ``export_shuffled``: ``shard-00000`` holds the smallest (or with
+    ``descending`` the largest) keys, file order + row order = the
+    total order a sequential reader consumes.
+
+    Sample-sort shape (``relational.range_bounds``): one pruned pass
+    samples the key into range cut points, then the payload moves ONCE
+    through a groupby exchange keyed on the range shard, each shard
+    sorts vectorized and writes atomically. Equal keys never split
+    across shards (assignment is a pure function of the key value), so
+    ordering is exact regardless of sampling skew; skew only imbalances
+    shard sizes. Size ``num_shards`` so a shard fits a worker.
+
+    Resumable like ``export_shuffled``: the RANGE BOUNDS are computed
+    once and PINNED in ``_sort_meta.json`` (a resumed run on a changed
+    table must not move shard boundaries under finished files); shards
+    whose file exists are skipped before the exchange; spec mismatch
+    refuses. Numeric/temporal keys only (``relational._range_key_i64``).
+
+    No reference counterpart (stateless CLI); published shape: parallel
+    sample sort + Hive/Iceberg-style ordered write."""
+    import json as _json
+
+    from xgeo_ray.functions.relational import (
+        range_bounds,
+        range_shard_assign,
+    )
+
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    exts = {"parquet": ".parquet", "jsonl": ".jsonl", "jsonl.gz": ".jsonl.gz"}
+    if fmt not in exts:
+        raise ValueError(f"fmt must be one of {sorted(exts)}")
+    ext = exts[fmt]
+    if tiebreak is None:
+        tiebreak = ["conv_id", "turn_idx"]
+    os.makedirs(out_dir, exist_ok=True)
+    need = columns
+    if columns is not None:
+        need = list(
+            dict.fromkeys(["conv_id", "turn_idx", by] + tiebreak + list(columns))
+        )
+    spec = {
+        "by": by,
+        "descending": bool(descending),
+        "num_shards": num_shards,
+        "tiebreak": list(tiebreak),
+        "columns": columns,
+        "fmt": fmt,
+        "order": "range-v1",
+    }
+    meta_path = os.path.join(out_dir, "_sort_meta.json")
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            prev = _json.load(f)
+        bounds = prev.pop("bounds")
+        if prev != spec:
+            raise ValueError(
+                f"export dir {out_dir!r} was written with a different sort "
+                f"spec {prev} (requested {spec}): resuming would corrupt "
+                "shard membership — use a fresh directory (or delete it)."
+            )
+    else:
+        bounds = range_bounds(snapshot(table, columns=[by]), by, num_shards)
+        tmp_meta = meta_path + f".tmp-{os.getpid()}"
+        with open(tmp_meta, "w") as f:
+            _json.dump({**spec, "bounds": bounds}, f)
+        os.replace(tmp_meta, meta_path)
+    done = {
+        s
+        for s in range(num_shards)
+        if os.path.isfile(os.path.join(out_dir, f"shard-{s:05d}{ext}"))
+    }
+    if len(done) == num_shards:
+        return {"shards": num_shards, "written": 0,
+                "skipped": num_shards, "rows_written": 0}
+    assign0 = range_shard_assign(
+        bounds, by, num_shards,
+        null_shard=0 if descending else num_shards - 1,
+    )
+    done_arr = np.zeros(num_shards, dtype=bool)
+    for s in done:
+        done_arr[s] = True
+    durable = table.durability == "full"
+    last = num_shards - 1
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t = assign0(batch)
+        shard = t.column("shard").to_numpy(zero_copy_only=False)
+        if descending:
+            # file order walks the ranges high->low: file 0 = top keys
+            shard = last - shard
+            t = t.set_column(
+                t.column_names.index("shard"), "shard", pa.array(shard)
+            )
+        keep = ~done_arr[shard]  # finished shards never cross the exchange
+        return t if keep.all() else t.filter(pa.array(keep))
+
+    sort_keys = [(by, "descending" if descending else "ascending")] + [
+        (c, "ascending") for c in tiebreak
+    ]
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        from xgeo_ray.tuning import limit_worker_threads
+
+        limit_worker_threads()
+        s = int(g.column("shard")[0].as_py())
+        path = os.path.join(out_dir, f"shard-{s:05d}{ext}")
+        order = pc.sort_indices(
+            g, sort_keys=sort_keys, null_placement="at_end"
+        )
+        out = g.take(order).drop_columns(["shard"])
+        if fmt == "parquet":
+            _atomic_write_parquet(out, path, durable=durable)
+        else:
+            _atomic_write_jsonl(out, path, durable=durable)
+        return pa.table(
+            {"shard": pa.array([s], pa.int64()),
+             "rows": pa.array([out.num_rows], pa.int64())}
+        )
+
+    write_shard.__name__ = "write_shard"
+    snap = snapshot(table, columns=need)
+    stats = (
+        snap.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pyarrow")
+        .to_pandas()
+    )
+    produced = set(stats["shard"].tolist()) if len(stats) else set()
+    env = table.current_schema()
+    if columns is None:
+        out_fields = [f for f in env if f.name not in LINEAGE_COLS]
+    else:
+        by_name = {f.name: f for f in env}
+        out_fields = [by_name[c] for c in need if c in by_name]
+    n_empty = 0
+    for s in range(num_shards):
+        if s in done or s in produced:
+            continue
+        empty_path = os.path.join(out_dir, f"shard-{s:05d}{ext}")
+        empty = pa.schema(out_fields).empty_table()
+        if fmt == "parquet":
+            _atomic_write_parquet(empty, empty_path, durable=durable)
+        else:
+            _atomic_write_jsonl(empty, empty_path, durable=durable)
+        n_empty += 1
+    return {
+        "shards": num_shards,
+        "written": int(len(stats)) + n_empty,
+        "skipped": int(len(done)),
+        "rows_written": int(stats["rows"].sum()) if len(stats) else 0,
+    }
+
+
 class _TsBefore:
     """Picklable event-time predicate for expire(): current winner's ts
     strictly before the cutoff. Declares its projection so the snapshot

@@ -973,14 +973,22 @@ def highvalue_open_orders(sf_dir: str):
 
 
 def order_scans(sf_dir: str):
-    """Global top-k + filter/limit row-group-pushdown scans in ONE
-    driver slot (long format, ``q`` tag — the cdc_stream_metrics
-    consolidation pattern): 'top10' rows from top_k, 'open_highvalue'
-    rows from the pushdown scan."""
+    """Global top-k + filter/limit row-group-pushdown scans + the
+    distributed GLOBAL SORT (sample-sort exact ranks) in ONE driver
+    slot (long format, ``q`` tag — the cdc_stream_metrics consolidation
+    pattern): 'top10' rows from top_k, 'open_highvalue' rows from the
+    pushdown scan, 'rank100' = the 100 highest-price orders with their
+    exact global rank from ``relational.global_rank`` (range-partition
+    exchange + per-shard vectorized rank stamp; oracle = ROW_NUMBER).
+    Non-rank legs carry rank = -1."""
+    from xgeo_ray.functions.relational import global_rank
 
     def tag(name):
         def f(b: pa.Table) -> pa.Table:
-            return b.add_column(0, "q", pa.array([name] * b.num_rows))
+            b = b.add_column(0, "q", pa.array([name] * b.num_rows))
+            return b.append_column(
+                "rank", pa.array(np.full(b.num_rows, -1, dtype=np.int64))
+            )
 
         f.__name__ = f"tag_{name}"
         return f
@@ -989,7 +997,24 @@ def order_scans(sf_dir: str):
     hv = highvalue_open_orders(sf_dir).map_batches(
         tag("open_highvalue"), batch_format="pyarrow"
     )
-    return t10.union(hv)
+    ranked = global_rank(
+        _read(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        ),
+        "o_totalprice",
+        ["o_orderkey"],
+        num_shards=16,
+        descending=True,
+    )
+
+    def head100(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("rank"), 100))
+        b = b.add_column(0, "q", pa.array(["rank100"] * b.num_rows))
+        return b.select(["q", "o_orderkey", "o_custkey", "o_totalprice", "rank"])
+
+    r100 = ranked.map_batches(head100, batch_format="pyarrow")
+    return t10.union(hv).union(r100)
 
 
 def cluster_sizes(sf_dir: str):
@@ -2161,14 +2186,25 @@ def build_oracle_sql() -> dict[str, str]:
             GROUP BY o_orderpriority
         """,
         "order_scans": """
-            SELECT 'top10' AS q, o_orderkey, o_custkey, o_totalprice
+            SELECT 'top10' AS q, o_orderkey, o_custkey, o_totalprice,
+                   CAST(-1 AS BIGINT) AS rank
             FROM (
               SELECT o_orderkey, o_custkey, o_totalprice
               FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
             )
             UNION ALL
-            SELECT 'open_highvalue' AS q, o_orderkey, o_custkey, o_totalprice
+            SELECT 'open_highvalue' AS q, o_orderkey, o_custkey, o_totalprice,
+                   CAST(-1 AS BIGINT) AS rank
             FROM orders WHERE o_totalprice > 300000.0 AND o_orderstatus = 'O'
+            UNION ALL
+            SELECT 'rank100' AS q, o_orderkey, o_custkey, o_totalprice, rank
+            FROM (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     row_number() OVER (
+                         ORDER BY o_totalprice DESC, o_orderkey ASC
+                     ) - 1 AS rank
+              FROM orders
+            ) WHERE rank < 100
         """,
         "cluster_sizes": """
             WITH c AS (
