@@ -721,3 +721,65 @@ def test_repetition_stats_counts_duplicate_2grams():
     )
     assert got["n_2grams"].tolist() == [4, 2, 0, 0]
     assert got["n_distinct_2grams"].tolist() == [2, 2, 0, 0]
+
+
+def test_dup_ngram_spans_finds_cross_doc_spans():
+    # docs 0 and 1 share the 5-token run "p q r s t" -> 3-grams pqr qrs
+    # rst each occur twice across the corpus; doc 2 is clean.
+    texts = [
+        "a b p q r s t c d",  # shared run at token offsets 2..6
+        "p q r s t x y z w",  # shared run at token offsets 0..4
+        "one two three four five six",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(3), pa.int64()), "text": pa.array(texts)}
+    )
+    spans = (
+        dd.dup_ngram_spans(
+            ray.data.from_arrow(t).repartition(2), k=3, min_count=2, num_buckets=4
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "start"])
+        .reset_index(drop=True)
+    )
+    # marked positions: doc0 {2,3,4}, doc1 {0,1,2}; merged spans cover
+    # the full shared run (end = last pos + k)
+    assert spans.values.tolist() == [[0, 2, 7], [1, 0, 5]]
+
+
+def test_dup_ngram_spans_same_doc_repeats_count():
+    # "m n o" appears twice WITHIN one doc (positions 0 and 4, gap 4 > k
+    # with k=3 -> two separate spans)
+    texts = ["m n o z m n o", "unrelated words entirely here"]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(2), pa.int64()), "text": pa.array(texts)}
+    )
+    spans = (
+        dd.dup_ngram_spans(
+            ray.data.from_arrow(t), k=3, min_count=2, num_buckets=2
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "start"])
+        .reset_index(drop=True)
+    )
+    assert spans.values.tolist() == [[0, 0, 3], [0, 4, 7]]
+
+
+def test_dup_ngram_spans_stats_mode_merges_overlaps():
+    # doc0/doc1 share "p q r s": marked positions per doc {0, 1}, gap 1
+    # <= k -> ONE span of width 4; dup_grams counts marked positions.
+    texts = ["p q r s", "p q r s", "alpha beta gamma delta"]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(3), pa.int64()), "text": pa.array(texts)}
+    )
+    got = (
+        dd.dup_ngram_spans(
+            ray.data.from_arrow(t), k=3, min_count=2, num_buckets=2, stats=True
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [0, 1]
+    assert got["dup_grams"].tolist() == [2, 2]
+    assert got["covered_tokens"].tolist() == [4, 4]

@@ -1539,3 +1539,199 @@ def sync_near_dup(
         "new_docs": int(live.num_rows),
         "pairs": int(n_pairs),
     }
+
+
+# ------------------------------------------------- duplicated k-gram spans
+
+def _gram_multipliers(k: int) -> np.ndarray:
+    """k odd 64-bit multipliers (splitmix-derived), one per in-gram
+    offset, so the positional gram hash is order-sensitive."""
+    j = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        z = (j + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z | np.uint64(1)
+
+
+class GramPositionExploder:
+    """(doc_id, text) -> (doc_id, pos, g): one row per POSITIONAL word
+    k-gram (not deduplicated — positions are the point), g = order-
+    sensitive mix of the k token hashes. Vectorized across the whole
+    batch: tokens flatten once, token hashes once, the k-wide mix is k
+    shifted multiply-XORs over the flat array, and grams straddling a
+    document boundary are masked out (the repetition_stats shape,
+    carried to positions)."""
+
+    def __init__(self, k: int = 3):
+        if k < 2:
+            raise ValueError("k must be >= 2")
+        self.k = k
+        self.mult = _gram_multipliers(k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = self.k
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.utf8_split_whitespace(batch.column("text"))
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = la.values.to_numpy(zero_copy_only=False)
+        nonempty = np.asarray(vals, dtype=object) != ""
+        th = hash_tokens(np.asarray(vals, dtype=object)[nonempty])
+        cum = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
+        row_tok = cum[offs[1:]] - cum[offs[:-1]]
+        n = len(th)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "g": pa.array([], pa.int64()),
+            }
+        )
+        if n < k:
+            return empty
+        doc_of = np.repeat(np.arange(len(ids)), row_tok)
+        m = n - k + 1
+        with np.errstate(over="ignore"):
+            acc = th[:m] * self.mult[0]
+            for j in range(1, k):
+                acc = acc ^ (th[j : m + j] * self.mult[j])
+        valid = doc_of[:m] == doc_of[k - 1 :]
+        if not valid.any():
+            return empty
+        doc_starts = np.concatenate([[0], np.cumsum(row_tok)])[:-1]
+        d = doc_of[:m][valid]
+        pos = np.arange(m, dtype=np.int64)[valid] - doc_starts[d]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[d], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "g": pa.array(acc[valid].view(np.int64), pa.int64()),
+            }
+        )
+
+
+def dup_ngram_spans(
+    docs: ray.data.Dataset,
+    k: int = 3,
+    min_count: int = 2,
+    num_buckets: int = 128,
+    stats: bool = False,
+) -> ray.data.Dataset:
+    """Duplicated-substring detection, the training-data dedup that
+    exact/MinHash document dedup misses (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — their
+    suffix-array ExactSubstr, here as the distributed k-gram
+    approximation): find every word-k-gram occurring >= ``min_count``
+    times ACROSS THE CORPUS (same-doc repeats count), and return per
+    doc the maximal token spans those grams cover.
+
+    Shape: (1) positional gram explode + in-batch value_counts
+    combiner -> bucketed partial aggregate over gram hashes -> grams
+    with global count >= min_count (the dup-gram table, distributed —
+    never a driver set and never a broadcast, unlike the benchmark-
+    decontamination filter whose needle set is small); (2) the explode
+    runs again (two scans beat materializing a positions table bigger
+    than the corpus) and hash-joins against the dup grams on ``g`` —
+    the one payload-sized exchange; (3) marked positions bucket by
+    doc hash and merge vectorized into spans: sorted (doc, pos), span
+    break where the gap exceeds k, ends = last pos + k.
+
+    Returns ``(doc_id, start, end)`` token offsets (end exclusive,
+    adjacent/overlapping windows coalesced); with ``stats=True``, one
+    row per doc that HAS duplicated grams: ``(doc_id, dup_grams,
+    covered_tokens)`` — exact integers for the SQL oracle. Hash
+    collisions (fixed-key siphash + odd-multiplier mix) are the same
+    vanishing-probability equivalence every similarity oracle here
+    relies on."""
+    from xgeo_ray.functions.relational import (
+        _MIX,
+        hash_join,
+        partial_group_agg,
+    )
+
+    ex = GramPositionExploder(k)
+
+    def count_grams(b: pa.Table) -> pa.Table:
+        t = ex(b)
+        vc = t.column("g").value_counts()
+        return pa.table(
+            {
+                "g": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = partial_group_agg(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            count_grams, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["g"],
+        [("n", "sum", "n")],
+        num_buckets,
+    )
+    dup_g = counts.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("n"), pa.scalar(min_count, pa.int64()))
+        ).select(["g"]),
+        batch_format="pyarrow",
+    )
+    positions = docs.select_columns(["doc_id", "text"]).map_batches(
+        ex, batch_format="pyarrow", zero_copy_batch=True
+    )
+    marked = hash_join(
+        positions, dup_g, on="g", num_partitions=num_buckets
+    ).select_columns(["doc_id", "pos"])
+    nb = np.uint64(max(1, num_buckets // 4))
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = d * _MIX
+        return b.append_column(
+            "bucket", pa.array(((h >> np.uint64(24)) % nb).astype(np.int64))
+        )
+
+    kk = k
+
+    def merge_spans(g: pa.Table) -> pa.Table:
+        d = g.column("doc_id").to_numpy(zero_copy_only=False)
+        p = g.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (d[1:] != d[:-1]) | (p[1:] - p[:-1] > kk)
+        starts = p[new]
+        last = np.concatenate([np.flatnonzero(new)[1:] - 1, [len(d) - 1]])
+        ends = p[last] + kk
+        span_doc = d[new]
+        if not stats:
+            return pa.table(
+                {
+                    "doc_id": pa.array(span_doc, pa.int64()),
+                    "start": pa.array(starts, pa.int64()),
+                    "end": pa.array(ends, pa.int64()),
+                }
+            )
+        # per-doc aggregates, vectorized: grams per doc from the marked
+        # rows, covered tokens from the merged spans
+        uniq, inv_rows = np.unique(d, return_inverse=True)
+        dup_grams = np.bincount(inv_rows, minlength=len(uniq))
+        inv_spans = np.searchsorted(uniq, span_doc)
+        covered = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(covered, inv_spans, ends - starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "dup_grams": pa.array(dup_grams.astype(np.int64)),
+                "covered_tokens": pa.array(covered, pa.int64()),
+            }
+        )
+
+    merge_spans.__name__ = "merge_spans"
+    return (
+        marked.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(merge_spans, batch_format="pyarrow")
+    )

@@ -1637,15 +1637,40 @@ def top_terms(sf_dir: str):
     return top_k(term_frequencies(ds), ["n", "token"], [True, False], 100)
 
 
-def doc_repetition_stats(sf_dir: str):
-    """Gopher-style repetition counters per document: total vs distinct
-    word-2-gram counts (the duplicate-2-gram fraction quality filters
-    threshold on). Pure streaming map, one lexsort per batch
-    (functions/text.py:repetition_stats)."""
+def doc_dup_metrics(sf_dir: str):
+    """Per-document duplication metrics, two operator families in ONE
+    per-doc row (the consolidation pattern): Gopher-style IN-doc
+    repetition counters (total vs distinct word-2-grams —
+    functions/text.py:repetition_stats, streaming) LEFT-joined with
+    CROSS-corpus duplicated-substring coverage (dup_ngram_spans
+    stats=True: word-3-grams occurring >= 2 times anywhere, merged
+    into maximal spans — the distributed Lee-et-al ExactSubstr
+    approximation). Exact integers throughout; docs with no duplicated
+    grams report (0, 0)."""
+    from xgeo_ray.functions.dedup import dup_ngram_spans
+    from xgeo_ray.functions.relational import hash_join
     from xgeo_ray.functions.text import repetition_stats
 
-    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return repetition_stats(ds)
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rep = repetition_stats(docs)
+    dup = dup_ngram_spans(
+        _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        k=3,
+        min_count=2,
+        stats=True,
+    )
+    joined = hash_join(rep, dup, on="doc_id", join_type="left outer")
+
+    def fill0(b: pa.Table) -> pa.Table:
+        for c in ("dup_grams", "covered_tokens"):
+            b = b.set_column(
+                b.column_names.index(c),
+                c,
+                pc.fill_null(b.column(c), pa.scalar(0, pa.int64())),
+            )
+        return b
+
+    return joined.map_batches(fill0, batch_format="pyarrow")
 
 
 def packed_sequences(sf_dir: str):
@@ -1807,7 +1832,7 @@ def build_queries() -> dict:
         "decontaminated_docs": decontaminated_docs,
         "packed_sequences": packed_sequences,
         "top_terms": top_terms,
-        "doc_repetition_stats": doc_repetition_stats,
+        "doc_dup_metrics": doc_dup_metrics,
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
         "multimodal_features": multimodal_features,
@@ -2558,28 +2583,70 @@ def build_oracle_sql() -> dict[str, str]:
             ORDER BY n DESC, token ASC
             LIMIT 100
         """,
-        # distinct 2-gram STRINGS == the engine's distinct 2-gram hashes
-        # (vanishing-collision equivalence); docs with < 2 tokens report
-        # (0, 0) via the left join
-        "doc_repetition_stats": r"""
+        # distinct 2-gram STRINGS == the engine's distinct 2-gram hashes,
+        # dup 3-gram STRINGS == its positional gram hashes (both the
+        # vanishing-collision equivalence); docs with < 2 tokens report
+        # (0, 0) and docs with no corpus-duplicated 3-gram report (0, 0)
+        # via the left joins. Span merge replays dup_ngram_spans: break
+        # where the position gap exceeds k=3, span end = last pos + 3.
+        "doc_dup_metrics": r"""
             WITH toks AS (
               SELECT doc_id,
                      list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
               FROM documents
             ),
-            g AS (
-              SELECT doc_id, w[i] || ' ' || w[i+1] AS g2
+            g2 AS (
+              SELECT doc_id, w[i] || ' ' || w[i+1] AS g
               FROM toks, unnest(generate_series(1, len(w) - 1)) t(i)
               WHERE len(w) >= 2
             ),
-            cnt AS (
-              SELECT doc_id, count(*) AS n, count(DISTINCT g2) AS nd
-              FROM g GROUP BY doc_id
+            rep AS (
+              SELECT doc_id, count(*) AS n, count(DISTINCT g) AS nd
+              FROM g2 GROUP BY doc_id
+            ),
+            g3 AS (
+              SELECT doc_id, i - 1 AS pos,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+              FROM toks, unnest(generate_series(1, len(w) - 2)) t(i)
+              WHERE len(w) >= 3
+            ),
+            dupg AS (
+              SELECT g FROM g3 GROUP BY g HAVING count(*) >= 2
+            ),
+            marked AS (
+              SELECT doc_id, pos FROM g3 JOIN dupg USING (g)
+            ),
+            brk AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (
+                              PARTITION BY doc_id ORDER BY pos) <= 3
+                          THEN 0 ELSE 1 END AS b
+              FROM marked
+            ),
+            sp AS (
+              SELECT doc_id, pos,
+                     SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+              FROM brk
+            ),
+            spans AS (
+              SELECT doc_id, sid, max(pos) + 3 - min(pos) AS w
+              FROM sp GROUP BY 1, 2
+            ),
+            dupc AS (
+              SELECT doc_id, count(*) AS dup_grams FROM marked GROUP BY 1
+            ),
+            cov AS (
+              SELECT doc_id, SUM(w) AS covered FROM spans GROUP BY 1
             )
             SELECT t.doc_id,
-                   CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_2grams,
-                   CAST(COALESCE(cnt.nd, 0) AS BIGINT) AS n_distinct_2grams
-            FROM toks t LEFT JOIN cnt USING (doc_id)
+                   CAST(COALESCE(rep.n, 0) AS BIGINT) AS n_2grams,
+                   CAST(COALESCE(rep.nd, 0) AS BIGINT) AS n_distinct_2grams,
+                   CAST(COALESCE(dupc.dup_grams, 0) AS BIGINT) AS dup_grams,
+                   CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens
+            FROM toks t
+            LEFT JOIN rep USING (doc_id)
+            LEFT JOIN dupc USING (doc_id)
+            LEFT JOIN cov USING (doc_id)
         """,
         # concatenate-and-chunk packing replay: window cumsum gives each
         # doc's global token start, generate_series (inclusive) expands
