@@ -783,3 +783,101 @@ def test_dup_ngram_spans_stats_mode_merges_overlaps():
     assert got["doc_id"].tolist() == [0, 1]
     assert got["dup_grams"].tolist() == [2, 2]
     assert got["covered_tokens"].tolist() == [4, 4]
+
+
+def test_strip_dup_spans_removes_shared_runs():
+    texts = [
+        "a b p q r s t c d",  # covered token offsets 2..6 -> "a b c d"
+        "p q r s t x y z w",  # covered 0..4 -> "x y z w"
+        "one two three four five six",  # untouched
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(3), pa.int64()), "text": pa.array(texts)}
+    )
+    got = (
+        dd.strip_dup_spans(
+            ray.data.from_arrow(t).repartition(2), k=3, min_count=2, num_buckets=4
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["text"].tolist() == [
+        "a b c d",
+        "x y z w",
+        "one two three four five six",
+    ]
+
+
+def test_strip_dup_spans_matches_sql_oracle():
+    # pseudo-random corpus with planted shared runs; oracle replays the
+    # mark-and-drop in DuckDB over string 3-grams (vanishing-collision
+    # equivalence with the engine's gram hashes)
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"w{i}" for i in range(40)])
+    shared = "alpha beta gamma delta epsilon"
+    texts = []
+    for i in range(60):
+        body = " ".join(rng.choice(vocab, size=rng.integers(3, 25)))
+        if i % 4 == 0:
+            body = body + " " + shared
+        if i % 10 == 0:
+            body = shared + " " + body
+        texts.append(body)
+    texts.append("")  # empty doc passes through
+    texts.append("solo")  # < k tokens passes through
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    got = (
+        dd.strip_dup_spans(
+            ray.data.from_arrow(t).repartition(3), k=3, min_count=2, num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    want = con.execute(
+        r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+          FROM documents
+        ),
+        posn AS (
+          SELECT doc_id, i - 1 AS pos, w[i] AS tok
+          FROM toks, unnest(generate_series(1, len(w))) t(i)
+        ),
+        g3 AS (
+          SELECT doc_id, i - 1 AS pos,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          FROM toks, unnest(generate_series(1, len(w) - 2)) t(i)
+          WHERE len(w) >= 3
+        ),
+        dupg AS (SELECT g FROM g3 GROUP BY g HAVING count(*) >= 2),
+        marked AS (SELECT doc_id, pos FROM g3 JOIN dupg USING (g)),
+        kept AS (
+          SELECT p.doc_id, p.pos, p.tok
+          FROM posn p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM marked m
+            WHERE m.doc_id = p.doc_id
+              AND p.pos >= m.pos AND p.pos < m.pos + 3
+          )
+        )
+        SELECT t.doc_id,
+               COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text
+        FROM toks t LEFT JOIN kept k USING (doc_id)
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+        """
+    ).fetchdf()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()

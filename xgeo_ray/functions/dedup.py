@@ -1612,44 +1612,16 @@ class GramPositionExploder:
         )
 
 
-def dup_ngram_spans(
-    docs: ray.data.Dataset,
-    k: int = 3,
-    min_count: int = 2,
-    num_buckets: int = 128,
-    stats: bool = False,
+def _dup_marked_positions(
+    docs: ray.data.Dataset, k: int, min_count: int, num_buckets: int
 ) -> ray.data.Dataset:
-    """Duplicated-substring detection, the training-data dedup that
-    exact/MinHash document dedup misses (Lee et al., "Deduplicating
-    Training Data Makes Language Models Better", ACL 2022 — their
-    suffix-array ExactSubstr, here as the distributed k-gram
-    approximation): find every word-k-gram occurring >= ``min_count``
-    times ACROSS THE CORPUS (same-doc repeats count), and return per
-    doc the maximal token spans those grams cover.
-
-    Shape: (1) positional gram explode + in-batch value_counts
-    combiner -> bucketed partial aggregate over gram hashes -> grams
-    with global count >= min_count (the dup-gram table, distributed —
-    never a driver set and never a broadcast, unlike the benchmark-
-    decontamination filter whose needle set is small); (2) the explode
-    runs again (two scans beat materializing a positions table bigger
-    than the corpus) and hash-joins against the dup grams on ``g`` —
-    the one payload-sized exchange; (3) marked positions bucket by
-    doc hash and merge vectorized into spans: sorted (doc, pos), span
-    break where the gap exceeds k, ends = last pos + k.
-
-    Returns ``(doc_id, start, end)`` token offsets (end exclusive,
-    adjacent/overlapping windows coalesced); with ``stats=True``, one
-    row per doc that HAS duplicated grams: ``(doc_id, dup_grams,
-    covered_tokens)`` — exact integers for the SQL oracle. Hash
-    collisions (fixed-key siphash + odd-multiplier mix) are the same
-    vanishing-probability equivalence every similarity oracle here
-    relies on."""
-    from xgeo_ray.functions.relational import (
-        _MIX,
-        hash_join,
-        partial_group_agg,
-    )
+    """(doc_id, pos) of every token position starting a word-k-gram
+    that occurs >= min_count times across the corpus. The shared front
+    half of dup_ngram_spans / strip_dup_spans: positional gram explode
+    with in-batch value_counts combiner -> bucketed partial aggregate
+    over gram hashes -> filter to dup grams (a distributed table, never
+    a driver set) -> second explode hash-joined on the gram hash."""
+    from xgeo_ray.functions.relational import hash_join, partial_group_agg
 
     ex = GramPositionExploder(k)
 
@@ -1680,19 +1652,67 @@ def dup_ngram_spans(
     positions = docs.select_columns(["doc_id", "text"]).map_batches(
         ex, batch_format="pyarrow", zero_copy_batch=True
     )
-    marked = hash_join(
+    return hash_join(
         positions, dup_g, on="g", num_partitions=num_buckets
     ).select_columns(["doc_id", "pos"])
-    nb = np.uint64(max(1, num_buckets // 4))
+
+
+def _doc_bucket_tagger(nb: int):
+    """map_batches fn appending an avalanched doc_id-hash 'bucket'
+    column (consistent across callers so docs and their marked
+    positions land in the same cogroup bucket)."""
+    from xgeo_ray.functions.relational import _MIX
+
+    nbu = np.uint64(max(1, nb))
 
     def add_bucket(b: pa.Table) -> pa.Table:
         d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
             h = d * _MIX
         return b.append_column(
-            "bucket", pa.array(((h >> np.uint64(24)) % nb).astype(np.int64))
+            "bucket", pa.array(((h >> np.uint64(24)) % nbu).astype(np.int64))
         )
 
+    return add_bucket
+
+
+def dup_ngram_spans(
+    docs: ray.data.Dataset,
+    k: int = 3,
+    min_count: int = 2,
+    num_buckets: int = 64,
+    stats: bool = False,
+) -> ray.data.Dataset:
+    """Duplicated-substring detection, the training-data dedup that
+    exact/MinHash document dedup misses (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — their
+    suffix-array ExactSubstr, here as the distributed k-gram
+    approximation): find every word-k-gram occurring >= ``min_count``
+    times ACROSS THE CORPUS (same-doc repeats count), and return per
+    doc the maximal token spans those grams cover.
+
+    Shape: (1) positional gram explode + in-batch value_counts
+    combiner -> bucketed partial aggregate over gram hashes -> grams
+    with global count >= min_count (the dup-gram table, distributed —
+    never a driver set and never a broadcast, unlike the benchmark-
+    decontamination filter whose needle set is small); (2) the explode
+    runs again (two scans beat materializing a positions table bigger
+    than the corpus) and hash-joins against the dup grams on ``g`` —
+    the one payload-sized exchange; (3) marked positions bucket by
+    doc hash and merge vectorized into spans: sorted (doc, pos), span
+    break where the gap exceeds k, ends = last pos + k.
+
+    Returns ``(doc_id, start, end)`` token offsets (end exclusive,
+    adjacent/overlapping windows coalesced); with ``stats=True``, one
+    row per doc that HAS duplicated grams: ``(doc_id, dup_grams,
+    covered_tokens)`` — exact integers for the SQL oracle. Hash
+    collisions (fixed-key siphash + odd-multiplier mix) are the same
+    vanishing-probability equivalence every similarity oracle here
+    relies on. ``num_buckets`` bounds the exchange parallelism (repo
+    default 64; measured flat 16-64 at sandbox scale — size it toward
+    cluster width on a real cluster, the ~0.5-2 s-per-task rule)."""
+    marked = _dup_marked_positions(docs, k, min_count, num_buckets)
+    add_bucket = _doc_bucket_tagger(max(1, num_buckets // 4))
     kk = k
 
     def merge_spans(g: pa.Table) -> pa.Table:
@@ -1734,4 +1754,109 @@ def dup_ngram_spans(
         marked.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(merge_spans, batch_format="pyarrow")
+    )
+
+
+def strip_dup_spans(
+    docs: ray.data.Dataset,
+    k: int = 3,
+    min_count: int = 2,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """The rewrite half of ExactSubstr dedup (Lee et al., ACL 2022):
+    drop every token covered by ANY word-k-gram occurring >=
+    ``min_count`` times across the corpus, and re-join the survivors
+    with single spaces. Returns (doc_id, text) for EVERY input doc —
+    docs with nothing duplicated pass through (inter-token whitespace
+    normalized for all docs, the standard token-level contract; the
+    pytest SQL oracle replays it with string_agg).
+
+    Shape: the dup-gram marking of ``dup_ngram_spans``, then ONE
+    doc-bucketed cogroup of (docs, marked positions) — no span merge
+    is needed: inside each bucket the cover mask is a vectorized
+    diff-array range update ([pos, pos+k) per marked gram) over the
+    flat token array, and texts rebuild via LargeList + binary_join
+    (64-bit offsets: a bucket's token payload may exceed int32)."""
+    proj = docs.select_columns(["doc_id", "text"])
+    marked = _dup_marked_positions(proj, k, min_count, num_buckets)
+    nb = max(1, num_buckets // 4)
+    add_bucket = _doc_bucket_tagger(nb)
+    kk = k
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        b = pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                # fill_null: the doc/marked split below keys on text
+                # validity, so a null-text doc must become '' here
+                "text": pc.fill_null(
+                    b.column("text").cast(pa.large_string()), ""
+                ),
+                "pos": pa.nulls(b.num_rows, pa.int64()),
+            }
+        )
+        return add_bucket(b)
+
+    def tag_marked(b: pa.Table) -> pa.Table:
+        b = pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "text": pa.nulls(b.num_rows, pa.large_string()),
+                "pos": b.column("pos").cast(pa.int64()),
+            }
+        )
+        return add_bucket(b)
+
+    def rewrite(g: pa.Table) -> pa.Table:
+        is_doc = pc.is_valid(g.column("text"))
+        dtab = g.filter(is_doc)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.large_string()),
+            }
+        )
+        if dtab.num_rows == 0:
+            return empty
+        mtab = g.filter(pc.invert(is_doc))
+        ids = dtab.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.utf8_split_whitespace(dtab.column("text"))
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = np.asarray(la.values.to_numpy(zero_copy_only=False), dtype=object)
+        nonempty = vals != ""
+        flat = vals[nonempty]
+        cum = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
+        row_tok = cum[offs[1:]] - cum[offs[:-1]]
+        doc_starts = np.concatenate([[0], np.cumsum(row_tok)])
+        keep = np.ones(len(flat), dtype=bool)
+        if mtab.num_rows:
+            m_ids = mtab.column("doc_id").to_numpy(zero_copy_only=False)
+            m_pos = mtab.column("pos").to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            local = order[np.searchsorted(ids[order], m_ids)]
+            fstart = doc_starts[local] + m_pos
+            diff = np.zeros(len(flat) + 1, dtype=np.int64)
+            np.add.at(diff, fstart, 1)
+            np.add.at(diff, fstart + kk, -1)  # pos+k <= doc's token count
+            keep = np.cumsum(diff[:-1]) == 0
+        kcum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        new_offs = kcum[doc_starts]
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(new_offs, pa.int64()),
+            pa.array(flat[keep], pa.large_string()),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pc.binary_join(lists, pa.scalar(" ", pa.large_string())),
+            }
+        )
+
+    rewrite.__name__ = "strip_spans"
+    return (
+        proj.map_batches(tag_docs, batch_format="pyarrow")
+        .union(marked.map_batches(tag_marked, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(rewrite, batch_format="pyarrow")
     )
