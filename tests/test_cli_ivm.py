@@ -51,6 +51,22 @@ def test_cli_ivm_surface(tmp_path, capsys):
     assert len(got) == len(want)
 
     assert main([
+        "sync-scd2", f"{root}/src", f"{root}/scd2", "--init",
+        "--num-partitions", "4",
+    ]) in (0, None)
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["last_epoch"] == src.latest_epoch() and st["versions"] > 0
+    from xgeo_ray.pipelines import ivm as _ivm
+
+    scd2 = _ivm.read_scd2(DeltaTable.open(f"{root}/scd2")).to_pandas()
+    live = scd2[scd2["valid_to"].isna()]
+    assert len(live) == len(snap)  # one open version per live key
+    # re-run follows (no-op when caught up), without --init
+    assert main(["sync-scd2", f"{root}/src", f"{root}/scd2"]) in (0, None)
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["synced_epochs"] == 0
+
+    assert main([
         "changes", f"{root}/src", f"{root}/feed", "--with-before",
     ]) in (0, None)
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

@@ -111,6 +111,36 @@ def test_hash_join_matches_duckdb(con):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_hash_join_semi_and_anti_match_duckdb(con):
+    """Semi/anti joins emit LEFT columns only (the right side is a pure
+    filter) — the cogroup projection must not name right columns."""
+    import pyarrow as pa
+    import ray.data
+
+    from xgeo_ray.functions.relational import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()), "v": ["a", "b", "c", "d"]})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 4, 4], pa.int64()), "w": ["x", "y", "z"]})
+    )
+    semi = (
+        hash_join(left, right, on="k", join_type="left semi", num_partitions=4)
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert semi["k"].tolist() == [2, 4]
+    assert list(semi.columns) == ["k", "v"]
+    anti = (
+        hash_join(left, right, on="k", join_type="left anti", num_partitions=4)
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert anti["k"].tolist() == [1, 3]
+    assert list(anti.columns) == ["k", "v"]
+
+
 def test_ivf_recall_vs_exact_topk():
     """The quantitative check standing in for an SQL oracle on the
     approximate IVF query: recall of the probe-pruned index against the

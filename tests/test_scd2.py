@@ -1,0 +1,246 @@
+"""SCD Type-2 dimension views (ivm.sync_scd2 / read_scd2 / read_scd2_asof).
+
+The view must hold one row per VERSION of each source key with exact
+validity intervals, under any sync cadence; read_scd2_asof must match
+the engine's own snapshot(as_of_ts_us=T) row for row (both are
+epoch-granular on a collapsed source); a replayed window (cursor
+rewind after a crash between apply and ack) must no-op."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from xgeo_ray import fixtures as fx
+from xgeo_ray.pipelines import ingest as ing
+from xgeo_ray.pipelines import ivm
+from xgeo_ray.state import consumers as cons
+from xgeo_ray.state.delta_table import DeltaTable
+
+PAYLOAD = ["role", "text", "tool"]
+
+
+def _setup(tmp_path, n_events=900, n_convs=8, n_segments=3):
+    root = str(tmp_path)
+    events = fx.make_change_events(
+        n_events, n_convs=n_convs, turns_per_conv=4
+    )
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=n_segments)
+    src = DeltaTable.create(f"{root}/src", num_partitions=8, num_salts=2)
+    sink = DeltaTable.create(
+        f"{root}/sink",
+        num_partitions=4,
+        num_salts=1,
+        base_schema=ivm.scd2_schema(src),
+    )
+    return src, sink, segs
+
+
+def _eq(a, b):
+    return (pd.isna(a) and pd.isna(b)) or a == b
+
+
+def _expected_versions(src) -> pd.DataFrame:
+    """Reference SCD2 walker over the one-shot before/after feed."""
+    feed = ivm.changes_with_before(src, 0).to_pandas()
+    feed = feed.sort_values(["conv_id", "turn_idx", "_epoch"])
+    out = {}
+    for r in feed.to_dict("records"):
+        ts = pd.Timestamp(r["ts"]).value // 1000
+        key = (r["conv_id"], r["turn_idx"])
+        noop = bool(r["_before_exists"] and r["_after_exists"])
+        if noop:
+            bts = pd.Timestamp(r["_before_ts"]).value // 1000
+            noop = ts == bts and all(
+                _eq(r[c], r["_before_" + c]) for c in PAYLOAD
+            )
+        if noop:
+            continue
+        if r["_before_exists"]:
+            bts = pd.Timestamp(r["_before_ts"]).value // 1000
+            out[key + (bts,)] = {
+                **{c: r["_before_" + c] for c in PAYLOAD},
+                "valid_to": ts,
+            }
+        if r["_after_exists"]:
+            out[key + (ts,)] = {
+                **{c: r[c] for c in PAYLOAD},
+                "valid_to": None,
+            }
+    rows = [
+        {
+            "src_conv_id": k[0],
+            "src_turn_idx": k[1],
+            "valid_from": k[2],
+            **v,
+        }
+        for k, v in out.items()
+    ]
+    return _norm(pd.DataFrame(rows))
+
+
+def _norm(df) -> pd.DataFrame:
+    cols = ["src_conv_id", "src_turn_idx", "valid_from", *PAYLOAD, "valid_to"]
+    df = df[cols].copy()
+    for c in ("valid_from", "valid_to", "src_turn_idx"):
+        df[c] = df[c].astype("Int64")
+    for c in PAYLOAD:
+        df[c] = df[c].where(~df[c].isna(), None)
+    return df.sort_values(
+        ["src_conv_id", "src_turn_idx", "valid_from"]
+    ).reset_index(drop=True)
+
+
+def _view(sink) -> pd.DataFrame:
+    return _norm(ivm.read_scd2(sink).to_pandas())
+
+
+def test_scd2_versions_match_reference(tmp_path):
+    src, sink, segs = _setup(tmp_path)
+    ing.run_stream(src, segs, segments_per_epoch=1)
+    st = ivm.sync_scd2(src, sink)
+    assert st["synced_epochs"] == 3 and st["versions"] > 0
+    pd.testing.assert_frame_equal(_view(sink), _expected_versions(src))
+    # caught-up sync is a no-op
+    assert ivm.sync_scd2(src, sink)["synced_epochs"] == 0
+
+
+def test_scd2_any_cadence_same_view(tmp_path):
+    # sync after every epoch
+    src1, sink1, segs = _setup(tmp_path / "a")
+    for i in range(len(segs)):
+        ing.run_stream(src1, segs[: i + 1], segments_per_epoch=1)
+        ivm.sync_scd2(src1, sink1)
+    # one sync at the end
+    src2, sink2, segs2 = _setup(tmp_path / "b")
+    ing.run_stream(src2, segs2, segments_per_epoch=1)
+    ivm.sync_scd2(src2, sink2)
+    pd.testing.assert_frame_equal(_view(sink1), _view(sink2))
+
+
+def test_scd2_asof_matches_snapshot(tmp_path):
+    src, sink, segs = _setup(tmp_path, n_events=1200)
+    ing.run_stream(src, segs, segments_per_epoch=1)
+    ivm.sync_scd2(src, sink)
+    state = ing.snapshot(src).to_pandas()
+    ts_us = np.sort(state["ts"].astype("int64").to_numpy() // 1000)
+    probes = [
+        int(ts_us[0]) - 1,  # before everything: empty
+        int(ts_us[len(ts_us) // 3]),
+        int(ts_us[2 * len(ts_us) // 3]) + 1,
+        int(ts_us[-1]) + 10,  # after everything: current state
+    ]
+    for t in probes:
+        want = ing.snapshot(src, as_of_ts_us=t).to_pandas()
+        if want.empty:
+            assert ivm.read_scd2_asof(sink, t).count() == 0, f"T={t}"
+            continue
+        want = (
+            want[["conv_id", "turn_idx", *PAYLOAD, "ts"]]
+            .rename(
+                columns={
+                    "conv_id": "src_conv_id",
+                    "turn_idx": "src_turn_idx",
+                }
+            )
+            .sort_values(["src_conv_id", "src_turn_idx"])
+            .reset_index(drop=True)
+        )
+        got = (
+            ivm.read_scd2_asof(sink, t)
+            .to_pandas()
+            .sort_values(["src_conv_id", "src_turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), f"T={t}"
+        # one live version per key, its valid_from = the winner's ts
+        assert got["valid_from"].tolist() == [
+            v.value // 1000 for v in pd.to_datetime(want["ts"])
+        ], f"T={t}"
+        for c in PAYLOAD:
+            gl = got[c].where(~got[c].isna(), None).tolist()
+            wl = want[c].where(~want[c].isna(), None).tolist()
+            assert gl == wl, f"T={t} col={c}"
+
+
+def test_scd2_replayed_window_noops(tmp_path):
+    import hashlib
+    import os
+
+    src, sink, segs = _setup(tmp_path)
+    ing.run_stream(src, segs, segments_per_epoch=1)
+    ivm.sync_scd2(src, sink)
+    before = _view(sink)
+    group = (
+        "scd2-"
+        + hashlib.sha1(os.path.abspath(sink.root).encode()).hexdigest()[:10]
+    )
+    # crash between apply and ack == cursor behind an applied batch:
+    # rewind and replay — the identical batch id must no-op
+    cons.rewind(src, group, 0)
+    st = ivm.sync_scd2(src, sink)
+    assert st["synced_epochs"] == 3
+    pd.testing.assert_frame_equal(_view(sink), before)
+
+
+def test_scd2_delete_closes_and_reinsert_reopens(tmp_path):
+    root = str(tmp_path)
+    base = pa.table(
+        {
+            "seq": pa.array([0, 1], pa.int64()),
+            "op": pa.array(["I", "I"]),
+            "conv_id": pa.array(["c1", "c2"], pa.string()),
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "role": pa.array(["user", "user"]),
+            "text": pa.array(["v1", "other"]),
+            "tool": pa.array([None, None], pa.string()),
+            "ts": pa.array([1_000_000, 1_000_000], pa.timestamp("us")),
+        }
+    )
+    upd = pa.table(
+        {
+            "seq": pa.array([2, 3], pa.int64()),
+            "op": pa.array(["U", "D"]),
+            "conv_id": pa.array(["c1", "c2"], pa.string()),
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "role": pa.array(["user", None]),
+            "text": pa.array(["v2", None]),
+            "tool": pa.array([None, None], pa.string()),
+            "ts": pa.array([2_000_000, 3_000_000], pa.timestamp("us")),
+        }
+    )
+    re_ins = pa.table(
+        {
+            "seq": pa.array([4], pa.int64()),
+            "op": pa.array(["I"]),
+            "conv_id": pa.array(["c2"], pa.string()),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["assistant"]),
+            "text": pa.array(["back"]),
+            "tool": pa.array([None], pa.string()),
+            "ts": pa.array([4_000_000], pa.timestamp("us")),
+        }
+    )
+    segs = []
+    for i, t in enumerate([base, upd, re_ins]):
+        segs += fx.write_segments(t, f"{root}/wal{i}", n_segments=1)
+    src = DeltaTable.create(f"{root}/src", num_partitions=4, num_salts=1)
+    sink = DeltaTable.create(
+        f"{root}/sink",
+        num_partitions=2,
+        num_salts=1,
+        base_schema=ivm.scd2_schema(src),
+    )
+    ing.run_stream(src, segs, segments_per_epoch=1)
+    ivm.sync_scd2(src, sink)
+    def vto(df):
+        return [None if pd.isna(x) else int(x) for x in df["valid_to"]]
+
+    got = _view(sink)
+    c1 = got[got["src_conv_id"] == "c1"]
+    assert c1["text"].tolist() == ["v1", "v2"]
+    assert vto(c1) == [2_000_000, None]
+    c2 = got[got["src_conv_id"] == "c2"]
+    # insert -> delete closes at 3s -> reinsert reopens at 4s
+    assert c2["text"].tolist() == ["other", "back"]
+    assert vto(c2) == [3_000_000, None]
+    pd.testing.assert_frame_equal(got, _expected_versions(src))

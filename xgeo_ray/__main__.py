@@ -286,6 +286,26 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--stages-module", default=None)
 
     p = sub.add_parser(
+        "sync-scd2",
+        help="maintain an SCD Type-2 dimension view (one row per key "
+        "VERSION with valid_from/valid_to µs intervals) from SOURCE's "
+        "committed change feed, exactly-once; --init creates the sink "
+        "with the derived scd2 schema on first run",
+    )
+    p.add_argument("source")
+    p.add_argument("table", help="sink table root")
+    p.add_argument("--upto", type=int, default=None)
+    p.add_argument(
+        "--columns", default=None, help="comma-separated payload columns"
+    )
+    p.add_argument(
+        "--init",
+        action="store_true",
+        help="create the sink (scd2_schema(source), num_salts=1) if absent",
+    )
+    p.add_argument("--num-partitions", type=int, default=16)
+
+    p = sub.add_parser(
         "apply",
         help="apply a correction/backfill batch from a parquet file of "
         "rows (out-of-band: wins by ts, never advances seq watermarks); "
@@ -597,6 +617,26 @@ def main(argv: list[str] | None = None) -> int:
             **kw,
         )
         print(json.dumps({"created": args.table}))
+        return 0
+
+    if args.cmd == "sync-scd2":
+        from xgeo_ray.pipelines import ivm
+
+        src = DeltaTable.open(args.source)
+        cols = args.columns.split(",") if args.columns else None
+        try:
+            sink = DeltaTable.open(args.table)
+        except FileNotFoundError:
+            if not args.init:
+                raise
+            sink = DeltaTable.create(
+                args.table,
+                num_partitions=args.num_partitions,
+                num_salts=1,
+                base_schema=ivm.scd2_schema(src, cols),
+            )
+        st = ivm.sync_scd2(src, sink, columns=cols, upto_epoch=args.upto)
+        print(json.dumps(st))
         return 0
 
     table = DeltaTable.open(args.table)

@@ -196,11 +196,19 @@ def hash_join(
     lt = left.map_batches(tag(r_schema, 0), batch_format="pyarrow")
     rt = right.map_batches(tag(l_schema, 1), batch_format="pyarrow")
 
+    # semi/anti joins emit left columns only — the right side exists
+    # purely as a filter, so the output projection must not name it
+    out_cols = (
+        on + l_only
+        if join_type in ("left semi", "left anti")
+        else on + l_only + r_only
+    )
+
     def join_bucket(g: pa.Table) -> pa.Table:
         side = g.column("__side").to_numpy(zero_copy_only=False)
         l = g.filter(pa.array(side == 0)).select(on + l_only)
         r = g.filter(pa.array(side == 1)).select(on + r_only)
-        return l.join(r, keys=on, join_type=join_type).select(on + l_only + r_only)
+        return l.join(r, keys=on, join_type=join_type).select(out_cols)
 
     return lt.union(rt).groupby(_BUCKET_COL).map_groups(
         join_bucket, batch_format="pyarrow"

@@ -2053,3 +2053,245 @@ def sync_join(
     _cons.ack(left, gl, upto_l)
     _cons.ack(right, gr, upto_r)
     return stats
+
+
+# ------------------------------------------------------------------
+# SCD Type-2 dimension views (version-interval rows from the feed)
+
+_SCD2_SEP = "\x1f"  # unit separator: composite source key, collision-free
+
+
+def scd2_schema(
+    source: DeltaTable, columns: list[str] | None = None
+) -> pa.Schema:
+    """Base schema for a ``sync_scd2`` sink over ``source``. The sink
+    is keyed (composite source key, ``valid_from`` µs): ``conv_id`` =
+    ``"<src conv_id>\\x1f<src turn_idx>"`` and ``turn_idx`` holds
+    ``valid_from`` as int64 µs — one row per VERSION of each source
+    key. Source keys ride along as ``src_conv_id``/``src_turn_idx``
+    payload columns, then the (possibly ``columns``-restricted)
+    source payload, then ``valid_to`` (int64 µs, null = current)."""
+    env = source.current_schema()
+    from xgeo_ray.pipelines.ingest import _MERGE_COLS
+    from xgeo_ray.state.delta_table import LINEAGE_COLS
+
+    skip = set(_MERGE_COLS) | set(LINEAGE_COLS)
+    payload = [
+        f
+        for f in env
+        if f.name not in skip and (columns is None or f.name in columns)
+    ]
+    return pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int64()),
+            pa.field("src_conv_id", env.field("conv_id").type),
+            pa.field("src_turn_idx", env.field("turn_idx").type),
+            *payload,
+            pa.field("valid_to", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+
+
+@ray.remote
+def _scd2_emit_task(feed: pa.Table, payload: list[str]) -> pa.Table:
+    """Version-interval rows from one partition's feed window,
+    vectorized end to end. Per effective transition: a CLOSE row
+    rewrites the before version (same sink key, ``valid_to`` = the
+    after image's event time) and an OPEN row starts the after version
+    (``valid_to`` null). No-op transitions (LWW losers: before ==
+    after including ts) emit nothing. Within the window the rows
+    dedupe per (key, valid_from) keeping the latest epoch — an open
+    superseded by a later epoch's close collapses here, not in the
+    sink — with OPEN preferred inside one epoch (a same-instant update
+    keeps the live later-seq version, the zero-width-interval rule).
+    All of a key's window rows live in this one task (the feed is
+    partition-aligned), so the dedupe is complete locally."""
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    be = pc.fill_null(feed.column("_before_exists"), False)
+    ae = pc.fill_null(feed.column("_after_exists"), False)
+    ts_us = feed.column("ts").cast(pa.int64())
+    bts_us = feed.column(BEFORE_PREFIX + "ts").cast(pa.int64())
+    # no-op transition: both images exist and are identical (ts too)
+    same = pc.and_(be, ae)
+    same = pc.and_(same, pc.fill_null(pc.equal(ts_us, bts_us), False))
+    for c in payload:
+        a, b = feed.column(c), feed.column(BEFORE_PREFIX + c)
+        eq = pc.or_(
+            pc.and_(pc.is_null(a), pc.is_null(b)),
+            pc.fill_null(pc.equal(a, b), False),
+        )
+        same = pc.and_(same, eq)
+    ck = pc.binary_join_element_wise(
+        feed.column("conv_id").cast(pa.string()),
+        feed.column("turn_idx").cast(pa.string()),
+        _SCD2_SEP,
+    )
+    live = pc.invert(same)
+    epoch = feed.column("_epoch")
+
+    def rows(mask, vfrom, vto, img_prefix: str, is_open: int) -> pa.Table:
+        cols = {
+            "conv_id": pc.filter(ck, mask),
+            "turn_idx": pc.filter(vfrom, mask),
+            "src_conv_id": feed.filter(mask).column("conv_id"),
+            "src_turn_idx": feed.filter(mask).column("turn_idx"),
+        }
+        f = feed.filter(mask)
+        for c in payload:
+            cols[c] = f.column(img_prefix + c)
+        cols["valid_to"] = (
+            pc.filter(vto, mask)
+            if vto is not None
+            else pa.nulls(f.num_rows, pa.int64())
+        )
+        cols["_epoch"] = f.column("_epoch")
+        cols["_is_open"] = pa.array(
+            np.full(f.num_rows, is_open, np.int8)
+        )
+        return pa.table(cols)
+
+    closes = rows(
+        pc.and_(be, live), bts_us, ts_us, BEFORE_PREFIX, 0
+    )
+    opens = rows(pc.and_(ae, live), ts_us, None, "", 1)
+    out = pa.concat_tables([closes, opens], promote_options="permissive")
+    if out.num_rows == 0:
+        return out.drop_columns(["_epoch", "_is_open"])
+    # keep-last per (key, valid_from): later epoch wins; open beats
+    # close within one epoch
+    ckv = np.asarray(out.column("conv_id").to_numpy(zero_copy_only=False))
+    _, codes = np.unique(ckv, return_inverse=True)
+    vf = out.column("turn_idx").to_numpy(zero_copy_only=False)
+    ep = out.column("_epoch").to_numpy(zero_copy_only=False)
+    io_ = out.column("_is_open").to_numpy(zero_copy_only=False)
+    order = np.lexsort((io_, ep, vf, codes))
+    codes, vf = codes[order], vf[order]
+    last = np.ones(len(order), dtype=bool)
+    last[:-1] = (codes[1:] != codes[:-1]) | (vf[1:] != vf[:-1])
+    return out.take(pa.array(order[last])).drop_columns(
+        ["_epoch", "_is_open"]
+    )
+
+
+def sync_scd2(
+    source: DeltaTable,
+    sink: DeltaTable,
+    columns: list[str] | None = None,
+    upto_epoch: int | None = None,
+) -> dict:
+    """Maintain an SCD TYPE-2 dimension view of ``source``
+    incrementally: one sink row per VERSION of each source key with
+    its validity interval — ``valid_from`` (the version's own event
+    time, held in the sink's ``turn_idx`` key slot as int64 µs) and
+    ``valid_to`` (the superseding version's event time; null = the
+    current version; a delete closes without opening). The classic
+    warehouse change-history table, fed by ``changes_with_before`` —
+    the before image in the feed is what lets a close REWRITE the full
+    version row under the sink's plain LWW upsert, no read-modify
+    anywhere.
+
+    Create the sink with ``base_schema=scd2_schema(source, columns)``
+    (``num_salts=1``; versions of one key are few). Exactly-once:
+    consumer-group cursor on the source, sink upsert
+    (``apply_changes`` batch, deterministic batch id, ``ts_us`` =
+    window end epoch so later windows always win LWW) THEN ack — a
+    crash between them replays an identical batch that no-ops.
+    Change-volume cost end to end: one feed task per TOUCHED
+    partition, emissions bounded by the window's transitions,
+    untouched keys never read or written.
+
+    Semantics notes: intervals follow effective TRANSITION order,
+    which under LWW is per-key non-decreasing in (ts, seq), so
+    ``valid_from <= valid_to`` always; a same-instant update (equal
+    ts, later seq) keeps the later version under the same (key,
+    valid_from) — the zero-width-interval convention. On a collapsed
+    table versions are EPOCH-granular (intra-epoch losers were never
+    committed state); ``read_scd2_asof`` therefore matches
+    ``snapshot(as_of_ts_us=T)`` exactly — the parity the tests pin.
+    Deleted versions stay queryable forever (the view is history;
+    vacuum of the SOURCE does not touch it)."""
+    import hashlib
+
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.state import consumers as _cons
+
+    sink_id = hashlib.sha1(
+        os.path.abspath(sink.root).encode()
+    ).hexdigest()[:10]
+    group = f"scd2-{sink_id}"
+    since = _cons.position(source, group)
+    upto = source.latest_epoch() if upto_epoch is None else upto_epoch
+    if upto <= since:
+        return {"synced_epochs": 0, "versions": 0, "last_epoch": since}
+    refs, payload, _env = _feed_refs(source, since, upto, columns)
+    parts = ray.get(
+        [_scd2_emit_task.remote(r, payload) for _, r in refs]
+    )
+    parts = [p for p in parts if p.num_rows]
+    n = 0
+    if parts:
+        batch = pa.concat_tables(parts, promote_options="permissive")
+        batch = batch.append_column(
+            "op", pa.array(["U"] * batch.num_rows, pa.string())
+        )
+        n = batch.num_rows
+        ing.apply_changes(
+            sink,
+            batch,
+            batch_id=f"{group}-e{since + 1}-{upto}",
+            ts_us=upto,
+        )
+    if os.environ.get("XGEO_CRASH_BEFORE_SCD2_ACK"):
+        os._exit(137)  # crash hook: sink upserted, cursor not acked
+    _cons.ack(source, group, upto)
+    return {
+        "synced_epochs": upto - since,
+        "versions": n,
+        "last_epoch": upto,
+    }
+
+
+def read_scd2(sink: DeltaTable, **snapshot_kwargs) -> ray.data.Dataset:
+    """The SCD2 view with reader-facing names: the sink's key slots
+    surface as ``valid_from`` (int64 µs) alongside
+    ``src_conv_id``/``src_turn_idx``, payload and ``valid_to``."""
+    from xgeo_ray.pipelines.ingest import snapshot
+
+    ds = snapshot(sink, **snapshot_kwargs)
+
+    def rn(b: pa.Table) -> pa.Table:
+        b = b.drop_columns(["conv_id"])
+        return b.rename_columns(
+            ["valid_from" if c == "turn_idx" else c for c in b.column_names]
+        )
+
+    return ds.map_batches(rn, batch_format="pyarrow")
+
+
+def read_scd2_asof(sink: DeltaTable, ts_us: int) -> ray.data.Dataset:
+    """The dimension AS OF event time T from the SCD2 view: versions
+    with ``valid_from <= T`` and (``valid_to`` null or ``> T``). A
+    pure filtered scan of the view — no merge-time travel, which is
+    the point: the warehouse pattern answers as-of queries from the
+    maintained intervals alone (and, on a collapsed source, matches
+    ``snapshot(as_of_ts_us=T)`` row for row)."""
+
+    def asof(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less_equal(
+                b.column("valid_from"), pa.scalar(ts_us, pa.int64())
+            ),
+            pc.or_(
+                pc.is_null(b.column("valid_to")),
+                pc.greater(
+                    b.column("valid_to"), pa.scalar(ts_us, pa.int64())
+                ),
+            ),
+        )
+        return b.filter(keep)
+
+    return read_scd2(sink).map_batches(asof, batch_format="pyarrow")
