@@ -253,9 +253,10 @@ def _read_ivf_manifest(index_dir: str) -> tuple[dict, int]:
 
 def ivf_append(
     index_dir: str,
-    emb: ray.data.Dataset,
+    emb: ray.data.Dataset | None,
     vec_col: str | None = None,
     batch_id: str | None = None,
+    tombstones: dict | None = None,
 ) -> dict:
     """INCREMENTAL index maintenance: assign new vectors to the
     EXISTING centroids and append one generation file per touched
@@ -278,7 +279,13 @@ def ivf_append(
     loser re-reads and re-applies) instead of last-writer-wins dropping
     one append's generation files. Generation files from a crashed
     attempt are never referenced by any manifest — dead bytes, not
-    duplicates."""
+    duplicates.
+
+    ``tombstones`` (``{str(vec_id): dead_upto_epoch}``) merges into the
+    manifest in the SAME commit (max per id): entries with ``_epoch <
+    dead_upto`` stop matching in ``ivf_topk_live`` — how ``sync_ivf``
+    retracts superseded/deleted versions without rewriting list files.
+    ``emb=None`` commits a vector-less update (deletes-only window)."""
     import json
     import os
 
@@ -292,29 +299,31 @@ def ivf_append(
     cents = np.asarray(manifest["centroids"], dtype=np.float64)
     vec_col = vec_col or manifest["vec_col"]
     token = new_commit_token()
-    assigned = ivf_assign(emb, cents, vec_col)
+    new_rows: dict[int, int] = {}
+    if emb is not None:
+        assigned = ivf_assign(emb, cents, vec_col)
 
-    def write_gen(g: pa.Table) -> pa.Table:
-        from xgeo_ray.tuning import limit_worker_threads
+        def write_gen(g: pa.Table) -> pa.Table:
+            from xgeo_ray.tuning import limit_worker_threads
 
-        limit_worker_threads()
-        p = int(g.column("ivf_part")[0].as_py())
-        path = os.path.join(index_dir, f"part-{p:05d}-g{token}.parquet")
-        _atomic_write_parquet(g.drop_columns(["ivf_part"]), path)
-        return pa.table(
-            {
-                "ivf_part": pa.array([p], pa.int32()),
-                "rows": pa.array([g.num_rows], pa.int64()),
-            }
+            limit_worker_threads()
+            p = int(g.column("ivf_part")[0].as_py())
+            path = os.path.join(index_dir, f"part-{p:05d}-g{token}.parquet")
+            _atomic_write_parquet(g.drop_columns(["ivf_part"]), path)
+            return pa.table(
+                {
+                    "ivf_part": pa.array([p], pa.int32()),
+                    "rows": pa.array([g.num_rows], pa.int64()),
+                }
+            )
+
+        write_gen.__name__ = "append_ivf_gen"
+        stats = (
+            assigned.groupby("ivf_part")
+            .map_groups(write_gen, batch_format="pyarrow")
+            .to_pandas()
         )
-
-    write_gen.__name__ = "append_ivf_gen"
-    stats = (
-        assigned.groupby("ivf_part")
-        .map_groups(write_gen, batch_format="pyarrow")
-        .to_pandas()
-    )
-    new_rows = {int(r.ivf_part): int(r.rows) for r in stats.itertuples()}
+        new_rows = {int(r.ivf_part): int(r.rows) for r in stats.itertuples()}
     while True:
         # read-modify-retry against the versioned manifest chain: apply
         # THIS append's generation files to the freshest manifest, then
@@ -330,6 +339,11 @@ def ivf_append(
             base = [f"part-{part:05d}.parquet"] if p in parts else []
             files.setdefault(p, base).append(f"part-{part:05d}-g{token}.parquet")
             parts[p] = parts.get(p, 0) + rows
+        if tombstones:
+            dead = manifest.setdefault("tombstones", {})
+            for vid, upto in tombstones.items():
+                vid = str(vid)
+                dead[vid] = max(int(upto), dead.get(vid, 0))
         if batch_id is not None:
             manifest.setdefault("batches", []).append(batch_id)
         try:
@@ -423,6 +437,267 @@ def ivf_topk(
         batch_format="pyarrow",
     )
     return brute_force_topk(filtered, query_vecs, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_topk_live(
+    index_dir: str,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str | None = None,
+) -> pa.Table:
+    """``ivf_topk_indexed`` over a ``sync_ivf``-maintained index:
+    probe-pruned reads PLUS tombstone filtering (entries with
+    ``_epoch < tombstones[vec_id]`` are superseded versions or deleted
+    keys and never match). The tombstone map ships once as an ObjectRef
+    and filters vectorized (sorted ids + searchsorted) inside each read
+    task. Returns (query_idx, vec_id, src keys if indexed, rank)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    manifest, _ = _read_ivf_manifest(index_dir)
+    vec_col = vec_col or manifest["vec_col"]
+    _, files = plan_probe_files(index_dir, query_vecs, nprobe)
+    empty = pa.table(
+        {
+            "query_idx": pa.array([], pa.int32()),
+            id_col: pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int32()),
+        }
+    )
+    if not files:
+        return empty
+    ds = ray.data.read_parquet(files)
+    tomb = manifest.get("tombstones") or {}
+    if tomb:
+        tids = np.sort(np.array([int(v) for v in tomb], dtype=np.int64))
+        teps = np.array(
+            [tomb[str(v)] for v in tids], dtype=np.int64
+        )
+        ref = ray.put((tids, teps))
+
+        class LiveFilter:
+            def __init__(self, r):
+                self.r, self.t = r, None
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                if b.num_rows == 0 or "_epoch" not in b.column_names:
+                    return b
+                if self.t is None:
+                    self.t = ray.get(self.r)
+                ids_, eps_ = self.t
+                vid = b.column(id_col).to_numpy()
+                ep = b.column("_epoch").to_numpy()
+                pos = np.searchsorted(ids_, vid)
+                pos = np.clip(pos, 0, len(ids_) - 1)
+                dead = (ids_[pos] == vid) & (ep < eps_[pos])
+                return b.filter(pa.array(~dead))
+
+        ds = ds.map_batches(LiveFilter(ref), batch_format="pyarrow")
+    top = brute_force_topk(ds, query_vecs, k=k, id_col=id_col, vec_col=vec_col)
+    # map ids back to source keys from the (already pruned) probed files
+    schema_names = pq.read_schema(files[0]).names if files else []
+    keys = [c for c in ("conv_id", "turn_idx") if c in schema_names]
+    if top.num_rows == 0 or not keys:
+        return top
+    wanted = pa.array(
+        np.unique(top.column(id_col).to_numpy()), pa.int64()
+    )
+    rows = (
+        ds.map_batches(
+            lambda b: b.filter(
+                pc.is_in(b.column(id_col), value_set=wanted)
+            ).select([id_col, *keys]),
+            batch_format="pyarrow",
+        )
+        .to_arrow_refs()
+    )
+    m = pa.concat_tables(
+        [t for t in ray.get(rows) if t.num_rows]
+    )
+    # one live row per vec_id (older versions are tombstoned) — a
+    # defensive group-first keeps the join 1:1 regardless
+    m = m.group_by(id_col).aggregate(
+        [(c, "first") for c in keys]
+    )
+    m = m.rename_columns([id_col, *keys])
+    return top.join(m, keys=id_col).sort_by(
+        [("query_idx", "ascending"), ("rank", "ascending")]
+    )
+
+
+def sync_ivf(
+    table,
+    index_dir: str,
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    upto_epoch: int | None = None,
+) -> dict:
+    """Maintain a persisted IVF vector index incrementally from a
+    DeltaTable's committed change feed — the ANN analog of
+    ``dedup.sync_near_dup``: embeddings of keys touched since the last
+    sync append as generation files to their inverted lists
+    (``ivf_append``, O(change volume)); superseded versions and deleted
+    keys retract via the manifest tombstone map (``{vec_id:
+    dead_upto_epoch}`` — an update at epoch e kills entries with
+    ``_epoch < e``, a delete kills ``< e+1``); ``ivf_topk_live``
+    answers probes against exactly the LIVE set.
+
+    Index entries are ``(vec_id, conv_id, turn_idx, embedding,
+    _epoch)`` with ``vec_id`` = fixed-key siphash of the composite
+    source key (the repo's standard vanishing-collision equivalence).
+    First sync (cursor at 0) BOOTSTRAPS: trains centroids on the
+    current snapshot and builds the base index — rebuild-by-redo makes
+    a crash before the ack safe. Incremental windows append as a
+    streaming Dataset (vectors never pass through the driver); only the
+    tombstone dict (O(touched keys) ints) is driver-side. Exactly-once:
+    appends carry a deterministic batch id + the tombstone merge in the
+    SAME manifest commit, consumer ack AFTER — a replayed window
+    no-ops. Tombstones accumulate with churn until the next bootstrap
+    rebuild resets them (the standard vector-index maintenance model:
+    rebuild when tombstone fraction or list skew grows — the manifest's
+    counts are the signal). Centroids never move between rebuilds, so
+    recall drifts with distribution shift; same contract as
+    ``ivf_append``."""
+    import hashlib
+    import json
+    import os
+
+    import pyarrow.compute as pc
+
+    from xgeo_ray.functions.dedup import hash_tokens
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.state import consumers as _cons
+
+    group = (
+        "ivf-"
+        + hashlib.sha1(os.path.abspath(index_dir).encode()).hexdigest()[:10]
+    )
+    since = _cons.position(table, group)
+    upto = table.latest_epoch() if upto_epoch is None else upto_epoch
+    if upto <= since:
+        return {"synced_epochs": 0, "appended": 0, "last_epoch": since}
+
+    def add_vec_id(b: pa.Table) -> pa.Table:
+        ck = pc.binary_join_element_wise(
+            b.column("conv_id").cast(pa.string()),
+            b.column("turn_idx").cast(pa.string()),
+            "\x1f",
+        )
+        vid = hash_tokens(
+            np.asarray(ck.to_numpy(zero_copy_only=False), dtype=object)
+        ).view(np.int64)
+        return b.append_column("vec_id", pa.array(vid, pa.int64()))
+
+    if since == 0:
+        # bootstrap: rebuild from the current snapshot (idempotent by
+        # redo — a crash before the ack just rebuilds again)
+        snap = ing.snapshot(
+            table, columns=["conv_id", "turn_idx", vec_col]
+        ).map_batches(add_vec_id, batch_format="pyarrow")
+        ep = int(upto)
+        entries = snap.map_batches(
+            lambda b: pa.table(
+                {
+                    "vec_id": b.column("vec_id"),
+                    "conv_id": b.column("conv_id"),
+                    "turn_idx": b.column("turn_idx"),
+                    vec_col: b.column(vec_col),
+                    "_epoch": pa.array(
+                        np.full(b.num_rows, ep, np.int64)
+                    ),
+                }
+            ).filter(pc.is_valid(b.column(vec_col))),
+            batch_format="pyarrow",
+        )
+        cents = train_ivf_centroids(
+            entries, num_centroids=num_centroids, vec_col=vec_col
+        )
+        build_ivf_index(entries, cents, index_dir, vec_col=vec_col)
+        _cons.ack(table, group, upto)
+        return {
+            "synced_epochs": upto,
+            "appended": -1,  # bootstrap: full rebuild, not an append
+            "last_epoch": upto,
+        }
+
+    feed = ing.changes(
+        table, since, upto, columns=["conv_id", "turn_idx", "op", vec_col]
+    ).map_batches(add_vec_id, batch_format="pyarrow")
+    # tombstones: every touched key retracts its PRE-window versions —
+    # update at e -> dead below e (keeps its own entry), delete -> e+1
+    def tomb_partial(b: pa.Table) -> pa.Table:
+        dead = pc.add(
+            b.column("_epoch"),
+            pc.if_else(
+                pc.equal(b.column("op"), pa.scalar("D")),
+                pa.scalar(1, pa.int64()),
+                pa.scalar(0, pa.int64()),
+            ),
+        )
+        return (
+            pa.table({"vec_id": b.column("vec_id"), "dead": dead})
+            .group_by("vec_id")
+            .aggregate([("dead", "max")])
+        )
+
+    tomb_tabs = [
+        t
+        for t in ray.get(
+            feed.map_batches(
+                tomb_partial, batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    tomb: dict[str, int] = {}
+    if tomb_tabs:
+        tt = (
+            pa.concat_tables(tomb_tabs)
+            .group_by("vec_id")
+            .aggregate([("dead_max", "max")])
+        )
+        tomb = {
+            str(v): int(d)
+            for v, d in zip(
+                tt.column("vec_id").to_pylist(),
+                tt.column("dead_max_max").to_pylist(),
+            )
+        }
+
+    def live_entries(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.invert(pc.equal(b.column("op"), pa.scalar("D"))),
+            pc.is_valid(b.column(vec_col)),
+        )
+        f = b.filter(pc.fill_null(keep, False))
+        return pa.table(
+            {
+                "vec_id": f.column("vec_id"),
+                "conv_id": f.column("conv_id"),
+                "turn_idx": f.column("turn_idx"),
+                vec_col: f.column(vec_col),
+                "_epoch": f.column("_epoch"),
+            }
+        )
+
+    adds = feed.map_batches(live_entries, batch_format="pyarrow")
+    n_add = adds.count()
+    ivf_append(
+        index_dir,
+        adds if n_add else None,
+        vec_col=vec_col,
+        batch_id=f"{group}-e{since + 1}-{upto}",
+        tombstones=tomb,
+    )
+    _cons.ack(table, group, upto)
+    return {
+        "synced_epochs": upto - since,
+        "appended": int(n_add),
+        "tombstoned": len(tomb),
+        "last_epoch": upto,
+    }
 
 
 # ------------------------------------------------------------------ k-means

@@ -41,19 +41,39 @@ _TYPE_PARSERS = {
     "date32[day]": pa.date32(),
 }
 
+# flat lists of the primitive types above (embedding columns:
+# list<float>, list<double>, …); nested lists/structs stay fail-fast
+_LIST_TYPE_RE = re.compile(r"^(large_)?list<item: ([^<>]+)>$")
+
+
+def _parse_type(t: str) -> pa.DataType | None:
+    if t in _TYPE_PARSERS:
+        return _TYPE_PARSERS[t]
+    m = _LIST_TYPE_RE.match(t)
+    if m and m.group(2) in _TYPE_PARSERS:
+        inner = _TYPE_PARSERS[m.group(2)]
+        return pa.large_list(inner) if m.group(1) else pa.list_(inner)
+    return None
+
 
 def validate_envelope(schema: pa.Schema) -> pa.Schema:
     """Fail fast on envelope types the manifest cannot record (e.g. an
-    all-null JSON column inferred as ``null``, or list/struct from an
-    evolved segment). Called at PLAN time, before the epoch's
+    all-null JSON column inferred as ``null``, or a struct from an
+    evolved segment; flat lists of primitives ARE supported — embedding
+    payloads). Called at PLAN time, before the epoch's
     read/shuffle/write — not at commit time when the work is already
     spent."""
-    bad = [(f.name, str(f.type)) for f in schema if str(f.type) not in _TYPE_PARSERS]
+    bad = [
+        (f.name, str(f.type))
+        for f in schema
+        if _parse_type(str(f.type)) is None
+    ]
     if bad:
         raise TypeError(
             f"unsupported envelope column types {bad}; supported: "
-            f"{sorted(_TYPE_PARSERS)} — cast or drop these columns in the "
-            "source, or extend manifest._TYPE_PARSERS"
+            f"{sorted(_TYPE_PARSERS)} + flat lists of those — cast or "
+            "drop these columns in the source, or extend "
+            "manifest._TYPE_PARSERS"
         )
     return schema
 
@@ -74,7 +94,7 @@ def fsync_dir(path: str) -> None:
 
 
 def schema_from_json(fields: list[list[str]]) -> pa.Schema:
-    return pa.schema([pa.field(n, _TYPE_PARSERS[t]) for n, t in fields])
+    return pa.schema([pa.field(n, _parse_type(t)) for n, t in fields])
 
 
 @dataclass
