@@ -59,9 +59,13 @@ def _build(events) -> pa.Table:
 
 def _state(t) -> pd.DataFrame:
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    # reindex, not [cols]: Ray renders all-empty block lists as a
+    # column-less DataFrame (an empty final state is a legal outcome
+    # hypothesis found — all keys deleted)
     return (
         ing.snapshot(t)
-        .to_pandas()[cols]
+        .to_pandas()
+        .reindex(columns=cols)
         .sort_values(["conv_id", "turn_idx"])
         .reset_index(drop=True)
     )

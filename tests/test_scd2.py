@@ -9,6 +9,7 @@ rewind after a crash between apply and ack) must no-op."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 from xgeo_ray import fixtures as fx
 from xgeo_ray.pipelines import ingest as ing
@@ -244,3 +245,123 @@ def test_scd2_delete_closes_and_reinsert_reopens(tmp_path):
     assert c2["text"].tolist() == ["other", "back"]
     assert vto(c2) == [3_000_000, None]
     pd.testing.assert_frame_equal(got, _expected_versions(src))
+
+
+def test_scd2_join_point_in_time(tmp_path):
+    """Temporal join: every fact row gets the dimension version valid
+    at ITS OWN ts — checked per row against the SCD2 view intervals,
+    including pre-birth, mid-version, post-update, post-delete and
+    unknown-key facts."""
+    import pyarrow as pa
+    import ray
+
+    src, sink, segs = _setup(tmp_path, n_events=900)
+    ing.run_stream(src, segs, segments_per_epoch=1)
+    ivm.sync_scd2(src, sink)
+    view = _view(sink)
+
+    keys = (
+        view[["src_conv_id", "src_turn_idx"]]
+        .drop_duplicates()
+        .head(12)
+        .values.tolist()
+    )
+    keys.append(["no-such-conv", 99])  # unknown key -> nulls
+    lo = int(view["valid_from"].min())
+    hi = int(view["valid_from"].max())
+    probes = [lo - 10, lo, (lo + hi) // 2, hi, hi + 10_000_000]
+    rows = [
+        (c, t, ts, i)
+        for i, (c, t) in enumerate(keys)
+        for ts in probes
+    ]
+    facts = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "ts": pa.array([r[2] for r in rows], pa.int64()),
+                "fact_id": pa.array(
+                    [r[3] * 100 + j for j, r in enumerate(rows)], pa.int64()
+                ),
+            }
+        )
+    )
+    got = (
+        ivm.scd2_join(facts, sink)
+        .to_pandas()
+        .sort_values("fact_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(rows)
+
+    def ref(c, t, ts):
+        v = view[
+            (view["src_conv_id"] == c)
+            & (view["src_turn_idx"] == t)
+            & (view["valid_from"] <= ts)
+            & (view["valid_to"].isna() | (view["valid_to"] > ts))
+        ]
+        assert len(v) <= 1
+        return None if v.empty else v.iloc[0]
+
+    for r in got.to_dict("records"):
+        want = ref(r["conv_id"], r["turn_idx"], r["ts"])
+        if want is None:
+            assert pd.isna(r["dim_valid_from"]), r
+            assert pd.isna(r["dim_text"]), r
+        else:
+            assert r["dim_valid_from"] == want["valid_from"], r
+            for c in PAYLOAD:
+                assert _eq(r["dim_" + c], want[c]), (r, want)
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37])
+def test_scd2_random_streams_any_cadence(tmp_path, seed):
+    """Seeded random op streams (deletes, reinserts, ts collisions,
+    same-instant updates) at a random sync cadence still equal the
+    reference walker — the interactions single-shape tests miss."""
+    rng = np.random.default_rng(seed)
+    n = 400
+    convs = [f"c{rng.integers(0, 5)}" for _ in range(n)]
+    ops = rng.choice(["I", "U", "D"], p=[0.5, 0.35, 0.15], size=n)
+    # quantized ts -> deliberate collisions and same-instant updates
+    ts = (np.sort(rng.integers(0, 2000, n)) // 4 * 4 + 1) * 1_000_000
+    events = pa.table(
+        {
+            "seq": pa.array(np.arange(n, dtype=np.int64)),
+            "op": pa.array(ops),
+            "conv_id": pa.array(convs, pa.string()),
+            "turn_idx": pa.array(
+                rng.integers(0, 3, n).astype("int32")
+            ),
+            "role": pa.array(
+                [None if o == "D" else "user" for o in ops], pa.string()
+            ),
+            "text": pa.array(
+                [None if o == "D" else f"v{i}" for i, o in enumerate(ops)],
+                pa.string(),
+            ),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    root = str(tmp_path)
+    n_segs = int(rng.integers(2, 6))
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=n_segs)
+    src = DeltaTable.create(f"{root}/src", num_partitions=4, num_salts=2)
+    sink = DeltaTable.create(
+        f"{root}/sink",
+        num_partitions=2,
+        num_salts=1,
+        base_schema=ivm.scd2_schema(src),
+    )
+    done = 0
+    while done < len(segs):
+        step = int(rng.integers(1, len(segs) - done + 1))
+        done += step
+        ing.run_stream(src, segs[:done], segments_per_epoch=1)
+        if rng.random() < 0.7 or done == len(segs):
+            ivm.sync_scd2(src, sink)
+    ivm.sync_scd2(src, sink)
+    pd.testing.assert_frame_equal(_view(sink), _expected_versions(src))

@@ -192,3 +192,64 @@ def test_sync_ivf_replayed_window_noops(tmp_path):
     assert man_after["parts"] == man_before["parts"]
     assert man_after.get("batches") == man_before.get("batches")
     pd.testing.assert_frame_equal(_live_topk(idx, QUERIES, 5), before)
+
+
+def test_ivf_compact_folds_and_preserves_results(tmp_path):
+    import glob
+    import hashlib
+    import os
+
+    table, segs, idx = _setup(tmp_path)
+    ing.run_stream(table, segs[:1], segments_per_epoch=1)
+    ann.sync_ivf(table, idx, num_centroids=NLIST)
+    ing.run_stream(table, segs, segments_per_epoch=1)
+    ann.sync_ivf(table, idx)
+    before = _live_topk(idx, QUERIES, 10)
+    man, _ = ann._read_ivf_manifest(idx)
+    assert man.get("tombstones")  # updates/deletes accumulated some
+    st = ann.ivf_compact(idx)
+    assert st["dropped_tombstones"] > 0
+    man2, _ = ann._read_ivf_manifest(idx)
+    assert not man2.get("tombstones")
+    assert all(len(fl) == 1 for fl in man2["files"].values())
+    # probe results identical; row counts equal the live snapshot
+    pd.testing.assert_frame_equal(_live_topk(idx, QUERIES, 10), before)
+    snap = ing.snapshot(table).to_pandas()
+    assert sum(man2["parts"].values()) == int(snap["embedding"].notna().sum())
+    # superseded generation files reclaimed (one file per live list)
+    files = glob.glob(f"{idx}/part-*.parquet")
+    assert len(files) == len(man2["parts"])
+    # exactly-once keys survive compaction: a replayed window still noops
+    group = (
+        "ivf-"
+        + hashlib.sha1(os.path.abspath(idx).encode()).hexdigest()[:10]
+    )
+    cons.rewind(table, group, 1)
+    ann.sync_ivf(table, idx)
+    man3, _ = ann._read_ivf_manifest(idx)
+    assert man3["parts"] == man2["parts"]
+    pd.testing.assert_frame_equal(_live_topk(idx, QUERIES, 10), before)
+
+
+def test_cli_sync_ivf_and_compact(tmp_path, capsys):
+    import json
+
+    from xgeo_ray.__main__ import main
+
+    table, segs, idx = _setup(tmp_path)
+    ing.run_stream(table, segs[:1], segments_per_epoch=1)
+    assert main(
+        ["sync-ivf", table.root, idx, "--num-centroids", str(NLIST)]
+    ) in (0, None)
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["appended"] == -1  # bootstrap
+    ing.run_stream(table, segs, segments_per_epoch=1)
+    assert main(["sync-ivf", table.root, idx]) in (0, None)
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["last_epoch"] == table.latest_epoch()
+    before = _live_topk(idx, QUERIES, 5)
+    assert main(["ivf-compact", idx]) in (0, None)
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["lists"] >= 1
+    pd.testing.assert_frame_equal(_live_topk(idx, QUERIES, 5), before)
+    pd.testing.assert_frame_equal(before, _oracle_topk(table, QUERIES, 5))

@@ -306,6 +306,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-partitions", type=int, default=16)
 
     p = sub.add_parser(
+        "sync-ivf",
+        help="maintain a persisted IVF vector index from TABLE's "
+        "committed change feed, exactly-once (first run bootstraps: "
+        "centroid train + base build; updates/deletes retract via "
+        "manifest tombstones)",
+    )
+    p.add_argument("table")
+    p.add_argument("index_dir")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--num-centroids", type=int, default=16)
+    p.add_argument("--upto", type=int, default=None)
+
+    p = sub.add_parser(
+        "ivf-compact",
+        help="fold every inverted list's generation chain into one "
+        "file, dropping tombstoned entries and clearing the tombstone "
+        "map (exactly-once append keys preserved)",
+    )
+    p.add_argument("index_dir")
+
+    p = sub.add_parser(
         "apply",
         help="apply a correction/backfill batch from a parquet file of "
         "rows (out-of-band: wins by ts, never advances seq watermarks); "
@@ -617,6 +638,25 @@ def main(argv: list[str] | None = None) -> int:
             **kw,
         )
         print(json.dumps({"created": args.table}))
+        return 0
+
+    if args.cmd == "sync-ivf":
+        from xgeo_ray.functions import ann
+
+        st = ann.sync_ivf(
+            DeltaTable.open(args.table),
+            args.index_dir,
+            vec_col=args.vec_col,
+            num_centroids=args.num_centroids,
+            upto_epoch=args.upto,
+        )
+        print(json.dumps(st))
+        return 0
+
+    if args.cmd == "ivf-compact":
+        from xgeo_ray.functions import ann
+
+        print(json.dumps(ann.ivf_compact(args.index_dir)))
         return 0
 
     if args.cmd == "sync-scd2":

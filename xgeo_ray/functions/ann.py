@@ -700,6 +700,117 @@ def sync_ivf(
     }
 
 
+@ray.remote
+def _ivf_fold_task(
+    index_dir: str, part: int, files: list[str], tomb, token: str
+) -> tuple[int, int, str | None]:
+    """Fold one inverted list's generation chain into one file, dropping
+    tombstoned entries. ``tomb`` is a (sorted ids, dead epochs) tuple or
+    None — passed as a top-level ObjectRef so Ray resolves it zero-copy.
+    Returns (part, live_rows, new_file | None)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from xgeo_ray.pipelines.ingest import _atomic_write_parquet
+    from xgeo_ray.tuning import limit_worker_threads
+
+    limit_worker_threads()
+    tids, teps = tomb if tomb is not None else (None, None)
+    tabs = [
+        pq.read_table(os.path.join(index_dir, f), use_threads=False)
+        for f in files
+    ]
+    t = pa.concat_tables(tabs, promote_options="permissive") if tabs else None
+    if t is None or t.num_rows == 0:
+        return part, 0, None
+    if tids is not None and len(tids) and "_epoch" in t.column_names:
+        vid = t.column("vec_id").to_numpy()
+        ep = t.column("_epoch").to_numpy()
+        pos = np.clip(np.searchsorted(tids, vid), 0, len(tids) - 1)
+        dead = (tids[pos] == vid) & (ep < teps[pos])
+        t = t.filter(pa.array(~dead))
+    if t.num_rows == 0:
+        return part, 0, None
+    name = f"part-{part:05d}-g{token}.parquet"
+    _atomic_write_parquet(t, os.path.join(index_dir, name))
+    return part, t.num_rows, name
+
+
+def ivf_compact(index_dir: str) -> dict:
+    """Fold every inverted list's generation chain into ONE file,
+    dropping tombstoned entries, and publish a fresh manifest with the
+    tombstone map CLEARED — the index analog of table compaction, and
+    the reset point ``sync_ivf``'s tombstone model relies on (tombstones
+    otherwise accumulate with churn). Centroids do not move (fold, not
+    rebuild — retrain via a fresh ``build_ivf_index`` when distribution
+    drift, not file count, is the problem). The ``batches`` exactly-once
+    keys are PRESERVED so replayed append windows still no-op.
+
+    Single-maintainer contract (same as table compact — use
+    ``state.lease`` to enforce): the manifest commit goes through the
+    exclusive fence, and a concurrent append detected during the commit
+    raises rather than silently dropping its generation files.
+    Superseded files are deleted best-effort AFTER the commit; a crash
+    leaves dead bytes, never a dangling reference."""
+    import json
+    import os
+
+    from xgeo_ray.state.delta_table import new_commit_token
+    from xgeo_ray.state.storage import DEFAULT_STORAGE
+
+    manifest, version = _read_ivf_manifest(index_dir)
+    gen_files = manifest.get("files", {})
+    tomb = manifest.get("tombstones") or {}
+    tomb_ref = None
+    if tomb:
+        tids = np.sort(np.array([int(v) for v in tomb], dtype=np.int64))
+        teps = np.array([tomb[str(v)] for v in tids], dtype=np.int64)
+        tomb_ref = ray.put((tids, teps))
+    token = new_commit_token()
+    plan = {
+        int(p): gen_files.get(str(p), [f"part-{int(p):05d}.parquet"])
+        for p in manifest["parts"]
+    }
+    results = ray.get(
+        [
+            _ivf_fold_task.remote(index_dir, p, fl, tomb_ref, token)
+            for p, fl in sorted(plan.items())
+        ]
+    )
+    new_manifest = {
+        "centroids": manifest["centroids"],
+        "vec_col": manifest["vec_col"],
+        "parts": {p: rows for p, rows, name in results if name},
+        "files": {str(p): [name] for p, rows, name in results if name},
+        "batches": manifest.get("batches", []),
+    }
+    try:
+        DEFAULT_STORAGE.commit_bytes_exclusive(
+            os.path.join(index_dir, f"_ivf-v{version + 1:06d}.json"),
+            json.dumps(new_manifest).encode(),
+        )
+    except FileExistsError:
+        raise RuntimeError(
+            "concurrent ivf manifest writer during compact — "
+            "serialize maintenance (state.lease) and retry"
+        )
+    # best-effort reclaim of superseded inputs (post-commit: a crash
+    # here leaves dead bytes, not a broken index)
+    for p, fl in plan.items():
+        for f in fl:
+            try:
+                os.remove(os.path.join(index_dir, f))
+            except FileNotFoundError:
+                pass
+    return {
+        "lists": len(plan),
+        "live_rows": int(sum(r for _, r, n in results if n)),
+        "dropped_tombstones": len(tomb),
+        "version": version + 1,
+    }
+
+
 # ------------------------------------------------------------------ k-means
 
 

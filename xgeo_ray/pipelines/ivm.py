@@ -2295,3 +2295,105 @@ def read_scd2_asof(sink: DeltaTable, ts_us: int) -> ray.data.Dataset:
         return b.filter(keep)
 
     return read_scd2(sink).map_batches(asof, batch_format="pyarrow")
+
+
+def scd2_join(
+    facts: ray.data.Dataset,
+    sink: DeltaTable,
+    on: tuple[str, str] = ("conv_id", "turn_idx"),
+    ts_col: str = "ts",
+    prefix: str = "dim_",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """TEMPORAL (point-in-time) join: enrich each fact row with the
+    dimension version that was valid AT THE FACT'S OWN event time —
+    the query an SCD2 table exists to answer, and the join a plain
+    snapshot join gets silently wrong for late or replayed facts.
+
+    Per fact: the version with ``valid_from <= fact ts`` and
+    (``valid_to`` null or ``> ts``); facts before the key's first
+    version, after its deletion, or with no matching key get null
+    dimension columns (left-join semantics). Shape: ONE co-partitioned
+    as-of join on the composite key (both sides large, never
+    broadcast — ``relational.asof_join_partitioned``), then a
+    vectorized expiry pass nulls matches whose interval closed before
+    the fact (the as-of backward match is the latest ``valid_from <=
+    ts``, which for a deleted key is its final closed version).
+
+    Returns the fact columns + the dimension payload under ``prefix``
+    + ``<prefix>valid_from`` (null = no live version at that instant).
+    ``ts_col`` may be timestamp[us] or int64 µs."""
+    from xgeo_ray.functions.relational import asof_join_partitioned
+
+    env = sink.current_schema()
+    reserved = {
+        "conv_id",
+        "turn_idx",
+        "src_conv_id",
+        "src_turn_idx",
+        "valid_to",
+        "ts",
+        "seq",
+        "op",
+    }
+    payload = [f.name for f in env if f.name not in reserved]
+    fact_cols = list(facts.schema().names)
+
+    def prep_dim(b: pa.Table) -> pa.Table:
+        ck = pc.binary_join_element_wise(
+            b.column("src_conv_id").cast(pa.string()),
+            b.column("src_turn_idx").cast(pa.string()),
+            _SCD2_SEP,
+        )
+        cols = {"__ck": ck, "__valid_from": b.column("valid_from")}
+        for c in payload:
+            cols[prefix + c] = b.column(c)
+        cols["__valid_to"] = b.column("valid_to")
+        return pa.table(cols)
+
+    def prep_fact(b: pa.Table) -> pa.Table:
+        ck = pc.binary_join_element_wise(
+            b.column(on[0]).cast(pa.string()),
+            b.column(on[1]).cast(pa.string()),
+            _SCD2_SEP,
+        )
+        b = b.append_column("__fck", ck)
+        return b.append_column(
+            "__ts_us", b.column(ts_col).cast(pa.int64())
+        )
+
+    dim = read_scd2(sink).map_batches(prep_dim, batch_format="pyarrow")
+    f = facts.map_batches(prep_fact, batch_format="pyarrow")
+    joined = asof_join_partitioned(
+        f,
+        dim,
+        left_by="__fck",
+        right_by="__ck",
+        left_on="__ts_us",
+        right_on="__valid_from",
+        direction="backward",
+        num_buckets=num_buckets,
+    )
+    dim_out = [prefix + c for c in payload]
+
+    def expire(b: pa.Table) -> pa.Table:
+        # the backward match for a deleted key is its final CLOSED
+        # version — null it (and any interval that ended before the fact)
+        dead = pc.and_(
+            pc.is_valid(b.column("__valid_to")),
+            pc.less_equal(b.column("__valid_to"), b.column("__ts_us")),
+        )
+        dead = pc.fill_null(dead, False)
+        cols = {c: b.column(c) for c in fact_cols}
+        for c in dim_out:
+            cols[c] = pc.if_else(
+                dead, pa.scalar(None, b.schema.field(c).type), b.column(c)
+            )
+        cols[prefix + "valid_from"] = pc.if_else(
+            dead,
+            pa.scalar(None, pa.int64()),
+            b.column("__valid_from"),
+        )
+        return pa.table(cols)
+
+    return joined.map_batches(expire, batch_format="pyarrow")
