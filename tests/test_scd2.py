@@ -40,8 +40,9 @@ def _eq(a, b):
     return (pd.isna(a) and pd.isna(b)) or a == b
 
 
-def _expected_versions(src) -> pd.DataFrame:
+def _expected_versions(src, payload=None) -> pd.DataFrame:
     """Reference SCD2 walker over the one-shot before/after feed."""
+    payload = payload or PAYLOAD
     feed = ivm.changes_with_before(src, 0).to_pandas()
     feed = feed.sort_values(["conv_id", "turn_idx", "_epoch"])
     out = {}
@@ -52,19 +53,19 @@ def _expected_versions(src) -> pd.DataFrame:
         if noop:
             bts = pd.Timestamp(r["_before_ts"]).value // 1000
             noop = ts == bts and all(
-                _eq(r[c], r["_before_" + c]) for c in PAYLOAD
+                _eq(r[c], r["_before_" + c]) for c in payload
             )
         if noop:
             continue
         if r["_before_exists"]:
             bts = pd.Timestamp(r["_before_ts"]).value // 1000
             out[key + (bts,)] = {
-                **{c: r["_before_" + c] for c in PAYLOAD},
+                **{c: r["_before_" + c] for c in payload},
                 "valid_to": ts,
             }
         if r["_after_exists"]:
             out[key + (ts,)] = {
-                **{c: r[c] for c in PAYLOAD},
+                **{c: r[c] for c in payload},
                 "valid_to": None,
             }
     rows = [
@@ -76,23 +77,24 @@ def _expected_versions(src) -> pd.DataFrame:
         }
         for k, v in out.items()
     ]
-    return _norm(pd.DataFrame(rows))
+    return _norm(pd.DataFrame(rows), payload)
 
 
-def _norm(df) -> pd.DataFrame:
-    cols = ["src_conv_id", "src_turn_idx", "valid_from", *PAYLOAD, "valid_to"]
+def _norm(df, payload=None) -> pd.DataFrame:
+    payload = payload or PAYLOAD
+    cols = ["src_conv_id", "src_turn_idx", "valid_from", *payload, "valid_to"]
     df = df[cols].copy()
     for c in ("valid_from", "valid_to", "src_turn_idx"):
         df[c] = df[c].astype("Int64")
-    for c in PAYLOAD:
+    for c in payload:
         df[c] = df[c].where(~df[c].isna(), None)
     return df.sort_values(
         ["src_conv_id", "src_turn_idx", "valid_from"]
     ).reset_index(drop=True)
 
 
-def _view(sink) -> pd.DataFrame:
-    return _norm(ivm.read_scd2(sink).to_pandas())
+def _view(sink, payload=None) -> pd.DataFrame:
+    return _norm(ivm.read_scd2(sink).to_pandas(), payload)
 
 
 def test_scd2_versions_match_reference(tmp_path):
@@ -365,3 +367,60 @@ def test_scd2_random_streams_any_cadence(tmp_path, seed):
             ivm.sync_scd2(src, sink)
     ivm.sync_scd2(src, sink)
     pd.testing.assert_frame_equal(_view(sink), _expected_versions(src))
+
+
+def test_scd2_survives_source_schema_evolution(tmp_path):
+    """A payload column appearing mid-stream (and turn_idx widening)
+    flows through the feed into the sink — the sink's envelope evolves
+    on apply, pre-evolution versions read the new column as null."""
+    root = str(tmp_path)
+    events = fx.make_change_events(600, n_convs=6, turns_per_conv=4)
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=4, evolve_from=2)
+    src = DeltaTable.create(f"{root}/src", num_partitions=4, num_salts=2)
+    sink = DeltaTable.create(
+        f"{root}/sink",
+        num_partitions=2,
+        num_salts=1,
+        base_schema=ivm.scd2_schema(src),
+    )
+    ing.run_stream(src, segs[:2], segments_per_epoch=1)
+    ivm.sync_scd2(src, sink)  # pre-evolution sync
+    ing.run_stream(src, segs, segments_per_epoch=1)
+    ivm.sync_scd2(src, sink)  # evolved window
+    payload = PAYLOAD + ["meta"]
+    got = _view(sink, payload)
+    assert "meta" in got.columns
+    pd.testing.assert_frame_equal(got, _expected_versions(src, payload))
+
+
+def test_scd2_retention_expires_closed_versions(tmp_path):
+    """Version-history retention: delete_where over valid_to expires
+    closed versions older than a horizon; live versions and recent
+    history survive; as-of reads inside the retained window still
+    match the walker restricted to surviving versions."""
+    import pyarrow.compute as pc
+
+    src, sink, segs = _setup(tmp_path)
+    ing.run_stream(src, segs, segments_per_epoch=1)
+    ivm.sync_scd2(src, sink)
+    view = _view(sink)
+    closed = view[view["valid_to"].notna()]
+    assert len(closed) > 4
+    horizon = int(closed["valid_to"].astype("int64").median())
+
+    def expired(b):
+        return pc.and_(
+            pc.is_valid(b.column("valid_to")),
+            pc.less(b.column("valid_to"), pa.scalar(horizon, pa.int64())),
+        )
+
+    expired.columns = ["valid_to"]
+    m = ing.delete_where(sink, expired, batch_id="scd2-ttl-1")
+    assert m is not None
+    after = _view(sink)
+    want = view[
+        view["valid_to"].isna() | (view["valid_to"] >= horizon)
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(after, want)
+    # replayed TTL batch is a no-op
+    assert ing.delete_where(sink, expired, batch_id="scd2-ttl-1") is None

@@ -230,7 +230,42 @@ def cdc_stream_metrics(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return ops.union(wm).union(agg)
+    # END-TO-END SCD2 leg (kind='scd2'): the same real table feeds an
+    # incremental SCD Type-2 dimension view in two syncs (the second
+    # closes versions the first opened), then every version row becomes
+    # (k=composite key, n=valid_from µs, v=valid_to µs | -1 = current).
+    # The oracle reconstructs the effective-winner chain per key in SQL
+    # (running (ts,seq) argmax over per-epoch deltas), so a hash match
+    # certifies the interval construction end to end.
+    dim = DeltaTable.create(
+        f"{work}/scd2_sink",
+        num_partitions=4,
+        num_salts=1,
+        base_schema=ivm.scd2_schema(src),
+    )
+    for upto in (2, None):  # two syncs: the second closes/extends
+        ivm.sync_scd2(src, dim, upto_epoch=upto)
+
+    def scd2_rows(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            b.column("src_conv_id").cast(pa.string()),
+            b.column("src_turn_idx").cast(pa.string()),
+            "\x1f",
+        )
+        return pa.table(
+            {
+                "kind": pa.array(np.full(b.num_rows, "scd2"), pa.string()),
+                "k": k,
+                "n": b.column("valid_from").cast(pa.int64()),
+                "v": pc.fill_null(
+                    b.column("valid_to").cast(pa.int64()),
+                    pa.scalar(-1, pa.int64()),
+                ),
+            }
+        )
+
+    scd2 = ivm.read_scd2(dim).map_batches(scd2_rows, batch_format="pyarrow")
+    return ops.union(wm).union(agg).union(scd2)
 
 
 def cdc_dedup_replay(sf_dir: str):
@@ -1896,6 +1931,15 @@ def build_oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, turn_idx FROM last WHERE op = 'D'
         """,
+        # scd2 leg: replay the engine's interval construction — epochs
+        # are the same seq-range cuts _seq_ranged_wal writes (3 equal
+        # bands of [lo, hi]); per (key, epoch) the delta winner by
+        # (ts, seq); the EFFECTIVE chain keeps only epochs where the
+        # running (ts, seq)-argmax advances (LWW losers are no-op
+        # transitions); lead(ts) over the chain closes each version
+        # (a delete closes without opening); per (key, valid_from) the
+        # LAST epoch wins (same-instant updates keep the live version).
+        # wk packs (ts µs, seq) into one HUGEINT (seq < 1e9 here).
         "cdc_stream_metrics": f"""
             WITH ev AS ({derive})
             SELECT 'op' AS kind, op AS k, count(*) AS n,
@@ -1915,6 +1959,54 @@ def build_oracle_sql() -> dict[str, str]:
                     ORDER BY ts DESC, seq DESC) = 1
                   AND op <> 'D'
             ) GROUP BY role
+            UNION ALL
+            SELECT 'scd2' AS kind,
+                   conv_id || chr(31) || CAST(turn_idx AS VARCHAR) AS k,
+                   valid_from AS n,
+                   COALESCE(valid_to, CAST(-1 AS BIGINT)) AS v
+            FROM (
+                WITH bounds AS (
+                  SELECT min(event_id) AS lo, max(event_id) AS hi
+                  FROM events
+                ),
+                ev2 AS (
+                  SELECT ev.*, CASE
+                      WHEN seq <= lo + (hi - lo) // 3 THEN 1
+                      WHEN seq <= lo + (2 * (hi - lo)) // 3 THEN 2
+                      ELSE 3 END AS epoch
+                  FROM ev, bounds
+                ),
+                delta AS (
+                  SELECT * FROM ev2
+                  QUALIFY row_number() OVER (
+                      PARTITION BY conv_id, turn_idx, epoch
+                      ORDER BY ts DESC, seq DESC) = 1
+                ),
+                ranked AS (
+                  SELECT *,
+                         CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                           + seq AS wk,
+                         max(CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                           + seq) OVER (
+                             PARTITION BY conv_id, turn_idx
+                             ORDER BY epoch
+                             ROWS UNBOUNDED PRECEDING) AS run_max
+                  FROM delta
+                ),
+                eff AS (SELECT * FROM ranked WHERE wk = run_max),
+                vers AS (
+                  SELECT conv_id, turn_idx, op, epoch,
+                         CAST(epoch_us(ts) AS BIGINT) AS valid_from,
+                         lead(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                             PARTITION BY conv_id, turn_idx
+                             ORDER BY epoch) AS valid_to
+                  FROM eff
+                )
+                SELECT * FROM vers WHERE op <> 'D'
+                QUALIFY row_number() OVER (
+                    PARTITION BY conv_id, turn_idx, valid_from
+                    ORDER BY epoch DESC) = 1
+            )
         """,
         "cdc_join_state": f"""
             WITH ev AS ({derive}),
