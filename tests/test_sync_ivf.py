@@ -253,3 +253,62 @@ def test_cli_sync_ivf_and_compact(tmp_path, capsys):
     assert st["lists"] >= 1
     pd.testing.assert_frame_equal(_live_topk(idx, QUERIES, 5), before)
     pd.testing.assert_frame_equal(before, _oracle_topk(table, QUERIES, 5))
+
+
+def test_ivf_fsck(tmp_path):
+    import os
+    import pyarrow.parquet as pq_
+
+    table, segs, idx = _setup(tmp_path)
+    ing.run_stream(table, segs[:1], segments_per_epoch=1)
+    ann.sync_ivf(table, idx, num_centroids=NLIST)
+    ing.run_stream(table, segs, segments_per_epoch=1)
+    ann.sync_ivf(table, idx)
+    st = ann.ivf_fsck(idx)
+    assert st["ok"] and not st["missing"] and not st["row_count_drift"]
+    assert st["tombstones"] > 0
+    # compaction leaves no orphans it knows about (inputs reclaimed)
+    ann.ivf_compact(idx)
+    st = ann.ivf_fsck(idx)
+    assert st["ok"] and st["orphans"] == 0 and st["tombstones"] == 0
+    # a stray generation file (crashed append) is an orphan, not an error
+    stray = os.path.join(idx, "part-00000-gdeadbeef.parquet")
+    pq_.write_table(
+        pq_.read_table(
+            os.path.join(
+                idx,
+                sorted(
+                    n for n in os.listdir(idx) if n.endswith(".parquet")
+                )[0],
+            )
+        ),
+        stray,
+    )
+    st = ann.ivf_fsck(idx)
+    assert st["ok"] and st["orphans"] == 1 and st["orphan_bytes"] > 0
+    # a missing referenced file IS an error
+    man, _ = ann._read_ivf_manifest(idx)
+    victim = next(iter(man["files"].values()))[0]
+    os.remove(os.path.join(idx, victim))
+    st = ann.ivf_fsck(idx)
+    assert not st["ok"] and victim in st["missing"]
+
+
+def test_vacuum_respects_lagging_ivf_consumer(tmp_path):
+    """The sync's consumer group pins window deltas: a lagging index
+    (synced through epoch 1 only) keeps later epochs' superseded files
+    through a compaction+vacuum, and the catch-up sync still matches
+    brute force afterward — the generic cursor retention contract
+    applied to the vector index."""
+    table, segs, idx = _setup(tmp_path)
+    ing.run_stream(table, segs[:1], segments_per_epoch=1)
+    ann.sync_ivf(table, idx, num_centroids=NLIST)  # cursor at epoch 1
+    ing.run_stream(table, segs, segments_per_epoch=1)  # epochs 2-3
+    ing.compact(table)
+    ing.vacuum(table, respect_consumers=True)
+    # the lagging consumer's window (epochs 2-3 deltas) must survive
+    st = ann.sync_ivf(table, idx)
+    assert st["synced_epochs"] >= 2
+    pd.testing.assert_frame_equal(
+        _live_topk(idx, QUERIES, 5), _oracle_topk(table, QUERIES, 5)
+    )

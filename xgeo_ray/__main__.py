@@ -327,6 +327,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("index_dir")
 
     p = sub.add_parser(
+        "ivf-fsck",
+        help="offline IVF index integrity check: missing referenced "
+        "files, orphan generation files (dead bytes), row-count drift",
+    )
+    p.add_argument("index_dir")
+
+    p = sub.add_parser(
         "apply",
         help="apply a correction/backfill batch from a parquet file of "
         "rows (out-of-band: wins by ts, never advances seq watermarks); "
@@ -658,6 +665,13 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(ann.ivf_compact(args.index_dir)))
         return 0
+
+    if args.cmd == "ivf-fsck":
+        from xgeo_ray.functions import ann
+
+        st = ann.ivf_fsck(args.index_dir)
+        print(json.dumps(st))
+        return 0 if st["ok"] else 1
 
     if args.cmd == "sync-scd2":
         from xgeo_ray.pipelines import ivm

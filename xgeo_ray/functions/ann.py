@@ -811,6 +811,62 @@ def ivf_compact(index_dir: str) -> dict:
     }
 
 
+def ivf_fsck(index_dir: str) -> dict:
+    """Offline integrity check for an IVF index directory (the table
+    ``fsck``'s index sibling): verifies every manifest-referenced list
+    file exists, counts orphan part files (generation files from
+    crashed appends / pre-compaction inputs — dead bytes, reclaimable,
+    never wrong) and recomputes per-list row counts from parquet
+    footers against the manifest's ``parts`` map. Metadata-only: no
+    data pages are read. Returns ``{"ok": bool, "missing": [...],
+    "orphans": n, "orphan_bytes": n, "row_count_drift": {...},
+    "tombstones": n, "version": v}`` — ``ok`` is False only on missing
+    files or row-count drift (real corruption); orphans are normal."""
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    manifest, version = _read_ivf_manifest(index_dir)
+    gen_files = manifest.get("files", {})
+    referenced: dict[str, int] = {}
+    for p in manifest["parts"]:
+        for name in gen_files.get(str(p), [f"part-{int(p):05d}.parquet"]):
+            referenced[name] = int(p)
+    on_disk = {
+        n
+        for n in os.listdir(index_dir)
+        if re.match(r"^part-\d+(-g[^.]+)?\.parquet$", n)
+    }
+    missing = sorted(set(referenced) - on_disk)
+    orphan_names = sorted(on_disk - set(referenced))
+    orphan_bytes = sum(
+        os.path.getsize(os.path.join(index_dir, n)) for n in orphan_names
+    )
+    drift: dict[str, list[int]] = {}
+    counted: dict[int, int] = {}
+    for name, p in referenced.items():
+        if name in on_disk:
+            counted[p] = counted.get(p, 0) + pq.read_metadata(
+                os.path.join(index_dir, name)
+            ).num_rows
+    for p, want in manifest["parts"].items():
+        got = counted.get(int(p), 0)
+        if got != int(want) and not any(
+            referenced[n] == int(p) for n in missing
+        ):
+            drift[str(p)] = [int(want), got]
+    return {
+        "ok": not missing and not drift,
+        "missing": missing,
+        "orphans": len(orphan_names),
+        "orphan_bytes": int(orphan_bytes),
+        "row_count_drift": drift,
+        "tombstones": len(manifest.get("tombstones") or {}),
+        "version": version,
+    }
+
+
 # ------------------------------------------------------------------ k-means
 
 
