@@ -139,6 +139,19 @@ def test_hash_join_semi_and_anti_match_duckdb(con):
     )
     assert anti["k"].tolist() == [1, 3]
     assert list(anti.columns) == ["k", "v"]
+    rsemi = (
+        hash_join(left, right, on="k", join_type="right semi", num_partitions=4)
+        .to_pandas()
+        .sort_values(["k", "w"])
+    )
+    assert rsemi["k"].tolist() == [2, 4, 4]
+    assert list(rsemi.columns) == ["k", "w"]
+    ranti = hash_join(
+        left, right, on="k", join_type="right anti", num_partitions=4
+    ).to_pandas()
+    assert ranti.empty and (
+        list(ranti.columns) in (["k", "w"], [])  # all right keys match
+    )
 
 
 def test_ivf_recall_vs_exact_topk():

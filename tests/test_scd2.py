@@ -424,3 +424,64 @@ def test_scd2_retention_expires_closed_versions(tmp_path):
     pd.testing.assert_frame_equal(after, want)
     # replayed TTL batch is a no-op
     assert ing.delete_where(sink, expired, batch_id="scd2-ttl-1") is None
+
+
+def test_scd2_list_payload_column(tmp_path):
+    """A list-typed payload column (no Arrow equality kernel) must not
+    break the sync: non-comparable types are conservatively treated as
+    changed, which only produces idempotent same-key rewrites. The
+    live rows must still match the snapshot."""
+    root = str(tmp_path)
+    base_schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("embedding", pa.list_(pa.float32())),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    n = 60
+    rng = np.random.default_rng(5)
+    events = pa.table(
+        {
+            "seq": pa.array(np.arange(n, dtype=np.int64)),
+            "op": pa.array(["I"] * 40 + ["U"] * 10 + ["D"] * 10),
+            "conv_id": pa.array(
+                [f"c{i % 20}" for i in range(40)]
+                + [f"c{i}" for i in range(10)]
+                + [f"c{i}" for i in range(10, 20)],
+                pa.string(),
+            ),
+            "turn_idx": pa.array(np.zeros(n, np.int32)),
+            "embedding": pa.array(
+                [
+                    None if i >= 50 else rng.normal(size=4).tolist()
+                    for i in range(n)
+                ],
+                pa.list_(pa.float32()),
+            ),
+            "ts": pa.array((np.arange(n) + 1) * 1_000_000, pa.timestamp("us")),
+        }
+    )
+    segs = fx.write_segments(events, f"{root}/wal", n_segments=2)
+    src = DeltaTable.create(
+        f"{root}/src", num_partitions=4, num_salts=1, base_schema=base_schema
+    )
+    sink = DeltaTable.create(
+        f"{root}/sink",
+        num_partitions=2,
+        num_salts=1,
+        base_schema=ivm.scd2_schema(src),
+    )
+    for i in (1, 2):
+        ing.run_stream(src, segs[:i], segments_per_epoch=1)
+        ivm.sync_scd2(src, sink)
+    view = ivm.read_scd2(sink).to_pandas()
+    live = view[view["valid_to"].isna()]
+    snap = ing.snapshot(src).to_pandas()
+    assert len(live) == len(snap)
+    lv = live.sort_values("src_conv_id").reset_index(drop=True)
+    sn = snap.sort_values("conv_id").reset_index(drop=True)
+    assert lv["src_conv_id"].tolist() == sn["conv_id"].tolist()
+    for a, b in zip(lv["embedding"], sn["embedding"]):
+        assert (a is None and b is None) or list(a) == list(b)

@@ -216,9 +216,14 @@ def test_ivf_compact_folds_and_preserves_results(tmp_path):
     pd.testing.assert_frame_equal(_live_topk(idx, QUERIES, 10), before)
     snap = ing.snapshot(table).to_pandas()
     assert sum(man2["parts"].values()) == int(snap["embedding"].notna().sum())
-    # superseded generation files reclaimed (one file per live list)
+    # compact does NOT delete its inputs (readers planned on the old
+    # manifest); ivf_vacuum reclaims them after the grace period
+    assert ann.ivf_fsck(idx)["orphans"] > 0
+    st_v = ann.ivf_vacuum(idx, min_age_s=0.0)
+    assert st_v["removed"] > 0 and st_v["bytes"] > 0
     files = glob.glob(f"{idx}/part-*.parquet")
     assert len(files) == len(man2["parts"])
+    pd.testing.assert_frame_equal(_live_topk(idx, QUERIES, 10), before)
     # exactly-once keys survive compaction: a replayed window still noops
     group = (
         "ivf-"
@@ -267,10 +272,21 @@ def test_ivf_fsck(tmp_path):
     st = ann.ivf_fsck(idx)
     assert st["ok"] and not st["missing"] and not st["row_count_drift"]
     assert st["tombstones"] > 0
-    # compaction leaves no orphans it knows about (inputs reclaimed)
+    # compact leaves inputs as orphans; vacuum (grace elapsed) reclaims
     ann.ivf_compact(idx)
+    ann.ivf_vacuum(idx, min_age_s=0.0)
     st = ann.ivf_fsck(idx)
     assert st["ok"] and st["orphans"] == 0 and st["tombstones"] == 0
+    # a fresh unreferenced file survives vacuum inside the grace window
+    import pyarrow.parquet as pq2
+
+    keep = os.path.join(idx, "part-00000-gfresh.parquet")
+    src_file = os.path.join(
+        idx, sorted(n for n in os.listdir(idx) if n.endswith(".parquet"))[0]
+    )
+    pq2.write_table(pq2.read_table(src_file), keep)
+    assert ann.ivf_vacuum(idx, min_age_s=3600.0)["removed"] == 0
+    assert ann.ivf_vacuum(idx, min_age_s=0.0)["removed"] == 1
     # a stray generation file (crashed append) is an orphan, not an error
     stray = os.path.join(idx, "part-00000-gdeadbeef.parquet")
     pq_.write_table(
@@ -309,6 +325,45 @@ def test_vacuum_respects_lagging_ivf_consumer(tmp_path):
     # the lagging consumer's window (epochs 2-3 deltas) must survive
     st = ann.sync_ivf(table, idx)
     assert st["synced_epochs"] >= 2
+    pd.testing.assert_frame_equal(
+        _live_topk(idx, QUERIES, 5), _oracle_topk(table, QUERIES, 5)
+    )
+
+
+def test_sync_ivf_replay_after_source_advance_no_duplicates(tmp_path):
+    """Crash between append and ack, with MORE epochs committed before
+    the retry: the retry must recognize the committed window from its
+    recorded batch id (keyed by the cursor), ack that window's end
+    WITHOUT re-appending, and leave the remainder to the next sync —
+    re-keying on the advanced upto would duplicate the prefix's
+    vectors under the same vec_id/_epoch, never retracted."""
+    import hashlib
+    import os
+
+    table, segs, idx = _setup(tmp_path)
+    ing.run_stream(table, segs[:1], segments_per_epoch=1)
+    ann.sync_ivf(table, idx, num_centroids=NLIST)  # bootstrap, epoch 1
+    ing.run_stream(table, segs[:2], segments_per_epoch=1)  # epoch 2
+    ann.sync_ivf(table, idx)  # append window (1, 2]
+    group = (
+        "ivf-"
+        + hashlib.sha1(os.path.abspath(idx).encode()).hexdigest()[:10]
+    )
+    # simulate the crash-before-ack: cursor back to 1, source advances
+    cons.rewind(table, group, 1)
+    ing.run_stream(table, segs, segments_per_epoch=1)  # epoch 3
+    st = ann.sync_ivf(table, idx)
+    assert st.get("replayed") and st["last_epoch"] == 2
+    st2 = ann.sync_ivf(table, idx)  # the remainder: window (2, 3]
+    assert st2["last_epoch"] == 3 and not st2.get("replayed")
+    # no duplicate (vec_id, _epoch) entries anywhere in the index
+    import glob
+    import pyarrow.parquet as pq2
+
+    rows = pa.concat_tables(
+        [pq2.read_table(p) for p in glob.glob(f"{idx}/part-*.parquet")]
+    ).to_pandas()
+    assert not rows.duplicated(subset=["vec_id", "_epoch"]).any()
     pd.testing.assert_frame_equal(
         _live_topk(idx, QUERIES, 5), _oracle_topk(table, QUERIES, 5)
     )

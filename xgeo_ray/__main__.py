@@ -334,6 +334,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("index_dir")
 
     p = sub.add_parser(
+        "ivf-vacuum",
+        help="reclaim part files the current index manifest no longer "
+        "references (compaction inputs, crashed appends); --min-age "
+        "guards in-flight appends and readers on the previous manifest",
+    )
+    p.add_argument("index_dir")
+    p.add_argument("--min-age", type=float, default=3600.0)
+
+    p = sub.add_parser(
         "apply",
         help="apply a correction/backfill batch from a parquet file of "
         "rows (out-of-band: wins by ts, never advances seq watermarks); "
@@ -672,6 +681,12 @@ def main(argv: list[str] | None = None) -> int:
         st = ann.ivf_fsck(args.index_dir)
         print(json.dumps(st))
         return 0 if st["ok"] else 1
+
+    if args.cmd == "ivf-vacuum":
+        from xgeo_ray.functions import ann
+
+        print(json.dumps(ann.ivf_vacuum(args.index_dir, args.min_age)))
+        return 0
 
     if args.cmd == "sync-scd2":
         from xgeo_ray.pipelines import ivm

@@ -610,7 +610,7 @@ def sync_ivf(
                 }
             ).filter(pc.is_valid(b.column(vec_col))),
             batch_format="pyarrow",
-        )
+        ).materialize()  # one snapshot read feeds both train and build
         cents = train_ivf_centroids(
             entries, num_centroids=num_centroids, vec_col=vec_col
         )
@@ -622,9 +622,36 @@ def sync_ivf(
             "last_epoch": upto,
         }
 
+    # crash-replay guard: append batch ids are keyed by the window
+    # START (the cursor), so a retry whose `upto` has advanced (the
+    # source committed more epochs between the append and the lost
+    # ack) must NOT re-key and re-append the already-committed prefix.
+    # Recover the committed window's end from the recorded id, ack it,
+    # and let the NEXT sync process the remainder — without this, a
+    # crash between append and ack duplicates the prefix's vectors
+    # under the same vec_id/_epoch (never retracted by tombstones).
+    prefix = f"{group}-e{since + 1}-"
+    try:
+        man, _ = _read_ivf_manifest(index_dir)
+    except FileNotFoundError:
+        man = {}
+    for bid in man.get("batches", []):
+        if bid.startswith(prefix):
+            committed_upto = int(bid[len(prefix):])
+            _cons.ack(table, group, committed_upto)
+            return {
+                "synced_epochs": committed_upto - since,
+                "appended": 0,
+                "replayed": True,
+                "last_epoch": committed_upto,
+            }
+
     feed = ing.changes(
         table, since, upto, columns=["conv_id", "turn_idx", "op", vec_col]
-    ).map_batches(add_vec_id, batch_format="pyarrow")
+    ).map_batches(add_vec_id, batch_format="pyarrow").materialize()
+    # ^ materialize ONCE (object store, never the driver): the tombstone
+    # pass and the append both consume it — without this, Ray re-reads
+    # the window's delta files per consumer
     # tombstones: every touched key retracts its PRE-window versions —
     # update at e -> dead below e (keeps its own entry), delete -> e+1
     def tomb_partial(b: pa.Table) -> pa.Table:
@@ -682,8 +709,8 @@ def sync_ivf(
             }
         )
 
-    adds = feed.map_batches(live_entries, batch_format="pyarrow")
-    n_add = adds.count()
+    adds = feed.map_batches(live_entries, batch_format="pyarrow").materialize()
+    n_add = adds.count()  # metadata-only on a materialized dataset
     ivf_append(
         index_dir,
         adds if n_add else None,
@@ -751,8 +778,11 @@ def ivf_compact(index_dir: str) -> dict:
     ``state.lease`` to enforce): the manifest commit goes through the
     exclusive fence, and a concurrent append detected during the commit
     raises rather than silently dropping its generation files.
-    Superseded files are deleted best-effort AFTER the commit; a crash
-    leaves dead bytes, never a dangling reference."""
+    Superseded inputs are NOT deleted — the table's compact/vacuum
+    split: a concurrent reader that planned its probe files from the
+    previous manifest must still find them. Run ``ivf_vacuum`` after a
+    grace period sized to your longest probe to reclaim the bytes
+    (``ivf_fsck`` counts them as orphans meanwhile)."""
     import json
     import os
 
@@ -795,20 +825,55 @@ def ivf_compact(index_dir: str) -> dict:
             "concurrent ivf manifest writer during compact — "
             "serialize maintenance (state.lease) and retry"
         )
-    # best-effort reclaim of superseded inputs (post-commit: a crash
-    # here leaves dead bytes, not a broken index)
-    for p, fl in plan.items():
-        for f in fl:
-            try:
-                os.remove(os.path.join(index_dir, f))
-            except FileNotFoundError:
-                pass
     return {
         "lists": len(plan),
         "live_rows": int(sum(r for _, r, n in results if n)),
         "dropped_tombstones": len(tomb),
         "version": version + 1,
     }
+
+
+def ivf_vacuum(index_dir: str, min_age_s: float = 3600.0) -> dict:
+    """Delete part files the CURRENT manifest no longer references —
+    compaction inputs and crashed-append generation files (what
+    ``ivf_fsck`` reports as orphans). Separate from ``ivf_compact`` for
+    the same reason table vacuum is separate from table compact: a
+    reader that planned its probe files from the previous manifest
+    must be given a grace period before its inputs disappear.
+    ``min_age_s`` skips files younger than the window (default 1 h):
+    an IN-FLIGHT append writes its generation files BEFORE its
+    manifest commit, so an unreferenced-but-fresh file may be about to
+    become referenced — deleting it would commit a manifest pointing
+    at nothing. Size it above your longest append+probe. Returns
+    ``{"removed": n, "bytes": n}``."""
+    import os
+    import re
+    import time
+
+    manifest, _ = _read_ivf_manifest(index_dir)
+    gen_files = manifest.get("files", {})
+    referenced = set()
+    for p in manifest["parts"]:
+        referenced.update(
+            gen_files.get(str(p), [f"part-{int(p):05d}.parquet"])
+        )
+    now = time.time()
+    removed = freed = 0
+    for name in os.listdir(index_dir):
+        if not re.match(r"^part-\d+(-g[^.]+)?\.parquet$", name):
+            continue
+        if name in referenced:
+            continue
+        path = os.path.join(index_dir, name)
+        try:
+            if now - os.path.getmtime(path) < min_age_s:
+                continue
+            freed += os.path.getsize(path)
+            os.remove(path)
+            removed += 1
+        except FileNotFoundError:
+            pass
+    return {"removed": removed, "bytes": int(freed)}
 
 
 def ivf_fsck(index_dir: str) -> dict:

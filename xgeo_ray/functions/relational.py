@@ -196,13 +196,14 @@ def hash_join(
     lt = left.map_batches(tag(r_schema, 0), batch_format="pyarrow")
     rt = right.map_batches(tag(l_schema, 1), batch_format="pyarrow")
 
-    # semi/anti joins emit left columns only — the right side exists
-    # purely as a filter, so the output projection must not name it
-    out_cols = (
-        on + l_only
-        if join_type in ("left semi", "left anti")
-        else on + l_only + r_only
-    )
+    # semi/anti joins emit ONE side's columns only — the other side is
+    # purely a filter, so the output projection must not name it
+    if join_type in ("left semi", "left anti"):
+        out_cols = on + l_only
+    elif join_type in ("right semi", "right anti"):
+        out_cols = on + r_only
+    else:
+        out_cols = on + l_only + r_only
 
     def join_bucket(g: pa.Table) -> pa.Table:
         side = g.column("__side").to_numpy(zero_copy_only=False)

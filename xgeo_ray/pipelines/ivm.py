@@ -2120,10 +2120,15 @@ def _scd2_emit_task(feed: pa.Table, payload: list[str]) -> pa.Table:
     same = pc.and_(same, pc.fill_null(pc.equal(ts_us, bts_us), False))
     for c in payload:
         a, b = feed.column(c), feed.column(BEFORE_PREFIX + c)
-        eq = pc.or_(
-            pc.and_(pc.is_null(a), pc.is_null(b)),
-            pc.fill_null(pc.equal(a, b), False),
-        )
+        try:
+            eqv = pc.fill_null(pc.equal(a, b), False)
+        except pa.lib.ArrowNotImplementedError:
+            # no equality kernel for this type (list/binary payloads):
+            # conservatively treat as CHANGED — the spurious transition
+            # is a same-key idempotent rewrite (close and open carry
+            # identical values and dedupe to the open), never corruption
+            eqv = pa.array(np.zeros(feed.num_rows, dtype=bool))
+        eq = pc.or_(pc.and_(pc.is_null(a), pc.is_null(b)), eqv)
         same = pc.and_(same, eq)
     ck = pc.binary_join_element_wise(
         feed.column("conv_id").cast(pa.string()),
