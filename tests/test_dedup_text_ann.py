@@ -881,3 +881,128 @@ def test_strip_dup_spans_matches_sql_oracle():
     ).fetchdf()
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["text"].tolist() == want["text"].tolist()
+
+
+def test_strip_contaminated_spans_redacts_benchmark_runs():
+    bench = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["the quick brown fox jumps over lazy dogs"]),
+        }
+    )
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": pa.array(
+                [
+                    # contains a verbatim 5-gram run from the benchmark
+                    "intro words the quick brown fox jumps here after",
+                    "completely unrelated training document text here",
+                    "",  # empty doc passes through
+                ]
+            ),
+        }
+    )
+    got = (
+        dd.strip_contaminated_spans(
+            ray.data.from_arrow(docs),
+            ray.data.from_arrow(bench),
+            k=5,
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # "the quick brown fox jumps" (one 5-gram) redacts tokens 2..6
+    assert got["text"].tolist() == [
+        "intro words here after",
+        "completely unrelated training document text here",
+        "",
+    ]
+
+
+def test_strip_contaminated_spans_matches_sql_oracle():
+    import duckdb
+
+    rng = np.random.default_rng(17)
+    vocab = np.array([f"w{i}" for i in range(30)])
+    needle = "alpha beta gamma delta epsilon zeta"
+    bench_rows = [needle, "eta theta iota kappa lambda mu"]
+    texts = []
+    for i in range(50):
+        body = " ".join(rng.choice(vocab, size=rng.integers(4, 20)))
+        if i % 5 == 0:
+            body = body + " " + needle + " " + body
+        if i % 7 == 0:
+            body = "eta theta iota kappa lambda " + body  # 5 of 6 tokens
+        texts.append(body)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    bench = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(bench_rows)), pa.int64()),
+            "text": pa.array(bench_rows),
+        }
+    )
+    got = (
+        dd.strip_contaminated_spans(
+            ray.data.from_arrow(docs), ray.data.from_arrow(bench), k=5
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.to_pandas())
+    con.register("benchmark", bench.to_pandas())
+    want = con.execute(
+        r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+          FROM documents
+        ),
+        btoks AS (
+          SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+          FROM benchmark
+        ),
+        bg AS (
+          SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                 || w[i+3] || ' ' || w[i+4] AS g
+          FROM btoks, unnest(generate_series(1, len(w) - 4)) t(i)
+          WHERE len(w) >= 5
+        ),
+        g5 AS (
+          SELECT doc_id, i - 1 AS pos,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                 || w[i+3] || ' ' || w[i+4] AS g
+          FROM toks, unnest(generate_series(1, len(w) - 4)) t(i)
+          WHERE len(w) >= 5
+        ),
+        marked AS (SELECT doc_id, pos FROM g5 JOIN bg USING (g)),
+        posn AS (
+          SELECT doc_id, i - 1 AS pos, w[i] AS tok
+          FROM toks, unnest(generate_series(1, len(w))) t(i)
+        ),
+        kept AS (
+          SELECT p.doc_id, p.pos, p.tok
+          FROM posn p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM marked m
+            WHERE m.doc_id = p.doc_id
+              AND p.pos >= m.pos AND p.pos < m.pos + 5
+          )
+        )
+        SELECT t.doc_id,
+               COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text
+        FROM toks t LEFT JOIN kept k USING (doc_id)
+        GROUP BY t.doc_id ORDER BY t.doc_id
+        """
+    ).fetchdf()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()

@@ -1779,6 +1779,20 @@ def strip_dup_spans(
     (64-bit offsets: a bucket's token payload may exceed int32)."""
     proj = docs.select_columns(["doc_id", "text"])
     marked = _dup_marked_positions(proj, k, min_count, num_buckets)
+    return _strip_marked(proj, marked, k, num_buckets)
+
+
+def _strip_marked(
+    proj: ray.data.Dataset,
+    marked: ray.data.Dataset,
+    k: int,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """Shared rewrite kernel: ONE doc-bucketed cogroup of (docs, marked
+    gram-start positions); every token in [pos, pos+k) of any marked
+    position drops, survivors re-join with single spaces. Used by
+    ``strip_dup_spans`` (corpus-duplicated grams) and
+    ``strip_contaminated_spans`` (benchmark grams)."""
     nb = max(1, num_buckets // 4)
     add_bucket = _doc_bucket_tagger(nb)
     kk = k
@@ -1860,3 +1874,69 @@ def strip_dup_spans(
         .groupby("bucket")
         .map_groups(rewrite, batch_format="pyarrow")
     )
+
+
+class _MarkNeedlePositions:
+    """(doc_id, text) -> marked (doc_id, pos): positions whose word-
+    k-gram hash is in the broadcast needle set. Instance-passed: the
+    sorted needle array ships as an ObjectRef, derefs zero-copy once
+    per task, matches by binary search."""
+
+    def __init__(self, ref, k: int):
+        self.ref = ref
+        self.ex = GramPositionExploder(k)
+        self.bench = None
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if self.bench is None:
+            self.bench = ray.get(self.ref)
+        t = self.ex(b)
+        if t.num_rows == 0 or len(self.bench) == 0:
+            return t.select(["doc_id", "pos"]).slice(0, 0)
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        pos = np.clip(
+            np.searchsorted(self.bench, g), 0, len(self.bench) - 1
+        )
+        hit = self.bench[pos] == g
+        return t.filter(pa.array(hit)).select(["doc_id", "pos"])
+
+
+def strip_contaminated_spans(
+    docs: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    k: int = 5,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SPAN-LEVEL benchmark decontamination: redact every token run of
+    a training document that shares a word-k-gram with ANY benchmark
+    document, keeping the rest of the doc — the surgical complement of
+    ``contaminated_ids`` (which flags whole documents for dropping).
+    Returns (doc_id, text) for EVERY corpus doc, survivors re-joined
+    with single spaces (the token-level whitespace contract of
+    ``strip_dup_spans``).
+
+    Scale shape — broadcast, never shuffle (the ``contaminated_ids``
+    discipline): the benchmark's DISTINCT positional-gram-hash set is
+    computed distributed and reduced per block before anything reaches
+    the driver, ray.put once; corpus marking is a streaming binary-
+    search filter; the rewrite is the shared ``_strip_marked`` cogroup.
+    ``k`` trades precision for recall: the default 5 redacts only
+    verbatim 5-token overlaps (3 would cut common trigrams). Hashed
+    grams == gram strings (the usual vanishing-collision equivalence;
+    the pytest oracle joins strings)."""
+    ex = GramPositionExploder(k)
+    per_block = (
+        benchmark.select_columns(["doc_id", "text"])
+        .map_batches(ex, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            lambda b: pa.table({"g": pc.unique(b.column("g"))}),
+            batch_format="pyarrow",
+        )
+    )
+    needles = np.unique(per_block.to_pandas()["g"].to_numpy())
+    ref = ray.put(needles)
+    proj = docs.select_columns(["doc_id", "text"])
+    marked = proj.map_batches(
+        _MarkNeedlePositions(ref, k), batch_format="pyarrow"
+    )
+    return _strip_marked(proj, marked, k, num_buckets)
