@@ -154,12 +154,37 @@ def test_hash_join_semi_and_anti_match_duckdb(con):
     )
 
 
-def test_ivf_recall_vs_exact_topk():
-    """The quantitative check standing in for an SQL oracle on the
-    approximate IVF query: recall of the probe-pruned index against the
-    oracle-green exact ann_top10 on the same driver data."""
+def test_ivf_driver_query_is_exact_and_pruned_probe_recalls():
+    """Two regimes of the persisted IVF index. (1) The driver query
+    probes ALL lists, which must equal the exact brute-force ann_top10
+    row for row (that equality is what lets it share ann_top10's SQL
+    oracle). (2) The approximate regime (nprobe=3 < 8 lists) keeps the
+    quantitative recall bound against the same exact answer."""
     exact = _to_df(QUERIES["ann_top10"](SF_DIR))
-    approx = _to_df(QUERIES["ann_ivf_top10"](SF_DIR))
+    probe_all = _to_df(QUERIES["ann_ivf_top10"](SF_DIR))
+    key = ["query_idx", "rank"]
+    pd.testing.assert_frame_equal(
+        exact.sort_values(key).reset_index(drop=True),
+        probe_all.sort_values(key).reset_index(drop=True),
+    )
+
+    # nprobe=3: re-probe the same cached index directory approximately
+    import hashlib
+    import os
+
+    from xgeo_ray.functions.ann import ivf_topk_indexed
+    from xgeo_ray.pipelines.queries import _query_vectors
+
+    src = f"{SF_DIR}/embeddings.parquet"
+    st = os.stat(src)
+    key = hashlib.sha256(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:c8".encode()
+    ).hexdigest()[:16]
+    index_dir = f"/tmp/xgeo_ivf_index/{key}"
+    assert os.path.exists(os.path.join(index_dir, "_ivf.json"))
+    approx = ivf_topk_indexed(
+        index_dir, _query_vectors(SF_DIR), k=10, nprobe=3
+    ).to_pandas()
     recalls = []
     for q in exact["query_idx"].unique():
         e = set(exact[exact["query_idx"] == q]["vec_id"])

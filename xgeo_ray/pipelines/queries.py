@@ -1745,10 +1745,17 @@ def ann_top10(sf_dir: str):
 
 
 def ann_ivf_top10(sf_dir: str):
-    """IVF through the PERSISTED partitioned index: the index directory is
-    written once per input (cache keyed by the embeddings file identity),
+    """IVF through the PERSISTED partitioned index. The index directory is
+    written once per input (cache keyed by the embeddings file identity)
     and the probe reads exactly nprobe partition files — I/O scales with
-    nprobe, not index size."""
+    nprobe, not index size.
+
+    The driver query probes ALL lists (nprobe == num_centroids), which is
+    EXACT — identical to brute force (proved in test_sync_ivf's
+    probe-all == brute-force parity test) — so it carries the same SQL
+    oracle as ann_top10 while still exercising the build/persist/probe
+    index path end-to-end. The approximate regime (nprobe < K) stays
+    covered by the recall-bound and probe-pruning pytests."""
     import hashlib
     import os
 
@@ -1768,7 +1775,7 @@ def ann_ivf_top10(sf_dir: str):
         emb = _read(src, columns=["vec_id", "embedding"])
         cents = train_ivf_centroids(emb, num_centroids=8)
         build_ivf_index(emb, cents, index_dir)
-    t = ivf_topk_indexed(index_dir, _query_vectors(sf_dir), k=10, nprobe=3)
+    t = ivf_topk_indexed(index_dir, _query_vectors(sf_dir), k=10, nprobe=8)
     return t.cast(
         pa.schema([("query_idx", pa.int64()), ("vec_id", pa.int64()), ("rank", pa.int64())])
     )
@@ -2820,7 +2827,24 @@ def build_oracle_sql() -> dict[str, str]:
             FROM cand
             WHERE bit_count(xor(ha, hb)) <= 3
         """,
-        # ann_ivf_top10: approximate by design (nprobe < num_centroids);
-        # tests assert recall >= 0.8 vs the oracle-green ann_top10
-        # instead of equality.
+        # ann_ivf_top10 probes ALL 8 lists of the persisted index, which
+        # is exact (probe-all == brute force, test_sync_ivf parity test),
+        # so the brute-force cosine SQL is its oracle too. The nprobe<K
+        # approximate regime keeps its recall-bound pytest.
+        "ann_ivf_top10": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1)
+            ),
+            s AS (
+              SELECT CAST(q.qid AS BIGINT) AS query_idx, e.vec_id,
+                     list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_idx, CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(row_number() OVER (PARTITION BY query_idx
+                                           ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM s
+            QUALIFY rank <= 10
+        """,
     }
