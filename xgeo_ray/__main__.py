@@ -464,7 +464,9 @@ def main(argv: list[str] | None = None) -> int:
         help="rename a payload column (full-image rewrite: snapshot "
         "streams out with the column renamed, then the old name is "
         "metadata-dropped; exactly-once by batch id; time travel below "
-        "keeps the old name)",
+        "keeps the old name; NOTE resets every row's EVENT TIME to the "
+        "rename instant — as-of-ts travel, expire TTLs and event-time "
+        "watermarks all see the table as renamed-at)",
     )
     p.add_argument("table")
     p.add_argument("old")

@@ -825,6 +825,18 @@ def ivf_compact(index_dir: str) -> dict:
             "concurrent ivf manifest writer during compact — "
             "serialize maintenance (state.lease) and retry"
         )
+    # Touch the superseded inputs so ivf_vacuum's min_age_s grace is
+    # measured from SUPERSESSION, not from when the file was originally
+    # written — compaction inputs can be arbitrarily old, and aging them
+    # by write-mtime would let a vacuum run right after this compact
+    # delete them with zero actual grace for readers that planned probe
+    # files from the previous manifest.
+    for fl in plan.values():
+        for fname in fl:
+            try:
+                os.utime(os.path.join(index_dir, fname), None)
+            except FileNotFoundError:
+                pass
     return {
         "lists": len(plan),
         "live_rows": int(sum(r for _, r, n in results if n)),
@@ -844,8 +856,12 @@ def ivf_vacuum(index_dir: str, min_age_s: float = 3600.0) -> dict:
     an IN-FLIGHT append writes its generation files BEFORE its
     manifest commit, so an unreferenced-but-fresh file may be about to
     become referenced — deleting it would commit a manifest pointing
-    at nothing. Size it above your longest append+probe. Returns
-    ``{"removed": n, "bytes": n}``."""
+    at nothing. ``ivf_compact`` touches its superseded inputs after the
+    new manifest commits, so for compaction inputs the age is measured
+    from SUPERSESSION (when they became unreferenced), not from their
+    original write — a vacuum right after a compact still honors the
+    full grace window. Size it above your longest append+probe.
+    Returns ``{"removed": n, "bytes": n}``."""
     import os
     import re
     import time

@@ -2003,6 +2003,15 @@ def rename_column(
     events must already carry ``new`` (values still arriving under
     ``old`` are discarded at normalize like any dropped column's).
 
+    EVENT-TIME SIDE EFFECT: every rewritten image is stamped at
+    ``max(now, row ts + 1µs)`` so it wins the LWW race (see
+    ``_to_images``), which means the whole table's event time resets to
+    the rename instant — ``as_of_ts_us`` travel below the rename,
+    ``expire()`` TTLs, event-time watermarks and time-bucket derives
+    over the changes feed all see every row as "renamed-at". Schedule
+    renames like any other full-table rewrite, and prefer doing them
+    before TTL/event-time policies attach to the table.
+
     Mechanism — an honest REWRITE, not a metadata alias: the snapshot
     merge tasks stream full current-row images out with the column
     renamed (out-of-band 'U' batch, seq=-1, LWW-winning ts), the union
@@ -2057,10 +2066,13 @@ def rename_column(
     if new in envelope.names:
         raise ValueError(f"column {new!r} already exists")
     if new in table.dropped_columns():
+        # dropped_columns entries are permanent table metadata (only
+        # restore's prune_dropped_above removes them), so there is no
+        # maintenance step that legalizes the reuse — don't advise one.
         raise ValueError(
             f"column {new!r} was previously dropped — renaming onto a "
             "dropped name would resurrect it through evolution; pick "
-            "another name or fully compact+vacuum first"
+            "another name"
         )
     if batch_id is None:
         batch_id = f"rename-{old}-to-{new}"

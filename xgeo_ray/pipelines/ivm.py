@@ -82,11 +82,21 @@ def _window_plan(
 def _k64_codes(conv: pa.Array, turn: pa.Array, uniq: pa.Array) -> np.ndarray:
     """Composite int64 key codes (dictionary index << 32 | turn) against
     a shared ``uniq`` conv_id dictionary — collision-free (exact index,
-    not a hash), so searchsorted alignment is sound."""
+    not a hash), so searchsorted alignment is sound. Collision-freedom
+    requires turn_idx to fit the low 32 bits: two turns of one conv
+    differing by a multiple of 2^32 (or a negative aliasing a positive)
+    would collide and could keep a dead key alive or misroute a
+    tombstone in sync_join — guarded here like the delta-filename width
+    assertions."""
     code = pc.index_in(conv, value_set=uniq).cast(pa.int64()).to_numpy(
         zero_copy_only=False
     )
     t = turn.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if len(t) and (t.min() < 0 or t.max() >= (1 << 32)):
+        raise ValueError(
+            "turn_idx out of [0, 2^32) — the composite 64-bit key code "
+            f"would collide (saw min={t.min()}, max={t.max()})"
+        )
     return (code << 32) | (t & np.int64(0xFFFFFFFF))
 
 
@@ -1730,6 +1740,7 @@ def read_agg_view(view_dir: str) -> ray.data.Dataset:
 # sides' committed change streams at change-volume cost
 
 _JOIN_META = "_join.json"
+_SCD2_META = "_scd2.json"
 
 
 def _payload_names(
@@ -2224,6 +2235,27 @@ def sync_scd2(
     from xgeo_ray.pipelines import ingest as ing
     from xgeo_ray.state import consumers as _cons
 
+    # Spec pin (same discipline as _join.json/_neardup.json): a later
+    # sync with a different columns argument would silently emit a
+    # different payload and evolve the sink schema mid-history —
+    # version rows with inconsistent column coverage. None means
+    # "follow the source schema" and is itself a pinned choice.
+    spec = {"columns": None if columns is None else sorted(columns)}
+    meta_p = os.path.join(sink.root, _SCD2_META)
+    if os.path.isfile(meta_p):
+        with open(meta_p) as f:
+            prev = json.load(f)
+        if prev != spec:
+            raise ValueError(
+                f"scd2 sink spec changed: committed {prev} != requested "
+                f"{spec}. Use a fresh sink (its version rows are only "
+                "meaningful under the spec that built them)."
+            )
+    else:
+        tmp = meta_p + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(spec, f, indent=1)
+        os.replace(tmp, meta_p)
     sink_id = hashlib.sha1(
         os.path.abspath(sink.root).encode()
     ).hexdigest()[:10]
