@@ -97,6 +97,70 @@ def test_range_key_refuses_strings():
 
 
 @pytest.mark.parametrize("descending", [False, True])
+def test_global_rank_string_key(descending):
+    """String-keyed global sort: lexicographic ranks with ties + nulls
+    match pandas exactly (round-5 verdict item 4)."""
+    n = 4000
+    keys = [
+        None if i % 89 == 0 else f"url-{i % 13:02d}/p{i % 3}"
+        for i in range(n)
+    ]
+    t = pa.table(
+        {
+            "s": pa.array(keys, pa.string()),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = (
+        rel.global_rank(ds, "s", ["id"], num_shards=6, descending=descending)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    want = (
+        t.to_pandas()
+        .sort_values(
+            ["s", "id"], ascending=[not descending, True], na_position="last"
+        )
+        .reset_index(drop=True)
+    )
+    assert got["rank"].tolist() == list(range(n))
+    pd.testing.assert_frame_equal(got[["s", "id"]], want)
+
+
+def test_export_sorted_string_key(tmp_path):
+    """export_sorted(by=<string column>): file+row order is the exact
+    lexicographic total order; the pinned bounds are JSON strings and a
+    resumed shard rewrite is identical."""
+    table = _mk(str(tmp_path))
+    out = f"{tmp_path}/by_conv"
+    st = ing.export_sorted(
+        table, out, by="conv_id", num_shards=4, tiebreak=["turn_idx"]
+    )
+    assert st["shards"] == 4
+    with open(f"{out}/_sort_meta.json") as f:
+        bounds = json.load(f)["bounds"]
+    assert len(bounds) == 3 and all(isinstance(b, str) for b in bounds)
+    files = sorted(glob.glob(f"{out}/shard-*.parquet"))
+    got = pd.concat(
+        [pq.read_table(f).to_pandas() for f in files], ignore_index=True
+    )
+    df = ing.snapshot(table).to_pandas()
+    want = _want_order(df, "conv_id", ["turn_idx"])
+    pd.testing.assert_frame_equal(got, want[got.columns])
+    # resume: a deleted shard rewrites identically from pinned bounds
+    victim = files[1]
+    before = pq.read_table(victim)
+    os.remove(victim)
+    st = ing.export_sorted(
+        table, out, by="conv_id", num_shards=4, tiebreak=["turn_idx"]
+    )
+    assert st["written"] == 1 and st["skipped"] == 3
+    assert pq.read_table(victim).equals(before)
+
+
+@pytest.mark.parametrize("descending", [False, True])
 def test_export_sorted_total_order(tmp_path, descending):
     table = _mk(str(tmp_path))
     out = f"{tmp_path}/sorted_{descending}"

@@ -962,12 +962,20 @@ def exact_quantiles(
 
 # ---------------------------------------------------------------- global sort
 
+def _is_text_key(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    )
+
+
 def _range_key_i64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Order-preserving int64 view of a numeric/temporal sort key (the
     range-partitioner's fast path). Floats keep their own dtype (numpy
-    compares them natively); strings are refused — range-partitioning
-    text needs either a numeric surrogate (fingerprint, score) or a
-    prefix encoding that can't be made exact cheaply."""
+    compares them natively); text keys never come here — they take the
+    Arrow-compare path in ``range_bounds``/``range_shard_assign``."""
     t = col.type
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
         col = col.cast(pa.int64())
@@ -1018,7 +1026,21 @@ def range_bounds(
     tables = [t for t in ray.get(keys.materialize().to_arrow_refs()) if t.num_rows]
     if not tables:
         return []
-    vals = np.sort(_range_key_i64(pa.concat_tables(tables).column(col)))
+    key_col = pa.concat_tables(tables).column(col).combine_chunks()
+    if _is_text_key(key_col.type):
+        # text keys: Arrow lexicographic sort, cut points stay strings
+        # (they pin into _sort_meta.json as plain JSON); assignment
+        # downstream is vectorized Arrow compares, not Python rows
+        arr = key_col.take(pc.sort_indices(key_col))
+        if len(arr) > 1_048_576:
+            arr = arr.take(
+                np.arange(0, len(arr), len(arr) // 1_048_576)
+            )
+        qpos = (np.arange(1, num_shards) * len(arr)) // num_shards
+        return arr.take(
+            pa.array(np.minimum(qpos, len(arr) - 1))
+        ).to_pylist()
+    vals = np.sort(_range_key_i64(key_col))
     if len(vals) > 1_048_576:  # driver-side cap: subsample evenly
         vals = vals[:: len(vals) // 1_048_576]
     qpos = (np.arange(1, num_shards) * len(vals)) // num_shards
@@ -1033,15 +1055,27 @@ def range_shard_assign(
     shards and shard concatenation order is a total order). Null keys
     go to ``null_shard`` (default: the last shard — NULLS LAST in an
     ascending walk; a descending consumer passes 0, its last-walked
-    shard)."""
-    b = np.asarray(bounds)
+    shard). Text keys assign via ``len(bounds)`` vectorized Arrow
+    compares per batch (bounds are few — one per output shard — so
+    this stays kernel-bound, no Python-per-row)."""
     if null_shard is None:
         null_shard = num_shards - 1
+    text_bounds = bool(bounds) and isinstance(bounds[0], (str, bytes))
+    b = None if text_bounds else np.asarray(bounds)
 
     def assign(batch: pa.Table) -> pa.Table:
-        k = _range_key_i64(batch.column(col))
-        shard = np.searchsorted(b, k, side="left").astype(np.int64)
-        null_mask = np.asarray(pc.is_null(batch.column(col)))
+        key = batch.column(col)
+        if text_bounds or (not bounds and _is_text_key(key.type)):
+            # shard = count of bounds strictly below the key
+            # (== np.searchsorted(bounds, key, side="left"))
+            shard = np.zeros(len(key), dtype=np.int64)
+            for bv in bounds:
+                gt = pc.fill_null(pc.greater(key, pa.scalar(bv)), False)
+                shard += gt.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            k = _range_key_i64(key)
+            shard = np.searchsorted(b, k, side="left").astype(np.int64)
+        null_mask = np.asarray(pc.is_null(key))
         if null_mask.any():
             shard[null_mask] = null_shard
         return batch.append_column("shard", pa.array(shard))

@@ -2156,7 +2156,9 @@ def export_sorted(
     once and PINNED in ``_sort_meta.json`` (a resumed run on a changed
     table must not move shard boundaries under finished files); shards
     whose file exists are skipped before the exchange; spec mismatch
-    refuses. Numeric/temporal keys only (``relational._range_key_i64``).
+    refuses. Keys may be numeric/temporal (int64 fast path) or
+    string/binary (lexicographic; bounds pin as JSON strings, shard
+    assignment is vectorized Arrow compares).
 
     No reference counterpart (stateless CLI); published shape: parallel
     sample sort + Hive/Iceberg-style ordered write."""
@@ -3652,6 +3654,7 @@ def sync_assembled(
     sep: str = "\n",
     role_sep: str = ": ",
     upto_epoch: int | None = None,
+    max_convs_per_batch: int = 100_000,
 ) -> dict:
     """Maintain an ASSEMBLED-CONVERSATIONS table incrementally from the
     source's committed change feed: each sync re-assembles ONLY the
@@ -3664,18 +3667,24 @@ def sync_assembled(
     never changed is never re-read, re-assembled or re-written.
 
     Cursor: a consumer group on the SOURCE (fence-committed acks, named
-    for the sink root). Commit order: sink upsert (``apply_changes``
-    batch, exactly-once by batch id) THEN ack — a crash between them
+    for the sink root). Commit order: sink upserts (``apply_changes``
+    batches, exactly-once by batch id) THEN ack — a crash between them
     replays a window whose re-assembly is convergent (same docs upsert
-    under LWW; the replayed batch id no-ops when the window is
-    identical). Retention: sync before vacuum reclaims window deltas,
-    the ``changes()`` contract.
+    under LWW; replayed batch ids no-op when the window is identical).
+    Retention: sync before vacuum reclaims window deltas, the
+    ``changes()`` contract.
 
-    Driver memory: O(touched conversations) ids + their assembled docs
-    per sync (the apply batch) — bounded by the sync cadence's change
-    volume, not the corpus. Create ``sink`` with
-    ``base_schema=ASSEMBLED_SCHEMA``; num_salts=1 is right (one row
-    per conversation)."""
+    Driver memory: O(touched conversations) ids, plus ONE chunk's
+    assembled docs at a time — the touched-conv set is split into
+    deterministic sub-batches of at most ``max_convs_per_batch``
+    conversations (sorted conv order, ``-c{i:05d}`` batch-id suffix),
+    each assembled and applied separately, so even a bootstrap-sized
+    window (first sync against a large existing source) never
+    materializes the whole corpus on the driver. Readers between chunk
+    commits see a consistent prefix of the window (each conversation's
+    doc row is individually exact as of ``upto``). Create ``sink``
+    with ``base_schema=ASSEMBLED_SCHEMA``; num_salts=1 is right (one
+    row per conversation)."""
     import hashlib
 
     from xgeo_ray.pipelines.ivm import _window_plan
@@ -3693,51 +3702,72 @@ def sync_assembled(
     files = [p for fl in window.values() for p, _ in fl]
     epochs = {e for fl in window.values() for _, e in fl}
     uniq = ray.get([_window_convs_task.remote(p) for p in files])
-    convs = sorted(
+    convs_all = sorted(
         {c for arr in uniq for c in arr.to_pylist() if c is not None}
     )
-    ds = assemble_conversations(
-        source, sep, role_sep, as_of_epoch=upto, convs=convs
-    )
-    # O(touched convs) — the apply batch is driver-side by design
-    blocks = [b for b in ray.get(ds.to_arrow_refs()) if b.num_rows]
-    done = (
-        pa.concat_tables(blocks, promote_options="permissive")
-        if blocks
-        else None
-    )
-    assembled_ids = (
-        set(done.column("conv_id").to_pylist()) if done is not None else set()
-    )
-    gone = sorted(set(convs) - assembled_ids)
-    cols: dict[str, list] = {"conv_id": [], "n_turns": [], "doc": [], "op": []}
-    if done is not None:
-        cols["conv_id"] = done.column("conv_id").to_pylist()
-        cols["n_turns"] = done.column("n_turns").to_pylist()
-        cols["doc"] = done.column("doc").to_pylist()
-        cols["op"] = ["U"] * done.num_rows
-    cols["conv_id"] += gone
-    cols["n_turns"] += [0] * len(gone)
-    cols["doc"] += [None] * len(gone)
-    cols["op"] += ["D"] * len(gone)
-    if cols["conv_id"]:
-        batch = pa.table(
-            {
-                "conv_id": pa.array(cols["conv_id"], pa.string()),
-                "turn_idx": pa.array([0] * len(cols["conv_id"]), pa.int32()),
-                "n_turns": pa.array(cols["n_turns"], pa.int64()),
-                "doc": pa.array(cols["doc"], pa.large_string()),
-                "op": pa.array(cols["op"], pa.string()),
-            }
+    if max_convs_per_batch < 1:
+        raise ValueError("max_convs_per_batch must be >= 1")
+    deleted = 0
+    for ci in range(0, len(convs_all), max_convs_per_batch):
+        convs = convs_all[ci : ci + max_convs_per_batch]
+        ds = assemble_conversations(
+            source, sep, role_sep, as_of_epoch=upto, convs=convs
         )
-        apply_changes(
-            sink, batch, batch_id=f"{group}-e{since + 1}-{upto}"
+        # O(one chunk) — the apply batch is driver-side by design
+        blocks = [b for b in ray.get(ds.to_arrow_refs()) if b.num_rows]
+        done = (
+            pa.concat_tables(blocks, promote_options="permissive")
+            if blocks
+            else None
         )
+        assembled_ids = (
+            set(done.column("conv_id").to_pylist())
+            if done is not None
+            else set()
+        )
+        gone = sorted(set(convs) - assembled_ids)
+        deleted += len(gone)
+        cols: dict[str, list] = {
+            "conv_id": [], "n_turns": [], "doc": [], "op": []
+        }
+        if done is not None:
+            cols["conv_id"] = done.column("conv_id").to_pylist()
+            cols["n_turns"] = done.column("n_turns").to_pylist()
+            cols["doc"] = done.column("doc").to_pylist()
+            cols["op"] = ["U"] * done.num_rows
+        cols["conv_id"] += gone
+        cols["n_turns"] += [0] * len(gone)
+        cols["doc"] += [None] * len(gone)
+        cols["op"] += ["D"] * len(gone)
+        if cols["conv_id"]:
+            batch = pa.table(
+                {
+                    "conv_id": pa.array(cols["conv_id"], pa.string()),
+                    "turn_idx": pa.array(
+                        [0] * len(cols["conv_id"]), pa.int32()
+                    ),
+                    "n_turns": pa.array(cols["n_turns"], pa.int64()),
+                    "doc": pa.array(cols["doc"], pa.large_string()),
+                    "op": pa.array(cols["op"], pa.string()),
+                }
+            )
+            apply_changes(
+                sink,
+                batch,
+                batch_id=(
+                    f"{group}-e{since + 1}-{upto}"
+                    f"-c{ci // max_convs_per_batch:05d}"
+                ),
+            )
+        if os.environ.get("XGEO_CRASH_AFTER_ASM_CHUNK") == str(
+            ci // max_convs_per_batch
+        ):
+            os._exit(137)  # crash hook: this chunk applied, cursor not acked
     _cons.ack(source, group, upto)
     return {
         "synced_epochs": len(epochs),
-        "convs": len(convs),
-        "deleted": len(gone),
+        "convs": len(convs_all),
+        "deleted": deleted,
         "last_epoch": upto,
     }
 

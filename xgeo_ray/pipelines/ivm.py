@@ -1830,6 +1830,7 @@ def sync_join(
     right_prefix: str = "r_",
     upto_left: int | None = None,
     upto_right: int | None = None,
+    max_convs_per_batch: int = 100_000,
 ) -> dict:
     """Maintain a MATERIALIZED PK equi-join of two tables incrementally
     and exactly-once: after any sync, ``snapshot(sink)`` equals the key
@@ -1848,13 +1849,21 @@ def sync_join(
     ``lookup_many(as_of_epoch=cursor)`` per side fetches those keys'
     merged current rows as of the PINNED epochs (a concurrent commit
     cannot tear the join); (4) the per-key join recomputes vectorized
-    (Acero, driver-side over O(touched keys) rows — same bound as
-    ``sync_assembled``'s apply batch); (5) joined rows upsert into
-    ``sink`` (op='U'), keys now absent from the join tombstone
-    (op='D'), one ``apply_changes`` batch exactly-once by batch id;
-    (6) both cursors ack. Crash order upsert-then-ack: a replayed
-    window recomputes convergently under the sink's LWW (an identical
-    window no-ops on its batch id).
+    (Acero, driver-side over O(touched keys) rows); (5) joined rows
+    upsert into ``sink`` (op='U'), keys now absent from the join
+    tombstone (op='D'), via ``apply_changes`` batches exactly-once by
+    batch id; (6) both cursors ack. The touched-conv set is chunked
+    into deterministic sub-batches of at most ``max_convs_per_batch``
+    conversations (sorted conv order, ``-c{i:05d}`` batch-id suffix),
+    so a bootstrap-sized window — the first sync against a large
+    existing source, or a full rewind — holds only one chunk's payload
+    rows on the driver at a time instead of the whole join. Crash
+    order upsert-then-ack: a replayed window recomputes convergently
+    under the sink's LWW (committed chunks no-op on their batch ids;
+    both pinned epochs re-derive identically while the cursors are
+    unacked). Readers between chunk commits see a consistent PREFIX of
+    the window (each key's row is individually exact as of the pinned
+    epochs).
 
     ``how``: "inner" or "left" (right columns null when unmatched,
     ``<prefix>exists``=False distinguishes that from null values).
@@ -1959,15 +1968,11 @@ def sync_join(
         _cons.ack(left, gl, upto_l)
         _cons.ack(right, gr, upto_r)
         return stats
-    kt = pa.concat_tables(key_tabs).group_by(
+    kt_all = pa.concat_tables(key_tabs).group_by(
         ["conv_id", "turn_idx"]
     ).aggregate([])
-    stats["keys"] = kt.num_rows
-    convs = sorted(set(kt.column("conv_id").to_pylist()))
-    uniq = pa.array(convs, pa.string())
-    k_codes = np.sort(
-        _k64_codes(kt.column("conv_id"), kt.column("turn_idx"), uniq)
-    )
+    stats["keys"] = kt_all.num_rows
+    convs_all = sorted(set(kt_all.column("conv_id").to_pylist()))
 
     sink_names = set(sink.current_schema().names)
     lpay = [
@@ -1981,84 +1986,105 @@ def sync_join(
         if right_prefix + c in sink_names
     ]
 
-    def _side_rows(side, upto, pay) -> pa.Table:
-        t = ing.lookup_many(side, convs, as_of_epoch=upto)
-        t = pa.table(
-            {
-                "conv_id": t.column("conv_id").cast(pa.string()),
-                "turn_idx": t.column("turn_idx").cast(pa.int64()),
-                **{c: t.column(c) for c in pay},
-            }
+    if max_convs_per_batch < 1:
+        raise ValueError("max_convs_per_batch must be >= 1")
+    win_id = f"{gl}-eL{since_l + 1}-{upto_l}-eR{since_r + 1}-{upto_r}"
+    for ci in range(0, len(convs_all), max_convs_per_batch):
+        convs = convs_all[ci : ci + max_convs_per_batch]
+        uniq = pa.array(convs, pa.string())
+        kt = kt_all.filter(
+            pc.is_in(kt_all.column("conv_id"), value_set=uniq)
         )
-        codes = _k64_codes(t.column("conv_id"), t.column("turn_idx"), uniq)
-        return t.filter(pa.array(np.isin(codes, k_codes)))
+        k_codes = np.sort(
+            _k64_codes(kt.column("conv_id"), kt.column("turn_idx"), uniq)
+        )
 
-    a = _side_rows(left, upto_l, lpay)
-    b = _side_rows(right, upto_r, rpay)
-    b = b.rename_columns(
-        ["conv_id", "turn_idx"] + [right_prefix + c for c in rpay]
-    )
-    exists_col = right_prefix + "exists"
-    if how == "left" and exists_col in sink_names:
-        b = b.append_column(
-            exists_col, pa.array(np.ones(b.num_rows, bool), pa.bool_())
-        )
-    joined = a.join(
-        b,
-        keys=["conv_id", "turn_idx"],
-        join_type="inner" if how == "inner" else "left outer",
-    )
-    if how == "left" and exists_col in joined.column_names:
-        joined = joined.set_column(
-            joined.column_names.index(exists_col),
-            exists_col,
-            pc.fill_null(joined.column(exists_col), False),
-        )
-    j_codes = _k64_codes(
-        joined.column("conv_id"), joined.column("turn_idx"), uniq
-    )
-    dead = kt.filter(pa.array(~np.isin(
-        _k64_codes(kt.column("conv_id"), kt.column("turn_idx"), uniq),
-        j_codes,
-    )))
-    stats["upserts"], stats["deletes"] = joined.num_rows, dead.num_rows
-    parts = []
-    if joined.num_rows:
-        parts.append(
-            joined.append_column(
-                "op",
-                pa.array(np.full(joined.num_rows, "U", "U1"), pa.string()),
+        def _side_rows(side, upto, pay) -> pa.Table:
+            t = ing.lookup_many(side, convs, as_of_epoch=upto)
+            t = pa.table(
+                {
+                    "conv_id": t.column("conv_id").cast(pa.string()),
+                    "turn_idx": t.column("turn_idx").cast(pa.int64()),
+                    **{c: t.column(c) for c in pay},
+                }
             )
-        )
-    if dead.num_rows:
-        parts.append(
-            dead.append_column(
-                "op", pa.array(np.full(dead.num_rows, "D", "U1"), pa.string())
+            codes = _k64_codes(
+                t.column("conv_id"), t.column("turn_idx"), uniq
             )
+            return t.filter(pa.array(np.isin(codes, k_codes)))
+
+        a = _side_rows(left, upto_l, lpay)
+        b = _side_rows(right, upto_r, rpay)
+        b = b.rename_columns(
+            ["conv_id", "turn_idx"] + [right_prefix + c for c in rpay]
         )
-    if parts:
-        batch = pa.concat_tables(parts, promote_options="permissive")
-        # cast to the sink's DECLARED types (the working key type is
-        # int64): a wider batch column would otherwise silently EVOLVE
-        # the sink schema through the ingest union
-        env_s = sink.current_schema()
-        batch = pa.table(
-            {
-                c: (
-                    batch.column(c).cast(env_s.field(c).type)
-                    if c in env_s.names
-                    else batch.column(c)
+        exists_col = right_prefix + "exists"
+        if how == "left" and exists_col in sink_names:
+            b = b.append_column(
+                exists_col, pa.array(np.ones(b.num_rows, bool), pa.bool_())
+            )
+        joined = a.join(
+            b,
+            keys=["conv_id", "turn_idx"],
+            join_type="inner" if how == "inner" else "left outer",
+        )
+        if how == "left" and exists_col in joined.column_names:
+            joined = joined.set_column(
+                joined.column_names.index(exists_col),
+                exists_col,
+                pc.fill_null(joined.column(exists_col), False),
+            )
+        j_codes = _k64_codes(
+            joined.column("conv_id"), joined.column("turn_idx"), uniq
+        )
+        dead = kt.filter(pa.array(~np.isin(
+            _k64_codes(kt.column("conv_id"), kt.column("turn_idx"), uniq),
+            j_codes,
+        )))
+        stats["upserts"] += joined.num_rows
+        stats["deletes"] += dead.num_rows
+        parts = []
+        if joined.num_rows:
+            parts.append(
+                joined.append_column(
+                    "op",
+                    pa.array(
+                        np.full(joined.num_rows, "U", "U1"), pa.string()
+                    ),
                 )
-                for c in batch.column_names
-            }
-        )
-        ing.apply_changes(
-            sink,
-            batch,
-            batch_id=(
-                f"{gl}-eL{since_l + 1}-{upto_l}-eR{since_r + 1}-{upto_r}"
-            ),
-        )
+            )
+        if dead.num_rows:
+            parts.append(
+                dead.append_column(
+                    "op",
+                    pa.array(np.full(dead.num_rows, "D", "U1"), pa.string()),
+                )
+            )
+        if parts:
+            batch = pa.concat_tables(parts, promote_options="permissive")
+            # cast to the sink's DECLARED types (the working key type is
+            # int64): a wider batch column would otherwise silently EVOLVE
+            # the sink schema through the ingest union
+            env_s = sink.current_schema()
+            batch = pa.table(
+                {
+                    c: (
+                        batch.column(c).cast(env_s.field(c).type)
+                        if c in env_s.names
+                        else batch.column(c)
+                    )
+                    for c in batch.column_names
+                }
+            )
+            ing.apply_changes(
+                sink,
+                batch,
+                batch_id=f"{win_id}-c{ci // max_convs_per_batch:05d}",
+            )
+        if os.environ.get("XGEO_CRASH_AFTER_JOIN_CHUNK") == str(
+            ci // max_convs_per_batch
+        ):
+            os._exit(137)  # crash hook: this chunk applied, cursors not acked
     if os.environ.get("XGEO_CRASH_BEFORE_JOIN_ACK"):
         os._exit(137)  # crash hook: sink upserted, cursors not acked
     _cons.ack(left, gl, upto_l)
