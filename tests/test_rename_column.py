@@ -1,6 +1,9 @@
-"""Column rename (``ingest.rename_column``): full-image rewrite with the
-column renamed + metadata drop of the old name, exactly-once, time travel
-below the rename keeps the old name."""
+"""Column rename (``ingest.rename_column``): the rewrite=True path
+(full-image rewrite + metadata drop of the old name, exactly-once) plus
+the shared contracts (old-name discard after rename, compact erasure,
+CLI) — the default metadata-alias path has its own suite in
+test_rename_alias.py. test_rename_then_stream_and_compact and the CLI
+test deliberately run the DEFAULT (alias) mode."""
 
 import json
 import subprocess
@@ -48,7 +51,7 @@ def test_rename_basic_and_time_travel(tmp_path):
     before = _df(ing.snapshot(table))
     pre_epoch = table.latest_epoch()
 
-    out = ing.rename_column(table, "text", "body")
+    out = ing.rename_column(table, "text", "body", rewrite=True)
     assert out["renamed"] == {"text": "body"}
 
     got = _df(ing.snapshot(table))
@@ -70,10 +73,10 @@ def test_rename_basic_and_time_travel(tmp_path):
 
 def test_rename_exactly_once_and_crash_resume(tmp_path):
     table = _mk(str(tmp_path))
-    ing.rename_column(table, "text", "body")
+    ing.rename_column(table, "text", "body", rewrite=True)
     epoch = table.latest_epoch()
     # replay: the rewrite batch is committed -> no new epoch, drop stays
-    out = ing.rename_column(table, "text", "body")
+    out = ing.rename_column(table, "text", "body", rewrite=True)
     assert table.latest_epoch() == epoch
     assert out["renamed"] == {"text": "body"}
     assert "body" in ing.snapshot(table).schema().names
@@ -85,7 +88,9 @@ def test_rename_future_ts_rows_still_win(tmp_path):
     future = int(before["ts"].max().value // 1000) + 10_000_000
     # stamp the rewrite BELOW some rows' event time: the per-row
     # max(now, ts+1) bump must still beat every current version
-    ing.rename_column(table, "text", "body", ts_us=future - 60_000_000)
+    ing.rename_column(
+        table, "text", "body", ts_us=future - 60_000_000, rewrite=True
+    )
     got = _df(ing.snapshot(table))
     assert got["body"].equals(before["text"].rename("body"))
 
@@ -105,7 +110,7 @@ def test_rename_validations(tmp_path):
         ing.rename_column(table, "text", "tool")
     add = _mk(str(tmp_path / "a"), merge_policy="additive")
     with pytest.raises(ValueError, match="lww"):
-        ing.rename_column(add, "text", "body")
+        ing.rename_column(add, "text", "body", rewrite=True)
 
 
 def test_rename_then_stream_and_compact(tmp_path):

@@ -461,17 +461,24 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser(
         "rename-column",
-        help="rename a payload column (full-image rewrite: snapshot "
-        "streams out with the column renamed, then the old name is "
-        "metadata-dropped; exactly-once by batch id; time travel below "
-        "keeps the old name; NOTE resets every row's EVENT TIME to the "
-        "rename instant — as-of-ts travel, expire TTLs and event-time "
-        "watermarks all see the table as renamed-at)",
+        help="rename a payload column. Default: METADATA-ONLY alias "
+        "(zero data I/O, no event-time change; old files read through "
+        "the alias, physical erasure at the next full compact). "
+        "--rewrite restores the full-image rewrite (immediate physical "
+        "erasure, exactly-once by batch id; NOTE the rewrite resets "
+        "every row's EVENT TIME to the rename instant — as-of-ts "
+        "travel, expire TTLs and event-time watermarks all see the "
+        "table as renamed-at). Time travel below the rename keeps the "
+        "old name either way.",
     )
     p.add_argument("table")
     p.add_argument("old")
     p.add_argument("new")
     p.add_argument("--batch-id", default=None)
+    p.add_argument(
+        "--rewrite", action="store_true",
+        help="full-image rewrite instead of the metadata alias",
+    )
 
     p = sub.add_parser(
         "clone",
@@ -1053,7 +1060,8 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 json.dumps(
                     ing.rename_column(
-                        table, args.old, args.new, batch_id=args.batch_id
+                        table, args.old, args.new, batch_id=args.batch_id,
+                        rewrite=args.rewrite,
                     )
                 )
             )

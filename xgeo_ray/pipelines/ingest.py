@@ -214,6 +214,7 @@ class ApplyPartition:
         ts_watermarks: np.ndarray | None = None,
         history: str = "collapsed",
         stats_columns: list[str] | None = None,
+        aliases: dict[str, str] | None = None,
     ):
         # NOTE: no limit_worker_threads() here — instance-passed stages are
         # constructed on the DRIVER (pickled to workers, __init__ never
@@ -239,6 +240,9 @@ class ApplyPartition:
         from xgeo_ray.stages.collapse import MERGE_POLICIES
 
         self.policy_fn = MERGE_POLICIES[policy]["fn"]
+        # physical->logical column renames, used only where a worker
+        # reads PRIOR table files (the fused final-snapshot reduce)
+        self.aliases = aliases
         self.__name__ = "ApplyPartition"  # ray map_groups wraps fn.__name__
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -459,16 +463,9 @@ def _radix_reduce_snap(
     subs = [s for s in subs if s.num_rows]
     entry = None
     envelope = apply_partition.schema
-    tables = [
-        pq.read_table(
-            p,
-            columns=[
-                c for c in envelope.names if c in pq.read_schema(p).names
-            ],
-            use_threads=False,
-        )
-        for p in prior_paths
-    ]
+    tables = _read_env_tables(
+        prior_paths, envelope, getattr(apply_partition, "aliases", None)
+    )
     if subs:
         t = pa.concat_tables(subs, promote_options="permissive")
         entry, delta = apply_partition._apply_one(part, t, want_delta=True)
@@ -620,16 +617,30 @@ def _collect_entries(metrics: ray.data.Dataset) -> list[PartitionEntry]:
     return entries
 
 
-def _read_env_tables(paths: list[str], envelope: pa.Schema) -> list[pa.Table]:
+def _read_env_tables(
+    paths: list[str],
+    envelope: pa.Schema,
+    aliases: dict[str, str] | None = None,
+) -> list[pa.Table]:
     """Read delta files PROJECTED to the envelope's columns: a file
     written before a column was dropped still holds its bytes, and they
     must neither be read nor surface past the narrowed envelope (the
-    downstream ``cast_to`` fails fast on extras by design)."""
+    downstream ``cast_to`` fails fast on extras by design). ``aliases``
+    (``DeltaTable.column_aliases``) resolves metadata renames: a
+    pre-rename file's old physical name is read and surfaced under the
+    logical name, zero data rewritten."""
+    from xgeo_ray.schemas import aliased_read_columns, apply_aliases
+
     return [
-        pq.read_table(
-            p,
-            columns=[c for c in envelope.names if c in pq.read_schema(p).names],
-            use_threads=False,
+        apply_aliases(
+            pq.read_table(
+                p,
+                columns=aliased_read_columns(
+                    pq.read_schema(p).names, list(envelope.names), aliases
+                ),
+                use_threads=False,
+            ),
+            aliases,
         )
         for p in paths
     ]
@@ -651,10 +662,13 @@ def plan_envelope_schema(table: DeltaTable, segment_paths: list[str]) -> pa.Sche
     env = validate_envelope(unify(*schemas))
     # a DROPPED column arriving in new segments must not resurrect: the
     # union re-adds it, so subtract the drop set again (NormalizeEvents
-    # then discards the incoming values)
-    dropped = table.dropped_columns()
-    if dropped:
-        env = pa.schema([f for f in env if f.name not in dropped])
+    # then discards the incoming values). RETIRED names (the old side of
+    # a metadata rename) are subtracted the same way: values still
+    # arriving under the old name are discarded, matching the rewrite
+    # rename's contract.
+    dead = set(table.dropped_columns()) | table.retired_names()
+    if dead:
+        env = pa.schema([f for f in env if f.name not in dead])
     return env
 
 
@@ -718,7 +732,9 @@ def ingest_segments(
         # collapse would drop them
         precombine=MERGE_POLICIES[table.merge_policy]["precombinable"]
         and table.history != "full",
-        drop=frozenset(table.dropped_columns()),
+        drop=frozenset(
+            set(table.dropped_columns()) | table.retired_names()
+        ),
         dlq_dir=dlq_dir,
     )
     chunks = plan_read_chunks(segment_paths)
@@ -844,7 +860,14 @@ def run_stream(
         return (out, snapshot(table)) if final_snapshot else out
     P = table.num_partitions
     durable = table.durability == "full"
-    # cumulative schema-evolution plan, all from metadata (fail fast)
+    dropped = frozenset(
+        set(table.dropped_columns()) | table.retired_names()
+    )
+    # cumulative schema-evolution plan, all from metadata (fail fast).
+    # Dead names (dropped / renamed-away) are subtracted after every
+    # union: a straggler segment still carrying them must neither
+    # resurrect the column nor write the retired physical name next to
+    # its logical successor in one delta file (ambiguous reads).
     env = table.current_schema()
     envs: list[pa.Schema] = []
     chunk_lists = []
@@ -853,6 +876,8 @@ def run_stream(
             env = validate_envelope(unify(env, pq.read_schema(segs[0])))
         else:
             env = validate_envelope(unify(env, *[segment_schema(p) for p in segs]))
+        if dropped:
+            env = pa.schema([f for f in env if f.name not in dropped])
         envs.append(env)
         chunk_lists.append(plan_read_chunks(segs))
     wm = table.watermarks()
@@ -861,8 +886,6 @@ def run_stream(
     out: list[Manifest] = []
 
     from xgeo_ray.stages.collapse import MERGE_POLICIES
-
-    dropped = frozenset(table.dropped_columns())
 
     def launch_maps(i: int):
         if boot_group and i == 0:
@@ -907,6 +930,9 @@ def run_stream(
                 ts_watermarks=None if is_boot else tswm,
                 history=table.history,
                 stats_columns=table.stats_columns(),
+                # the fused final-snapshot reduce reads PRIOR files —
+                # pre-rename files surface under logical names there
+                aliases=table.column_aliases(),
             )
         )
         snap_refs = None
@@ -1001,9 +1027,11 @@ def bootstrap_base(
     watermark array is both safe and correct here."""
 
     envelope = unify(table.current_schema(), pq.read_schema(base_parquet))
-    dropped = table.dropped_columns()
-    if dropped:  # a dropped column in the base parquet stays dropped
-        envelope = pa.schema([f for f in envelope if f.name not in dropped])
+    # a dropped column in the base parquet stays dropped; a retired
+    # (renamed-away) name is discarded the same way
+    dead = set(table.dropped_columns()) | table.retired_names()
+    if dead:
+        envelope = pa.schema([f for f in envelope if f.name not in dead])
     epoch = table.latest_epoch() + 1
     from xgeo_ray.sources.wal import plan_read_chunks
 
@@ -1011,7 +1039,9 @@ def bootstrap_base(
         envelope,
         table.num_partitions,
         table.num_salts,
-        drop=frozenset(table.dropped_columns()),
+        drop=frozenset(
+            set(table.dropped_columns()) | table.retired_names()
+        ),
     )
     chunks = plan_read_chunks([os.path.abspath(base_parquet)])
     no_wm = np.full(table.num_partitions, -1, dtype=np.int64)
@@ -1107,7 +1137,9 @@ def _merge_part_task(
     columns: list[str] | None = None,
     as_of_ts_us: int | None = None,
     ranges: dict[str, tuple] | None = None,
+    aliases: dict[str, str] | None = None,
 ) -> pa.Table:
+    from xgeo_ray.schemas import aliased_read_columns, apply_aliases
     from xgeo_ray.tuning import limit_worker_threads
 
     limit_worker_threads()
@@ -1123,8 +1155,12 @@ def _merge_part_task(
         )
     tables = []
     for p in paths:
-        have = [c for c in read_cols if c in pq.read_schema(p).names]
-        t = pq.read_table(p, columns=have, use_threads=False)
+        have = aliased_read_columns(
+            pq.read_schema(p).names, read_cols, aliases
+        )
+        t = apply_aliases(
+            pq.read_table(p, columns=have, use_threads=False), aliases
+        )
         if as_of_ts_us is not None:
             # event-time travel: merge as if no event with ts > T ever
             # arrived (filter BEFORE the LWW merge, per file)
@@ -1282,10 +1318,11 @@ def snapshot(
     from xgeo_ray.stages.collapse import MERGE_POLICIES
 
     policy_fn = MERGE_POLICIES[table.merge_policy]["fn"]
+    aliases = table.column_aliases(as_of_epoch)
     refs = [
         _merge_part_task.remote(
             paths, envelope, keep_lineage, policy_fn, columns, as_of_ts_us,
-            ranges,
+            ranges, aliases,
         )
         for _, paths in sorted(plan.items())
     ]
@@ -1300,25 +1337,27 @@ def _read_delta_task(
     ts_min_us: int | None = None,
     ts_max_us: int | None = None,
     columns: list[str] | None = None,
+    aliases: dict[str, str] | None = None,
 ) -> pa.Table:
+    from xgeo_ray.schemas import aliased_read_columns, apply_aliases
     from xgeo_ray.tuning import limit_worker_threads
 
     limit_worker_threads()
     if columns is not None:
         # projection pushed to the PARQUET READ (+ ts when band-filtering)
         need = list(dict.fromkeys(list(columns) + (["ts"] if ts_min_us is not None or ts_max_us is not None else [])))
-        have = [c for c in need if c in pq.read_schema(path).names]
+        have = aliased_read_columns(pq.read_schema(path).names, need, aliases)
         t = pq.read_table(path, columns=have, use_threads=False)
         envelope = pa.schema([f for f in envelope if f.name in need])
     else:
         t = pq.read_table(
             path,
-            columns=[
-                c for c in envelope.names if c in pq.read_schema(path).names
-            ],
+            columns=aliased_read_columns(
+                pq.read_schema(path).names, list(envelope.names), aliases
+            ),
             use_threads=False,
         )
-    t = cast_to(t, envelope)
+    t = cast_to(apply_aliases(t, aliases), envelope)
     if ts_min_us is not None or ts_max_us is not None:
         ts = t.column("ts").cast(pa.int64())
         mask = None
@@ -1400,6 +1439,7 @@ def changes(
     ``columns`` pushes the projection to the parquet read — a narrow
     consumer never pulls the text payload off disk."""
     envelope = table.current_schema(upto_epoch)
+    aliases = table.column_aliases(upto_epoch)
     band = ts_min_us is not None or ts_max_us is not None
     refs = [
         _read_delta_task.remote(
@@ -1409,6 +1449,7 @@ def changes(
             ts_min_us if band else None,
             ts_max_us if band else None,
             columns,
+            aliases,
         )
         for path, epoch in _changes_plan(
             table, since_epoch, upto_epoch, ts_min_us, ts_max_us
@@ -1994,6 +2035,7 @@ def rename_column(
     new: str,
     batch_id: str | None = None,
     ts_us: int | None = None,
+    rewrite: bool = False,
 ) -> dict:
     """Rename a payload column — the last leg of the schema-evolution
     story (ADD via stream/union evolution, DROP via ``drop_columns``,
@@ -2003,47 +2045,52 @@ def rename_column(
     events must already carry ``new`` (values still arriving under
     ``old`` are discarded at normalize like any dropped column's).
 
-    EVENT-TIME SIDE EFFECT: every rewritten image is stamped at
-    ``max(now, row ts + 1µs)`` so it wins the LWW race (see
-    ``_to_images``), which means the whole table's event time resets to
-    the rename instant — ``as_of_ts_us`` travel below the rename,
-    ``expire()`` TTLs, event-time watermarks and time-bucket derives
-    over the changes feed all see every row as "renamed-at". Schedule
-    renames like any other full-table rewrite, and prefer doing them
-    before TTL/event-time policies attach to the table.
+    DEFAULT (``rewrite=False``): a METADATA-ONLY alias — one atomic
+    table-meta write, ZERO data I/O, the Iceberg/Delta column-mapping
+    shape. The rename is recorded in ``renamed_columns`` with the
+    current epoch; every read path (snapshot, changes, lookup,
+    lookup_many, key_history, feeds, views, join views, compaction,
+    export) translates the old physical name in pre-rename files to
+    the logical name via ``DeltaTable.column_aliases`` at the pruned
+    parquet read — no event-time reset, any merge policy, chains
+    compose (a->b then b->c). The next FULL ``compact`` physically
+    erases the old name (folded files are written under logical
+    names); ``restore`` below the rename epoch brings the old name
+    back. The retired old name cannot be reused by later streams
+    (values discarded at normalize, like a dropped column's).
 
-    Mechanism — an honest REWRITE, not a metadata alias: the snapshot
-    merge tasks stream full current-row images out with the column
-    renamed (out-of-band 'U' batch, seq=-1, LWW-winning ts), the union
-    evolves the envelope to include ``new``, then ``old`` is
-    metadata-dropped. Cost is one full-table rewrite (O(live rows), the
-    same bound as ``update_where`` with a match-all predicate) plus the
-    usual compact+vacuum to reclaim the old files. A zero-I/O metadata
-    rename needs field-ID column mapping through EVERY pruned read path
-    (the Iceberg approach) — a deployment-scale follow-up documented
-    here rather than half-built; the rewrite is exactly-once
-    (``batch_id``, default ``rename-<old>-to-<new>``) and crash-safe:
-    a crash between the rewrite commit and the drop marker re-runs to
-    the idempotent drop.
-
-    LWW tables only (the image must REPLACE; under additive it would
-    double the sums, and coalesce refuses oob seq=-1 ordering).
+    ``rewrite=True`` keeps the original honest-rewrite path for
+    callers that need PHYSICAL erasure of the old name immediately
+    (without waiting for a compact): the snapshot merge tasks stream
+    full current-row images out with the column renamed (out-of-band
+    'U' batch, seq=-1, LWW-winning ts), the union evolves the envelope
+    to include ``new``, then ``old`` is metadata-dropped. EVENT-TIME
+    SIDE EFFECT (rewrite only): every rewritten image is stamped at
+    ``max(now, row ts + 1µs)`` so it wins the LWW race, which resets
+    the whole table's event time to the rename instant — as_of_ts_us
+    travel, expire() TTLs, event-time watermarks and time-bucket
+    derives all see every row as "renamed-at". Rewrite requires
+    merge_policy='lww' (the image must REPLACE; under additive it
+    would double the sums, and coalesce refuses oob seq=-1 ordering)
+    and is exactly-once (``batch_id``, default
+    ``rename-<old>-to-<new>``) and crash-safe.
 
     No reference counterpart (stateless CLI,
     /root/reference/cmd/xgeo/main.go); standard lake-format surface
-    (Delta column-mapping / Iceberg RENAME COLUMN, here as a rewrite)."""
+    (Delta column-mapping / Iceberg RENAME COLUMN)."""
     import re as _re
     import time as _time
 
     from xgeo_ray.state.delta_table import LINEAGE_COLS
 
-    _reject_oob_on_coalesce(table, "rename_column")
-    if table.merge_policy != "lww":
-        raise ValueError(
-            f"rename_column requires merge_policy='lww' (got "
-            f"{table.merge_policy!r}): the renamed full-row image must "
-            "REPLACE the current version"
-        )
+    if rewrite:
+        _reject_oob_on_coalesce(table, "rename_column")
+        if table.merge_policy != "lww":
+            raise ValueError(
+                f"rename_column(rewrite=True) requires merge_policy='lww' "
+                f"(got {table.merge_policy!r}): the renamed full-row image "
+                "must REPLACE the current version"
+            )
     if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
         raise ValueError(f"new column name {new!r} is not an identifier")
     protected = set(_MERGE_COLS) | set(LINEAGE_COLS)
@@ -2058,6 +2105,19 @@ def rename_column(
             return {
                 "renamed": {old: new},
                 "from_epoch": table.dropped_columns()[old],
+            }
+        if new in envelope.names and any(
+            r["old"] == old and r["new"] == new
+            for r in table.renamed_columns()
+        ):
+            return {
+                "renamed": {old: new},
+                "from_epoch": next(
+                    r["epoch"]
+                    for r in table.renamed_columns()
+                    if r["old"] == old and r["new"] == new
+                ),
+                "mode": "alias",
             }
         raise ValueError(
             f"column {old!r} not in the table schema "
@@ -2074,6 +2134,23 @@ def rename_column(
             "dropped name would resurrect it through evolution; pick "
             "another name"
         )
+    if new in table.retired_names():
+        # a retired name still maps old files' bytes through the alias
+        # table — reintroducing it as a logical name would make those
+        # files ambiguous (is physical `new` the retired column or this
+        # one?); pick another name
+        raise ValueError(
+            f"column {new!r} was previously renamed away — reusing a "
+            "retired name would make pre-rename files ambiguous; pick "
+            "another name"
+        )
+    if not rewrite:
+        # the rename epoch is the CURRENT latest, mirroring drop_columns:
+        # snapshot() and snapshot(as_of_epoch=latest) agree immediately,
+        # strictly-older time travel still reads the old name
+        epoch = table.latest_epoch()
+        table.mark_renamed(old, new, epoch)
+        return {"renamed": {old: new}, "from_epoch": epoch, "mode": "alias"}
     if batch_id is None:
         batch_id = f"rename-{old}-to-{new}"
     if not _re.fullmatch(r"[A-Za-z0-9_.-]+", batch_id):
@@ -2576,13 +2653,14 @@ def reshard(
 
     policy = MERGE_POLICIES[table.merge_policy]["fn"]
     preserve_history = table.history == "full"
+    aliases = table.column_aliases()
 
     @ray.remote
     def fold_part(part: int, paths: list[str]) -> str:
         from xgeo_ray.tuning import limit_worker_threads
 
         limit_worker_threads()
-        tables = _read_env_tables(paths, envelope)
+        tables = _read_env_tables(paths, envelope, aliases)
         if preserve_history:
             from xgeo_ray.schemas import unify as _unify
             from xgeo_ray.stages.collapse import history_dedup
@@ -2710,8 +2788,10 @@ def restore(table: DeltaTable, to_epoch: int, force: bool = False) -> Manifest:
         )
     # rolling state below a column drop brings the column back: forget
     # drops recorded above the target BEFORE committing the marker, so
-    # the marker's schema (current_schema(to_epoch)) includes it again
+    # the marker's schema (current_schema(to_epoch)) includes it again;
+    # same for metadata renames — below the rename the old name returns
     table.prune_dropped_above(to_epoch)
+    table.prune_renamed_above(to_epoch)
     return table.commit_epoch(
         latest + 1,
         [f"restore:{to_epoch}"],
@@ -2907,6 +2987,9 @@ def lookup(
     blooms = table.file_blooms()
     policy_fn = MERGE_POLICIES[table.merge_policy]["fn"]
     envelope = table.current_schema()
+    aliases = table.column_aliases()
+    from xgeo_ray.schemas import aliased_read_columns, apply_aliases
+
     tables = []
     for part in sorted(parts):
         for p in plan.get(part, []):
@@ -2920,17 +3003,16 @@ def lookup(
             t = pq.read_table(
                 p,
                 # project to the envelope: pre-drop files still hold a
-                # dropped column's bytes and cast_to fails on extras
-                columns=[
-                    c
-                    for c in envelope.names
-                    if c in pq.read_schema(p).names
-                ],
+                # dropped column's bytes and cast_to fails on extras;
+                # pre-rename files surface under the logical names
+                columns=aliased_read_columns(
+                    pq.read_schema(p).names, list(envelope.names), aliases
+                ),
                 use_threads=False,
                 filters=[("conv_id", "==", conv_id)],
             )
             if t.num_rows:
-                tables.append(t)
+                tables.append(apply_aliases(t, aliases))
     t = merge_versions(tables, drop_tombstones=True, policy=policy_fn)
     if t.num_rows == 0:
         base = pa.schema(
@@ -2951,7 +3033,9 @@ def _lookup_part_task(
     conv_ids: list[str],
     envelope: pa.Schema,
     policy_fn,
+    aliases: dict[str, str] | None = None,
 ) -> pa.Table:
+    from xgeo_ray.schemas import aliased_read_columns, apply_aliases
     from xgeo_ray.tuning import limit_worker_threads
 
     limit_worker_threads()
@@ -2960,15 +3044,15 @@ def _lookup_part_task(
         t = pq.read_table(
             p,
             # envelope projection: see lookup() — dropped columns must
-            # not surface from pre-drop files
-            columns=[
-                c for c in envelope.names if c in pq.read_schema(p).names
-            ],
+            # not surface from pre-drop files; renamed columns alias
+            columns=aliased_read_columns(
+                pq.read_schema(p).names, list(envelope.names), aliases
+            ),
             use_threads=False,
             filters=[("conv_id", "in", conv_ids)],
         )
         if t.num_rows:
-            tables.append(t)
+            tables.append(apply_aliases(t, aliases))
     t = merge_versions(tables, drop_tombstones=True, policy=policy_fn)
     return cast_to(t, envelope) if t.num_rows else envelope.empty_table()
 
@@ -3034,8 +3118,9 @@ def lookup_many(
         paths = _pruned(plan[part], w)
         if paths:
             tasks.append((paths, w))
+    aliases = table.column_aliases(as_of_epoch)
     refs = [
-        _lookup_part_task.remote(paths, w, envelope, policy_fn)
+        _lookup_part_task.remote(paths, w, envelope, policy_fn, aliases)
         for paths, w in tasks
     ]
     tables = [t for t in ray.get(refs) if t.num_rows]
@@ -3094,6 +3179,9 @@ def key_history(
     plan = table.partition_files(as_of_epoch)
     blooms = table.file_blooms()
     envelope = table.current_schema(as_of_epoch)
+    aliases = table.column_aliases(as_of_epoch)
+    from xgeo_ray.schemas import aliased_read_columns, apply_aliases
+
     out_schema = envelope.append(pa.field("_epoch", pa.int64())).append(
         pa.field("_folded", pa.bool_())
     )
@@ -3104,9 +3192,9 @@ def key_history(
                 continue
             t = pq.read_table(
                 p,
-                columns=[
-                    c for c in envelope.names if c in pq.read_schema(p).names
-                ],
+                columns=aliased_read_columns(
+                    pq.read_schema(p).names, list(envelope.names), aliases
+                ),
                 use_threads=False,
                 filters=[("conv_id", "==", conv_id)],
             )
@@ -3115,7 +3203,7 @@ def key_history(
             name = os.path.basename(p)
             m = DELTA_FILENAME_RE.match(name)
             ep = int(m.group(1)) if m else -1
-            t = cast_to(t, envelope)
+            t = cast_to(apply_aliases(t, aliases), envelope)
             n = t.num_rows
             t = t.append_column(
                 "_epoch", pa.array(np.full(n, ep, np.int64))
@@ -3181,13 +3269,14 @@ def compact(
     # exact event-time travel; a FULL compact folds to state even there
     # (that is its job — and the travel guard then applies).
     preserve_history = minor and table.history == "full"
+    aliases = table.column_aliases()
 
     @ray.remote
     def compact_part(part: int, paths: list[str]) -> pa.Table:
         from xgeo_ray.tuning import limit_worker_threads
 
         limit_worker_threads()
-        tables = _read_env_tables(paths, envelope)
+        tables = _read_env_tables(paths, envelope, aliases)
         rows_in = sum(t.num_rows for t in tables)
         if preserve_history:
             from xgeo_ray.schemas import unify as _unify, cast_to as _cast
@@ -3402,6 +3491,7 @@ def _export_part(
     out_dir: str,
     keep_lineage: bool,
     policy: str = "lww",
+    aliases: dict[str, str] | None = None,
 ):
     """Merge-and-write one partition's visible files to the export dir;
     skipped entirely when the output file already exists (resume)."""
@@ -3411,7 +3501,7 @@ def _export_part(
     final = os.path.join(out_dir, f"part-{part:05d}.parquet")
     if os.path.exists(final):
         return (part, -1)
-    tables = _read_env_tables(paths, envelope)
+    tables = _read_env_tables(paths, envelope, aliases)
     t = merge_versions(tables, drop_tombstones=True, policy=policy)
     t = cast_to(t, envelope)
     if not keep_lineage:
@@ -3434,9 +3524,10 @@ def export_snapshot(
     from xgeo_ray.stages.collapse import MERGE_POLICIES
 
     policy_fn = MERGE_POLICIES[table.merge_policy]["fn"]
+    aliases = table.column_aliases()
     refs = [
         _export_part.remote(
-            part, paths, envelope, out_dir, keep_lineage, policy_fn
+            part, paths, envelope, out_dir, keep_lineage, policy_fn, aliases
         )
         for part, paths in sorted(plan.items())
     ]

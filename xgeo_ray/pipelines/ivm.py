@@ -137,6 +137,7 @@ def _before_after_task(
     envelope: pa.Schema,
     policy,
     payload: list[str],
+    aliases: dict[str, str] | None = None,
 ) -> pa.Table:
     """One touched partition's before/after feed rows.
 
@@ -152,13 +153,19 @@ def _before_after_task(
     from xgeo_ray.tuning import limit_worker_threads
 
     limit_worker_threads()
+    from xgeo_ray.schemas import aliased_read_columns, apply_aliases
+
     read_cols = list(dict.fromkeys(_MERGE_COLS + list(payload)))
     env = pa.schema([f for f in envelope if f.name in read_cols])
     out_schema = _feed_schema(envelope, payload)
 
     def _read(p: str) -> pa.Table:
-        have = [c for c in read_cols if c in pq.read_schema(p).names]
-        return pq.read_table(p, columns=have, use_threads=False)
+        have = aliased_read_columns(
+            pq.read_schema(p).names, read_cols, aliases
+        )
+        return apply_aliases(
+            pq.read_table(p, columns=have, use_threads=False), aliases
+        )
 
     wparts = []
     for p, e in window:
@@ -181,12 +188,17 @@ def _before_after_task(
     asof_tables = []
     for p in asof_paths:
         if touched_list is not None:
-            have = [c for c in read_cols if c in pq.read_schema(p).names]
-            t = pq.read_table(
-                p,
-                columns=have,
-                use_threads=False,
-                filters=[("conv_id", "in", touched_list)],
+            have = aliased_read_columns(
+                pq.read_schema(p).names, read_cols, aliases
+            )
+            t = apply_aliases(
+                pq.read_table(
+                    p,
+                    columns=have,
+                    use_threads=False,
+                    filters=[("conv_id", "in", touched_list)],
+                ),
+                aliases,
             )
         else:
             t = _read(p)
@@ -383,6 +395,7 @@ def _feed_refs(
     ``export_debezium``. Returns ``[(partition, ref)]`` plus the payload
     column list and the envelope schema."""
     envelope = table.current_schema(upto_epoch)
+    aliases = table.column_aliases(upto_epoch)
     from xgeo_ray.pipelines.ingest import _MERGE_COLS
     from xgeo_ray.state.delta_table import LINEAGE_COLS
 
@@ -401,7 +414,7 @@ def _feed_refs(
         (
             part,
             _before_after_task.remote(
-                files, asof.get(part, []), envelope, policy, payload
+                files, asof.get(part, []), envelope, policy, payload, aliases
             ),
         )
         for part, files in sorted(window.items())
@@ -735,7 +748,8 @@ def _export_debezium_snapshot(
         # keep_lineage=True so `seq` (a lineage column) survives the
         # merge; the trailing column select drops `op` anyway
         state = _merge_part_task.remote(
-            paths, envelope, True, policy_fn, cols, None
+            paths, envelope, True, policy_fn, cols, None, None,
+            table.column_aliases(upto),
         )
         path = os.path.join(snap_dir, f"part-{part}{ext}")
         refs.append(

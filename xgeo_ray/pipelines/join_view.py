@@ -177,6 +177,8 @@ def _join_part_task(
     suffix: str,
     out_schema: pa.Schema,
     out_path: str | None = None,
+    laliases: dict[str, str] | None = None,
+    raliases: dict[str, str] | None = None,
 ) -> pa.Table | int:
     """Merge-on-read both sides of ONE partition, join, sort by key.
     With ``out_path`` the result is committed to parquet and only the
@@ -187,13 +189,24 @@ def _join_part_task(
 
     limit_worker_threads()
 
-    def side(paths: list[str], fields: list[pa.Field], policy) -> pa.Table:
+    from xgeo_ray.schemas import aliased_read_columns, apply_aliases
+
+    def side(
+        paths: list[str], fields: list[pa.Field], policy, aliases=None
+    ) -> pa.Table:
         env = pa.schema(fields)
         want = list(dict.fromkeys(_MERGE_COLS + [f.name for f in fields]))
         tabs = []
         for p in paths:
-            have = [c for c in want if c in pq.read_schema(p).names]
-            tabs.append(pq.read_table(p, columns=have, use_threads=False))
+            have = aliased_read_columns(
+                pq.read_schema(p).names, want, aliases
+            )
+            tabs.append(
+                apply_aliases(
+                    pq.read_table(p, columns=have, use_threads=False),
+                    aliases,
+                )
+            )
         t = merge_versions(tabs, drop_tombstones=True, policy=policy)
         if t.num_rows == 0:
             return env.empty_table()
@@ -202,8 +215,8 @@ def _join_part_task(
         t = t.drop_columns([c for c in t.column_names if c not in env.names])
         return cast_to(t, env)
 
-    lt = side(lpaths, lfields, lpolicy)
-    rt = side(rpaths, rfields, rpolicy)
+    lt = side(lpaths, lfields, lpolicy, laliases)
+    rt = side(rpaths, rfields, rpolicy, raliases)
     joined = lt.join(
         rt,
         keys=list(on),
@@ -302,6 +315,9 @@ def join_snapshot(
             how,
             suffix,
             out_schema,
+            None,
+            left.column_aliases(as_of_epoch_left),
+            right.column_aliases(as_of_epoch_right),
         )
         for p in parts
     ]
@@ -410,6 +426,8 @@ def refresh_join_view(
             suffix,
             out_schema,
             os.path.join(view_dir, _part_file(p, gen)),
+            left.column_aliases(),
+            right.column_aliases(),
         )
         for p in stale
     }

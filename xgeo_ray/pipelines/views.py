@@ -105,6 +105,7 @@ def _refresh_part_delta(
     cached_path: str,
     out_path: str,
     columns: list[str] | None,
+    aliases: dict[str, str] | None = None,
 ) -> int:
     """Delta-aware refresh of one partition: aggregate ONLY the new epoch
     delta files and fold the result into the cached partial with
@@ -124,14 +125,24 @@ def _refresh_part_delta(
     if columns is not None:
         read_cols = list(dict.fromkeys(columns))
         envelope = pa.schema([f for f in envelope if f.name in read_cols])
+    from xgeo_ray.schemas import aliased_read_columns, apply_aliases
+
     tables = []
     for p in new_paths:
         have = (
-            None
+            aliased_read_columns(
+                pq.read_schema(p).names, list(envelope.names), aliases
+            )
             if read_cols is None
-            else [c for c in read_cols if c in pq.read_schema(p).names]
+            else aliased_read_columns(
+                pq.read_schema(p).names, read_cols, aliases
+            )
         )
-        tables.append(pq.read_table(p, columns=have, use_threads=False))
+        tables.append(
+            apply_aliases(
+                pq.read_table(p, columns=have, use_threads=False), aliases
+            )
+        )
     t = pa.concat_tables(
         [cast_to(x, envelope) for x in tables], promote_options="permissive"
     )
@@ -153,6 +164,7 @@ def _refresh_part(
     agg_fn,
     out_path: str,
     columns: list[str] | None,
+    aliases: dict[str, str] | None = None,
 ) -> int:
     from xgeo_ray.pipelines.ingest import _MERGE_COLS, _atomic_write_parquet
     from xgeo_ray.stages.collapse import merge_versions
@@ -170,10 +182,18 @@ def _refresh_part(
         # project to the envelope even unfiltered: files written before
         # a column drop still hold the bytes, and cast_to fails on extras
         read_cols = list(envelope.names)
+    from xgeo_ray.schemas import aliased_read_columns, apply_aliases
+
     tables = []
     for p in paths:
-        have = [c for c in read_cols if c in pq.read_schema(p).names]
-        tables.append(pq.read_table(p, columns=have, use_threads=False))
+        have = aliased_read_columns(
+            pq.read_schema(p).names, read_cols, aliases
+        )
+        tables.append(
+            apply_aliases(
+                pq.read_table(p, columns=have, use_threads=False), aliases
+            )
+        )
     t = cast_to(merge_versions(tables, drop_tombstones=True, policy=policy), envelope)
     t = t.drop_columns([c for c in LINEAGE_COLS if c in t.column_names])
     out = agg_fn(t)
@@ -228,6 +248,7 @@ def refresh_view(
     ver = _partition_version(table)
     plan = table.partition_files()
     envelope = table.current_schema()
+    aliases = table.column_aliases()
     from xgeo_ray.stages.collapse import MERGE_POLICIES
 
     policy_fn = MERGE_POLICIES[table.merge_policy]["fn"]
@@ -271,6 +292,7 @@ def refresh_view(
                 cached_path,
                 out_path,
                 columns,
+                aliases,
             )
         else:
             refs[part] = _refresh_part.remote(
@@ -280,6 +302,7 @@ def refresh_view(
                 agg_fn,
                 out_path,
                 columns,  # prune the merge read to what agg_fn touches
+                aliases,
             )
     rows = ray.get(list(refs.values()))
     for part in refs:

@@ -132,6 +132,56 @@ def cast_to(table: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=schema)
 
 
+def aliased_read_columns(
+    file_names: list[str] | set[str],
+    want: list[str],
+    aliases: dict[str, str] | None,
+) -> list[str]:
+    """Physical column list for a pruned parquet read of one table file:
+    each LOGICAL name in ``want`` resolves to whichever of its physical
+    spellings the file actually carries — the file's own (post-rename)
+    name first, else any retired old name that maps to it through
+    ``aliases`` (``DeltaTable.column_aliases``, physical->logical).
+    Columns the file has under neither spelling are omitted (cast_to
+    null-fills them). With no aliases this is exactly the ubiquitous
+    ``[c for c in want if c in file_names]`` projection."""
+    fn = set(file_names)
+    if not aliases:
+        return [c for c in want if c in fn]
+    by_logical: dict[str, list[str]] = {}
+    for old, new in aliases.items():
+        by_logical.setdefault(new, []).append(old)
+    out = []
+    for c in want:
+        if c in fn:
+            out.append(c)
+            continue
+        for old in by_logical.get(c, ()):
+            if old in fn:
+                out.append(old)
+                break
+    return out
+
+
+def apply_aliases(t: pa.Table, aliases: dict[str, str] | None) -> pa.Table:
+    """Rename any physical (pre-rename) column names in ``t`` to their
+    logical names — zero-copy metadata on the table. Call right after
+    reading a table-owned parquet file, before ``cast_to``. A file that
+    (defensively) carries BOTH spellings keeps the logical one and
+    drops the retired one — renaming would create a duplicate name."""
+    if not aliases:
+        return t
+    names = t.column_names
+    hit = [n for n in names if n in aliases]
+    if not hit:
+        return t
+    both = [n for n in hit if aliases[n] in names]
+    if both:
+        t = t.drop_columns(both)
+        names = t.column_names
+    return t.rename_columns([aliases.get(n, n) for n in names])
+
+
 def schema_fingerprint(schema: pa.Schema) -> str:
     """Stable short fingerprint of a schema for manifests."""
     import hashlib

@@ -258,6 +258,76 @@ class DeltaTable:
         self._mutate_meta(_m)
         return revived
 
+    # ------------------------------------------------------ renamed columns
+    def renamed_columns(self) -> list[dict]:
+        """Ordered METADATA-ONLY rename history:
+        ``[{"old", "new", "epoch"}, ...]``. A rename is visible to
+        readers at or past its epoch (the same contract as
+        ``dropped_columns``); time travel strictly below it reads the
+        old name from the pre-rename files. Files never rewrite — read
+        paths translate physical (file) names to logical names via
+        ``column_aliases``."""
+        with open(os.path.join(self.root, TABLE_META)) as f:
+            raw = json.load(f).get("renamed_columns", [])
+        return [
+            {"old": r["old"], "new": r["new"], "epoch": int(r["epoch"])}
+            for r in raw
+        ]
+
+    def mark_renamed(self, old: str, new: str, epoch: int) -> None:
+        """Record a metadata rename ``old`` -> ``new`` visible from
+        ``epoch``. A replayed identical rename is a no-op."""
+
+        def _m(meta):
+            lst = meta.setdefault("renamed_columns", [])
+            if any(r["old"] == old and r["new"] == new for r in lst):
+                return
+            lst.append({"old": old, "new": new, "epoch": int(epoch)})
+
+        self._mutate_meta(_m)
+
+    def prune_renamed_above(self, epoch: int) -> list[tuple[str, str]]:
+        """Forget renames recorded above ``epoch`` — restore's
+        companion: rolling state back below a rename restores the old
+        name (the files still carry it; only the alias disappears)."""
+        undone: list[tuple[str, str]] = []
+
+        def _m(meta):
+            keep = []
+            for r in meta.get("renamed_columns", []):
+                if int(r["epoch"]) > epoch:
+                    undone.append((r["old"], r["new"]))
+                else:
+                    keep.append(r)
+            meta["renamed_columns"] = keep
+
+        self._mutate_meta(_m)
+        return undone
+
+    def column_aliases(self, as_of_epoch: int | None = None) -> dict[str, str]:
+        """Physical (in-file) column name -> current LOGICAL name,
+        composed through chained renames visible at ``as_of_epoch``
+        (a->b then b->c yields {a: c, b: c}). {} when no rename applies
+        — every read path skips translation then, so unrenamed tables
+        pay nothing."""
+        out: dict[str, str] = {}
+        for r in self.renamed_columns():
+            if as_of_epoch is not None and r["epoch"] > as_of_epoch:
+                continue
+            old, new = r["old"], r["new"]
+            for k, v in out.items():
+                if v == old:
+                    out[k] = new
+            out[old] = new
+        return out
+
+    def retired_names(self) -> set[str]:
+        """Every name that was ever the OLD side of a rename — incoming
+        WAL data under these names is discarded at normalize (no
+        resurrection through evolution's union), and they are not legal
+        as rename targets."""
+        return {r["old"] for r in self.renamed_columns()}
+
     # ------------------------------------------------------------- manifests
     def manifests(self) -> list[Manifest]:
         return read_manifests(self.root, cache=self._manifest_cache)
@@ -398,6 +468,20 @@ class DeltaTable:
             if ms
             else unify(CHANGE_EVENTS_SCHEMA, self.base_schema())
         )
+        # metadata renames FIRST: the last visible manifest's schema
+        # carries whichever name was current when it committed;
+        # translate still-physical old names to their logical names
+        # (type/nullability/field metadata ride along). Drops recorded
+        # AFTER a rename are keyed by the logical (new) name, so the
+        # drop subtraction below must see logical names.
+        aliases = self.column_aliases(as_of_epoch)
+        if aliases:
+            env = pa.schema(
+                [
+                    f.with_name(aliases[f.name]) if f.name in aliases else f
+                    for f in env
+                ]
+            )
         dropped = self.dropped_columns()
         if dropped:
             cut = {
@@ -585,6 +669,12 @@ class DeltaTable:
                 "'additive': merged values are sums no single file's "
                 "zone map bounds"
             )
+        # stats are recorded under the PHYSICAL name of the writing
+        # epoch: after a metadata rename, a pre-rename file's stats for
+        # the logical column live under any of its retired spellings
+        spellings = [col] + [
+            old for old, new in self.column_aliases().items() if new == col
+        ]
         base, chain = self._walk_visible(None, with_stats=True)
         out = []
         for k in range(self.num_partitions):
@@ -596,11 +686,12 @@ class DeltaTable:
                     out.append(k)
                     break
                 st = json.loads(stats_json)
-                if col not in st:
+                name = next((s for s in spellings if s in st), None)
+                if name is None:
                     # not declared when this file was written: unknown
                     out.append(k)
                     break
-                mm = st[col]
+                mm = st[name]
                 if mm is None:
                     # declared but every value null: null never matches
                     # a range — this file is provably disjoint
