@@ -265,7 +265,41 @@ def cdc_stream_metrics(sf_dir: str):
         )
 
     scd2 = ivm.read_scd2(dim).map_batches(scd2_rows, batch_format="pyarrow")
-    return ops.union(wm).union(agg).union(scd2)
+    # END-TO-END STRUCT leg (kind='struct'): the derived stream gains a
+    # NESTED tool_call struct {fn, n_args} and ingests into a real
+    # DeltaTable — struct envelope validation, manifest JSON type
+    # encoding, radix exchange, LWW collapse and the pruned snapshot
+    # merge all carry the nested column; the leg then aggregates per
+    # struct-field value (count + sum of n_args over the LWW winners),
+    # so a hash match certifies struct payloads end-to-end while the
+    # output stays flat (kind, k, n, v).
+    work_s = f"/tmp/xgeo_struct_q_{os.path.basename(os.path.normpath(sf_dir))}"
+    groups_s = _seq_ranged_wal(
+        sf_dir, work_s, derive_fn=_derive_struct_events
+    )
+    src_s = DeltaTable.create(f"{work_s}/src", num_partitions=8, num_salts=2)
+    ing.run_stream(src_s, [], segment_groups=groups_s)
+    snap_s = ing.snapshot(
+        src_s, columns=["conv_id", "turn_idx", "tool_call"]
+    )
+    structs = partial_group_agg(
+        snap_s.map_batches(
+            _struct_extract, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["k"],
+        [("n_args", "count", "n"), ("n_args", "sum", "v")],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "kind": pa.array(np.full(b.num_rows, "struct"), pa.string()),
+                "k": b.column("k"),
+                "n": b.column("n").cast(pa.int64()),
+                "v": b.column("v").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ops.union(wm).union(agg).union(scd2).union(structs)
 
 
 def cdc_dedup_replay(sf_dir: str):
@@ -400,6 +434,39 @@ def _derived_upper_stage(t: pa.Table) -> pa.Table:
     resolve it by import, not by-value pickle)."""
     i = t.schema.get_field_index("text")
     return t.set_column(i, "text", pc.utf8_upper(t.column("text")))
+
+
+def _derive_struct_events(sf_dir: str) -> ray.data.Dataset:
+    """The derived change stream plus a NESTED ``tool_call`` struct
+    payload ``{fn: string, n_args: int64}`` — both fields deterministic
+    functions of seq, so the DuckDB oracle re-derives them relationally
+    while the engine carries them as a real struct column (module-level
+    so _seq_ranged_wal's workers import it)."""
+    ds = derive_change_events(sf_dir)
+
+    def attach(b: pa.Table) -> pa.Table:
+        seq = b.column("seq").to_numpy()
+        fn = pc.binary_join_element_wise(
+            "fn", pc.cast(pa.array(seq % 3, pa.int64()), pa.string()), ""
+        )
+        if isinstance(fn, pa.ChunkedArray):
+            fn = fn.combine_chunks()
+        tc = pa.StructArray.from_arrays(
+            [fn, pa.array(seq % 7, pa.int64())], names=["fn", "n_args"]
+        )
+        return b.append_column("tool_call", tc)
+
+    return ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _struct_extract(b: pa.Table) -> pa.Table:
+    tc = b.column("tool_call")
+    return pa.table(
+        {
+            "k": pc.struct_field(tc, "fn"),
+            "n_args": pc.struct_field(tc, "n_args"),
+        }
+    )
 
 
 def _seq_ranged_wal(
@@ -2014,6 +2081,18 @@ def build_oracle_sql() -> dict[str, str]:
                     PARTITION BY conv_id, turn_idx, valid_from
                     ORDER BY epoch DESC) = 1
             )
+            UNION ALL
+            SELECT 'struct' AS kind, k, count(*) AS n,
+                   CAST(sum(n_args) AS BIGINT) AS v
+            FROM (
+                SELECT 'fn' || CAST(seq % 3 AS VARCHAR) AS k,
+                       seq % 7 AS n_args
+                FROM ev
+                QUALIFY row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY ts DESC, seq DESC) = 1
+                  AND op <> 'D'
+            ) GROUP BY k
         """,
         "cdc_join_state": f"""
             WITH ev AS ({derive}),

@@ -92,6 +92,24 @@ def promote_types(a: pa.DataType, b: pa.DataType) -> pa.DataType:
     if pa.types.is_timestamp(a) and pa.types.is_timestamp(b):
         order = {"s": 0, "ms": 1, "us": 2, "ns": 3}
         return a if order[a.unit] >= order[b.unit] else b
+    # struct evolution: union of fields (first-seen order, common field
+    # types promoted recursively, new fields nullable) — a tool-call
+    # payload can grow sub-fields across segments like top-level columns
+    if pa.types.is_struct(a) and pa.types.is_struct(b):
+        fields: dict[str, pa.DataType] = {f.name: f.type for f in a}
+        for f in b:
+            if f.name in fields:
+                fields[f.name] = promote_types(fields[f.name], f.type)
+            else:
+                fields[f.name] = f.type
+        return pa.struct([pa.field(n, t) for n, t in fields.items()])
+    # lists promote element-wise when both sides are the same list kind
+    for is_kind, mk in (
+        (pa.types.is_list, pa.list_),
+        (pa.types.is_large_list, pa.large_list),
+    ):
+        if is_kind(a) and is_kind(b):
+            return mk(promote_types(a.value_type, b.value_type))
     raise TypeError(f"cannot promote {a} and {b}")
 
 
@@ -111,10 +129,65 @@ def unify(*schemas: pa.Schema) -> pa.Schema:
     return pa.schema([pa.field(n, t) for n, t in fields.items()])
 
 
+def _cast_array(col, target: pa.DataType):
+    """Cast one column to ``target``, recursing through struct / list
+    shells Arrow's cast kernel refuses to widen: a struct casts to a
+    WIDER struct by null-filling the missing sub-fields (the in-struct
+    analogue of cast_to's top-level null-fill), a list by casting its
+    values. Null masks are preserved at every level."""
+    if col.type.equals(target):
+        return col
+    try:
+        return col.cast(target)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        pass
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_struct(col.type) and pa.types.is_struct(target):
+        have = {f.name: i for i, f in enumerate(col.type)}
+        n = len(col)
+        arrays = []
+        for f in target:
+            if f.name in have:
+                arrays.append(_cast_array(col.field(have[f.name]), f.type))
+            else:
+                arrays.append(pa.nulls(n, f.type))
+        return pa.StructArray.from_arrays(
+            arrays,
+            fields=list(target),
+            mask=col.is_null() if col.null_count else None,
+        )
+    if (
+        pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+    ) and (pa.types.is_list(target) or pa.types.is_large_list(target)):
+        values = _cast_array(col.values, target.value_type)
+        cls = (
+            pa.LargeListArray
+            if pa.types.is_large_list(target)
+            else pa.ListArray
+        )
+        offsets = col.offsets
+        if pa.types.is_large_list(target) != pa.types.is_large_list(col.type):
+            offsets = offsets.cast(
+                pa.int64() if pa.types.is_large_list(target) else pa.int32()
+            )
+        out = cls.from_arrays(offsets, values)
+        # from_arrays(offsets, values) drops the validity bitmap; only
+        # rebuild when the source actually had nulls
+        if col.null_count:
+            out = pa.Array.from_pandas(
+                out.to_pandas().where(col.is_valid().to_pandas(), None),
+                type=target,
+            )
+        return out
+    return col.cast(target)  # surface Arrow's original error
+
+
 def cast_to(table: pa.Table, schema: pa.Schema) -> pa.Table:
     """Cast a batch to the union schema: missing columns null-filled, int
-    widening applied, column order normalized. Extra columns in ``table``
-    that the schema lacks are an error (unify first)."""
+    widening applied, column order normalized (structs widen
+    recursively — see ``_cast_array``). Extra columns in ``table`` that
+    the schema lacks are an error (unify first)."""
     n = table.num_rows
     cols = []
     names = set(table.column_names)
@@ -122,7 +195,7 @@ def cast_to(table: pa.Table, schema: pa.Schema) -> pa.Table:
         if f.name in names:
             col = table.column(f.name)
             if not col.type.equals(f.type):
-                col = col.cast(f.type)
+                col = _cast_array(col, f.type)
             cols.append(col)
         else:
             cols.append(pa.nulls(n, f.type))

@@ -42,8 +42,11 @@ _TYPE_PARSERS = {
 }
 
 # flat lists of the primitive types above (embedding columns:
-# list<float>, list<double>, …); nested lists/structs stay fail-fast
+# list<float>, list<double>, …) keep the legacy flat-string manifest
+# encoding; structs / list<struct> encode as nested JSON (below)
 _LIST_TYPE_RE = re.compile(r"^(large_)?list<item: ([^<>]+)>$")
+
+_MAX_NEST_DEPTH = 8  # tool-call transcripts are depth 3-4; 8 is headroom
 
 
 def _parse_type(t: str) -> pa.DataType | None:
@@ -56,31 +59,80 @@ def _parse_type(t: str) -> pa.DataType | None:
     return None
 
 
+def _type_to_json(t: pa.DataType, depth: int = 0):
+    """Manifest encoding of one column type: the legacy flat string for
+    primitives/flat lists (old manifests stay byte-identical), a nested
+    JSON object for struct / list-of-struct payloads (tool-call
+    transcripts, the reference's depth-4 nested data model —
+    /root/reference/io/shp.go:48-92)."""
+    if depth > _MAX_NEST_DEPTH:
+        raise TypeError(f"envelope type nests deeper than {_MAX_NEST_DEPTH}")
+    s = str(t)
+    if _parse_type(s) is not None:
+        return s
+    if pa.types.is_struct(t):
+        return {
+            "struct": [
+                [f.name, _type_to_json(f.type, depth + 1)] for f in t
+            ]
+        }
+    if pa.types.is_large_list(t):
+        return {"large_list": _type_to_json(t.value_type, depth + 1)}
+    if pa.types.is_list(t):
+        return {"list": _type_to_json(t.value_type, depth + 1)}
+    raise TypeError(
+        f"unsupported envelope column type {s}; supported: "
+        f"{sorted(_TYPE_PARSERS)}, lists of those, and struct/"
+        "list<struct> compositions — cast or drop the column in the "
+        "source, or extend manifest._TYPE_PARSERS"
+    )
+
+
+def _json_to_type(j) -> pa.DataType:
+    if isinstance(j, str):
+        t = _parse_type(j)
+        if t is None:
+            raise TypeError(f"unknown manifest type string {j!r}")
+        return t
+    if isinstance(j, dict) and len(j) == 1:
+        ((kind, inner),) = j.items()
+        if kind == "struct":
+            return pa.struct(
+                [pa.field(n, _json_to_type(it)) for n, it in inner]
+            )
+        if kind == "list":
+            return pa.list_(_json_to_type(inner))
+        if kind == "large_list":
+            return pa.large_list(_json_to_type(inner))
+    raise TypeError(f"malformed manifest type entry {j!r}")
+
+
 def validate_envelope(schema: pa.Schema) -> pa.Schema:
     """Fail fast on envelope types the manifest cannot record (e.g. an
-    all-null JSON column inferred as ``null``, or a struct from an
-    evolved segment; flat lists of primitives ARE supported — embedding
-    payloads). Called at PLAN time, before the epoch's
-    read/shuffle/write — not at commit time when the work is already
-    spent."""
-    bad = [
-        (f.name, str(f.type))
-        for f in schema
-        if _parse_type(str(f.type)) is None
-    ]
+    all-null JSON column inferred as ``null``). Primitives, flat lists,
+    structs and list<struct> compositions (to depth 8) are supported —
+    embedding payloads and structured tool-call transcripts. Called at
+    PLAN time, before the epoch's read/shuffle/write — not at commit
+    time when the work is already spent."""
+    bad = []
+    for f in schema:
+        try:
+            _type_to_json(f.type)
+        except TypeError:
+            bad.append((f.name, str(f.type)))
     if bad:
         raise TypeError(
             f"unsupported envelope column types {bad}; supported: "
-            f"{sorted(_TYPE_PARSERS)} + flat lists of those — cast or "
-            "drop these columns in the source, or extend "
-            "manifest._TYPE_PARSERS"
+            f"{sorted(_TYPE_PARSERS)}, lists of those, and struct/"
+            "list<struct> compositions — cast or drop these columns in "
+            "the source, or extend manifest._TYPE_PARSERS"
         )
     return schema
 
 
-def schema_to_json(schema: pa.Schema) -> list[list[str]]:
+def schema_to_json(schema: pa.Schema) -> list[list]:
     validate_envelope(schema)
-    return [[f.name, str(f.type)] for f in schema]
+    return [[f.name, _type_to_json(f.type)] for f in schema]
 
 
 def fsync_dir(path: str) -> None:
@@ -93,8 +145,8 @@ def fsync_dir(path: str) -> None:
     DEFAULT_STORAGE.sync_dir(path)
 
 
-def schema_from_json(fields: list[list[str]]) -> pa.Schema:
-    return pa.schema([pa.field(n, _parse_type(t)) for n, t in fields])
+def schema_from_json(fields: list[list]) -> pa.Schema:
+    return pa.schema([pa.field(n, _json_to_type(t)) for n, t in fields])
 
 
 @dataclass
