@@ -1006,3 +1006,45 @@ def test_strip_contaminated_spans_matches_sql_oracle():
     ).fetchdf()
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["text"].tolist() == want["text"].tolist()
+
+
+def test_multimodal_codec_registry():
+    """register_codec swaps the stub for a 'real' decoder without
+    touching the stage: the injected codec's loader runs once per
+    worker process and its decode output flows through DecodeMedia —
+    the deployment seam for PIL/ffmpeg (round-5 verdict item 7)."""
+    import ray
+
+    from xgeo_ray.functions import multimodal as mm
+
+    calls = {"loads": 0}
+
+    def fake_loader():
+        calls["loads"] += 1
+        return lambda payload: (1920, 1080, 4)
+
+    mm.register_codec("fake_camera", fake_loader)
+    try:
+        media = mm.docs_to_media(_docs())
+        # driver-side: the loader resolves by name at stage build
+        dec = mm.DecodeMedia(codec="fake_camera")(media)
+        assert dec.column("width").to_pylist() == [1920] * media.num_rows
+        assert dec.column("channels").to_pylist() == [4] * media.num_rows
+        # distributed: the pickled loader reaches worker processes
+        ds = ray.data.from_arrow(media).map_batches(
+            mm.DecodeMedia(codec="fake_camera"),
+            batch_format="pyarrow",
+            batch_size=8,
+        )
+        out = ds.to_pandas()
+        assert (out["height"] == 1080).all()
+        # unknown codec fails fast at stage build, not mid-pipeline
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unknown codec"):
+            mm.DecodeMedia(codec="nope")
+        # a loader callable works directly too
+        direct = mm.DecodeMedia(codec=fake_loader)(media)
+        assert direct.column("width").to_pylist()[0] == 1920
+    finally:
+        mm.CODECS.pop("fake_camera", None)

@@ -43,6 +43,30 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, int]:
 # task-based without re-paying model load per task.
 _DECODER_CACHE: dict[str, object] = {}
 
+# ------------------------------------------------------------- codec registry
+# Pluggable decoders, the merge-policy discipline (stages/collapse.py
+# MERGE_POLICIES): a deployment swaps the sandbox stub for PIL/turbojpeg
+# /ffmpeg by registering a LOADER — called once per worker process, so
+# the heavy import/model-load cost is paid per process, never per batch.
+# Loaders resolve on the DRIVER and ship pickled with the stage instance
+# (a name-lookup in workers would miss runtime-registered codecs).
+CODECS: dict[str, dict] = {}
+
+
+def register_codec(kind: str, loader) -> None:
+    """Register a decoder for ``kind``: ``loader()`` must return a
+    callable ``decode(payload: bytes) -> (width, height, channels)``.
+    The loader runs once per worker process (import PIL, open the
+    model, pin the GPU slot there)."""
+    CODECS[kind] = {"loader": loader}
+
+
+def _stub_loader():
+    return _decode_image_stub
+
+
+register_codec("image", _stub_loader)
+
 
 class DecodeMedia:
     """Decode stage with per-worker-process model caching. Two shapes:
@@ -58,16 +82,33 @@ class DecodeMedia:
       when the model is too large to share a task-worker heap or pins a
       GPU slot. The same lazy cache serves as the per-actor load.
 
+    ``codec`` picks the registered decoder (``register_codec``) by name,
+    or takes a loader callable directly — either way the loader is
+    resolved on the driver and runs once per worker process.
+
     Small batches either way: payload rows are wide (batch bytes, not
     batch rows, is the memory unit for binary columns)."""
 
-    def __init__(self):
+    def __init__(self, codec: str = "image"):
+        if isinstance(codec, str):
+            if codec not in CODECS:
+                raise ValueError(
+                    f"unknown codec {codec!r} (registered: "
+                    f"{sorted(CODECS)}); register_codec() it first"
+                )
+            self._loader = CODECS[codec]["loader"]
+            self._cache_key = codec
+        else:
+            self._loader = codec
+            self._cache_key = getattr(codec, "__name__", repr(codec))
         self.decode = None  # resolved lazily, once per worker process
 
     def _ensure_loaded(self):
         if self.decode is None:
             # "model load" happens here, once per process
-            self.decode = _DECODER_CACHE.setdefault("image", _decode_image_stub)
+            self.decode = _DECODER_CACHE.setdefault(
+                self._cache_key, self._loader()
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         self._ensure_loaded()

@@ -324,6 +324,7 @@ class ApplyPartition:
                 pc.sum(pc.equal(collapsed.column("op"), "D")).as_py() or 0
             ),
             max_seq=int(pc.max(t.column("seq")).as_py()) if t.num_rows else wm,
+            min_seq=_min_stream_seq(t),
             max_ts=int(pc.max(collapsed.column("ts")).cast(pa.int64()).as_py())
             if collapsed.num_rows
             else -1,
@@ -351,6 +352,16 @@ class ApplyPartition:
         return _entry_to_table(entry)
 
 
+def _min_stream_seq(t: pa.Table) -> int:
+    """Smallest NON-NEGATIVE SURVIVING seq in this partition batch (-1
+    if none) — the per-file seq zone map. Out-of-band rows (seq=-1)
+    are skipped. NOT the epoch's stream start (see PartitionEntry.
+    min_seq): group_snapshot_plan uses totals["min_seq"] instead."""
+    seqs = t.column("seq")
+    pos = seqs.filter(pc.greater_equal(seqs, 0))
+    return int(pc.min(pos).as_py()) if len(pos) else -1
+
+
 _ENTRY_SCHEMA = pa.schema(
     [
         ("part_key", pa.int64()),
@@ -362,6 +373,7 @@ _ENTRY_SCHEMA = pa.schema(
         ("applied", pa.int64()),
         ("tombstones", pa.int64()),
         ("max_seq", pa.int64()),
+        ("min_seq", pa.int64()),
         ("max_ts", pa.int64()),
         ("min_ts", pa.int64()),
         ("bytes", pa.int64()),
@@ -750,6 +762,15 @@ def ingest_segments(
     if os.environ.get("XGEO_CRASH_BEFORE_COMMIT"):
         os._exit(137)  # crash-injection hook for exactly-once tests
     extra: dict[str, int] = {"events_read": events_read, "invalid": invalid}
+    if not watermark_exempt:
+        from xgeo_ray.sources.wal import segment_seq_min
+
+        mins = [segment_seq_min(p) for p in segment_paths]
+        if mins and all(m >= 0 for m in mins):
+            # the epoch's TRUE stream start, from parquet stats alone —
+            # group_snapshot_plan's consistent-cut bound (per-file row
+            # minima understate coverage: pre-collapse absorbs rows)
+            extra["min_seq"] = min(mins)
     if watermark_exempt:
         # out-of-band batch (correction/backfill/predicate-delete): its
         # rows are stamped with operational wall-clock ts, not stream
@@ -980,6 +1001,12 @@ def run_stream(
             )
             continue  # bootstrap max_seq is -1: watermarks unchanged
         events_read = sum(segment_row_count(p) for p in segs)
+        from xgeo_ray.sources.wal import segment_seq_min
+
+        seg_mins = [segment_seq_min(p) for p in segs]
+        extra_rs: dict[str, int] = {}
+        if seg_mins and all(m >= 0 for m in seg_mins):
+            extra_rs["min_seq"] = min(seg_mins)
         out.append(
             table.commit_epoch(
                 epoch,
@@ -987,6 +1014,7 @@ def run_stream(
                 entries,
                 envs[i],
                 extra_totals={
+                    **extra_rs,
                     "events_read": events_read,
                     "invalid": sum(ray.get(invalid_refs)),
                     # streaming ops metrics: barrier cost of this epoch
@@ -3508,6 +3536,149 @@ def _export_part(
         t = t.drop_columns(LINEAGE_COLS)
     _atomic_write_parquet(t, final)
     return (part, t.num_rows)
+
+
+def _stream_cuts(table: DeltaTable) -> list[tuple[int, int, int]]:
+    """Per STREAM epoch of ``table``: (epoch, cumulative max applied
+    seq, epoch min applied seq). Out-of-band epochs (bootstraps,
+    corrections, predicate deletes — totals["oob"]) and compactions
+    carry no stream position and are skipped; they ride with whatever
+    epoch pin contains them. min = -1 on pre-min_seq manifests
+    (consistent cuts then degrade conservatively)."""
+    out: list[tuple[int, int, int]] = []
+    cum = -1
+    for m in table.effective_manifests():
+        if m.kind != "delta" or m.totals.get("oob"):
+            continue
+        mx = max((e.max_seq for e in m.partitions.values()), default=-1)
+        if mx < 0:
+            continue
+        cum = max(cum, mx)
+        # the epoch's true stream start comes from totals["min_seq"]
+        # (segment parquet stats at commit time); per-PARTITION entry
+        # minima would OVERSTATE it — the map-side pre-collapse absorbs
+        # superseded rows, so surviving-row minima miss covered events
+        out.append((m.epoch, cum, int(m.totals.get("min_seq", -1))))
+    return out
+
+
+def group_snapshot_plan(
+    tables: dict[str, DeltaTable], upto_seq: int | None = None
+) -> dict:
+    """MUTUALLY CONSISTENT epoch pins for tables fed from ONE seq-ordered
+    change stream (the demux fan-out: one binlog routed into per-table
+    WALs, each ingested independently — sources/demux.py). Returns
+    ``{"cut_seq": S, "epochs": {name: epoch}}`` such that every table's
+    ``snapshot(as_of_epoch=epochs[name])`` reflects exactly the events
+    of the shared stream with seq <= S that were routed to it — so a
+    consumer joining the routed tables sees ONE prefix of the source
+    stream, never table A ahead of table B.
+
+    ``upto_seq``: manifests alone cannot distinguish a route that
+    applied everything from one that lags (unapplied backlog is
+    invisible), so the DEFAULT starting cut is the slowest table's
+    applied high watermark — always safe, but it can step down across
+    a straddling epoch even when every route is fully caught up. A
+    caller that KNOWS the producer's high watermark (the demux marker
+    position, the binlog offset) passes it as ``upto_seq`` to certify
+    the full prefix: the caller asserts every stream event <= upto_seq
+    is either committed or visible as a later epoch in some manifest.
+
+    The cut is the GREATEST fixpoint at or below that start: pin each
+    table at its
+    largest stream epoch whose cumulative max seq <= S; the pin is
+    consistent unless the table's NEXT epoch holds an event with seq
+    <= S (its recorded min_seq), in which case S drops just below that
+    event and the pinning repeats. Routes interleave on the shared seq
+    axis, so gaps are the norm — a cut may sit strictly between one
+    route's epochs as long as no unapplied event falls under it. The
+    fixpoint handles epochs that batch several input segments (a route
+    whose epoch straddles S steps back a whole epoch, which can lower
+    the cut for everyone else). Legacy manifests without min_seq
+    degrade conservatively (the next epoch is assumed to start right
+    after the pinned one).
+
+    Requires each table to apply its route's events in seq order (the
+    demux + run_stream/tail contract). Out-of-band epochs (corrections,
+    bootstraps) have no stream position: they are included by the epoch
+    pin when committed at or below it — group consistency is a STREAM
+    property. Retention: the pinned epochs must predate vacuum; use
+    ``group_tag`` to hold a cut readable.
+
+    Published shape: consistent-cut snapshots over independently
+    consumed partitions (Chandy-Lamport / Kafka read-committed group
+    offsets); no reference counterpart (stateless CLI)."""
+    cuts = {name: _stream_cuts(t) for name, t in tables.items()}
+    if any(not c for c in cuts.values()):
+        # some table has applied nothing of the stream: only the empty
+        # prefix is provably consistent (its route's backlog is unknown)
+        return {"cut_seq": -1, "epochs": {n: 0 for n in tables}}
+    if upto_seq is None:
+        S = min(c[-1][1] for c in cuts.values())
+    else:
+        S = int(upto_seq)
+    while S >= 0:
+        epochs: dict[str, int] = {}
+        drop_to = None  # highest S' < S that could clear all violations
+        for name, c in cuts.items():
+            pin, pin_cum = 0, -1
+            nxt = None  # first UNAPPLIED event's seq on this route
+            for e, cum, mn in c:
+                if cum <= S:
+                    pin, pin_cum = e, cum
+                else:
+                    # the straddling epoch's smallest event; unknown
+                    # (legacy manifest) => assume it starts right after
+                    # the pinned epoch (conservative, never wrong)
+                    nxt = mn if mn >= 0 else pin_cum + 1
+                    break
+            epochs[name] = pin
+            if nxt is not None and nxt <= S:
+                cand = nxt - 1
+                drop_to = cand if drop_to is None else min(drop_to, cand)
+        if drop_to is None:
+            return {"cut_seq": S, "epochs": epochs}
+        S = drop_to
+    return {"cut_seq": -1, "epochs": {n: 0 for n in tables}}
+
+
+def group_snapshot(
+    tables: dict[str, DeltaTable],
+    upto_seq: int | None = None,
+    columns: dict[str, list[str]] | None = None,
+) -> dict:
+    """``group_snapshot_plan`` + the pinned merge-on-read Datasets:
+    ``{"cut_seq", "epochs", "datasets": {name: Dataset}}`` — each
+    dataset is ``snapshot(table, as_of_epoch=pin)`` so the group reads
+    one consistent stream prefix (see the plan's contract)."""
+    plan = group_snapshot_plan(tables, upto_seq)
+    plan["datasets"] = {
+        name: snapshot(
+            t,
+            as_of_epoch=plan["epochs"][name],
+            columns=None if columns is None else columns.get(name),
+        )
+        for name, t in tables.items()
+    }
+    return plan
+
+
+def group_tag(tables: dict[str, DeltaTable], name: str) -> dict:
+    """Pin a consistent cut DURABLY: compute ``group_snapshot_plan`` and
+    tag every table at its pinned epoch under one shared tag name
+    (state/tags.py — ``vacuum(respect_tags=True)`` then keeps the cut
+    readable on every table). Returns the plan."""
+    from xgeo_ray.state import tags as _tags
+
+    plan = group_snapshot_plan(tables)
+    if plan["cut_seq"] < 0:
+        raise ValueError(
+            "no consistent cut exists yet (some table has applied no "
+            "stream epochs) — ingest all routes first"
+        )
+    for tname, t in tables.items():
+        _tags.tag(t, name, epoch=plan["epochs"][tname])
+    return plan
 
 
 def export_snapshot(

@@ -340,6 +340,33 @@ def segment_schema(path: str) -> pa.Schema:
     raise ValueError(f"unsupported segment format: {path}")
 
 
+def segment_seq_min(path: str) -> int:
+    """Smallest ``seq`` in a WAL segment from Parquet row-group
+    statistics alone (-1 when unknown: non-parquet formats, absent
+    stats, or no seq column). This is the epoch's TRUE stream start —
+    per-file row minima understate coverage because the map-side
+    pre-collapse absorbs superseded rows — and feeds the consistent-cut
+    math in ``ingest.group_snapshot_plan``."""
+    logical, _codec = _strip_compression(path)
+    if not logical.endswith(".parquet"):
+        return -1
+    try:
+        pf = pq.ParquetFile(path)
+    except Exception:
+        return -1
+    names = pf.schema_arrow.names
+    if "seq" not in names:
+        return -1
+    ci = names.index("seq")
+    lo = None
+    for g in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(g).column(ci).statistics
+        if st is None or not st.has_min_max:
+            return -1
+        lo = st.min if lo is None else min(lo, st.min)
+    return int(lo) if lo is not None else -1
+
+
 def segment_row_count(path: str) -> int:
     """Exact row count from cheap metadata where possible (Parquet footer /
     JSONL line count); full member reads only for zip containers."""

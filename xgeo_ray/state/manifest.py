@@ -160,6 +160,13 @@ class PartitionEntry:
     applied: int = 0
     tombstones: int = 0
     max_seq: int = -1
+    # min NON-NEGATIVE SURVIVING seq in this delta file (-1 = none /
+    # pre-round-5 manifests) — a per-file seq zone map for readers.
+    # NOT the epoch's stream start: the map-side pre-collapse absorbs
+    # superseded rows, so surviving-row minima overstate coverage; the
+    # consistent-cut math (ingest.group_snapshot_plan) uses the epoch
+    # totals["min_seq"] recorded from segment parquet stats instead.
+    min_seq: int = -1
     max_ts: int = -1
     # min applied event ts (µs) — with max_ts this is the delta file's
     # zone map: ts-band feed reads prune whole files from the manifest.
