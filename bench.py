@@ -201,6 +201,14 @@ def run_bench() -> dict:
     for name in [] if _SKIP_QUERIES else [
         "cdc_lww_state",
         "cdc_changes_feed",
+        # end-to-end incremental-engine rows (round-4/5 operators): agg
+        # + SCD2 + struct legs (cdc_stream_metrics), batch + incremental
+        # join views (cdc_join_state), persisted-IVF build+probe
+        # (ann_ivf_top10) — wall-clock-tracked so regressions in the
+        # sync machinery show in BENCH_r{N}.json, not just correctness
+        "cdc_stream_metrics",
+        "cdc_join_state",
+        "ann_ivf_top10",
         "q1_pricing_summary",
         "orders_by_segment",
         "order_revenue_by_priority",

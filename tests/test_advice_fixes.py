@@ -97,7 +97,9 @@ def test_tail_ingests_zst_segment(tmp_path):
 
 
 def test_unsupported_envelope_fails_at_plan_time(tmp_path):
-    """A segment with a list column must raise BEFORE any shuffle/write."""
+    """A segment with a type the manifest cannot record (a map — lists
+    and structs became legal payloads in rounds 4/5) must raise BEFORE
+    any shuffle/write."""
     bad = pa.table(
         {
             "seq": pa.array([1], pa.int64()),
@@ -105,7 +107,9 @@ def test_unsupported_envelope_fails_at_plan_time(tmp_path):
             "conv_id": pa.array(["c1"]),
             "turn_idx": pa.array([0], pa.int32()),
             "ts": pa.array([0], pa.timestamp("us")),
-            "tags": pa.array([[1, 2]], pa.list_(pa.int64())),  # unsupported
+            "tags": pa.array(
+                [[("k", 1)]], pa.map_(pa.string(), pa.int64())
+            ),  # unsupported leaf
         }
     )
     seg = str(tmp_path / "bad.parquet")
