@@ -42,6 +42,9 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, int]:
 # later tasks in that process reuse it. This is what lets the stage run
 # task-based without re-paying model load per task.
 _DECODER_CACHE: dict[str, object] = {}
+# Driver-side strong refs for callable codecs: keying the worker cache
+# by id(loader) is only sound if the id can never be recycled.
+_LOADER_PINS: dict[int, object] = {}
 
 # ------------------------------------------------------------- codec registry
 # Pluggable decoders, the merge-policy discipline (stages/collapse.py
@@ -100,15 +103,23 @@ class DecodeMedia:
             self._cache_key = codec
         else:
             self._loader = codec
-            self._cache_key = getattr(codec, "__name__", repr(codec))
+            # Two distinct lambdas both stringify to "<lambda>" — key the
+            # worker-side cache by the loader OBJECT's identity so
+            # different callables never share (or clobber) one cached
+            # decoder, while re-wrapping the same loader still shares.
+            # The pin keeps a strong reference so id() is never reused.
+            _LOADER_PINS[id(codec)] = codec
+            self._cache_key = f"callable:{id(codec)}"
         self.decode = None  # resolved lazily, once per worker process
 
     def _ensure_loaded(self):
         if self.decode is None:
-            # "model load" happens here, once per process
-            self.decode = _DECODER_CACHE.setdefault(
-                self._cache_key, self._loader()
-            )
+            # "model load" happens here, once per process; setdefault
+            # would evaluate the loader even on a cache hit, so guard
+            # explicitly — the load must run at most once per process.
+            if self._cache_key not in _DECODER_CACHE:
+                _DECODER_CACHE[self._cache_key] = self._loader()
+            self.decode = _DECODER_CACHE[self._cache_key]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         self._ensure_loaded()

@@ -324,7 +324,6 @@ class ApplyPartition:
                 pc.sum(pc.equal(collapsed.column("op"), "D")).as_py() or 0
             ),
             max_seq=int(pc.max(t.column("seq")).as_py()) if t.num_rows else wm,
-            min_seq=_min_stream_seq(t),
             max_ts=int(pc.max(collapsed.column("ts")).cast(pa.int64()).as_py())
             if collapsed.num_rows
             else -1,
@@ -352,16 +351,6 @@ class ApplyPartition:
         return _entry_to_table(entry)
 
 
-def _min_stream_seq(t: pa.Table) -> int:
-    """Smallest NON-NEGATIVE SURVIVING seq in this partition batch (-1
-    if none) — the per-file seq zone map. Out-of-band rows (seq=-1)
-    are skipped. NOT the epoch's stream start (see PartitionEntry.
-    min_seq): group_snapshot_plan uses totals["min_seq"] instead."""
-    seqs = t.column("seq")
-    pos = seqs.filter(pc.greater_equal(seqs, 0))
-    return int(pc.min(pos).as_py()) if len(pos) else -1
-
-
 _ENTRY_SCHEMA = pa.schema(
     [
         ("part_key", pa.int64()),
@@ -373,7 +362,6 @@ _ENTRY_SCHEMA = pa.schema(
         ("applied", pa.int64()),
         ("tombstones", pa.int64()),
         ("max_seq", pa.int64()),
-        ("min_seq", pa.int64()),
         ("max_ts", pa.int64()),
         ("min_ts", pa.int64()),
         ("bytes", pa.int64()),
@@ -2232,6 +2220,25 @@ def rename_column(
     }
 
 
+def _encode_sort_bounds(bounds: list) -> list | dict:
+    """Bounds pin into ``_sort_meta.json`` as plain JSON for numeric /
+    string keys; binary keys produce ``bytes`` cut points that JSON
+    cannot carry, so wrap those as a tagged base64 list."""
+    if any(isinstance(b, bytes) for b in bounds):
+        import base64
+
+        return {"b64": [base64.b64encode(b).decode("ascii") for b in bounds]}
+    return bounds
+
+
+def _decode_sort_bounds(bounds: list | dict) -> list:
+    if isinstance(bounds, dict) and "b64" in bounds:
+        import base64
+
+        return [base64.b64decode(x) for x in bounds["b64"]]
+    return bounds
+
+
 def export_sorted(
     table: DeltaTable,
     out_dir: str,
@@ -2301,7 +2308,7 @@ def export_sorted(
     if os.path.isfile(meta_path):
         with open(meta_path) as f:
             prev = _json.load(f)
-        bounds = prev.pop("bounds")
+        bounds = _decode_sort_bounds(prev.pop("bounds"))
         if prev != spec:
             raise ValueError(
                 f"export dir {out_dir!r} was written with a different sort "
@@ -2312,7 +2319,7 @@ def export_sorted(
         bounds = range_bounds(snapshot(table, columns=[by]), by, num_shards)
         tmp_meta = meta_path + f".tmp-{os.getpid()}"
         with open(tmp_meta, "w") as f:
-            _json.dump({**spec, "bounds": bounds}, f)
+            _json.dump({**spec, "bounds": _encode_sort_bounds(bounds)}, f)
         os.replace(tmp_meta, meta_path)
     done = {
         s
@@ -3663,14 +3670,19 @@ def group_snapshot(
     return plan
 
 
-def group_tag(tables: dict[str, DeltaTable], name: str) -> dict:
+def group_tag(
+    tables: dict[str, DeltaTable], name: str, upto_seq: int | None = None
+) -> dict:
     """Pin a consistent cut DURABLY: compute ``group_snapshot_plan`` and
     tag every table at its pinned epoch under one shared tag name
     (state/tags.py — ``vacuum(respect_tags=True)`` then keeps the cut
-    readable on every table). Returns the plan."""
+    readable on every table). ``upto_seq`` passes through to the plan:
+    a caller holding the producer high watermark (demux marker
+    position) certifies a caught-up full-prefix cut instead of the
+    conservative slowest-watermark default. Returns the plan."""
     from xgeo_ray.state import tags as _tags
 
-    plan = group_snapshot_plan(tables)
+    plan = group_snapshot_plan(tables, upto_seq=upto_seq)
     if plan["cut_seq"] < 0:
         raise ValueError(
             "no consistent cut exists yet (some table has applied no "

@@ -1987,6 +1987,13 @@ def sync_join(
     ).aggregate([])
     stats["keys"] = kt_all.num_rows
     convs_all = sorted(set(kt_all.column("conv_id").to_pylist()))
+    # Sort the touched-key table by conv once so each chunk below is a
+    # contiguous slice — a per-chunk is_in() filter over the full table
+    # would make a bootstrap-sized window O(total_keys * num_chunks).
+    kt_all = kt_all.take(
+        pc.sort_indices(kt_all, sort_keys=[("conv_id", "ascending")])
+    )
+    _kt_convs = kt_all.column("conv_id").to_numpy(zero_copy_only=False)
 
     sink_names = set(sink.current_schema().names)
     lpay = [
@@ -2006,9 +2013,9 @@ def sync_join(
     for ci in range(0, len(convs_all), max_convs_per_batch):
         convs = convs_all[ci : ci + max_convs_per_batch]
         uniq = pa.array(convs, pa.string())
-        kt = kt_all.filter(
-            pc.is_in(kt_all.column("conv_id"), value_set=uniq)
-        )
+        _lo = int(np.searchsorted(_kt_convs, convs[0], "left"))
+        _hi = int(np.searchsorted(_kt_convs, convs[-1], "right"))
+        kt = kt_all.slice(_lo, _hi - _lo)
         k_codes = np.sort(
             _k64_codes(kt.column("conv_id"), kt.column("turn_idx"), uniq)
         )

@@ -354,10 +354,19 @@ def segment_seq_min(path: str) -> int:
         pf = pq.ParquetFile(path)
     except Exception:
         return -1
-    names = pf.schema_arrow.names
-    if "seq" not in names:
+    if "seq" not in pf.schema_arrow.names or pf.metadata.num_row_groups == 0:
         return -1
-    ci = names.index("seq")
+    # Statistics are indexed by PHYSICAL LEAF column, not Arrow schema
+    # position — a multi-leaf column (struct, list<struct>) before `seq`
+    # shifts every later index, so positional lookup would read another
+    # column's stats. Match the leaf by path_in_schema instead.
+    ci = None
+    for i in range(pf.metadata.num_columns):
+        if pf.metadata.row_group(0).column(i).path_in_schema == "seq":
+            ci = i
+            break
+    if ci is None:
+        return -1
     lo = None
     for g in range(pf.metadata.num_row_groups):
         st = pf.metadata.row_group(g).column(ci).statistics

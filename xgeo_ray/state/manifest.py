@@ -19,7 +19,7 @@ from __future__ import annotations
 import json
 import os
 import re
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, fields
 
 import pyarrow as pa
 
@@ -160,13 +160,6 @@ class PartitionEntry:
     applied: int = 0
     tombstones: int = 0
     max_seq: int = -1
-    # min NON-NEGATIVE SURVIVING seq in this delta file (-1 = none /
-    # pre-round-5 manifests) — a per-file seq zone map for readers.
-    # NOT the epoch's stream start: the map-side pre-collapse absorbs
-    # superseded rows, so surviving-row minima overstate coverage; the
-    # consistent-cut math (ingest.group_snapshot_plan) uses the epoch
-    # totals["min_seq"] recorded from segment parquet stats instead.
-    min_seq: int = -1
     max_ts: int = -1
     # min applied event ts (µs) — with max_ts this is the delta file's
     # zone map: ts-band feed reads prune whole files from the manifest.
@@ -236,10 +229,19 @@ def write_manifest(root: str, m: Manifest) -> str:
     return final
 
 
+_ENTRY_FIELDS = {f.name for f in fields(PartitionEntry)}
+
+
 def _parse_manifest(path: str) -> Manifest:
     with open(path) as f:
         raw = json.load(f)
-    parts = {k: PartitionEntry(**v) for k, v in raw.pop("partitions", {}).items()}
+    # Tolerate unknown entry keys: a manifest written by a newer (or
+    # since-retired) format version must stay readable — dropping a
+    # field from PartitionEntry must never brick existing tables.
+    parts = {
+        k: PartitionEntry(**{f: x for f, x in v.items() if f in _ENTRY_FIELDS})
+        for k, v in raw.pop("partitions", {}).items()
+    }
     return Manifest(partitions=parts, **raw)
 
 
