@@ -1,0 +1,211 @@
+"""Declarative CHECK constraints (state/constraints.py): spec
+validation, vectorized mask semantics, stream enforcement with DLQ
+routing, mid-stream declaration, retroactive audit, rename retarget,
+CLI."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from xgeo_ray import fixtures as fx
+from xgeo_ray.pipelines import ingest as ing
+from xgeo_ray.state.constraints import check_mask, validate_spec
+from xgeo_ray.state.delta_table import DeltaTable
+
+
+# ------------------------------------------------------------- spec checks
+def test_validate_spec_rejections():
+    with pytest.raises(ValueError, match="needs a 'col'"):
+        validate_spec({"x": {"min": 0}})
+    with pytest.raises(ValueError, match="engine column"):
+        validate_spec({"x": {"col": "op", "in": ["I"]}})
+    with pytest.raises(ValueError, match="unknown rule"):
+        validate_spec({"x": {"col": "a", "geq": 0}})
+    with pytest.raises(ValueError, match="no rules"):
+        validate_spec({"x": {"col": "a"}})
+    with pytest.raises(ValueError, match="non-empty list"):
+        validate_spec({"x": {"col": "a", "in": []}})
+    with pytest.raises(Exception):
+        validate_spec({"x": {"col": "a", "matches": "("}})  # bad regex
+    with pytest.raises(ValueError, match="':'"):
+        validate_spec({"a:b": {"col": "a", "not_null": True}})
+    # normalized copy round-trips
+    spec = validate_spec({"r": {"col": "score", "min": 0, "max": 1}})
+    assert spec == {"r": {"col": "score", "min": 0, "max": 1}}
+
+
+# ------------------------------------------------------------ mask semantics
+def _batch(**cols):
+    return pa.table(cols)
+
+
+def test_check_mask_null_passes_except_not_null():
+    b = _batch(
+        op=pa.array(["I", "I", "I"]),
+        score=pa.array([0.5, None, 2.0], pa.float64()),
+    )
+    ok, why = check_mask(b, {"rng": {"col": "score", "min": 0, "max": 1}})
+    assert ok.to_pylist() == [True, True, False]  # NULL passes min/max
+    assert why.to_pylist() == [None, None, "check:rng"]
+    ok2, _ = check_mask(b, {"nn": {"col": "score", "not_null": True}})
+    assert ok2.to_pylist() == [True, False, True]
+
+
+def test_check_mask_deletes_exempt_and_audit_mode():
+    b = _batch(
+        op=pa.array(["D", "I"]),
+        role=pa.array([None, "robot"], pa.string()),
+    )
+    spec = {"enum": {"col": "role", "in": ["user", "assistant"]}}
+    ok, _ = check_mask(b, spec)
+    assert ok.to_pylist() == [True, False]  # D exempt
+    ok2, _ = check_mask(b, spec, exempt_deletes=False)
+    assert ok2.to_pylist() == [True, False]  # null still passes 'in'
+
+
+def test_check_mask_first_fail_reason_and_lengths_regex():
+    b = _batch(
+        op=pa.array(["I", "I", "I", "I"]),
+        text=pa.array(["ok", "", "way too long here", "bad\x00byte"]),
+    )
+    spec = {
+        "a_len": {"col": "text", "min_len": 1, "max_len": 10},
+        "b_clean": {"col": "text", "matches": r"^[^\x00]*$"},
+    }
+    ok, why = check_mask(b, spec)
+    assert ok.to_pylist() == [True, False, False, False]
+    # sorted name order: a_len fires first where both would fail
+    assert why.to_pylist() == [None, "check:a_len", "check:a_len",
+                               "check:b_clean"]
+
+
+def test_check_mask_missing_column():
+    b = _batch(op=pa.array(["I"]), x=pa.array([1]))
+    ok, _ = check_mask(b, {"r": {"col": "ghost", "min": 0}})
+    assert ok.to_pylist() == [True]
+    ok2, why2 = check_mask(b, {"r": {"col": "ghost", "not_null": True}})
+    assert ok2.to_pylist() == [False]
+    assert why2.to_pylist() == ["check:r"]
+
+
+# --------------------------------------------------------- stream enforcement
+def _mk_events(n=300, seed=5):
+    ev = fx.make_change_events(n, n_convs=20, turns_per_conv=5,
+                               dup_fraction=0.0, seed=seed)
+    return ev
+
+
+def test_ingest_enforces_constraints_with_dlq(tmp_path, ray_session):
+    ev = _mk_events()
+    # poison some I/U rows with an invalid role; deletes stay exempt
+    role = ev.column("role").to_pylist()
+    op = ev.column("op").to_pylist()
+    poisoned = [i for i in range(ev.num_rows) if op[i] != "D"][:17]
+    for i in poisoned:
+        role[i] = "robot"
+    ev = ev.set_column(
+        ev.schema.get_field_index("role"), "role", pa.array(role)
+    )
+    seg = str(tmp_path / "w.parquet")
+    pq.write_table(ev, seg)
+
+    root = str(tmp_path / "t")
+    table = DeltaTable.create(root, num_partitions=4, num_salts=1)
+    table.set_constraints(
+        {"role_enum": {"col": "role", "in": ["user", "assistant", "tool"]}}
+    )
+    dlq = str(tmp_path / "dlq")
+    ing.run_stream(table, [seg], dlq_dir=dlq)
+    table = DeltaTable.open(root)
+
+    # quarantined rows counted in lineage and written with reasons
+    total_invalid = sum(
+        m.totals.get("invalid", 0) for m in table.manifests()
+    )
+    assert total_invalid == len(poisoned)
+    files = [os.path.join(dlq, f) for f in os.listdir(dlq)]
+    q = pa.concat_tables([pq.read_table(f) for f in files])
+    assert q.num_rows == len(poisoned)
+    assert set(q.column("_reason").to_pylist()) == {"check:role_enum"}
+
+    # applied state contains no violator
+    snap = ing.snapshot(table).to_pandas()
+    assert not (snap["role"] == "robot").any()
+
+    # parity: final state == naive replay over the CLEAN stream
+    keep = pa.array([i not in set(poisoned) for i in range(ev.num_rows)])
+    clean = ev.filter(keep)
+    import pandas as pd
+
+    want = fx.naive_final_state(None, clean).to_pandas()
+    got = snap.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+
+
+def test_constraints_declared_mid_stream_gate_next_epoch(tmp_path, ray_session):
+    ev = _mk_events(400, seed=9)
+    half = ev.num_rows // 2
+    segs = []
+    for i, sl in enumerate([ev.slice(0, half), ev.slice(half)]):
+        p = str(tmp_path / f"w{i}.parquet")
+        pq.write_table(sl, p)
+        segs.append(p)
+    root = str(tmp_path / "t")
+    table = DeltaTable.create(root, num_partitions=2, num_salts=1)
+    ing.ingest_segments(table, [segs[0]])
+    # declare AFTER epoch 1: retroactive rows stay, future ones gate
+    table.set_constraints({"len": {"col": "text", "max_len": 3}})
+    ing.ingest_segments(DeltaTable.open(root), [segs[1]])
+    table = DeltaTable.open(root)
+    ms = table.manifests()
+    assert ms[0].totals.get("invalid", 0) == 0
+    assert ms[1].totals.get("invalid", 0) > 0
+
+    # retroactive audit sees the epoch-1 leftovers
+    audit = ing.validate_table(table)
+    snap = ing.snapshot(table).to_pandas()
+    assert audit == {"len": int((snap["text"].str.len() > 3).sum())}
+
+
+def test_rename_retargets_constraints(tmp_path, ray_session):
+    ev = _mk_events(200, seed=13)
+    seg = str(tmp_path / "w.parquet")
+    pq.write_table(ev, seg)
+    root = str(tmp_path / "t")
+    table = DeltaTable.create(root, num_partitions=2, num_salts=1)
+    table.set_constraints({"nn": {"col": "text", "not_null": True}})
+    ing.ingest_segments(table, [seg])
+    table = DeltaTable.open(root)
+    ing.rename_column(table, "text", "body")
+    table = DeltaTable.open(root)
+    assert table.constraints() == {"nn": {"col": "body", "not_null": True}}
+    # audit runs against the renamed (aliased) column
+    assert ing.validate_table(table) == {"nn": 0}
+
+
+def test_check_cli(tmp_path, ray_session, capsys):
+    from xgeo_ray.__main__ import main
+
+    ev = _mk_events(150, seed=21)
+    seg = str(tmp_path / "w.parquet")
+    pq.write_table(ev, seg)
+    root = str(tmp_path / "t")
+    table = DeltaTable.create(root, num_partitions=2, num_salts=1)
+    ing.ingest_segments(table, [seg])
+
+    spec = json.dumps({"enum": {"col": "role",
+                                "in": ["user", "assistant", "tool"]}})
+    assert main(["check", root, "--set", spec, "--audit"]) in (0, None)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["constraints"]["enum"]["col"] == "role"
+    assert out["violations"] == {"enum": 0}
+    assert main(["check", root, "--clear"]) in (0, None)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["constraints"] == {}

@@ -163,6 +163,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--sorted-shards", type=int, default=16)
     p.add_argument("--descending", action="store_true")
+    p.add_argument(
+        "--packed-tokens",
+        type=int,
+        default=None,
+        help="instead of per-partition files, write token-budget-sized "
+        "training shards in global conv order, conversations kept whole "
+        "(shard count = ceil(total_tokens / N); resumable per shard; "
+        "bounds pinned in the dir)",
+    )
 
     p = sub.add_parser(
         "tail",
@@ -584,6 +593,28 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("table")
 
+    p = sub.add_parser(
+        "check",
+        help="declare / inspect / audit data-quality CHECK constraints "
+        "(violating stream events quarantine to the DLQ as check:<name>)",
+    )
+    p.add_argument("table")
+    p.add_argument(
+        "--set",
+        dest="set_spec",
+        help='JSON {"name": {"col": ..., rules}} — REPLACES declared rules '
+        "(rules: not_null, min, max, in, min_len, max_len, matches)",
+    )
+    p.add_argument(
+        "--clear", action="store_true", help="remove every declared rule"
+    )
+    p.add_argument(
+        "--audit",
+        action="store_true",
+        help="distributed retroactive audit: violation counts over the "
+        "CURRENT snapshot (declared rules; nothing is mutated)",
+    )
+
     args = ap.parse_args(argv)
 
     from xgeo_ray.state.delta_table import DeltaTable
@@ -810,6 +841,10 @@ def main(argv: list[str] | None = None) -> int:
                     by=args.sorted_by,
                     num_shards=args.sorted_shards,
                     descending=args.descending,
+                )
+            elif args.packed_tokens is not None:
+                stats = ing.export_packed(
+                    table, args.out_dir, args.packed_tokens
                 )
             else:
                 stats = ing.export_snapshot(table, args.out_dir)
@@ -1174,6 +1209,16 @@ def main(argv: list[str] | None = None) -> int:
             out = ing.fsck(table)
             print(json.dumps(out))
             return 0 if out["ok"] else 1
+        elif args.cmd == "check":
+            if args.clear:
+                table.set_constraints({})
+            elif args.set_spec:
+                table.set_constraints(json.loads(args.set_spec))
+            out = {"constraints": table.constraints()}
+            if args.audit:
+                _init_ray()
+                out["violations"] = ing.validate_table(table)
+            print(json.dumps(out))
         elif args.cmd == "status":
             epochs = []
             for m in table.manifests():

@@ -1047,6 +1047,78 @@ def range_bounds(
     return np.asarray(vals[np.minimum(qpos, len(vals) - 1)]).tolist()
 
 
+def weighted_range_bounds(
+    ds: ray.data.Dataset,
+    col: str,
+    weight_col: str,
+    num_shards: int,
+    per_block_cap: int = 4096,
+) -> list:
+    """WEIGHT-BALANCED range cut points: like ``range_bounds`` but the
+    cuts equalize cumulative ``weight_col`` (e.g. token counts) instead
+    of row counts — the sample-sort bounds pass for token-budget-sized
+    training shards (``ingest.export_packed``).
+
+    Scale shape: each block first group-sums weights per key (a
+    combiner — the sample sees a key's in-block mass, not its row
+    count), then stride-samples ≤ ``per_block_cap`` (key, weight) pairs;
+    the driver group-sums the sample again, sorts by key and cuts at
+    equal cumulative sample weight. Sampling error (a heavy key missed
+    by the stride) only skews shard SIZES, never ordering — assignment
+    downstream is still searchsorted by value, equal keys never split."""
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    if num_shards == 1:
+        return []
+
+    def sample(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select([col, weight_col])
+            .drop_null()
+            .group_by(col)
+            .aggregate([(weight_col, "sum")])
+        )
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {col: g.column(col), "w": pa.array([], pa.int64())}
+            )
+        stride = max(1, n // per_block_cap)
+        g = g.take(np.arange(0, n, stride))
+        return pa.table(
+            {
+                col: g.column(col),
+                "w": g.column(f"{weight_col}_sum").cast(pa.int64()),
+            }
+        )
+
+    keys = ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+    tables = [t for t in ray.get(keys.materialize().to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return []
+    merged = (
+        pa.concat_tables(tables)
+        .group_by(col)
+        .aggregate([("w", "sum")])
+    )
+    key_col = merged.column(col).combine_chunks()
+    order = pc.sort_indices(key_col)
+    w = merged.column("w_sum").take(order).to_numpy(zero_copy_only=False)
+    cum = np.cumsum(w)
+    total = int(cum[-1])
+    if total <= 0:
+        return []
+    # cut at equal cumulative weight; searchsorted LEFT so the key that
+    # crosses the target stays BELOW the bound (bounds are inclusive
+    # upper edges downstream: assignment is searchsorted(bounds, key))
+    targets = (np.arange(1, num_shards) * total) // num_shards
+    pos = np.minimum(np.searchsorted(cum, targets, "left"), len(w) - 1)
+    picked = key_col.take(order).take(pa.array(pos, pa.int64()))
+    if _is_text_key(key_col.type):
+        return picked.to_pylist()
+    return np.asarray(_range_key_i64(picked)).tolist()
+
+
 def range_shard_assign(
     bounds: list, col: str, num_shards: int, null_shard: int | None = None
 ):

@@ -167,10 +167,13 @@ class NormalizeCollapsePartition:
         precombine: bool = True,
         drop: frozenset = frozenset(),
         dlq_dir: str | None = None,
+        constraints: dict | None = None,
     ):
         # limit_worker_threads happens in the task body (_radix_map), not
         # here: driver-side __init__ would clamp the DRIVER's Arrow pools.
-        self.norm = NormalizeEvents(envelope, drop=drop, dlq_dir=dlq_dir)
+        self.norm = NormalizeEvents(
+            envelope, drop=drop, dlq_dir=dlq_dir, constraints=constraints
+        )
         self.p = num_partitions
         self.s = num_salts
         self.transform = transform
@@ -736,6 +739,7 @@ def ingest_segments(
             set(table.dropped_columns()) | table.retired_names()
         ),
         dlq_dir=dlq_dir,
+        constraints=table.constraints() or None,
     )
     chunks = plan_read_chunks(segment_paths)
     entries, invalid = _radix_exchange_apply(
@@ -911,6 +915,7 @@ def run_stream(
                 and table.history != "full",
                 drop=dropped,
                 dlq_dir=dlq_dir,
+                constraints=table.constraints() or None,
             )
         prep_ref = ray.put(prep)
         return [
@@ -2166,6 +2171,7 @@ def rename_column(
         # strictly-older time travel still reads the old name
         epoch = table.latest_epoch()
         table.mark_renamed(old, new, epoch)
+        _retarget_constraints(table, old, new)
         return {"renamed": {old: new}, "from_epoch": epoch, "mode": "alias"}
     if batch_id is None:
         batch_id = f"rename-{old}-to-{new}"
@@ -2214,10 +2220,81 @@ def rename_column(
     # mark_dropped is idempotent) — the drop epoch is the rewrite's, so
     # snapshot() and as_of_epoch=latest agree immediately
     drop_columns(table, [old])
+    _retarget_constraints(table, old, new)
     return {
         "renamed": {old: new},
         "from_epoch": table.dropped_columns()[old],
     }
+
+
+def _retarget_constraints(table: DeltaTable, old: str, new: str) -> None:
+    """A rename must carry declared CHECK rules with the column — a
+    constraint left pointing at the retired name would silently stop
+    firing (absent column == all-null == passes everything but
+    not_null)."""
+    cons = table.constraints()
+    if any(s.get("col") == old for s in cons.values()):
+        table.set_constraints(
+            {
+                n: ({**s, "col": new} if s.get("col") == old else s)
+                for n, s in cons.items()
+            }
+        )
+
+
+def validate_table(
+    table: DeltaTable, constraints: dict | None = None
+) -> dict[str, int]:
+    """Retroactive CHECK audit: run the declared (or given) constraint
+    kernels distributed over the CURRENT merged snapshot and return
+    ``{constraint_name: violating_row_count}`` — nothing is mutated or
+    quarantined. The complement to stream enforcement (which is
+    prospective: rows applied before a rule was declared were never
+    checked). Deletes aren't exempt here because a snapshot holds live
+    state, not events.
+
+    Scale: one pruned pass of the snapshot projected to only the
+    checked columns; per-batch counts (constraints × blocks rows)
+    reduce on the driver."""
+    from xgeo_ray.state.constraints import check_mask, validate_spec
+
+    spec = validate_spec(
+        table.constraints() if constraints is None else constraints
+    )
+    if not spec:
+        return {}
+    names = sorted(spec)
+    cols = sorted(
+        {s["col"] for s in spec.values()}
+        & set(table.current_schema().names)
+    )
+    key_cols = ["conv_id"]  # snapshot needs >=1 column; keys always exist
+
+    def _audit(batch: pa.Table) -> pa.Table:
+        counts = []
+        for n in names:
+            sub = {n: spec[n]}
+            ok, _ = check_mask(batch, sub, exempt_deletes=False)
+            counts.append(batch.num_rows - (pc.sum(ok).as_py() or 0))
+        return pa.table(
+            {
+                "constraint": pa.array(names, pa.string()),
+                "fails": pa.array(counts, pa.int64()),
+            }
+        )
+
+    ds = snapshot(table, columns=sorted(set(cols) | set(key_cols)))
+    out = ds.map_batches(
+        _audit, batch_format="pyarrow", zero_copy_batch=True
+    ).to_arrow_refs()
+    totals = {n: 0 for n in names}
+    for ref in out:
+        t = ray.get(ref)
+        for n, f in zip(
+            t.column("constraint").to_pylist(), t.column("fails").to_pylist()
+        ):
+            totals[n] += int(f)
+    return totals
 
 
 def _encode_sort_bounds(bounds: list) -> list | dict:
@@ -2321,6 +2398,31 @@ def export_sorted(
         with open(tmp_meta, "w") as f:
             _json.dump({**spec, "bounds": _encode_sort_bounds(bounds)}, f)
         os.replace(tmp_meta, meta_path)
+    return _ranged_shard_export(
+        table, out_dir, by, tiebreak, descending, columns, need,
+        fmt, ext, bounds, num_shards,
+    )
+
+
+def _ranged_shard_export(
+    table: DeltaTable,
+    out_dir: str,
+    by: str,
+    tiebreak: list[str],
+    descending: bool,
+    columns: list[str] | None,
+    need: list[str] | None,
+    fmt: str,
+    ext: str,
+    bounds: list,
+    num_shards: int,
+) -> dict[str, int]:
+    """Shared range-sharded ordered write (the post-bounds half of
+    ``export_sorted``, also driving ``export_packed``): assign each row
+    to its range shard, skip finished shard files before the exchange,
+    per-shard vectorized sort + atomic write, fill empty shards."""
+    from xgeo_ray.functions.relational import range_shard_assign
+
     done = {
         s
         for s in range(num_shards)
@@ -2406,6 +2508,112 @@ def export_sorted(
         "skipped": int(len(done)),
         "rows_written": int(stats["rows"].sum()) if len(stats) else 0,
     }
+
+
+def export_packed(
+    table: DeltaTable,
+    out_dir: str,
+    tokens_per_shard: int,
+    by: str = "conv_id",
+    text_col: str = "text",
+    columns: list[str] | None = None,
+    fmt: str = "jsonl",
+) -> dict[str, int]:
+    """Write the merged state as TOKEN-BUDGET-sized training shards in
+    global ``by`` order with GROUPS KEPT WHOLE — the third member of
+    the export family (``export_shuffled`` = random, ``export_sorted``
+    = curriculum, this = packed): every row of one ``by`` group (a
+    conversation) lands in ONE shard, shards walk ascending key order,
+    and each shard's total whitespace-token count approximates
+    ``tokens_per_shard``.
+
+    Scale shape: one PRUNED counts pass (keys + text only) computes the
+    exact corpus token total (a scalar reduce) and token-WEIGHTED range
+    cut points (``relational.weighted_range_bounds`` — per-block key
+    combiner + stride sample, driver sees O(sample) pairs); the payload
+    then moves ONCE through the same range exchange as ``export_sorted``
+    (per-shard vectorized sort + atomic write). Shard count =
+    ceil(total_tokens / tokens_per_shard).
+
+    Contract notes: shard sizes are best-effort (bounds sampling error
+    plus whole-group placement skew them; ordering is always exact);
+    a single group larger than the budget becomes one oversized shard
+    — by design, never split. Resumable like ``export_sorted``: total,
+    shard count and bounds PIN into ``_pack_meta.json`` on first run,
+    finished shards skip before the exchange, spec mismatch refuses."""
+    import json as _json
+
+    from xgeo_ray.functions.relational import weighted_range_bounds
+    from xgeo_ray.functions.text import token_count_table
+
+    if tokens_per_shard < 1:
+        raise ValueError("tokens_per_shard must be >= 1")
+    exts = {"parquet": ".parquet", "jsonl": ".jsonl", "jsonl.gz": ".jsonl.gz"}
+    if fmt not in exts:
+        raise ValueError(f"fmt must be one of {sorted(exts)}")
+    ext = exts[fmt]
+    tiebreak = ["conv_id", "turn_idx"]
+    os.makedirs(out_dir, exist_ok=True)
+    need = columns
+    if columns is not None:
+        # keys + range key only (the counts pass reads text separately;
+        # a projection excluding text exports without it)
+        need = list(
+            dict.fromkeys(["conv_id", "turn_idx", by] + list(columns))
+        )
+    spec = {
+        "tokens_per_shard": int(tokens_per_shard),
+        "by": by,
+        "text_col": text_col,
+        "columns": columns,
+        "fmt": fmt,
+        "order": "pack-v1",
+    }
+    meta_path = os.path.join(out_dir, "_pack_meta.json")
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            prev = _json.load(f)
+        bounds = _decode_sort_bounds(prev.pop("bounds"))
+        num_shards = int(prev.pop("num_shards"))
+        total_tokens = int(prev.pop("total_tokens"))
+        if prev != spec:
+            raise ValueError(
+                f"export dir {out_dir!r} was written with a different pack "
+                f"spec {prev} (requested {spec}): resuming would corrupt "
+                "shard membership — use a fresh directory (or delete it)."
+            )
+    else:
+        # counts pass: keys + text only leave storage; text never leaves
+        # its read task (the kernel reduces it to one int per row)
+        counts = snapshot(table, columns=[by, text_col]).map_batches(
+            lambda b: token_count_table(b, text_col).select(
+                [by, "n_tokens"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        total_tokens = int(counts.sum("n_tokens") or 0)
+        num_shards = max(
+            1, -(-total_tokens // int(tokens_per_shard))
+        )
+        bounds = weighted_range_bounds(counts, by, "n_tokens", num_shards)
+        tmp_meta = meta_path + f".tmp-{os.getpid()}"
+        with open(tmp_meta, "w") as f:
+            _json.dump(
+                {
+                    **spec,
+                    "bounds": _encode_sort_bounds(bounds),
+                    "num_shards": num_shards,
+                    "total_tokens": total_tokens,
+                },
+                f,
+            )
+        os.replace(tmp_meta, meta_path)
+    stats = _ranged_shard_export(
+        table, out_dir, by, tiebreak, False, columns, need,
+        fmt, ext, bounds, num_shards,
+    )
+    return {**stats, "total_tokens": total_tokens}
 
 
 class _TsBefore:

@@ -153,7 +153,10 @@ def cdc_stream_metrics(sf_dir: str):
     against the first sync's state) is exercised for real. The oracle
     replays LWW winner per key and GROUP BY role in SQL, so a hash
     match certifies the before/after-image feed and the signed fold
-    end-to-end."""
+    end-to-end. Further end-to-end legs: kind='scd2' (incremental SCD
+    Type-2 interval view), kind='struct' (nested struct payload
+    ingest), kind='check' (declared data-quality constraint gates the
+    stream; quarantine count + surviving-state aggregates)."""
     ops = partial_group_agg(
         derive_change_events(sf_dir).select_columns(["op", "seq"]),
         ["op"],
@@ -265,6 +268,47 @@ def cdc_stream_metrics(sf_dir: str):
         )
 
     scd2 = ivm.read_scd2(dim).map_batches(scd2_rows, batch_format="pyarrow")
+    # END-TO-END CHECK leg (kind='check'): the same WAL replays into a
+    # table with a declared data-quality constraint (state/constraints:
+    # text max_len=8 — the events fixture's props are 8-9 chars, so
+    # len-9 I/U events quarantine while 'D' tombstones pass), then the
+    # leg emits the quarantine count plus per-role aggregates of the
+    # SURVIVING applied state. The oracle filters the stream identically
+    # before its LWW replay, so a hash match certifies both the
+    # vectorized gate and the altered LWW outcomes (a dropped latest
+    # event must let an older event win) end-to-end.
+    chk = DeltaTable.create(f"{work}/chk_src", num_partitions=8, num_salts=2)
+    chk.set_constraints({"text_cap": {"col": "text", "max_len": 8}})
+    ing.run_stream(chk, [], segment_groups=groups)
+    chk = DeltaTable.open(f"{work}/chk_src")
+    n_quar = sum(m.totals.get("invalid", 0) for m in chk.manifests())
+    quar_row = ray.data.from_arrow(
+        pa.table(
+            {
+                "kind": pa.array(["check"], pa.string()),
+                "k": pa.array(["quarantined"], pa.string()),
+                "n": pa.array([int(n_quar)], pa.int64()),
+                "v": pa.array([-1], pa.int64()),
+            }
+        )
+    )
+    chk_state = partial_group_agg(
+        ing.snapshot(chk, columns=["role", "text"]).map_batches(
+            _agg_text_len_stage, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["role"],
+        [("text_len", "count", "n"), ("text_len", "sum", "v")],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "kind": pa.array(np.full(b.num_rows, "check"), pa.string()),
+                "k": b.column("role"),
+                "n": b.column("n").cast(pa.int64()),
+                "v": b.column("v").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
     # END-TO-END STRUCT leg (kind='struct'): the derived stream gains a
     # NESTED tool_call struct {fn, n_args} and ingests into a real
     # DeltaTable — struct envelope validation, manifest JSON type
@@ -299,7 +343,14 @@ def cdc_stream_metrics(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return ops.union(wm).union(agg).union(scd2).union(structs)
+    return (
+        ops.union(wm)
+        .union(agg)
+        .union(scd2)
+        .union(structs)
+        .union(quar_row)
+        .union(chk_state)
+    )
 
 
 def cdc_dedup_replay(sf_dir: str):
@@ -2093,6 +2144,21 @@ def build_oracle_sql() -> dict[str, str]:
                     ORDER BY ts DESC, seq DESC) = 1
                   AND op <> 'D'
             ) GROUP BY k
+            UNION ALL
+            SELECT 'check' AS kind, 'quarantined' AS k,
+                   count(*) AS n, CAST(-1 AS BIGINT) AS v
+            FROM ev WHERE op <> 'D' AND length(text) > 8
+            UNION ALL
+            SELECT 'check' AS kind, role AS k, count(*) AS n,
+                   CAST(sum(length(text)) AS BIGINT) AS v
+            FROM (
+                SELECT role, text FROM ev
+                WHERE op = 'D' OR length(text) <= 8
+                QUALIFY row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY ts DESC, seq DESC) = 1
+                  AND op <> 'D'
+            ) GROUP BY role
         """,
         "cdc_join_state": f"""
             WITH ev AS ({derive}),

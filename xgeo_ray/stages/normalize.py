@@ -41,8 +41,14 @@ class NormalizeEvents:
         target_schema: pa.Schema,
         drop: frozenset = frozenset(),
         dlq_dir: str | None = None,
+        constraints: dict | None = None,
     ):
         self.schema = target_schema
+        # declarative CHECK rules (state/constraints.py), evaluated
+        # vectorized AFTER the envelope cast so types are canonical;
+        # violating I/U rows quarantine as `check:<name>` — 'D'
+        # tombstones (null payloads by design) always pass
+        self.constraints = constraints or None
         # columns DROPPED from the table (ingest.drop_columns): incoming
         # events may still carry them; discard the values instead of
         # tripping cast_to's extra-column fail-fast (which still guards
@@ -93,8 +99,25 @@ class NormalizeEvents:
                     self.dlq_dir,
                 )
             batch = batch.filter(valid)
+        out = cast_to(batch, self.schema)
+        if self.constraints is not None and out.num_rows:
+            from xgeo_ray.state.constraints import check_mask
+
+            ok, why = check_mask(out, self.constraints)
+            n_check = out.num_rows - (pc.sum(ok).as_py() or 0)
+            if n_check:
+                if self.dlq_dir is not None:
+                    bad = pc.invert(ok)
+                    _write_dlq(
+                        out.filter(bad).append_column(
+                            "_reason", why.filter(bad)
+                        ),
+                        self.dlq_dir,
+                    )
+                out = out.filter(ok)
+            n_bad += n_check
         self.last_invalid = int(n_bad)
-        return cast_to(batch, self.schema)
+        return out
 
 
 def _write_dlq(rejected: pa.Table, dlq_dir: str) -> str:

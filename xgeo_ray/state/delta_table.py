@@ -645,6 +645,36 @@ class DeltaTable:
 
         self._mutate_meta(_m)
 
+    # ----------------------------------------------------- CHECK constraints
+    def constraints(self) -> dict:
+        """Declared data-quality CHECK rules (state/constraints.py) —
+        ``{name: {"col": ..., rules...}}``. Enforced vectorized in the
+        normalize stage of every ingest epoch: violating 'I'/'U' events
+        quarantine to the DLQ as ``check:<name>`` and count into
+        ``totals["invalid"]``; 'D' tombstones and NULL values (except
+        under ``not_null``) always pass. Prospective only — declared
+        rules gate FUTURE epochs; audit applied state with
+        ``pipelines.ingest.validate_table``."""
+        with open(os.path.join(self.root, TABLE_META)) as f:
+            return json.load(f).get("constraints", {})
+
+    def set_constraints(self, constraints: dict) -> None:
+        """Declare (or replace — pass ``{}`` to clear) the table's CHECK
+        constraints. Validated and normalized via
+        ``state.constraints.validate_spec``; takes effect from the next
+        ingest epoch (already-applied rows are not re-checked)."""
+        from xgeo_ray.state.constraints import validate_spec
+
+        spec = validate_spec(constraints)
+
+        def _m(meta):
+            if spec:
+                meta["constraints"] = spec
+            else:
+                meta.pop("constraints", None)
+
+        self._mutate_meta(_m)
+
     def partitions_in_range(self, col: str, lo=None, hi=None) -> list[int]:
         """Partitions that MAY hold a physical row with ``col`` in
         [lo, hi] (inclusive; ``None`` = unbounded), from manifest zone
