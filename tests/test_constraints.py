@@ -209,3 +209,160 @@ def test_check_cli(tmp_path, ray_session, capsys):
     assert main(["check", root, "--clear"]) in (0, None)
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["constraints"] == {}
+
+
+# ----------------------------------------------- round-5 review-fix guards
+def test_drop_columns_releases_constraints(tmp_path, ray_session):
+    ev = _mk_events(150, seed=31)
+    seg = str(tmp_path / "w.parquet")
+    pq.write_table(ev, seg)
+    root = str(tmp_path / "t")
+    table = DeltaTable.create(root, num_partitions=2, num_salts=1)
+    ing.ingest_segments(table, [seg])
+    table = DeltaTable.open(root)
+    table.set_constraints(
+        {
+            "nn": {"col": "tool", "not_null": True},
+            "len": {"col": "text", "max_len": 1000},
+        }
+    )
+    out = ing.drop_columns(table, ["tool"])
+    assert out["released_constraints"] == ["nn"]
+    table = DeltaTable.open(root)
+    assert set(table.constraints()) == {"len"}
+    # the surviving gate still works; no permanent total quarantine
+    seg2 = str(tmp_path / "w2.parquet")
+    ev2 = fx.make_change_events(100, n_convs=20, turns_per_conv=5,
+                                dup_fraction=0.0, seed=32)
+    # continue seqs past the watermark
+    import pyarrow.compute as pc2
+
+    bump = int(pc2.max(ev.column("seq")).as_py()) + 1
+    ev2 = ev2.set_column(
+        ev2.schema.get_field_index("seq"),
+        "seq",
+        pc2.add(ev2.column("seq"), bump),
+    )
+    pq.write_table(ev2, seg2)
+    ms = ing.ingest_segments(table, [seg2])
+    assert ms.totals.get("invalid", 0) == 0
+
+
+def test_reshard_carries_constraints(tmp_path, ray_session):
+    ev = _mk_events(200, seed=33)
+    seg = str(tmp_path / "w.parquet")
+    pq.write_table(ev, seg)
+    root = str(tmp_path / "t")
+    table = DeltaTable.create(root, num_partitions=2, num_salts=1)
+    table.set_constraints({"len": {"col": "text", "max_len": 1000}})
+    ing.ingest_segments(table, [seg])
+    table = DeltaTable.open(root)
+    new_root = str(tmp_path / "t2")
+    ing.reshard(table, new_root, num_partitions=4)
+    assert DeltaTable.open(new_root).constraints() == {
+        "len": {"col": "text", "max_len": 1000}
+    }
+
+
+def test_coalesce_refuses_not_null(tmp_path):
+    root = str(tmp_path / "t")
+    table = DeltaTable.create(
+        root, num_partitions=2, num_salts=1, merge_policy="coalesce"
+    )
+    with pytest.raises(ValueError, match="coalesce"):
+        table.set_constraints({"nn": {"col": "text", "not_null": True}})
+    # value rules stay legal (null = unchanged passes them)
+    table.set_constraints({"len": {"col": "text", "max_len": 10}})
+
+
+def test_declare_time_kernel_validation(tmp_path):
+    root = str(tmp_path / "t")
+    table = DeltaTable.create(root, num_partitions=2, num_salts=1)
+    # RE2 refuses perl lookahead that Python's re accepts
+    with pytest.raises(Exception, match="regular expression|regex"):
+        table.set_constraints({"x": {"col": "text", "matches": "(?=a)b"}})
+    # min/max against a string column fails at declare, not per epoch
+    with pytest.raises(Exception):
+        table.set_constraints({"x": {"col": "text", "min": 5}})
+    # length rules on a non-string column fail at declare
+    with pytest.raises(Exception):
+        table.set_constraints({"x": {"col": "turn_idx", "max_len": 3}})
+    # a sound spec still declares
+    table.set_constraints({"ok": {"col": "text", "max_len": 100}})
+    assert set(DeltaTable.open(root).constraints()) == {"ok"}
+
+
+def test_check_cli_set_empty_clears(tmp_path, ray_session, capsys):
+    from xgeo_ray.__main__ import main
+
+    root = str(tmp_path / "t")
+    table = DeltaTable.create(root, num_partitions=2, num_salts=1)
+    table.set_constraints({"len": {"col": "text", "max_len": 9}})
+    assert main(["check", root, "--set", "{}"]) in (0, None)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["constraints"] == {}
+    assert DeltaTable.open(root).constraints() == {}
+
+
+def test_validate_refs(tmp_path, ray_session):
+    """Cross-table FK audit: dangling = rows whose ref value has no
+    match; nulls are unknown, not dangling."""
+    ev = _mk_events(200, seed=41)
+    seg = str(tmp_path / "w.parquet")
+    pq.write_table(ev, seg)
+    root = str(tmp_path / "facts")
+    ing.ingest_segments(
+        DeltaTable.create(root, num_partitions=2, num_salts=1), [seg]
+    )
+    facts = DeltaTable.open(root)
+    snap = ing.snapshot(facts).to_pandas()
+
+    # dimension table: conv_id values, but drop some and null none
+    dims = sorted(set(snap["conv_id"]))[:-3]  # 3 convs dangle
+    dt = pa.table(
+        {
+            "conv_id": pa.array(dims),
+            "turn_idx": pa.array([0] * len(dims), pa.int64()),
+            "role": pa.array(["user"] * len(dims)),
+            "text": pa.array(["d"] * len(dims)),
+            "ts": pa.array([1] * len(dims), pa.timestamp("us")),
+            "op": pa.array(["I"] * len(dims)),
+            "seq": pa.array(list(range(len(dims))), pa.int64()),
+        }
+    )
+    seg2 = str(tmp_path / "d.parquet")
+    pq.write_table(dt, seg2)
+    droot = str(tmp_path / "dims")
+    ing.ingest_segments(
+        DeltaTable.create(droot, num_partitions=2, num_salts=1), [seg2]
+    )
+    dim = DeltaTable.open(droot)
+
+    out = ing.validate_refs(facts, "conv_id", dim)
+    missing = set(snap["conv_id"]) - set(dims)
+    want_dangling = int(snap["conv_id"].isin(missing).sum())
+    assert out == {
+        "rows": len(snap),
+        "null_refs": 0,
+        "dangling": want_dangling,
+    }
+    # self-reference: zero dangling
+    out2 = ing.validate_refs(facts, "conv_id", facts)
+    assert out2["dangling"] == 0
+
+
+def test_rewrite_rename_keeps_constraints(tmp_path, ray_session):
+    """The rewrite-mode rename must retarget rules BEFORE its drop step
+    (drop releases rules on the dropped name)."""
+    ev = _mk_events(150, seed=43)
+    seg = str(tmp_path / "w.parquet")
+    pq.write_table(ev, seg)
+    root = str(tmp_path / "t")
+    table = DeltaTable.create(root, num_partitions=2, num_salts=1)
+    table.set_constraints({"len": {"col": "text", "max_len": 1000}})
+    ing.ingest_segments(table, [seg])
+    table = DeltaTable.open(root)
+    ing.rename_column(table, "text", "body", rewrite=True)
+    assert DeltaTable.open(root).constraints() == {
+        "len": {"col": "body", "max_len": 1000}
+    }

@@ -43,7 +43,11 @@ def test_drop_hides_now_travels_below_and_never_resurrects(tmp_path):
     assert "tool" in before.columns
 
     st = ing.drop_columns(t, ["tool"])
-    assert st == {"dropped": ["tool"], "from_epoch": 2}
+    assert st == {
+        "dropped": ["tool"],
+        "from_epoch": 2,
+        "released_constraints": [],
+    }
     # hidden from the current state and the current epoch's travel alike
     assert "tool" not in ing.snapshot(t).schema().names
     assert "tool" not in ing.snapshot(t, as_of_epoch=2).schema().names

@@ -141,3 +141,46 @@ def test_export_packed_jsonl_and_projection(tmp_path, ray_session):
             rows += [json.loads(ln) for ln in fh if ln.strip()]
     assert rows and set(rows[0]) == {"conv_id", "turn_idx", "text"}
     assert len(rows) == ing.snapshot(table).count()
+
+
+def test_export_families_refuse_foreign_dirs(tmp_path, ray_session):
+    table = _mk_table(tmp_path, n=200, seed=17)
+    out = str(tmp_path / "out")
+    ing.export_sorted(table, out, by="turn_idx", num_shards=2)
+    with pytest.raises(ValueError, match="sort export"):
+        ing.export_packed(table, out, 100)
+    out2 = str(tmp_path / "out2")
+    ing.export_packed(table, out2, 100)
+    with pytest.raises(ValueError, match="pack export"):
+        ing.export_sorted(table, out2, by="turn_idx", num_shards=2)
+    with pytest.raises(ValueError, match="pack export"):
+        ing.export_shuffled(table, out2, 2)
+
+
+def test_text_bisect_matches_linear_assign():
+    from xgeo_ray.functions.relational import (
+        _text_bisect_left,
+        range_shard_assign,
+    )
+
+    rng = np.random.default_rng(5)
+    bounds = sorted({f"k{int(x):06d}" for x in rng.integers(0, 500, 100)})
+    keys = [f"k{int(x):06d}" for x in rng.integers(0, 600, 2000)]
+    keys += bounds[:5] + [None, None]  # exact bound hits + nulls
+    arr = pa.chunked_array([pa.array(keys[:700]), pa.array(keys[700:])])
+    got = _text_bisect_left(arr, bounds)
+    import bisect
+
+    for i, k in enumerate(keys):
+        if k is None:
+            continue  # caller overwrites null slots
+        assert got[i] == bisect.bisect_left(bounds, k), (i, k)
+    # end-to-end through range_shard_assign (>32 bounds takes the
+    # binary-search path; a 5-bound run takes the linear path)
+    n_sh = len(bounds) + 1
+    assign = range_shard_assign(bounds, "k", n_sh)
+    t = assign(pa.table({"k": pa.array(keys)}))
+    sh = t.column("shard").to_pylist()
+    for i, k in enumerate(keys):
+        want = bisect.bisect_left(bounds, k) if k is not None else n_sh - 1
+        assert sh[i] == want

@@ -1212,7 +1212,7 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "check":
             if args.clear:
                 table.set_constraints({})
-            elif args.set_spec:
+            elif args.set_spec is not None:  # --set '{}' clears too
                 table.set_constraints(json.loads(args.set_spec))
             out = {"constraints": table.constraints()}
             if args.audit:

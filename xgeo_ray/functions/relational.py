@@ -1119,6 +1119,37 @@ def weighted_range_bounds(
     return np.asarray(_range_key_i64(picked)).tolist()
 
 
+def _text_bisect_left(key: pa.ChunkedArray | pa.Array, bounds: list) -> np.ndarray:
+    """Vectorized bisect_left of every key into a sorted text/binary
+    bounds list: log2(len(bounds)) rounds, each one numpy gather of the
+    per-row pivot + one elementwise Arrow compare — no Python-per-row,
+    no per-bound full-column pass. Null keys return an arbitrary index
+    (the caller overwrites them with null_shard)."""
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    n = len(key)
+    m = len(bounds)
+    bounds_np = np.array(bounds, dtype=object)
+    ktype = key.type
+    lo = np.zeros(n, dtype=np.int64)
+    hi = np.full(n, m, dtype=np.int64)
+    active = lo < hi
+    while active.any():
+        mid = (lo + hi) >> 1
+        pivot = pa.array(
+            bounds_np[np.minimum(mid, m - 1)].tolist(), type=ktype
+        )
+        gt = pc.fill_null(pc.greater(key, pivot), False).to_numpy(
+            zero_copy_only=False
+        )
+        go_right = active & gt
+        go_left = active & ~gt
+        lo = np.where(go_right, mid + 1, lo)
+        hi = np.where(go_left, mid, hi)
+        active = lo < hi
+    return lo
+
+
 def range_shard_assign(
     bounds: list, col: str, num_shards: int, null_shard: int | None = None
 ):
@@ -1127,9 +1158,12 @@ def range_shard_assign(
     shards and shard concatenation order is a total order). Null keys
     go to ``null_shard`` (default: the last shard — NULLS LAST in an
     ascending walk; a descending consumer passes 0, its last-walked
-    shard). Text keys assign via ``len(bounds)`` vectorized Arrow
-    compares per batch (bounds are few — one per output shard — so
-    this stays kernel-bound, no Python-per-row)."""
+    shard). Text keys assign via vectorized Arrow compares: a linear
+    bound sweep when bounds are few (≤32 — one C pass per bound), else
+    a VECTORIZED BINARY SEARCH (log2(bounds) rounds, each one gather +
+    one elementwise Arrow compare) so a token-budget ``export_packed``
+    with thousands of shards stays O(rows·log shards), not
+    O(rows·shards)."""
     if null_shard is None:
         null_shard = num_shards - 1
     text_bounds = bool(bounds) and isinstance(bounds[0], (str, bytes))
@@ -1140,10 +1174,17 @@ def range_shard_assign(
         if text_bounds or (not bounds and _is_text_key(key.type)):
             # shard = count of bounds strictly below the key
             # (== np.searchsorted(bounds, key, side="left"))
-            shard = np.zeros(len(key), dtype=np.int64)
-            for bv in bounds:
-                gt = pc.fill_null(pc.greater(key, pa.scalar(bv)), False)
-                shard += gt.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(bounds) <= 32:
+                shard = np.zeros(len(key), dtype=np.int64)
+                for bv in bounds:
+                    gt = pc.fill_null(
+                        pc.greater(key, pa.scalar(bv)), False
+                    )
+                    shard += gt.to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+            else:
+                shard = _text_bisect_left(key, bounds)
         else:
             k = _range_key_i64(key)
             shard = np.searchsorted(b, k, side="left").astype(np.int64)

@@ -2219,8 +2219,11 @@ def rename_column(
     # drop AFTER the rewrite commits (crash between re-runs to here;
     # mark_dropped is idempotent) — the drop epoch is the rewrite's, so
     # snapshot() and as_of_epoch=latest agree immediately
-    drop_columns(table, [old])
+    # retarget BEFORE the drop: drop_columns releases constraints still
+    # pointing at the dropped name, so retargeting after it would find
+    # the rule already gone and silently lose it
     _retarget_constraints(table, old, new)
+    drop_columns(table, [old])
     return {
         "renamed": {old: new},
         "from_epoch": table.dropped_columns()[old],
@@ -2295,6 +2298,91 @@ def validate_table(
         ):
             totals[n] += int(f)
     return totals
+
+
+_EXPORT_METAS = ("_sort_meta.json", "_pack_meta.json", "_shuffle_meta.json")
+
+
+def _refuse_foreign_export_meta(out_dir: str, own: str) -> None:
+    """All three export families name their files ``shard-NNNNN.<ext>``,
+    so a directory already holding ANOTHER family's pinned spec would
+    have its finished shards mistaken for this export's resume state —
+    silent membership corruption, not a crash. Refuse instead."""
+    for m in _EXPORT_METAS:
+        if m != own and os.path.isfile(os.path.join(out_dir, m)):
+            raise ValueError(
+                f"export dir {out_dir!r} already holds a {m[1:-10]} "
+                f"export ({m}) — shard files would collide; use a "
+                "fresh directory"
+            )
+
+
+def validate_refs(
+    table: DeltaTable,
+    col: str,
+    other: DeltaTable,
+    other_col: str | None = None,
+    num_partitions: int = 32,
+) -> dict[str, int]:
+    """Referential-integrity audit: count CURRENT merged rows of
+    ``table`` whose ``col`` value has no matching ``other_col`` row in
+    ``other``'s current snapshot — the cross-table complement to the
+    single-table CHECK audit (``validate_table``). Nothing is mutated;
+    NULL values are not dangling (SQL FK semantics: unknown ≠ broken).
+
+    Scale shape: both sides read PRUNED to one column each, the
+    orphan check is a bucketed cogroup anti-join
+    (``relational.hash_join`` 'left anti' — values co-locate by key
+    hash, no broadcast, no driver materialization), and only per-batch
+    counts reach the driver."""
+    from xgeo_ray.functions.relational import hash_join
+
+    if other_col is None:
+        other_col = col
+
+    def _refs(b: pa.Table, _c=col) -> pa.Table:
+        return pa.table({"__ref": b.column(_c)})
+
+    left = snapshot(table, columns=[col]).map_batches(
+        _refs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    right = snapshot(other, columns=[other_col]).map_batches(
+        # distinct the referenced side per batch (anti-join semantics
+        # don't need duplicates; this is the classic combiner) and
+        # drop nulls — a null on the referenced side matches nothing
+        lambda b, _c=other_col: pa.table(
+            {"__ref": pc.unique(b.column(_c)).drop_null()}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    total = left.count()
+    nulls = int(
+        left.map_batches(
+            lambda b: pa.table(
+                {"n": pa.array([b.column("__ref").null_count], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("n")
+        or 0
+    )
+    # nulls are "unknown", not dangling (SQL FK semantics) — exclude
+    # them before the anti-join so they can't surface as orphans
+    left_nn = left.map_batches(
+        lambda b: b.drop_null(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orphans = hash_join(
+        left_nn, right, on="__ref", join_type="left anti",
+        num_partitions=num_partitions,
+    ).count()
+    return {
+        "rows": int(total),
+        "null_refs": nulls,
+        "dangling": int(orphans),
+    }
 
 
 def _encode_sort_bounds(bounds: list) -> list | dict:
@@ -2382,6 +2470,7 @@ def export_sorted(
         "order": "range-v1",
     }
     meta_path = os.path.join(out_dir, "_sort_meta.json")
+    _refuse_foreign_export_meta(out_dir, "_sort_meta.json")
     if os.path.isfile(meta_path):
         with open(meta_path) as f:
             prev = _json.load(f)
@@ -2570,6 +2659,7 @@ def export_packed(
         "order": "pack-v1",
     }
     meta_path = os.path.join(out_dir, "_pack_meta.json")
+    _refuse_foreign_export_meta(out_dir, "_pack_meta.json")
     if os.path.isfile(meta_path):
         with open(meta_path) as f:
             prev = _json.load(f)
@@ -2792,9 +2882,18 @@ def drop_columns(table: DeltaTable, columns: list[str]) -> dict:
     # strictly-older time travel still reads it
     from_epoch = table.latest_epoch()
     table.mark_dropped(list(columns), from_epoch)
+    # CHECK constraints targeting a dropped column are released with it
+    # — leaving one behind would make its not_null rule quarantine
+    # EVERY future I/U event (an absent column is all-null by contract)
+    cons = table.constraints()
+    dropped_set = set(columns)
+    kept = {n: s for n, s in cons.items() if s.get("col") not in dropped_set}
+    if len(kept) != len(cons):
+        table.set_constraints(kept)
     return {
         "dropped": sorted(table.dropped_columns()),
         "from_epoch": from_epoch,
+        "released_constraints": sorted(set(cons) - set(kept)),
     }
 
 
@@ -2935,6 +3034,15 @@ def reshard(
     # would trip the per-new-partition seq watermark on the later half
     # (the same invariant sync_derived documents)
     run_stream(new, [], segment_groups=[sorted(segs)])
+    # carry declared CHECK constraints — reshard then tail-resume on the
+    # same WAL must keep the data-quality gate. AFTER the fold cutover:
+    # folded rows are already-validated state, and gating them would
+    # quarantine historic rows a LATER-declared rule never saw (e.g. a
+    # legal null from before a not_null was declared) — prospective
+    # enforcement must stay prospective across a reshard too.
+    cons = table.constraints()
+    if cons:
+        new.set_constraints(cons)
     # resume continuity: the old WAL's committed segments count as done.
     # On collapsed-history tables the fold above erased superseded
     # versions exactly like a compaction — record the folded max_ts so
@@ -4310,6 +4418,7 @@ def export_shuffled(
         "fmt": fmt,
     }
     meta_path = os.path.join(out_dir, "_shuffle_meta.json")
+    _refuse_foreign_export_meta(out_dir, "_shuffle_meta.json")
     if os.path.isfile(meta_path):
         with open(meta_path) as f:
             prev = _json.load(f)

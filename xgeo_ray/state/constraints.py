@@ -32,10 +32,15 @@ temporal bounds), ``in`` (value list), ``min_len``/``max_len``
 (utf8 char counts), ``matches`` (RE2 regex, must match somewhere —
 anchor with ^...$ for full-match).
 
-Enforcement is prospective (next epoch onward). For retroactive
-auditing of already-applied state, ``pipelines.ingest.validate_table``
-runs the same kernels distributed over the current snapshot and
-returns per-constraint violation counts without mutating anything.
+Enforcement is prospective (next epoch onward) and gates the STREAM:
+``bootstrap_base`` / ``run_stream(bootstrap=...)`` base-image loads are
+trusted and exempt (base rows are state, not events — quarantining
+part of an image would silently diverge from the source). For
+retroactive auditing of already-applied state (including bootstrapped
+rows and rows applied before a rule was declared),
+``pipelines.ingest.validate_table`` runs the same kernels distributed
+over the current snapshot and returns per-constraint violation counts
+without mutating anything.
 """
 
 from __future__ import annotations
@@ -82,9 +87,14 @@ def validate_spec(constraints: dict) -> dict:
         ):
             raise ValueError(f"constraint {name!r}: 'in' needs a non-empty list")
         if "matches" in rules:
-            import re
-
-            re.compile(rules["matches"])  # syntax check at declare time
+            # probe the ACTUAL runtime engine (Arrow RE2) at declare
+            # time — Python's re accepts perl constructs (lookahead,
+            # backrefs) RE2 refuses, and a pattern that only fails in
+            # the normalize workers would crash every future epoch.
+            # A 1-row null forces the compile without matching anything.
+            pc.match_substring_regex(
+                pa.array([None], pa.string()), pattern=rules["matches"]
+            )
         for k in ("min_len", "max_len"):
             if k in rules and (not isinstance(rules[k], int) or rules[k] < 0):
                 raise ValueError(f"constraint {name!r}: {k} must be an int >= 0")

@@ -653,7 +653,8 @@ class DeltaTable:
         quarantine to the DLQ as ``check:<name>`` and count into
         ``totals["invalid"]``; 'D' tombstones and NULL values (except
         under ``not_null``) always pass. Prospective only — declared
-        rules gate FUTURE epochs; audit applied state with
+        rules gate FUTURE stream epochs (``bootstrap_base`` trusted
+        image loads are exempt); audit applied state with
         ``pipelines.ingest.validate_table``."""
         with open(os.path.join(self.root, TABLE_META)) as f:
             return json.load(f).get("constraints", {})
@@ -661,11 +662,40 @@ class DeltaTable:
     def set_constraints(self, constraints: dict) -> None:
         """Declare (or replace — pass ``{}`` to clear) the table's CHECK
         constraints. Validated and normalized via
-        ``state.constraints.validate_spec``; takes effect from the next
-        ingest epoch (already-applied rows are not re-checked)."""
-        from xgeo_ray.state.constraints import validate_spec
+        ``state.constraints.validate_spec``, then DRY-RUN against the
+        current schema (a 1-row all-null batch exercises every kernel
+        with the real column types, so a rule that would crash the
+        normalize workers — min/max on a string column, length/regex on
+        a non-string — fails HERE, not in every future epoch; rules on
+        columns the schema doesn't carry yet stay best-effort-checked).
+        Takes effect from the next ingest epoch (already-applied rows
+        are not re-checked — audit with ``ingest.validate_table``;
+        ``bootstrap_base`` trusted-image loads are likewise exempt).
+
+        Refused on ``merge_policy='coalesce'`` when a rule declares
+        ``not_null``: coalesce 'U' events carry null for every
+        UNPATCHED column by protocol, so not_null would quarantine
+        every legitimate partial update."""
+        from xgeo_ray.state.constraints import check_mask, validate_spec
 
         spec = validate_spec(constraints)
+        if spec:
+            if self.merge_policy == "coalesce":
+                nn = sorted(
+                    n for n, s in spec.items() if s.get("not_null")
+                )
+                if nn:
+                    raise ValueError(
+                        f"not_null constraint(s) {nn} are unsound under "
+                        "merge_policy='coalesce': a partial-update 'U' "
+                        "event carries null for every unpatched column "
+                        "by protocol — drop not_null or use a value rule"
+                    )
+            env = self.current_schema()
+            probe = pa.table(
+                {f.name: pa.nulls(1, f.type) for f in env}
+            )
+            check_mask(probe, spec)  # raises on type/kernel mismatch
 
         def _m(meta):
             if spec:
