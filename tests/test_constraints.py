@@ -366,3 +366,44 @@ def test_rewrite_rename_keeps_constraints(tmp_path, ray_session):
     assert DeltaTable.open(root).constraints() == {
         "len": {"col": "body", "max_len": 1000}
     }
+
+
+def test_rewrite_rename_bypasses_constraints_no_data_loss(
+    tmp_path, ray_session
+):
+    """A rewrite rename re-ingests full images of EXISTING state — a
+    historic row violating a later-declared rule must survive the
+    mechanical rewrite (prospective enforcement stays prospective).
+    update_where stays gated (it authors new state)."""
+    ev = _mk_events(200, seed=47)
+    seg = str(tmp_path / "w.parquet")
+    pq.write_table(ev, seg)
+    root = str(tmp_path / "t")
+    table = DeltaTable.create(root, num_partitions=2, num_salts=1)
+    ing.ingest_segments(table, [seg])
+    table = DeltaTable.open(root)
+    before = ing.snapshot(table).count()
+    # declare a rule EVERY current row violates
+    table.set_constraints({"len": {"col": "text", "max_len": 0}})
+    ing.rename_column(table, "text", "body", rewrite=True)
+    table = DeltaTable.open(root)
+    snap = ing.snapshot(table).to_pandas()
+    assert len(snap) == before
+    assert snap["body"].notna().any()  # values survived the rewrite
+    assert table.constraints() == {"len": {"col": "body", "max_len": 0}}
+
+    # update_where by contrast IS gated: a violating computed image
+    # quarantines rather than applying
+    import pyarrow.compute as pc2
+
+    ing.update_where(
+        table,
+        lambda b: pc2.equal(b.column("role"), b.column("role")),
+        {"body": "definitely too long"},
+        batch_id="redact-1",
+    )
+    table = DeltaTable.open(root)
+    snap2 = ing.snapshot(table).to_pandas()
+    assert not (snap2["body"] == "definitely too long").any()
+    inv = sum(m.totals.get("invalid", 0) for m in table.manifests())
+    assert inv >= before

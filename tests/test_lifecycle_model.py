@@ -236,3 +236,97 @@ def test_random_lifecycle_with_restore_and_delete(tmp_path, seed):
             got["turn_idx"] = got["turn_idx"].astype(want["turn_idx"].dtype)
             pd.testing.assert_frame_equal(got, want), f"step {step} op {op}"
     assert ing.fsck(t)["ok"], ing.fsck(t)["issues"]
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_random_lifecycle_with_constraints(tmp_path, seed):
+    """Round-5 extension: CHECK constraints interleaved with ingest /
+    corrections / folds / vacuum. The model mirrors the gate: while a
+    rule is declared, I/U rows violating it are EXCLUDED from the model
+    batch (D rows pass; rows applied before the declaration stay).
+    Declare/clear may happen at any step; every state must match the
+    model exactly, and the quarantine totals must equal the model's
+    excluded-row count."""
+    rng = np.random.default_rng(seed)
+    t = DeltaTable.create(str(tmp_path / "t"), num_partitions=4, num_salts=1)
+    model_rows: list[pd.DataFrame] = []
+    rule_cap: int | None = None  # active max_len on text, None = no rule
+    excluded = 0
+    seq = 0
+    ts = 1_000_000
+    n_batches = 0
+    for step in range(14):
+        op = rng.choice(
+            ["ingest", "ingest", "ingest", "correct",
+             "declare", "clear", "minor", "full", "vacuum"]
+        )
+        if op == "ingest":
+            n = int(rng.integers(30, 90))
+            ev = _events(seq, n, rng, ts)
+            seq += n
+            ts += n * 10 + 1_000
+            segs = fx.write_segments(
+                ev, str(tmp_path / f"wal{step}"), n_segments=2
+            )
+            ing.ingest_segments(t, segs)
+            df = ev.to_pandas()
+            if rule_cap is not None:
+                bad = (df.op != "D") & (df.text.str.len() > rule_cap)
+                excluded += int(bad.sum())
+                df = df[~bad]
+            model_rows.append(df)
+        elif op == "correct":
+            n_batches += 1
+            key_conv = f"c{rng.integers(0, 6)}"
+            key_turn = int(rng.integers(0, 4))
+            ts += 1_000
+            fix = f"fix{n_batches}"
+            batch = pa.table(
+                {
+                    "conv_id": pa.array([key_conv]),
+                    "turn_idx": pa.array([key_turn], pa.int32()),
+                    "text": pa.array([fix]),
+                }
+            )
+            ing.apply_changes(t, batch, batch_id=f"fix-{n_batches}", ts_us=ts)
+            if rule_cap is not None and len(fix) > rule_cap:
+                excluded += 1  # gated correction
+            else:
+                model_rows.append(
+                    pd.DataFrame(
+                        {
+                            "seq": [np.int64(-1)],
+                            "op": ["U"],
+                            "conv_id": [key_conv],
+                            "turn_idx": [key_turn],
+                            "text": [fix],
+                            "ts": [pd.Timestamp(ts, unit="us")],
+                        }
+                    )
+                )
+        elif op == "declare":
+            # caps chosen around the fixture's text lengths (s<seq>)
+            rule_cap = int(rng.integers(2, 6))
+            t.set_constraints(
+                {"cap": {"col": "text", "max_len": rule_cap}}
+            )
+        elif op == "clear":
+            rule_cap = None
+            t.set_constraints({})
+        elif op == "minor":
+            ing.compact(t, minor=True)
+        elif op == "full":
+            ing.compact(t)
+        elif op == "vacuum":
+            ing.vacuum(t)
+        if model_rows:
+            want = _model_state(pd.concat(model_rows, ignore_index=True))
+            got = _engine_state(t)
+            got["turn_idx"] = got["turn_idx"].astype(want["turn_idx"].dtype)
+            pd.testing.assert_frame_equal(got, want), f"step {step} op {op}"
+    total_invalid = sum(
+        m.totals.get("invalid", 0)
+        for m in DeltaTable.open(str(tmp_path / "t")).manifests()
+    )
+    assert total_invalid == excluded
+    assert ing.fsck(t)["ok"]

@@ -703,6 +703,7 @@ def ingest_segments(
     transform=None,
     watermark_exempt: bool = False,
     dlq_dir: str | None = None,
+    enforce_constraints: bool = True,
 ) -> Manifest:
     """Apply one epoch of WAL segments to the table; returns the committed
     manifest. Crash-safe: nothing is visible until the final commit.
@@ -711,7 +712,15 @@ def ingest_segments(
     seq=-1, the bootstrap convention) are neither filtered by the
     per-partition seq watermark nor allowed to advance it (their
     max_seq is -1), so the live stream's replay protection is
-    untouched — see ``apply_changes``."""
+    untouched — see ``apply_changes``.
+
+    ``enforce_constraints=False``: skip declared CHECK rules for this
+    epoch — reserved for MECHANICAL rewriters of existing state (the
+    rewrite-mode rename re-ingests full images of already-applied
+    rows; gating them against a later-declared rule would silently
+    lose historic data the prospective contract promised to keep).
+    User-authored paths (stream, corrections, update_where) stay
+    gated."""
     segment_paths = [os.path.abspath(p) for p in segment_paths]
     if epoch is None:
         epoch = table.latest_epoch() + 1
@@ -739,7 +748,9 @@ def ingest_segments(
             set(table.dropped_columns()) | table.retired_names()
         ),
         dlq_dir=dlq_dir,
-        constraints=table.constraints() or None,
+        constraints=(table.constraints() or None)
+        if enforce_constraints
+        else None,
     )
     chunks = plan_read_chunks(segment_paths)
     entries, invalid = _radix_exchange_apply(
@@ -2003,7 +2014,12 @@ def update_where(
     )
 
 
-def _stage_and_ingest_oob(table: DeltaTable, updates, final_dir: str):
+def _stage_and_ingest_oob(
+    table: DeltaTable,
+    updates,
+    final_dir: str,
+    enforce_constraints: bool = True,
+):
     """Shared tail of the oob full-image rewriters (``update_where``,
     ``rename_column``): write the update-image Dataset to a staging
     dir, publish the parts under attempt-token names into ``final_dir``
@@ -2047,7 +2063,12 @@ def _stage_and_ingest_oob(table: DeltaTable, updates, final_dir: str):
         DEFAULT_STORAGE.publish_file(src, dst, durable=durable)
         segs.append(dst)
     _shutil.rmtree(stage, ignore_errors=True)
-    return ingest_segments(table, segs, watermark_exempt=True)
+    return ingest_segments(
+        table,
+        segs,
+        watermark_exempt=True,
+        enforce_constraints=enforce_constraints,
+    )
 
 
 def rename_column(
@@ -2215,6 +2236,10 @@ def rename_column(
                 _to_images, batch_format="pyarrow", zero_copy_batch=True
             ),
             final_dir,
+            # MECHANICAL rewrite of existing state: gating these images
+            # against a later-declared CHECK rule would silently drop
+            # historic rows the prospective contract promised to keep
+            enforce_constraints=False,
         )
     # drop AFTER the rewrite commits (crash between re-runs to here;
     # mark_dropped is idempotent) — the drop epoch is the rewrite's, so

@@ -32,10 +32,15 @@ temporal bounds), ``in`` (value list), ``min_len``/``max_len``
 (utf8 char counts), ``matches`` (RE2 regex, must match somewhere —
 anchor with ^...$ for full-match).
 
-Enforcement is prospective (next epoch onward) and gates the STREAM:
-``bootstrap_base`` / ``run_stream(bootstrap=...)`` base-image loads are
-trusted and exempt (base rows are state, not events — quarantining
-part of an image would silently diverge from the source). For
+Enforcement is prospective (next epoch onward) and gates USER-AUTHORED
+writes: the WAL stream, ``apply_changes`` corrections and
+``update_where`` images. Exempt: ``bootstrap_base`` /
+``run_stream(bootstrap=...)`` base-image loads (trusted state, not
+events — quarantining part of an image would silently diverge from the
+source) and the rewrite-mode ``rename_column`` (a MECHANICAL re-ingest
+of already-applied rows; gating them against a later-declared rule
+would lose historic data the prospective contract promised to keep).
+For
 retroactive auditing of already-applied state (including bootstrapped
 rows and rows applied before a rule was declared),
 ``pipelines.ingest.validate_table`` runs the same kernels distributed
