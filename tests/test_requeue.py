@@ -1,0 +1,181 @@
+"""DLQ requeue loop (sources/wal_writer.requeue_dlq): quarantine →
+repair → requeue → re-apply; idempotent re-run; verbatim roundtrip
+convergence for still-invalid rows; CLI."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from xgeo_ray import fixtures as fx
+from xgeo_ray.pipelines import ingest as ing
+from xgeo_ray.sources.wal_writer import requeue_dlq
+from xgeo_ray.state.delta_table import DeltaTable
+
+
+def _poisoned_stream(tmp_path, n=200, seed=51, n_bad=9):
+    """Events with n_bad I/U rows carrying an invalid role."""
+    ev = fx.make_change_events(n, n_convs=20, turns_per_conv=5,
+                               dup_fraction=0.0, seed=seed)
+    role = ev.column("role").to_pylist()
+    op = ev.column("op").to_pylist()
+    bad = [i for i in range(ev.num_rows) if op[i] != "D"][:n_bad]
+    for i in bad:
+        role[i] = "robot"
+    ev = ev.set_column(ev.schema.get_field_index("role"), "role",
+                       pa.array(role))
+    seg = str(tmp_path / "w.parquet")
+    pq.write_table(ev, seg)
+    return ev, seg, bad
+
+
+def test_requeue_repair_reapply(tmp_path, ray_session):
+    ev, seg, bad = _poisoned_stream(tmp_path)
+    root = str(tmp_path / "t")
+    table = DeltaTable.create(root, num_partitions=2, num_salts=1)
+    table.set_constraints(
+        {"role_enum": {"col": "role", "in": ["user", "assistant", "tool"]}}
+    )
+    dlq = str(tmp_path / "dlq")
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal, exist_ok=True)
+    ing.run_stream(table, [seg], dlq_dir=dlq)
+    table = DeltaTable.open(root)
+    n_q = sum(m.totals.get("invalid", 0) for m in table.manifests())
+    assert n_q == len(bad)
+
+    def repair(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("role")
+        return t.set_column(
+            i, "role",
+            pc.replace_substring(t.column("role"), "robot", "tool"),
+        )
+
+    st = requeue_dlq(dlq, wal, repair=repair)
+    assert st["rows"] == len(bad) and st["files"] >= 1
+    # seqs minted FRESH (the WAL dir was empty → start at 0, but the
+    # stream they join continues past the table watermark when fed
+    # through run_stream as watermark-continuing segments); here we
+    # re-feed the repaired rows as oob-style fresh stream into the
+    # same table: their seqs must be strictly increasing
+    assert st["first_seq"] == 0 and st["last_seq"] == len(bad) - 1
+
+    # re-run is a no-op (files moved to requeued/)
+    st2 = requeue_dlq(dlq, wal, repair=repair)
+    assert st2 == {"files": 0, "rows": 0,
+                   "first_seq": None, "last_seq": None}
+    assert len(os.listdir(os.path.join(dlq, "requeued"))) >= 1
+
+    # the repaired segments apply... but their minted seqs (0..8) sit
+    # below the table's watermark — the documented flow for SAME-table
+    # repair is a fresh table-side correction; verify the segments are
+    # at least well-formed, ordered WAL input for a fresh consumer
+    segs = sorted(
+        os.path.join(wal, f) for f in os.listdir(wal)
+        if f.endswith(".parquet")
+    )
+    t2root = str(tmp_path / "t2")
+    t2 = DeltaTable.create(t2root, num_partitions=2, num_salts=1)
+    ing.run_stream(t2, segs)
+    got = ing.snapshot(DeltaTable.open(t2root)).to_pandas()
+    assert len(got) >= 1
+    assert set(got["role"]) <= {"user", "assistant", "tool"}
+
+
+def test_requeue_verbatim_roundtrip_converges(tmp_path, ray_session):
+    """Without repair, still-invalid rows re-quarantine into the SAME
+    content-hash file names — the loop converges, never grows."""
+    ev, seg, bad = _poisoned_stream(tmp_path, seed=53, n_bad=5)
+    root = str(tmp_path / "t")
+    table = DeltaTable.create(root, num_partitions=2, num_salts=1)
+    table.set_constraints(
+        {"role_enum": {"col": "role", "in": ["user", "assistant", "tool"]}}
+    )
+    dlq = str(tmp_path / "dlq")
+    wal = str(tmp_path / "wal")
+    ing.run_stream(table, [seg], dlq_dir=dlq)
+    first_files = set(os.listdir(dlq))
+
+    requeue_dlq(dlq, wal)  # verbatim: rows still invalid
+    segs = sorted(
+        os.path.join(wal, f) for f in os.listdir(wal)
+        if f.endswith(".parquet")
+    )
+    # feeding them to a FRESH table with the same rule re-quarantines
+    t2 = DeltaTable.create(str(tmp_path / "t2"), num_partitions=2,
+                           num_salts=1)
+    t2.set_constraints(
+        {"role_enum": {"col": "role", "in": ["user", "assistant", "tool"]}}
+    )
+    dlq2 = str(tmp_path / "dlq2")
+    ing.run_stream(t2, segs, dlq_dir=dlq2)
+    q2 = pa.concat_tables(
+        [pq.read_table(os.path.join(dlq2, f)) for f in os.listdir(dlq2)]
+    )
+    assert q2.num_rows == len(bad)
+    assert set(q2.column("_reason").to_pylist()) == {"check:role_enum"}
+
+
+def test_requeue_cli(tmp_path, ray_session, capsys):
+    from xgeo_ray.__main__ import main
+
+    ev, seg, bad = _poisoned_stream(tmp_path, seed=55, n_bad=3)
+    root = str(tmp_path / "t")
+    table = DeltaTable.create(root, num_partitions=2, num_salts=1)
+    table.set_constraints(
+        {"role_enum": {"col": "role", "in": ["user", "assistant", "tool"]}}
+    )
+    dlq = str(tmp_path / "dlq")
+    ing.run_stream(table, [seg], dlq_dir=dlq)
+    wal = str(tmp_path / "wal")
+    assert main(["requeue", dlq, wal]) in (0, None)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == len(bad)
+
+
+def test_requeue_into_live_wal_continues_seq_and_applies(
+    tmp_path, ray_session
+):
+    """SAME-table repair flow: requeue into the table's LIVE producer
+    WAL dir — WalWriter resumes the seq space from the dir's segment
+    footers, so repaired rows mint seqs ABOVE the table watermark and
+    the next run_stream applies them."""
+    ev, _, bad = _poisoned_stream(tmp_path, seed=57, n_bad=4)
+    wal = str(tmp_path / "wal")
+    segs = fx.write_segments(ev, wal, n_segments=2)
+    root = str(tmp_path / "t")
+    table = DeltaTable.create(root, num_partitions=2, num_salts=1)
+    table.set_constraints(
+        {"role_enum": {"col": "role", "in": ["user", "assistant", "tool"]}}
+    )
+    dlq = str(tmp_path / "dlq")
+    ing.run_stream(table, segs, dlq_dir=dlq)
+    table = DeltaTable.open(root)
+    wm = int(max(table.watermarks()))
+
+    def repair(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("role")
+        return t.set_column(
+            i, "role",
+            pc.replace_substring(t.column("role"), "robot", "tool"),
+        )
+
+    st = requeue_dlq(dlq, wal, repair=repair)
+    assert st["first_seq"] > wm  # continuity: above the watermark
+    new_segs = sorted(
+        os.path.join(wal, f)
+        for f in os.listdir(wal)
+        if f.endswith(".parquet")
+    )
+    ing.run_stream(DeltaTable.open(root), new_segs)
+    snap = ing.snapshot(DeltaTable.open(root)).to_pandas()
+    # every repaired key now carries a valid role in applied state
+    orig = ev.to_pandas().iloc[bad]
+    for _, r in orig.iterrows():
+        m = snap[(snap.conv_id == r.conv_id) & (snap.turn_idx == r.turn_idx)]
+        if len(m):  # unless a later event deleted/updated the key
+            assert m.iloc[0]["role"] != "robot"
+    assert not (snap["role"] == "robot").any()

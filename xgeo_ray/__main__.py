@@ -594,6 +594,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("table")
 
     p = sub.add_parser(
+        "requeue",
+        help="re-feed quarantined DLQ rows into a WAL directory as fresh "
+        "producer segments (seq re-minted, original ts kept; processed "
+        "files move to <dlq>/requeued/) — repair rows by editing the "
+        "parquet files first, or leave them: still-invalid rows simply "
+        "re-quarantine",
+    )
+    p.add_argument("dlq_dir")
+    p.add_argument("wal_dir")
+    p.add_argument("--segment-rows", type=int, default=262_144)
+
+    p = sub.add_parser(
         "check",
         help="declare / inspect / audit data-quality CHECK constraints "
         "(violating stream events quarantine to the DLQ as check:<name>)",
@@ -669,6 +681,20 @@ def main(argv: list[str] | None = None) -> int:
         print(
             json.dumps(
                 {r: len(paths) for r, paths in sorted(routed.items())}
+            )
+        )
+        return 0
+
+    if args.cmd == "requeue":  # no table, no Ray: DLQ -> WAL segments
+        from xgeo_ray.sources.wal_writer import requeue_dlq
+
+        print(
+            json.dumps(
+                requeue_dlq(
+                    args.dlq_dir,
+                    args.wal_dir,
+                    segment_rows=args.segment_rows,
+                )
             )
         )
         return 0

@@ -185,3 +185,77 @@ class WalWriter:
                     pass
         self._next_idx += 1
         return path
+
+
+def requeue_dlq(
+    dlq_dir: str,
+    wal_dir: str,
+    repair=None,
+    segment_rows: int = 262_144,
+    durable: bool = True,
+) -> dict:
+    """Close the dead-letter loop: read quarantined rows back from a
+    DLQ directory (stages/normalize.py — original shape plus
+    ``_reason``), optionally repair them, and re-feed them into a WAL
+    directory as fresh producer segments. The counterpart to
+    ``run_stream/tail(dlq_dir=)``: quarantine → inspect → repair →
+    requeue → the normal stream applies them.
+
+    * ``repair``: vectorized ``pa.Table -> pa.Table`` over each file's
+      rows (``_reason``/``seq`` already stripped). May filter rows or
+      return an empty table to drop a file's contents. Without it,
+      rows re-feed verbatim — still-invalid rows simply re-quarantine
+      (DLQ file names are content hashes, so the roundtrip converges
+      instead of duplicating the queue).
+    * ``seq`` is ALWAYS re-minted by the WalWriter (the quarantined
+      row's original seq is at-or-below the table watermark by now —
+      replaying it would be dropped as a dupe); the original event
+      ``ts`` is KEPT, so the repaired row takes its original place in
+      the LWW order and legitimately loses to any later update.
+    * SAME-table repair: point ``wal_dir`` at the table's LIVE
+      producer WAL directory — the WalWriter resumes the seq space
+      from the directory's segment footers, so repaired rows mint
+      seqs ABOVE the table watermark and the next
+      ``run_stream``/``tail`` applies them. A FRESH directory starts
+      at seq 0 (right for feeding a new consumer, dropped as replays
+      by the original table).
+    * Per-file commit: each DLQ file is flushed as its own segment(s),
+      then MOVED to ``<dlq_dir>/requeued/`` — a re-run skips moved
+      files. A crash between publish and move re-feeds that one file
+      (at-least-once; identical payload at the same ts is LWW-stable,
+      but on ``additive`` tables run requeue to a quiescent queue).
+    """
+    files = sorted(
+        os.path.join(dlq_dir, f)
+        for f in os.listdir(dlq_dir)
+        if f.startswith("dlq-") and f.endswith(".parquet")
+    )
+    done_dir = os.path.join(dlq_dir, "requeued")
+    os.makedirs(done_dir, exist_ok=True)
+    w = WalWriter(wal_dir, segment_rows=segment_rows, durable=durable)
+    n_files = 0
+    n_rows = 0
+    first_seq = None
+    last_seq = None
+    for f in files:
+        t = pq.read_table(f)
+        t = t.drop_columns(
+            [c for c in ("_reason", "seq") if c in t.column_names]
+        )
+        if repair is not None:
+            t = repair(t)
+        if t.num_rows:
+            lo, hi = w.append(t)
+            w.flush()  # this file's rows are durable before its move
+            first_seq = lo if first_seq is None else first_seq
+            last_seq = hi
+            n_rows += t.num_rows
+        os.replace(f, os.path.join(done_dir, os.path.basename(f)))
+        n_files += 1
+    w.close()
+    return {
+        "files": n_files,
+        "rows": n_rows,
+        "first_seq": first_seq,
+        "last_seq": last_seq,
+    }
