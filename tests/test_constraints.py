@@ -407,3 +407,28 @@ def test_rewrite_rename_bypasses_constraints_no_data_loss(
     assert not (snap2["body"] == "definitely too long").any()
     inv = sum(m.totals.get("invalid", 0) for m in table.manifests())
     assert inv >= before
+
+
+def test_apply_changes_gated_with_dlq(tmp_path, ray_session):
+    """Gated corrections are recoverable: apply_changes(dlq_dir=)
+    quarantines the violating row with its check reason."""
+    root = str(tmp_path / "t")
+    table = DeltaTable.create(root, num_partitions=2, num_salts=1)
+    table.set_constraints({"len": {"col": "text", "max_len": 3}})
+    dlq = str(tmp_path / "dlq")
+    batch = pa.table(
+        {
+            "conv_id": pa.array(["a", "b"]),
+            "turn_idx": pa.array([0, 0], pa.int64()),
+            "text": pa.array(["ok", "way too long"]),
+        }
+    )
+    ing.apply_changes(table, batch, batch_id="fix-1", dlq_dir=dlq)
+    table = DeltaTable.open(root)
+    snap = ing.snapshot(table).to_pandas()
+    assert set(snap["conv_id"]) == {"a"}
+    q = pa.concat_tables(
+        [pq.read_table(os.path.join(dlq, f)) for f in os.listdir(dlq)]
+    )
+    assert q.num_rows == 1
+    assert q.column("_reason")[0].as_py() == "check:len"

@@ -86,8 +86,10 @@ def test_requeue_repair_reapply(tmp_path, ray_session):
 
 
 def test_requeue_verbatim_roundtrip_converges(tmp_path, ray_session):
-    """Without repair, still-invalid rows re-quarantine into the SAME
-    content-hash file names — the loop converges, never grows."""
+    """Without repair, still-invalid rows simply re-quarantine (same
+    row COUNT, fresh file names — re-minted seqs are hashed) and the
+    consumed files move to requeued/ — the loop is bounded by the move
+    markers, never grows."""
     ev, seg, bad = _poisoned_stream(tmp_path, seed=53, n_bad=5)
     root = str(tmp_path / "t")
     table = DeltaTable.create(root, num_partitions=2, num_salts=1)
@@ -97,9 +99,10 @@ def test_requeue_verbatim_roundtrip_converges(tmp_path, ray_session):
     dlq = str(tmp_path / "dlq")
     wal = str(tmp_path / "wal")
     ing.run_stream(table, [seg], dlq_dir=dlq)
-    first_files = set(os.listdir(dlq))
 
     requeue_dlq(dlq, wal)  # verbatim: rows still invalid
+    # every consumed file is marked; the live queue is empty
+    assert [f for f in os.listdir(dlq) if f.endswith(".parquet")] == []
     segs = sorted(
         os.path.join(wal, f) for f in os.listdir(wal)
         if f.endswith(".parquet")
@@ -179,3 +182,47 @@ def test_requeue_into_live_wal_continues_seq_and_applies(
         if len(m):  # unless a later event deleted/updated the key
             assert m.iloc[0]["role"] != "robot"
     assert not (snap["role"] == "robot").any()
+
+
+def test_requeue_restores_original_seq_order_and_missing_dir(tmp_path):
+    """The union of hash-named quarantine files re-sorts by ORIGINAL
+    seq before fresh seqs mint — coalesce tables merge by seq alone,
+    so inverted file order must not invert patch order. A never-created
+    DLQ dir is a clean no-op."""
+    dlq = str(tmp_path / "dlq")
+    os.makedirs(dlq)
+
+    def _dlq_file(name, seqs, texts):
+        t = pa.table(
+            {
+                "seq": pa.array(seqs, pa.int64()),
+                "op": pa.array(["U"] * len(seqs)),
+                "conv_id": pa.array(["k"] * len(seqs)),
+                "turn_idx": pa.array([0] * len(seqs), pa.int64()),
+                "text": pa.array(texts),
+                "ts": pa.array([1_000_000] * len(seqs), pa.timestamp("us")),
+                "_reason": pa.array(["check:x"] * len(seqs)),
+            }
+        )
+        pq.write_table(t, os.path.join(dlq, name))
+
+    # hash order (aaa < zzz) INVERTS original stream order (7 then 3)
+    _dlq_file("dlq-aaa.parquet", [7], ["newer"])
+    _dlq_file("dlq-zzz.parquet", [3], ["older"])
+    wal = str(tmp_path / "wal")
+    st = requeue_dlq(dlq, wal)
+    assert st["rows"] == 2 and st["files"] == 2
+    seg = sorted(
+        os.path.join(wal, f) for f in os.listdir(wal)
+        if f.endswith(".parquet")
+    )
+    out = pa.concat_tables([pq.read_table(s) for s in seg])
+    order = out.take(
+        pa.compute.sort_indices(out.column("seq"))
+    ).column("text").to_pylist()
+    assert order == ["older", "newer"]  # original order restored
+
+    # a DLQ dir that never existed: clean zero result, no crash
+    assert requeue_dlq(str(tmp_path / "ghost"), wal) == {
+        "files": 0, "rows": 0, "first_seq": None, "last_seq": None
+    }

@@ -1638,6 +1638,7 @@ def apply_changes(
     default_op: str = "U",
     ts_us: int | None = None,
     transform=None,
+    dlq_dir: str | None = None,
 ) -> Manifest | None:
     """Programmatic upsert/delete batch — backfills and corrections
     without a WAL producer. ``rows`` carries envelope columns: conv_id
@@ -1720,7 +1721,16 @@ def apply_changes(
     from xgeo_ray.state.storage import DEFAULT_STORAGE
 
     DEFAULT_STORAGE.publish_file(tmp, path, durable=table.durability == "full")
-    return ingest_segments(table, [path], transform=transform, watermark_exempt=True)
+    # corrections ARE gated by declared CHECK rules (user-authored
+    # state); without a dlq_dir a violating row is only counted —
+    # pass one so gated corrections stay recoverable via requeue_dlq
+    return ingest_segments(
+        table,
+        [path],
+        transform=transform,
+        watermark_exempt=True,
+        dlq_dir=dlq_dir,
+    )
 
 
 def delete_where(
@@ -1881,6 +1891,7 @@ def update_where(
     batch_id: str,
     ts_us: int | None = None,
     partitions: list[int] | None = None,
+    dlq_dir: str | None = None,
 ) -> Manifest | None:
     """Predicate UPDATE — the in-place-correction primitive beside
     ``delete_where`` (rows) and ``drop_columns`` (columns): rewrite the
@@ -2011,6 +2022,9 @@ def update_where(
             _to_updates, batch_format="pyarrow", zero_copy_batch=True
         ),
         final_dir,
+        # updated images are user-authored state and stay CHECK-gated;
+        # a dlq_dir keeps gated images recoverable via requeue_dlq
+        dlq_dir=dlq_dir,
     )
 
 
@@ -2019,6 +2033,7 @@ def _stage_and_ingest_oob(
     updates,
     final_dir: str,
     enforce_constraints: bool = True,
+    dlq_dir: str | None = None,
 ):
     """Shared tail of the oob full-image rewriters (``update_where``,
     ``rename_column``): write the update-image Dataset to a staging
@@ -2068,6 +2083,7 @@ def _stage_and_ingest_oob(
         segs,
         watermark_exempt=True,
         enforce_constraints=enforce_constraints,
+        dlq_dir=dlq_dir,
     )
 
 

@@ -201,30 +201,43 @@ def requeue_dlq(
     ``run_stream/tail(dlq_dir=)``: quarantine → inspect → repair →
     requeue → the normal stream applies them.
 
-    * ``repair``: vectorized ``pa.Table -> pa.Table`` over each file's
-      rows (``_reason``/``seq`` already stripped). May filter rows or
-      return an empty table to drop a file's contents. Without it,
-      rows re-feed verbatim — still-invalid rows simply re-quarantine
-      (DLQ file names are content hashes, so the roundtrip converges
-      instead of duplicating the queue).
-    * ``seq`` is ALWAYS re-minted by the WalWriter (the quarantined
-      row's original seq is at-or-below the table watermark by now —
-      replaying it would be dropped as a dupe); the original event
-      ``ts`` is KEPT, so the repaired row takes its original place in
-      the LWW order and legitimately loses to any later update.
+    * ``repair``: vectorized ``pa.Table -> pa.Table`` over the UNION of
+      all quarantined rows (``_reason``/``seq`` stripped after
+      ordering). May filter rows or return an empty table to drop
+      everything. Without it, rows re-feed verbatim — still-invalid
+      rows simply re-quarantine (under NEW content-hash names: the
+      re-minted seqs are part of the hashed bytes; the loop is bounded
+      by the ``requeued/`` move markers, not by name dedup).
+    * ORDER: the union is sorted by the rows' ORIGINAL (seq, ts)
+      before fresh seqs mint, so relative stream order is restored
+      across quarantine files (hash-named files carry no order) —
+      required for ``coalesce`` tables, whose merge orders by seq
+      alone.
+    * ``seq`` is ALWAYS re-minted (the quarantined row's original seq
+      is at-or-below the table watermark by now — replaying it would
+      be dropped as a dupe); the original event ``ts`` is KEPT, so the
+      repaired row takes its original place in the ts-major LWW order.
+      Among SAME-microsecond events the re-minted seq wins the
+      tiebreak — requeue is semantically a correction issued now, and
+      like any correction it can supersede a same-instant update.
     * SAME-table repair: point ``wal_dir`` at the table's LIVE
       producer WAL directory — the WalWriter resumes the seq space
       from the directory's segment footers, so repaired rows mint
       seqs ABOVE the table watermark and the next
-      ``run_stream``/``tail`` applies them. A FRESH directory starts
-      at seq 0 (right for feeding a new consumer, dropped as replays
-      by the original table).
-    * Per-file commit: each DLQ file is flushed as its own segment(s),
-      then MOVED to ``<dlq_dir>/requeued/`` — a re-run skips moved
-      files. A crash between publish and move re-feeds that one file
-      (at-least-once; identical payload at the same ts is LWW-stable,
-      but on ``additive`` tables run requeue to a quiescent queue).
+      ``run_stream``/``tail`` applies them. STOP (or flush and pause)
+      the producer first: two WalWriters on one directory would mint
+      colliding segment indexes and overlapping seqs. A FRESH
+      directory starts at seq 0 (right for feeding a new consumer,
+      dropped as replays by the original table).
+    * Exactly-once: ONE ordered batch per run — all segments publish,
+      then every consumed DLQ file moves to ``<dlq_dir>/requeued/``.
+      A crash between publish and the moves re-feeds the whole batch
+      (at-least-once; LWW re-converges on identical payloads, but on
+      ``additive``/``coalesce`` tables re-run only against a quiescent
+      queue and check ``requeued/`` first).
     """
+    if not os.path.isdir(dlq_dir):  # nothing ever quarantined
+        return {"files": 0, "rows": 0, "first_seq": None, "last_seq": None}
     files = sorted(
         os.path.join(dlq_dir, f)
         for f in os.listdir(dlq_dir)
@@ -232,29 +245,42 @@ def requeue_dlq(
     )
     done_dir = os.path.join(dlq_dir, "requeued")
     os.makedirs(done_dir, exist_ok=True)
-    w = WalWriter(wal_dir, segment_rows=segment_rows, durable=durable)
-    n_files = 0
-    n_rows = 0
     first_seq = None
     last_seq = None
-    for f in files:
-        t = pq.read_table(f)
-        t = t.drop_columns(
-            [c for c in ("_reason", "seq") if c in t.column_names]
+    n_rows = 0
+    if files:
+        union = pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="permissive"
+        )
+        # restore original stream order across hash-named files; seq
+        # nulls (envelope rejects) order last, stably by ts
+        order_keys = []
+        if "seq" in union.column_names:
+            order_keys.append(("seq", "ascending"))
+        if "ts" in union.column_names:
+            order_keys.append(("ts", "ascending"))
+        if order_keys:
+            import pyarrow.compute as pc
+
+            union = union.take(
+                pc.sort_indices(
+                    union, sort_keys=order_keys, null_placement="at_end"
+                )
+            )
+        union = union.drop_columns(
+            [c for c in ("_reason", "seq") if c in union.column_names]
         )
         if repair is not None:
-            t = repair(t)
-        if t.num_rows:
-            lo, hi = w.append(t)
-            w.flush()  # this file's rows are durable before its move
-            first_seq = lo if first_seq is None else first_seq
-            last_seq = hi
-            n_rows += t.num_rows
+            union = repair(union)
+        if union.num_rows:
+            w = WalWriter(wal_dir, segment_rows=segment_rows, durable=durable)
+            first_seq, last_seq = w.append(union)
+            w.close()
+            n_rows = union.num_rows
+    for f in files:
         os.replace(f, os.path.join(done_dir, os.path.basename(f)))
-        n_files += 1
-    w.close()
     return {
-        "files": n_files,
+        "files": len(files),
         "rows": n_rows,
         "first_seq": first_seq,
         "last_seq": last_seq,
