@@ -1273,6 +1273,7 @@ def main(argv: list[str] | None = None) -> int:
                             "num_partitions": table.num_partitions,
                             "num_salts": table.num_salts,
                         },
+                        "constraints": table.constraints(),
                         "latest_epoch": table.latest_epoch(),
                         # merge-on-read pressure: fold when this grows
                         "max_chain_files": max(
