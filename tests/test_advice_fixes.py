@@ -209,3 +209,86 @@ def test_invalid_rows_counted_in_manifest_totals(tmp_path):
     table2 = DeltaTable.create(str(tmp_path / "tbl2"), num_partitions=4, num_salts=1)
     ms = ing.run_stream(table2, segs, segments_per_epoch=1)
     assert sum(mm.totals.get("invalid", 0) for mm in ms) == 3
+
+
+def test_parquet_codec_policy(tmp_path, ray_session):
+    """Table-policy compression: deltas AND compaction outputs write
+    with the declared codec; default stays snappy; typos fail at
+    declare time; reshard carries the policy."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xgeo_ray import fixtures as fx
+    from xgeo_ray.pipelines import ingest as ing
+    from xgeo_ray.state.delta_table import DeltaTable
+
+    ev = fx.make_change_events(300, n_convs=20, turns_per_conv=5,
+                               dup_fraction=0.0, seed=61)
+    seg = str(tmp_path / "w.parquet")
+    pq.write_table(ev, seg)
+
+    with pytest.raises(Exception):
+        DeltaTable.create(str(tmp_path / "bad"), parquet_codec="zsdt")
+    # (out-of-range LEVELS are clamped by the codec lib, not an error)
+
+    root = str(tmp_path / "t")
+    table = DeltaTable.create(
+        root, num_partitions=2, num_salts=1, parquet_codec="zstd:3"
+    )
+    ing.ingest_segments(table, [seg])
+    table = DeltaTable.open(root)
+
+    def codecs_of(files):
+        out = set()
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                out.add(md.row_group(g).column(0).compression)
+        return out
+
+    deltas = [
+        os.path.join(root, e.path)
+        for m in table.manifests()
+        for e in m.partitions.values()
+        if e.path
+    ]
+    assert codecs_of(deltas) == {"ZSTD"}
+
+    ing.compact(table)
+    table = DeltaTable.open(root)
+    folded = [
+        os.path.join(root, p)
+        for chain in table.partition_chain_files().values()
+        for p in chain
+    ] or [
+        os.path.join(root, e.path)
+        for e in table.manifests()[-1].partitions.values()
+        if e.path
+    ]
+    assert codecs_of(folded) == {"ZSTD"}
+
+    # snapshot parity is unaffected by the codec
+    snap = ing.snapshot(table).to_pandas()
+    import pandas as pd
+
+    want = fx.naive_final_state(None, ev).to_pandas()
+    got = snap.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+
+    # reshard carries the policy; default tables stay snappy
+    new = ing.reshard(table, str(tmp_path / "t4"), num_partitions=4)
+    assert new.parquet_codec() == "zstd:3"
+    plain = DeltaTable.create(str(tmp_path / "p"), num_partitions=2,
+                              num_salts=1)
+    ing.ingest_segments(plain, [seg])
+    plain = DeltaTable.open(str(tmp_path / "p"))
+    pd_deltas = [
+        os.path.join(plain.root, e.path)
+        for m in plain.manifests()
+        for e in m.partitions.values()
+        if e.path
+    ]
+    assert codecs_of(pd_deltas) == {"SNAPPY"}

@@ -91,6 +91,13 @@ def main(argv: list[str] | None = None) -> int:
         "is epoch-granular); full = retain every version (exact "
         "as-of-ts travel, storage tracks update volume)",
     )
+    p.add_argument(
+        "--parquet-codec",
+        default=None,
+        help='table-file compression, "name" or "name:level" (e.g. '
+        "zstd:3 — ~half the bytes of the snappy default); validated "
+        "by a probe write at create",
+    )
 
     p = sub.add_parser(
         "produce",
@@ -717,6 +724,7 @@ def main(argv: list[str] | None = None) -> int:
             durability=args.durability,
             merge_policy=args.merge_policy,
             history=args.history,
+            parquet_codec=args.parquet_codec,
             **kw,
         )
         print(json.dumps({"created": args.table}))

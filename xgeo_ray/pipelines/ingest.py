@@ -57,8 +57,18 @@ _SORT_KEYS = [
 ]
 
 
+def _parse_codec(spec: str | None) -> tuple[str | None, int | None]:
+    """``"zstd"`` / ``"zstd:9"`` → (compression, level). None keeps the
+    parquet default (snappy)."""
+    if not spec:
+        return None, None
+    name, _, lvl = spec.partition(":")
+    return name, (int(lvl) if lvl else None)
+
+
 def _atomic_write_parquet(
-    t: pa.Table, final_path: str, durable: bool = True
+    t: pa.Table, final_path: str, durable: bool = True,
+    codec: str | None = None,
 ) -> int:
     """Write tmp, then publish through the storage seam (POSIX:
     os.replace + dir fsync; object stores: a plain atomic PUT — see
@@ -76,13 +86,19 @@ def _atomic_write_parquet(
     # prune point lookups to a few groups, coarse enough that scans and
     # chunk planning (~500k-row runs) stay metadata-light
     rg = 131_072
+    comp, lvl = _parse_codec(codec)
+    kw = {}
+    if comp is not None:
+        kw["compression"] = comp
+        if lvl is not None:
+            kw["compression_level"] = lvl
     if durable:
         with open(tmp, "wb") as f:
-            pq.write_table(t, f, row_group_size=rg)
+            pq.write_table(t, f, row_group_size=rg, **kw)
             f.flush()
             os.fsync(f.fileno())
     else:
-        pq.write_table(t, tmp, row_group_size=rg)
+        pq.write_table(t, tmp, row_group_size=rg, **kw)
     DEFAULT_STORAGE.publish_file(tmp, final_path, durable)
     return os.path.getsize(final_path)
 
@@ -218,6 +234,7 @@ class ApplyPartition:
         history: str = "collapsed",
         stats_columns: list[str] | None = None,
         aliases: dict[str, str] | None = None,
+        codec: str | None = None,
     ):
         # NOTE: no limit_worker_threads() here — instance-passed stages are
         # constructed on the DRIVER (pickled to workers, __init__ never
@@ -238,6 +255,8 @@ class ApplyPartition:
         self.token = token
         self.history = history
         self.stats_columns = stats_columns or []
+        # table-policy parquet codec for delta files (None = snappy)
+        self.codec = codec
         # resolve the callable HERE (driver): runtime-registered policies
         # are not in the worker's registry; the pickled instance carries it
         from xgeo_ray.stages.collapse import MERGE_POLICIES
@@ -344,7 +363,10 @@ class ApplyPartition:
             )
             entry.stats = _column_stats_json(out, self.stats_columns)
             entry.bytes = _atomic_write_parquet(
-                out, os.path.join(self.root, entry.path), durable=self.durable
+                out,
+                os.path.join(self.root, entry.path),
+                durable=self.durable,
+                codec=self.codec,
             )
         else:
             out = self.schema.empty_table()
@@ -523,6 +545,7 @@ def _radix_exchange_apply(
             ts_watermarks=table.ts_watermarks(),
             history=table.history,
             stats_columns=table.stats_columns(),
+            codec=table.parquet_codec(),
         )
     )
     maps = [
@@ -573,6 +596,7 @@ def _apply_shuffled(
             ts_watermarks=table.ts_watermarks(),
             history=table.history,
             stats_columns=table.stats_columns(),
+            codec=table.parquet_codec(),
         ),
         batch_format="pyarrow",
     )
@@ -955,6 +979,7 @@ def run_stream(
                 ts_watermarks=None if is_boot else tswm,
                 history=table.history,
                 stats_columns=table.stats_columns(),
+            codec=table.parquet_codec(),
                 # the fused final-snapshot reduce reads PRIOR files —
                 # pre-rename files surface under logical names there
                 aliases=table.column_aliases(),
@@ -3069,6 +3094,7 @@ def reshard(
         merge_policy=table.merge_policy,
         history=table.history,
         stats_columns=table.stats_columns() or None,
+        parquet_codec=table.parquet_codec(),
     )
     # ONE epoch: segments partition the KEY space (one old partition
     # each) with overlapping seq ranges — splitting them across epochs
@@ -3662,6 +3688,7 @@ def compact(
     # (that is its job — and the travel guard then applies).
     preserve_history = minor and table.history == "full"
     aliases = table.column_aliases()
+    codec = table.parquet_codec()
 
     @ray.remote
     def compact_part(part: int, paths: list[str]) -> pa.Table:
@@ -3710,7 +3737,7 @@ def compact(
             )
             entry.stats = _column_stats_json(t, stats_cols)
         entry.bytes = _atomic_write_parquet(
-            t, os.path.join(root, entry.path), durable=durable
+            t, os.path.join(root, entry.path), durable=durable, codec=codec
         )
         return _entry_to_table(entry)
 

@@ -51,6 +51,23 @@ PARTS_DIR = "parts"
 LINEAGE_COLS = ["op", "seq"]
 
 
+def _probe_parquet_codec(spec: str) -> None:
+    """Fail fast on an unknown codec / level: write a 0-row table with
+    it in memory — the same arrow call the epoch writers make, so a
+    typo dies at declare time, not in the first epoch's workers."""
+    import io
+
+    import pyarrow.parquet as _pq
+
+    name, _, lvl = str(spec).partition(":")
+    kw = {"compression": name}
+    if lvl:
+        kw["compression_level"] = int(lvl)
+    _pq.write_table(
+        pa.table({"x": pa.array([], pa.int64())}), io.BytesIO(), **kw
+    )
+
+
 def part_dir(root: str, part_key: int) -> str:
     return os.path.join(root, PARTS_DIR, f"part={part_key:05d}")
 
@@ -131,6 +148,7 @@ class DeltaTable:
         merge_policy: str = "lww",
         history: str = "collapsed",
         stats_columns: list[str] | None = None,
+        parquet_codec: str | None = None,
     ) -> "DeltaTable":
         """``durability``:
         * ``"full"`` (default) — every delta Parquet is fsync'd (file and
@@ -156,9 +174,21 @@ class DeltaTable:
           update volume, not key count; minor compaction stays
           history-preserving, a FULL compact folds to state (and the
           time-travel guard then applies).
+
+        ``parquet_codec``: compression for TABLE files (epoch deltas and
+        compaction outputs) as ``"name"`` or ``"name:level"`` —
+        ``"zstd:3"`` roughly halves delta bytes vs the snappy default at
+        modest CPU cost (the right trade at 100 TB where storage and
+        shuffle I/O dominate); validated here by a probe write so a typo
+        fails at create, not in the first epoch's workers. ``None`` =
+        parquet default (snappy). Changing it later (``set_parquet_
+        codec``) affects files written from the next epoch on — mixed
+        codecs are fine, parquet readers dispatch per column chunk.
         """
         if durability not in ("full", "commit"):
             raise ValueError(f"unknown durability {durability!r}")
+        if parquet_codec:
+            _probe_parquet_codec(parquet_codec)
         if history not in ("collapsed", "full"):
             raise ValueError(f"unknown history {history!r}")
         from xgeo_ray.stages.collapse import MERGE_POLICIES
@@ -180,6 +210,8 @@ class DeltaTable:
         }
         if stats_columns:
             meta["stats_columns"] = sorted(set(stats_columns))
+        if parquet_codec:
+            meta["parquet_codec"] = parquet_codec
         p = os.path.join(root, TABLE_META)
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
@@ -642,6 +674,29 @@ class DeltaTable:
 
         def _m(meta):
             meta["stats_columns"] = sorted(set(cols))
+
+        self._mutate_meta(_m)
+
+    # ------------------------------------------------------- parquet codec
+    def parquet_codec(self) -> str | None:
+        """Table-policy compression for delta/compaction files
+        (``"zstd:3"`` shape; None = snappy default). See ``create``."""
+        with open(os.path.join(self.root, TABLE_META)) as f:
+            return json.load(f).get("parquet_codec")
+
+    def set_parquet_codec(self, codec: str | None) -> None:
+        """Change (or clear) the table's parquet codec; files written
+        from the next epoch on use it — existing files keep theirs
+        (parquet readers dispatch per column chunk, mixed histories are
+        fine; a full compact rewrites everything under the new one)."""
+        if codec:
+            _probe_parquet_codec(codec)
+
+        def _m(meta):
+            if codec:
+                meta["parquet_codec"] = codec
+            else:
+                meta.pop("parquet_codec", None)
 
         self._mutate_meta(_m)
 
