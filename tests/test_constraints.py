@@ -432,3 +432,49 @@ def test_apply_changes_gated_with_dlq(tmp_path, ray_session):
     )
     assert q.num_rows == 1
     assert q.column("_reason")[0].as_py() == "check:len"
+
+
+def test_constraints_gate_transform_output(tmp_path, ray_session):
+    """With a user transform in the ingest DAG, CHECK rules evaluate
+    the transform's OUTPUT — a rule on a stage-populated column must
+    see the stage's values, not normalize's null-fill."""
+    import pyarrow.compute as pc2
+
+    ev = _mk_events(200, seed=71)
+    seg = str(tmp_path / "w.parquet")
+    pq.write_table(ev, seg)
+    root = str(tmp_path / "t")
+    base = pa.schema(
+        list(pa.schema(
+            [(f.name, f.type) for f in ev.schema]
+        ))
+    )
+    table = DeltaTable.create(root, num_partitions=2, num_salts=1)
+    # transform uppercases text; the rule forbids lowercase — every row
+    # passes ONLY if the gate runs post-transform
+    table.set_constraints(
+        {"upper_only": {"col": "text", "matches": "^[^a-z]*$"}}
+    )
+
+    def upper(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("text")
+        return t.set_column(i, "text", pc2.utf8_upper(t.column("text")))
+
+    ing.run_stream(table, [seg], transform=upper)
+    table = DeltaTable.open(root)
+    assert sum(m.totals.get("invalid", 0) for m in table.manifests()) == 0
+    snap = ing.snapshot(table).to_pandas()
+    assert len(snap) > 0
+    assert snap["text"].str.islower().sum() == 0
+
+    # and the gate still FIRES on transform output that violates
+    root2 = str(tmp_path / "t2")
+    t2 = DeltaTable.create(root2, num_partitions=2, num_salts=1)
+    t2.set_constraints(
+        {"no_upper": {"col": "text", "matches": "^[^A-Z]*$"}}
+    )
+    ing.run_stream(t2, [seg], transform=upper)
+    t2 = DeltaTable.open(root2)
+    inv = sum(m.totals.get("invalid", 0) for m in t2.manifests())
+    n_ius = sum(1 for o in ev.column("op").to_pylist() if o != "D")
+    assert inv == n_ius  # every transformed I/U row violates

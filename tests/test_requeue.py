@@ -226,3 +226,45 @@ def test_requeue_restores_original_seq_order_and_missing_dir(tmp_path):
     assert requeue_dlq(str(tmp_path / "ghost"), wal) == {
         "files": 0, "rows": 0, "first_seq": None, "last_seq": None
     }
+
+
+def test_requeue_mixed_shape_dlq_and_correction_order(tmp_path):
+    """Envelope-reject files keep raw segment types (int64 ts) while
+    CHECK-reject files are canonical (timestamp ts) — the union must
+    concat; and out-of-band corrections (seq<0/null) re-mint ABOVE all
+    stream rows (a correction supersedes what it corrects)."""
+    dlq = str(tmp_path / "dlq")
+    os.makedirs(dlq)
+
+    def _f(name, seqs, texts, ts_type):
+        ts = [1_000_000 + i for i in range(len(seqs))]
+        t = pa.table(
+            {
+                "seq": pa.array(seqs, pa.int64()),
+                "op": pa.array(["U"] * len(seqs)),
+                "conv_id": pa.array(["k"] * len(seqs)),
+                "turn_idx": pa.array([0] * len(seqs), pa.int64()),
+                "text": pa.array(texts),
+                "ts": pa.array(ts, pa.int64())
+                if ts_type == "int"
+                else pa.array(ts, pa.timestamp("us")),
+                "_reason": pa.array(["x"] * len(seqs)),
+            }
+        )
+        pq.write_table(t, os.path.join(dlq, name))
+
+    _f("dlq-aa.parquet", [None], ["correction"], "int")  # oob, raw shape
+    _f("dlq-bb.parquet", [5], ["stream5"], "ts")  # check-reject, canonical
+    _f("dlq-cc.parquet", [-1], ["oob2"], "ts")
+    wal = str(tmp_path / "wal")
+    st = requeue_dlq(dlq, wal)
+    assert st["rows"] == 3
+    seg = sorted(
+        os.path.join(wal, f) for f in os.listdir(wal)
+        if f.endswith(".parquet")
+    )
+    out = pa.concat_tables([pq.read_table(s) for s in seg])
+    by_seq = out.take(pa.compute.sort_indices(out.column("seq")))
+    texts = by_seq.column("text").to_pylist()
+    assert texts[0] == "stream5"  # stream row first
+    assert set(texts[1:]) == {"correction", "oob2"}  # oob rows above

@@ -57,15 +57,6 @@ _SORT_KEYS = [
 ]
 
 
-def _parse_codec(spec: str | None) -> tuple[str | None, int | None]:
-    """``"zstd"`` / ``"zstd:9"`` → (compression, level). None keeps the
-    parquet default (snappy)."""
-    if not spec:
-        return None, None
-    name, _, lvl = spec.partition(":")
-    return name, (int(lvl) if lvl else None)
-
-
 def _atomic_write_parquet(
     t: pa.Table, final_path: str, durable: bool = True,
     codec: str | None = None,
@@ -86,12 +77,9 @@ def _atomic_write_parquet(
     # prune point lookups to a few groups, coarse enough that scans and
     # chunk planning (~500k-row runs) stay metadata-light
     rg = 131_072
-    comp, lvl = _parse_codec(codec)
-    kw = {}
-    if comp is not None:
-        kw["compression"] = comp
-        if lvl is not None:
-            kw["compression_level"] = lvl
+    from xgeo_ray.state.delta_table import parse_parquet_codec
+
+    kw = parse_parquet_codec(codec)
     if durable:
         with open(tmp, "wb") as f:
             pq.write_table(t, f, row_group_size=rg, **kw)
@@ -190,6 +178,10 @@ class NormalizeCollapsePartition:
         self.norm = NormalizeEvents(
             envelope, drop=drop, dlq_dir=dlq_dir, constraints=constraints
         )
+        # with a user transform, CHECK rules must gate the transform's
+        # OUTPUT (rules on stage-populated columns would otherwise see
+        # normalize's null-fill) — defer the gate past the transform
+        self.norm.defer_checks = transform is not None
         self.p = num_partitions
         self.s = num_salts
         self.transform = transform
@@ -201,10 +193,11 @@ class NormalizeCollapsePartition:
         from xgeo_ray.stages.collapse import maybe_precollapse
 
         batch = self.norm(batch)
-        # surfaced per map task into the manifest's totals["invalid"]
-        self.last_invalid = self.norm.last_invalid
         if self.transform is not None:
             batch = self.transform(batch)
+            batch = self.norm.apply_checks(batch)  # gate POST-transform
+        # surfaced per map task into the manifest's totals["invalid"]
+        self.last_invalid = self.norm.last_invalid
         if self.precombine:
             batch = maybe_precollapse(batch)
         return add_part_key(batch, self.p, self.s)
@@ -979,7 +972,7 @@ def run_stream(
                 ts_watermarks=None if is_boot else tswm,
                 history=table.history,
                 stats_columns=table.stats_columns(),
-            codec=table.parquet_codec(),
+                codec=table.parquet_codec(),
                 # the fused final-snapshot reduce reads PRIOR files —
                 # pre-rename files surface under logical names there
                 aliases=table.column_aliases(),
@@ -2409,9 +2402,12 @@ def validate_refs(
     def _refs(b: pa.Table, _c=col) -> pa.Table:
         return pa.table({"__ref": b.column(_c)})
 
+    # materialize ONCE: count, null-count and the anti-join all consume
+    # the same blocks — without this each would re-run the full
+    # merge-on-read snapshot pipeline (three scans instead of one)
     left = snapshot(table, columns=[col]).map_batches(
         _refs, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()
     right = snapshot(other, columns=[other_col]).map_batches(
         # distinct the referenced side per batch (anti-join semantics
         # don't need duplicates; this is the classic combiner) and

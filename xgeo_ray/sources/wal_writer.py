@@ -249,22 +249,54 @@ def requeue_dlq(
     last_seq = None
     n_rows = 0
     if files:
-        union = pa.concat_tables(
-            [pq.read_table(f) for f in files], promote_options="permissive"
-        )
-        # restore original stream order across hash-named files; seq
-        # nulls (envelope rejects) order last, stably by ts
-        order_keys = []
-        if "seq" in union.column_names:
-            order_keys.append(("seq", "ascending"))
-        if "ts" in union.column_names:
-            order_keys.append(("ts", "ascending"))
-        if order_keys:
-            import pyarrow.compute as pc
+        tabs = []
+        for f in files:
+            t = pq.read_table(f)
+            # envelope-reject files keep their segment's RAW shape
+            # (e.g. JSONL ts as int64) while CHECK-reject files are
+            # post-cast canonical — canonicalize ts so the union
+            # concat never hits int64-vs-timestamp promotion
+            if "ts" in t.column_names and pa.types.is_integer(
+                t.column("ts").type
+            ):
+                i = t.schema.get_field_index("ts")
+                t = t.set_column(
+                    i, "ts", t.column("ts").cast(pa.timestamp("us"))
+                )
+            tabs.append(t)
+        union = pa.concat_tables(tabs, promote_options="permissive")
+        # restore original stream order across hash-named files —
+        # ORIGINAL seq major (hash file names carry no order; coalesce
+        # merges by seq alone), ts tiebreak. Out-of-band corrections
+        # (seq < 0 / null) sort LAST: a correction was authored after
+        # the stream events it supersedes, so its re-minted seq must
+        # land above theirs.
+        import pyarrow.compute as pc
 
+        if "seq" in union.column_names:
+            big = pa.scalar(2**62, pa.int64())
+            seq_ord = pc.if_else(
+                pc.fill_null(
+                    pc.less(union.column("seq").cast(pa.int64()), 0), True
+                ),
+                big,
+                pc.fill_null(union.column("seq").cast(pa.int64()), big),
+            )
+            union = union.append_column("__ord", seq_ord)
+            keys = [("__ord", "ascending")]
+            if "ts" in union.column_names:
+                keys.append(("ts", "ascending"))
             union = union.take(
                 pc.sort_indices(
-                    union, sort_keys=order_keys, null_placement="at_end"
+                    union, sort_keys=keys, null_placement="at_end"
+                )
+            ).drop_columns(["__ord"])
+        elif "ts" in union.column_names:
+            union = union.take(
+                pc.sort_indices(
+                    union,
+                    sort_keys=[("ts", "ascending")],
+                    null_placement="at_end",
                 )
             )
         union = union.drop_columns(

@@ -47,8 +47,11 @@ class NormalizeEvents:
         # declarative CHECK rules (state/constraints.py), evaluated
         # vectorized AFTER the envelope cast so types are canonical;
         # violating I/U rows quarantine as `check:<name>` — 'D'
-        # tombstones (null payloads by design) always pass
+        # tombstones (null payloads by design) always pass.
+        # `defer_checks`: skip the gate in __call__ — the caller runs
+        # apply_checks() itself after its user transform
         self.constraints = constraints or None
+        self.defer_checks = False
         # columns DROPPED from the table (ingest.drop_columns): incoming
         # events may still carry them; discard the values instead of
         # tripping cast_to's extra-column fail-fast (which still guards
@@ -100,23 +103,35 @@ class NormalizeEvents:
                 )
             batch = batch.filter(valid)
         out = cast_to(batch, self.schema)
-        if self.constraints is not None and out.num_rows:
-            from xgeo_ray.state.constraints import check_mask
-
-            ok, why = check_mask(out, self.constraints)
-            n_check = out.num_rows - (pc.sum(ok).as_py() or 0)
-            if n_check:
-                if self.dlq_dir is not None:
-                    bad = pc.invert(ok)
-                    _write_dlq(
-                        out.filter(bad).append_column(
-                            "_reason", why.filter(bad)
-                        ),
-                        self.dlq_dir,
-                    )
-                out = out.filter(ok)
-            n_bad += n_check
         self.last_invalid = int(n_bad)
+        if not self.defer_checks:
+            out = self.apply_checks(out)
+        return out
+
+    def apply_checks(self, out: pa.Table) -> pa.Table:
+        """The CHECK-constraint gate, separated from ``__call__`` so a
+        caller with a user transform (NormalizeCollapsePartition) can
+        run it AFTER the transform — rules on transform-populated
+        columns (e.g. BroadcastLookup enrichment) must see the stage's
+        values, not normalize's null-fill. Adds its drop count to
+        ``last_invalid``."""
+        if self.constraints is None or not out.num_rows:
+            return out
+        from xgeo_ray.state.constraints import check_mask
+
+        ok, why = check_mask(out, self.constraints)
+        n_check = out.num_rows - (pc.sum(ok).as_py() or 0)
+        if n_check:
+            if self.dlq_dir is not None:
+                bad = pc.invert(ok)
+                _write_dlq(
+                    out.filter(bad).append_column(
+                        "_reason", why.filter(bad)
+                    ),
+                    self.dlq_dir,
+                )
+            out = out.filter(ok)
+        self.last_invalid += int(n_check)
         return out
 
 

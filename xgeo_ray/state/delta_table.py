@@ -51,6 +51,21 @@ PARTS_DIR = "parts"
 LINEAGE_COLS = ["op", "seq"]
 
 
+def parse_parquet_codec(spec: str | None) -> dict:
+    """``"zstd"`` / ``"zstd:9"`` → pq.write_table kwargs ({} keeps the
+    parquet default, snappy). THE one parser of the pinned codec-spec
+    grammar — the declare-time probe and every epoch writer
+    (ingest._atomic_write_parquet) go through it, so they can never
+    diverge on what a spec means."""
+    if not spec:
+        return {}
+    name, _, lvl = str(spec).partition(":")
+    kw: dict = {"compression": name}
+    if lvl:
+        kw["compression_level"] = int(lvl)
+    return kw
+
+
 def _probe_parquet_codec(spec: str) -> None:
     """Fail fast on an unknown codec / level: write a 0-row table with
     it in memory — the same arrow call the epoch writers make, so a
@@ -59,12 +74,10 @@ def _probe_parquet_codec(spec: str) -> None:
 
     import pyarrow.parquet as _pq
 
-    name, _, lvl = str(spec).partition(":")
-    kw = {"compression": name}
-    if lvl:
-        kw["compression_level"] = int(lvl)
     _pq.write_table(
-        pa.table({"x": pa.array([], pa.int64())}), io.BytesIO(), **kw
+        pa.table({"x": pa.array([], pa.int64())}),
+        io.BytesIO(),
+        **parse_parquet_codec(spec),
     )
 
 
