@@ -245,3 +245,64 @@ ray.shutdown()
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "NEW-SURFACES-OK" in r.stdout
+
+
+def test_round5_surfaces_on_objectstore_contract(tmp_path):
+    """CHECK-constraint quarantine -> requeue into the live WAL ->
+    repaired rows re-apply, then a packed training export — the
+    round-5 surfaces that publish through the storage seam — run
+    end-to-end under XGEO_STORAGE=objectstore in a fresh process."""
+    import subprocess
+    import sys
+
+    script = r"""
+import os, sys, json
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext; DataContext.get_current().enable_progress_bars = False
+import pyarrow as pa, pyarrow.parquet as pq
+from xgeo_ray import fixtures as fx
+from xgeo_ray.pipelines import ingest as ing
+from xgeo_ray.sources.wal_writer import requeue_dlq
+from xgeo_ray.state.delta_table import DeltaTable
+from xgeo_ray.state.storage import DEFAULT_STORAGE
+assert type(DEFAULT_STORAGE).__name__ == "ObjectStoreStorage"
+root = sys.argv[1]
+ev = fx.make_change_events(400, n_convs=10, turns_per_conv=4, dup_fraction=0.0, seed=77)
+role = ev.column("role").to_pylist()
+op = ev.column("op").to_pylist()
+bad = [i for i in range(ev.num_rows) if op[i] != "D"][:6]
+for i in bad: role[i] = "robot"
+ev = ev.set_column(ev.schema.get_field_index("role"), "role", pa.array(role))
+wal = f"{root}/wal"
+segs = fx.write_segments(ev, wal, n_segments=2)
+t = DeltaTable.create(f"{root}/t", num_partitions=2, num_salts=1,
+                      parquet_codec="zstd:3")
+t.set_constraints({"enum": {"col": "role", "in": ["user", "assistant", "tool"]}})
+ing.run_stream(t, segs, dlq_dir=f"{root}/dlq")
+t = DeltaTable.open(f"{root}/t")
+assert sum(m.totals.get("invalid", 0) for m in t.manifests()) == len(bad)
+import pyarrow.compute as pc
+def repair(x):
+    i = x.schema.get_field_index("role")
+    return x.set_column(i, "role", pc.replace_substring(x.column("role"), "robot", "tool"))
+st = requeue_dlq(f"{root}/dlq", wal, repair=repair)
+assert st["rows"] == len(bad)
+new_segs = sorted(os.path.join(wal, f) for f in os.listdir(wal) if f.endswith(".parquet"))
+ing.run_stream(DeltaTable.open(f"{root}/t"), new_segs)
+snap = ing.snapshot(DeltaTable.open(f"{root}/t")).to_pandas()
+assert not (snap["role"] == "robot").any()
+res = ing.export_packed(DeltaTable.open(f"{root}/t"), f"{root}/packed", 200, fmt="parquet")
+assert res["rows_written"] == len(snap)
+print("ROUND5-SURFACES-OK")
+ray.shutdown()
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script, str(tmp_path)],
+        env={**os.environ, "XGEO_STORAGE": "objectstore"},
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ROUND5-SURFACES-OK" in r.stdout
